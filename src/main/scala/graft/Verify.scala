@@ -11,12 +11,27 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs parquet timestamps: DuckDB-comparable (INT96 is deprecated and
+      // reads back as ns in some arrow paths, breaking value compares).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // DuckDB oracle timestamps are tz-naive; Spark TimestampType writes
+    // isAdjustedToUTC=true parquet (reads back tz-aware). Session TZ is
+    // UTC, so casting to TIMESTAMP_NTZ is value-preserving and makes both
+    // sides byte-comparable.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,519 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY §2.3-§2.8): the reference's own
+  * query capabilities, re-expressed Spark-first, plus the adjacent
+  * relational ops Spark gives us for free (semi/anti/outer joins, set ops,
+  * rollup/cube, windows).
+  *
+  * Scale notes (100 TB stance), applied throughout:
+  *  - filters precede joins and reach the parquet scan (Catalyst pushdown;
+  *    the reference hand-ordered filters, reference pipeline/reduce.py:60-64);
+  *  - small post-filter sides are `broadcast()` so big fact tables never
+  *    shuffle for dimension joins;
+  *  - top-k is `orderBy.limit` which Catalyst fuses into
+  *    TakeOrderedAndProject (per-partition heap + driver merge of k rows —
+  *    no global sort, unlike the reference's sort-then-head,
+  *    reference pipeline/reduce.py:69-72);
+  *  - aggregations use partial/final HashAggregate (map-side combine) and
+  *    the fixed-point exact-sum pattern ([[graft.functions.Exact]]).
+  *
+  * Every query ends in a deterministic total order (unique tiebreak) so
+  * output is hash-stable; oracles mirror the ORDER BY.
+  */
+object Relational {
+
+  /** Mid-range cutoff for the flagship; fixture dates span 1995..2001.
+    * The reference uses `Timestamp.now()` (reference pipeline/reduce.py:56) —
+    * parameterized here for determinism (SURVEY §7 risk list). */
+  private val Cutoff = "1998-06-15 00:00:00"
+
+  /** Flagship: the reference's one analytical query — TPC-H Q3 variant,
+    * "top 50 unshipped orders by revenue" for one market segment
+    * (reference pipeline/reduce.py:24-78). Fixtures lack o_shippriority, so
+    * grouping is (l_orderkey, o_orderdate) per FIXTURES.md.
+    *
+    * Plan shape at scale: customer is filtered on segment then broadcast;
+    * orders⋈lineitem is the only shuffle; partial aggregation runs
+    * map-side; TakeOrderedAndProject keeps only 50 rows per partition. */
+  def q3Unshipped(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
+    val cutoff = lit(Cutoff).cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Exact.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(50)
+  }
+
+  private def q3Sql(segment: String): String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = '$segment' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '$Cutoff' AND l_shipdate > TIMESTAMP '$Cutoff'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 50""".stripMargin
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation
+    * (extends the reference's single groupby-sum A1, reference
+    * pipeline/reduce.py:66-68). */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.exactSum(col("l_quantity"), 2).as("sum_qty"),
+        Exact.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Exact.exactSum(disc, 4).as("sum_disc_price"),
+        Exact.exactSum(charge, 6).as("sum_charge"),
+        Exact.exactAvg(col("l_quantity"), 2).as("avg_qty"),
+        Exact.exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+        Exact.exactAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.sqlSum("l_quantity", 2)} AS sum_qty,
+       |  ${Exact.sqlSum("l_extendedprice", 2)} AS sum_base_price,
+       |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+       |  ${Exact.sqlAvg("l_quantity", 2)} AS avg_qty,
+       |  ${Exact.sqlAvg("l_extendedprice", 2)} AS avg_price,
+       |  ${Exact.sqlAvg("l_discount", 2)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-shaped forecast: tight range filters fully pushed to the
+    * parquet scan, single global aggregate (SURVEY §2.3 P1/P2/P4). */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(Exact.exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql: String =
+    s"""SELECT ${Exact.sqlSum("l_extendedprice * l_discount", 4)} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Row-level range filter + projection (P1/P2/P4/P5): predicates land in
+    * the scan as PushedFilters; only 5 of 11 columns are read. */
+  def opFilterRange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate").between(
+        lit("1997-06-01 00:00:00").cast("timestamp"),
+        lit("1997-08-31 00:00:00").cast("timestamp")) &&
+        col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val opFilterRangeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-06-01 00:00:00' AND TIMESTAMP '1997-08-31 00:00:00'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Projection + rename + derived column + drop (P5/P6/P7): the
+    * reference's `*date → *_time` renames (reference pipeline/data.py:100,108). */
+  def opProjectRename(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_orderdate", "o_order_time")
+      .withColumn("o_order_year", year(col("o_order_time")).cast("long"))
+      .drop("o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  private val opProjectRenameSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_orderdate AS o_order_time, year(o_orderdate)::BIGINT AS o_order_year
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Inner equi hash join (J1, reference pipeline/reduce.py:63): customer
+    * is the small build side — broadcast, so orders never shuffles. */
+  def opJoinInner(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private val opJoinInnerSql: String =
+    """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left outer join with aggregated right side: order counts per customer
+    * including order-less customers. */
+  def opJoinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, sfDir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  private val opJoinLeftSql: String =
+    """SELECT c_custkey, c_name, coalesce(cnt, 0)::BIGINT AS n_orders
+      |FROM customer LEFT JOIN
+      |  (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having at least one high-value
+    * order. One-liner in Spark; absent from the reference (SURVEY §2.4). */
+  def opJoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0)
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val opJoinSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def opJoinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val opJoinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Keymap remap join (J3, reference pipeline/data.py:80-93): the
+    * reference rewrites int orderkeys to uuid strings via an index join.
+    * Deterministic stand-in: md5(key) (uuid4 itself is unverifiable —
+    * SURVEY §7 risk list). The keymap is broadcast: at 100 TB the fact
+    * table never shuffles for a key-remap. */
+  def opJoinKeymap(spark: SparkSession, sfDir: String): DataFrame = {
+    val keymap = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("o_orderkey_new"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(keymap), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey_new").as("l_orderkey_new"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val opJoinKeymapSql: String =
+    """SELECT md5(o_orderkey::VARCHAR) AS l_orderkey_new, l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Grouped statistics: count / exact avg / min / max / distinct count
+    * (extends A1; SURVEY §2.6). */
+  def opAggStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.exactAvg(col("o_totalprice"), 2).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  private val opAggStatsSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+       |  ${Exact.sqlAvg("o_totalprice", 2)} AS avg_price,
+       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       |  count(DISTINCT o_custkey) AS n_cust
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP over the region→nation hierarchy: subtotal rows per level.
+    * Dimensions broadcast; single shuffle on the grouping sets. */
+  def opRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(Exact.exactSum(col("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  private val opRollupSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${Exact.sqlSum("c_acctbal", 2)} AS total_bal, count(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** CUBE over return flag × line status. */
+  def opCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Exact.exactSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val opCubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.sqlSum("l_quantity", 2)} AS sum_qty, count(*) AS n
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Top-k (O1+O2, reference pipeline/reduce.py:69-72): Catalyst fuses
+    * orderBy.limit into TakeOrderedAndProject — per-partition heap of 25,
+    * driver merges k·partitions rows. The reference materializes a full
+    * sort first; at 100 TB that is the difference between shuffling the
+    * table and shuffling 25 rows. */
+  def opTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  private val opTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Window ranking: top-3 customers by balance within each market
+    * segment (partitioned window, no global shuffle beyond the segment
+    * hash). */
+  def opWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  private val opWindowRankSql: String =
+    """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Running (cumulative) sum per customer over order history. Uses the
+    * fixed-point trick so every prefix sum is exact in both engines. */
+  def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("running_spend",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / lit(100.0))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_spend")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val opWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  sum(round(o_totalprice * 100)::BIGINT)
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT / 100.0
+      |    AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** UNION ALL with a provenance tag (SURVEY §2.8 — storage-level union
+    * of micro-batches is the reference's only set op). */
+  def opUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val hi = o.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), lit("high").as("bucket"), col("o_totalprice"))
+    val lo = o.filter(col("o_totalprice") < 2000.0)
+      .select(col("o_orderkey"), lit("low").as("bucket"), col("o_totalprice"))
+    hi.unionAll(lo).orderBy("o_orderkey")
+  }
+
+  private val opUnionSql: String =
+    """SELECT o_orderkey, 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+      |UNION ALL
+      |SELECT o_orderkey, 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 2000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INTERSECT: customers active in both 1996 and 1999. */
+  def opIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def active(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    active(1996).intersect(active(1999)).orderBy("o_custkey")
+  }
+
+  private val opIntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT: customers active in 1996 but not 1999. */
+  def opExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def active(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    active(1996).except(active(1999)).orderBy("o_custkey")
+  }
+
+  private val opExceptSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Affine timestamp remap (E2, reference pipeline/data.py:24-26): the
+    * reference rescales the TPC-H date span into `[now-15min, now]`. Fixed
+    * source/target windows for determinism; pure column arithmetic with a
+    * single double multiply — identical IEEE bits in both engines. */
+  def opAffineTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcLo = lit("1995-01-01 00:00:00").cast("timestamp")
+    val srcHi = lit("2001-08-01 00:00:00").cast("timestamp")
+    val tgtLo = lit("2024-01-01 00:00:00").cast("timestamp")
+    val tgtHi = lit("2024-01-01 00:15:00").cast("timestamp")
+    val ratio = (unix_micros(tgtHi) - unix_micros(tgtLo)).cast("double") /
+      (unix_micros(srcHi) - unix_micros(srcLo)).cast("double")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        timestamp_micros((unix_micros(tgtLo) +
+          floor((unix_micros(col("o_orderdate")) - unix_micros(srcLo)).cast("double") * ratio)
+        ).cast("long")).as("o_order_time"))
+      .orderBy("o_orderkey")
+  }
+
+  private val opAffineTimeSql: String =
+    """SELECT o_orderkey,
+      |  make_timestamp(epoch_us(TIMESTAMP '2024-01-01 00:00:00') +
+      |    floor((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01 00:00:00'))::DOUBLE *
+      |      ((epoch_us(TIMESTAMP '2024-01-01 00:15:00') - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::DOUBLE /
+      |       (epoch_us(TIMESTAMP '2001-08-01 00:00:00') - epoch_us(TIMESTAMP '1995-01-01 00:00:00'))::DOUBLE))::BIGINT
+      |  ) AS o_order_time
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Deterministic synthetic key generation (E4, reference
+    * pipeline/data.py:76-79 uses uuid4; md5-of-key is the verifiable
+    * equivalent — same 32-hex-char shape, content-addressed). */
+  def opSynthUuid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_orderkey_uuid"))
+      .orderBy("o_orderkey")
+
+  private val opSynthUuidSql: String =
+    """SELECT o_orderkey, md5('order:' || o_orderkey::VARCHAR) AS o_orderkey_uuid
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** String/display formatting (E5/E6/E7, reference dashboard.py:45-54):
+    * zero-pad, per-row round, uppercase. Note the reference's own version
+    * crashes on uuid keys (latent bug, SURVEY §5) — ours formats the int
+    * key it actually has. */
+  def opStringFormat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 49)
+      .select(
+        lpad(col("l_orderkey").cast("string"), 9, "0").as("okey_padded"),
+        col("l_linenumber"),
+        // fixed-point per-row round: Spark's round(x, 2) ties on the
+        // shortest-decimal repr (BigDecimal) while DuckDB rounds the raw
+        // binary double; scaling first makes both see the same value.
+        (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") / 100.0).as("revenue"),
+        upper(col("l_returnflag")).as("flag_uc"))
+      .orderBy("okey_padded", "l_linenumber")
+
+  private val opStringFormatSql: String =
+    """SELECT lpad(l_orderkey::VARCHAR, 9, '0') AS okey_padded, l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount) * 100)::BIGINT / 100.0 AS revenue,
+      |  upper(l_returnflag) AS flag_uc
+      |FROM lineitem WHERE l_quantity >= 49
+      |ORDER BY okey_padded, l_linenumber""".stripMargin
+
+  /** Date display formatting (E8, reference dashboard.py:58-69). */
+  def opDisplayFormat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("order_date_disp"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  private val opDisplayFormatSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS order_date_disp, o_totalprice
+      |FROM orders WHERE o_totalprice > 450000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_unshipped" -> ((s, d) => q3Unshipped(s, d)),
+    "q1_pricing" -> (q1Pricing _),
+    "q6_forecast" -> (q6Forecast _),
+    "op_filter_range" -> (opFilterRange _),
+    "op_project_rename" -> (opProjectRename _),
+    "op_join_inner" -> (opJoinInner _),
+    "op_join_left" -> (opJoinLeft _),
+    "op_join_semi" -> (opJoinSemi _),
+    "op_join_anti" -> (opJoinAnti _),
+    "op_join_keymap" -> (opJoinKeymap _),
+    "op_agg_stats" -> (opAggStats _),
+    "op_rollup" -> (opRollup _),
+    "op_cube" -> (opCube _),
+    "op_topk" -> (opTopk _),
+    "op_window_rank" -> (opWindowRank _),
+    "op_window_running" -> (opWindowRunning _),
+    "op_union" -> (opUnion _),
+    "op_intersect" -> (opIntersect _),
+    "op_except" -> (opExcept _),
+    "op_affine_time" -> (opAffineTime _),
+    "op_synth_uuid" -> (opSynthUuid _),
+    "op_string_format" -> (opStringFormat _),
+    "op_display_format" -> (opDisplayFormat _))
+
+  val oracles: Map[String, String] = Map(
+    "q3_unshipped" -> q3Sql("BUILDING"),
+    "q1_pricing" -> q1Sql,
+    "q6_forecast" -> q6Sql,
+    "op_filter_range" -> opFilterRangeSql,
+    "op_project_rename" -> opProjectRenameSql,
+    "op_join_inner" -> opJoinInnerSql,
+    "op_join_left" -> opJoinLeftSql,
+    "op_join_semi" -> opJoinSemiSql,
+    "op_join_anti" -> opJoinAntiSql,
+    "op_join_keymap" -> opJoinKeymapSql,
+    "op_agg_stats" -> opAggStatsSql,
+    "op_rollup" -> opRollupSql,
+    "op_cube" -> opCubeSql,
+    "op_topk" -> opTopkSql,
+    "op_window_rank" -> opWindowRankSql,
+    "op_window_running" -> opWindowRunningSql,
+    "op_union" -> opUnionSql,
+    "op_intersect" -> opIntersectSql,
+    "op_except" -> opExceptSql,
+    "op_affine_time" -> opAffineTimeSql,
+    "op_synth_uuid" -> opSynthUuidSql,
+    "op_string_format" -> opStringFormatSql,
+    "op_display_format" -> opDisplayFormatSql)
+}

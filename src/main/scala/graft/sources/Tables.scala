@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Schemas
+
+/** Fixture-table loaders (SURVEY §2.1 S3/S5/S6).
+  *
+  * Reads are plain parquet scans: Catalyst pushes filters and prunes
+  * columns into the scan automatically (`PushedFilters`/`ReadSchema` in
+  * `.explain("formatted")`), which is the 100 TB-scale behavior we want —
+  * a query that touches 2 columns reads 2 column chunks, and partition /
+  * row-group pruning falls out of parquet footer stats. The reference got
+  * the same properties from dask-expr + Delta file stats
+  * (reference pipeline/reduce.py:21,43-54).
+  */
+object Tables {
+
+  /** Path of a fixture table inside a scale-factor directory. */
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Load one fixture table. Schema is asserted (not inferred) so a
+    * drifting fixture fails loudly instead of silently changing types. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(Schemas.byName(name)).parquet(path(sfDir, name))
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

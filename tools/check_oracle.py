@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate (dev tooling only —
+the engine itself is pure Scala/Spark; this mirrors what the driver does
+with Verify.scala output so oracle mismatches surface before a round ends).
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads <verify_out_dir>/<name>/ parquet (Spark output) and runs
+<verify_out_dir>/oracle_sql.json[name] in DuckDB against the fixture
+tables, then compares schema + values with columns sorted by name and
+rows sorted by all columns.
+"""
+import json, sys, glob
+import duckdb
+
+
+def canon(rel):
+    df = rel.df()
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            want = canon(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if got.shape != want.shape:
+            print(f"FAIL {name}: shape {got.shape} != {want.shape}")
+            n_fail += 1
+            continue
+        sg = [str(t) for t in got.dtypes]
+        sw = [str(t) for t in want.dtypes]
+        if sg != sw:
+            print(f"FAIL {name}: dtypes {sg} != {sw}")
+            n_fail += 1
+            continue
+        if not got.equals(want):
+            neq = (got != want) & ~(got.isna() & want.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(got)} rows differ; first:")
+            print("  spark:", got[bad].head(3).to_dict("records"))
+            print("  duck :", want[bad].head(3).to_dict("records"))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

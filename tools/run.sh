@@ -1,0 +1,22 @@
+#!/bin/bash
+# Fast runner: compile once with sbt, run mains with plain java (skips sbt
+# startup per iteration). Usage:
+#   tools/run.sh verify [sfDir] [outDir]
+#   tools/run.sh bench  [sfDir]
+#   tools/run.sh check  [sfDir] [outDir] [query ...]   # verify + oracle compare
+set -e
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+JAVA="java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-24g} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
+CMD="${1:-check}"
+SF="${2:-/root/testdata/sf0.01}"
+OUT="${3:-/tmp/verify_out}"
+case "$CMD" in
+  verify) $JAVA graft.Verify "$SF" "$OUT" ;;
+  bench)  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" $JAVA graft.Bench ;;
+  check)  shift 3 2>/dev/null || shift $#
+          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$SF" "$OUT"
+          python3 tools/check_oracle.py "$OUT" "$SF" "$@" ;;
+  *) echo "unknown cmd $CMD"; exit 2 ;;
+esac
