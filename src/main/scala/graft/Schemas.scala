@@ -71,9 +71,14 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  val events: StructType = StructType(Seq(
+  /** `ts` is written as parquet TIMESTAMP(NANOS), which Spark's µs
+    * TimestampType cannot read directly; it is read as raw INT64 nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and floor-divided to µs in
+    * [[graft.sources.Tables.events]] — the same truncation DuckDB applies
+    * when casting ns→µs, keeping oracle values identical. */
+  val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -118,6 +123,6 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> events,
+    "lineitem" -> lineitem, "events" -> eventsRaw,
     "documents" -> documents, "embeddings" -> embeddings)
 }

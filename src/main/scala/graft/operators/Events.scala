@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Event-stream operators over the `events` fixture (SURVEY §2.9 T6 and
+  * §7.5): JSON prop extraction, tumbling/sliding time windows, and
+  * sessionization — the batch forms. The same transforms run under
+  * Structured Streaming in [[graft.streaming.StreamingOps]]; keeping the
+  * column logic shared means the batch oracle here also validates the
+  * streaming semantics (same expressions, same windows).
+  *
+  * Scale: all window aggregations shuffle once on (window, key); the
+  * sessionize path shuffles once on user_id and sorts within partitions —
+  * at 100 TB that is one exchange on a high-cardinality key, no driver
+  * involvement.
+  */
+object Events {
+
+  /** JSON property extraction (driver `events.props` motivates
+    * get_json_object — SURVEY §1.2). */
+  def opJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+
+  private val opJsonExtractSql: String =
+    """SELECT event_id, event_type, json_extract_string(props, '$.k')::BIGINT AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Tumbling 1-hour windows per event type: count + exact sum. Spark's
+    * `window()` aligns to the epoch; the oracle's time_bucket aligns to
+    * 2000-01-01 — both are whole-hour origins, so buckets coincide. */
+  def opEventsTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  private val opEventsTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       |  count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows, 1 h wide every 30 min: each event lands in exactly
+    * two windows. The oracle expands the window set explicitly
+    * (k ∈ {0,1}) — same bucket math, engine-independent. */
+  def opEventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+  private val opEventsSlidingSql: String =
+    s"""SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       |  count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+       |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap: session boundaries
+    * via lag, session ids via running sum — the deterministic batch
+    * equivalent of `session_window` (streaming twin lives in
+    * [[graft.streaming.StreamingOps]]). */
+  def opEventsSession(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val opEventsSessionSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > ${30L * 60 * 1000000}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT user_id, ts, value, event_id,
+       |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |        FROM events) t),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       |  FROM marked)
+       |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_json_extract" -> (opJsonExtract _),
+    "op_events_tumbling" -> (opEventsTumbling _),
+    "op_events_sliding" -> (opEventsSliding _),
+    "op_events_session" -> (opEventsSession _))
+
+  val oracles: Map[String, String] = Map(
+    "op_json_extract" -> opJsonExtractSql,
+    "op_events_tumbling" -> opEventsTumblingSql,
+    "op_events_sliding" -> opEventsSlidingSql,
+    "op_events_session" -> opEventsSessionSql)
+}

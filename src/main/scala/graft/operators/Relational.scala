@@ -204,16 +204,20 @@ object Relational {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no 1995 orders. (Scoped
+    * to a year so the result is non-empty at every fixture scale — every
+    * customer has *some* order at sf≥0.01.) */
   def opJoinAnti(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
-      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
   private val opJoinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
       |ORDER BY c_custkey""".stripMargin
 
   /** Keymap remap join (J3, reference pipeline/data.py:80-93): the

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (north-star extension surface,
+  * SURVEY §7.5): token statistics, quality scoring, language-ID heuristic,
+  * n-gram frequency, content fingerprinting.
+  *
+  * Everything is per-row column arithmetic plus at most one aggregation —
+  * embarrassingly parallel, no shuffle except the explicit group-bys.
+  * Ratios are computed with identical expression shapes in the oracle so
+  * double division is bit-equal.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token counting (whitespace tokenizer): counts, distinct counts,
+    * type-token ratio, mean token length. */
+  def taTokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"),
+        ((length(col("text")) - size(col("toks")) + 1).cast("double") / size(col("toks")))
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+
+  private val taTokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_distinct,
+      |  len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+      |  (length(text) - len(w) + 1)::DOUBLE / len(w) AS mean_token_len
+      |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/stopword-ratio features and a composite
+    * score — the heuristics a pretraining-data pipeline gates on. */
+  def taQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val inStops = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($inStops)))").cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+        col("n_tokens"), col("n_stop"), col("stop_ratio"),
+        (least(lit(1.0), col("n_tokens").cast("double") / 200.0) * (lit(1.0) - col("stop_ratio")))
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val taQualitySql: String = {
+    val inStops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, length(text)::BIGINT AS text_len,
+       |  len(w)::BIGINT AS n_tokens,
+       |  len(list_filter(w, t -> t IN ($inStops)))::BIGINT AS n_stop,
+       |  len(list_filter(w, t -> t IN ($inStops)))::DOUBLE / len(w) AS stop_ratio,
+       |  least(1.0, len(w)::DOUBLE / 200.0) *
+       |    (1.0 - len(list_filter(w, t -> t IN ($inStops)))::DOUBLE / len(w)) AS quality_score
+       |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: count per-language marker tokens, pick the
+    * argmax with a deterministic tie-break chain. (The fixture text is a
+    * synthetic word soup, so this validates the machinery, not linguistic
+    * accuracy.) */
+  def taLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(name: String, words: Seq[String]) =
+      expr(s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))")
+        .cast("long").as(name)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("s_en", score("s_en", Seq("the", "a", "of")))
+      .withColumn("s_de", score("s_de", Seq("der", "die", "das", "und")))
+      .withColumn("s_fr", score("s_fr", Seq("le", "la", "les", "et")))
+      .withColumn("s_es", score("s_es", Seq("el", "los", "las", "y")))
+      .withColumn("pred_lang",
+        when(col("s_de") > greatest(col("s_en"), col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") > greatest(col("s_en"), col("s_de"), col("s_es")), "fr")
+          .when(col("s_es") > greatest(col("s_en"), col("s_de"), col("s_fr")), "es")
+          .when(col("s_en") >= 1, "en")
+          .otherwise("und"))
+      .select("doc_id", "lang", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  private val taLangIdSql: String =
+    """SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+      |  CASE WHEN s_de > greatest(s_en, s_fr, s_es) THEN 'de'
+      |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+      |       WHEN s_en >= 1 THEN 'en' ELSE 'und' END AS pred_lang
+      |FROM (SELECT doc_id, lang,
+      |    len(list_filter(w, t -> t IN ('the', 'a', 'of')))::BIGINT AS s_en,
+      |    len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und')))::BIGINT AS s_de,
+      |    len(list_filter(w, t -> t IN ('le', 'la', 'les', 'et')))::BIGINT AS s_fr,
+      |    len(list_filter(w, t -> t IN ('el', 'los', 'las', 'y')))::BIGINT AS s_es
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') w FROM documents) t) s
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level bigram frequency: explode bigrams, count, top-50.
+    * The shuffle is on the bigram key (high cardinality — scales). */
+  def taNgramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+
+  private val taNgramFreqSql: String =
+    """SELECT bigram, count(*) AS cnt FROM (
+      |  SELECT unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') w FROM documents) t WHERE len(w) >= 2) u
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
+
+  /** Document fingerprinting: full md5, a 60-bit integer fingerprint, and
+    * an order-insensitive bag-of-words fingerprint (rolling-hash family;
+    * md5-based so both engines agree — SURVEY §7.5). */
+  def taFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        expr(Text.hash60SparkSql("text")).as("fp_int60"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_bag"))
+      .orderBy("doc_id")
+
+  private val taFingerprintSql: String =
+    s"""SELECT doc_id, md5(text) AS fp_md5,
+       |  ${Text.hash60DuckSql("text")} AS fp_int60,
+       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bag
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_stats" -> (taTokenStats _),
+    "ta_quality" -> (taQuality _),
+    "ta_lang_id" -> (taLangId _),
+    "ta_ngram_freq" -> (taNgramFreq _),
+    "ta_fingerprint" -> (taFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" -> taTokenStatsSql,
+    "ta_quality" -> taQualitySql,
+    "ta_lang_id" -> taLangIdSql,
+    "ta_ngram_freq" -> taNgramFreqSql,
+    "ta_fingerprint" -> taFingerprintSql)
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness: times sub-plans of the heavy operators so
+  * optimization targets facts, not guesses. Run:
+  * java -cp ... graft.tools.Prof [sfDir] */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.range(100).count()
+    val sh = graft.functions.Text.shingled(spark, sf)
+    t("shingled.count")(sh.count())
+    t("shingled.count2")(sh.count())
+    val prefix = sh.withColumn("pfx", expr(
+      "slice(array_sort(transform(sh, s -> md5(s))), 1, size(sh) - ((size(sh) * 4 + 4) div 5) + 1)"))
+      .select(col("doc_id"), explode(col("pfx")).as("g"))
+    t("prefix.count")(prefix.count())
+    val cand = prefix.as("a").join(prefix.as("b"),
+      col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    t("cand.count")(cand.count())
+    t("ngram.full")(graft.operators.Dedup.ddNgramJaccard(spark, sf).count())
+    t("simhash.full")(graft.operators.Dedup.ddSimhash(spark, sf).count())
+    t("minhash.full")(graft.operators.Dedup.ddMinhashLsh(spark, sf).count())
+    spark.stop()
+  }
+}
