@@ -24,18 +24,22 @@ object Text {
     * (~15× the interpreted higher-order-function equivalent, measured).
     * The equivalent oracle-side CTE is [[shingleCteSql]].
     *
-    * Repartitions on doc_id first: the fixture is a single small parquet
-    * file (1 input split), and shingle construction is per-row
-    * compute-heavy — without the shuffle every downstream dedup op runs
-    * on one core. At 100 TB the input has thousands of splits and this
-    * repartition is a no-op cost-wise (tiny rows, hash exchange), but it
-    * guarantees the compute spreads regardless of file layout. */
-  def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(col("doc_id"))
+    * Repartitions on doc_id ONLY when the input has fewer splits than
+    * cores (the single-small-file fixture), where shingle construction —
+    * per-row compute-heavy — would otherwise run on one core. At 100 TB
+    * the input has thousands of splits, the condition is false, and no
+    * shuffle of text payloads happens at all. */
+  def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+    val spread =
+      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
+        raw.repartition(col("doc_id"))
+      else raw
+    spread
       .select(col("doc_id"),
         graft.plans.WordShingles.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** DuckDB CTE producing the same (doc_id, s) shingle relation. */
   val shingleCteSql: String =

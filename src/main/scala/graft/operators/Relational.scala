@@ -39,9 +39,13 @@ object Relational {
     * (reference pipeline/reduce.py:24-78). Fixtures lack o_shippriority, so
     * grouping is (l_orderkey, o_orderdate) per FIXTURES.md.
     *
-    * Plan shape at scale: customer is filtered on segment then broadcast;
-    * orders⋈lineitem is the only shuffle; partial aggregation runs
-    * map-side; TakeOrderedAndProject keeps only 50 rows per partition. */
+    * Plan shape at scale: customer is filtered on segment before the
+    * join (filter + 1-column projection reach the scan); AQE turns the
+    * customer side into a broadcast at runtime when it fits and keeps a
+    * shuffled join when it doesn't — customer is SF-proportional, so a
+    * hard broadcast() hint would be wrong at 100 TB (round-1 advice).
+    * Partial aggregation runs map-side; TakeOrderedAndProject keeps only
+    * 50 rows per partition. */
   def q3Unshipped(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
     val cutoff = lit(Cutoff).cast("timestamp")
     val cust = Tables.customer(spark, sfDir)
@@ -53,7 +57,7 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(Exact.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
@@ -156,11 +160,14 @@ object Relational {
       |  o_orderdate AS o_order_time, year(o_orderdate)::BIGINT AS o_order_year
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** Inner equi hash join (J1, reference pipeline/reduce.py:63): customer
-    * is the small build side — broadcast, so orders never shuffles. */
+  /** Inner equi hash join (J1, reference pipeline/reduce.py:63). No
+    * broadcast hint: customer is SF-proportional (150k rows × SF), so
+    * AQE decides at runtime — broadcast while it fits, shuffled hash /
+    * sort-merge join beyond that. Hints stay reserved for the
+    * constant-size dims (region: 5 rows, nation: 25). */
   def opJoinInner(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
-      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
       .orderBy("o_orderkey")
 
@@ -223,13 +230,17 @@ object Relational {
   /** Keymap remap join (J3, reference pipeline/data.py:80-93): the
     * reference rewrites int orderkeys to uuid strings via an index join.
     * Deterministic stand-in: md5(key) (uuid4 itself is unverifiable —
-    * SURVEY §7 risk list). The keymap is broadcast: at 100 TB the fact
-    * table never shuffles for a key-remap. */
+    * SURVEY §7 risk list). No broadcast hint: the keymap is derived from
+    * the full orders table, so it grows with the data — a forced
+    * broadcast would exceed the 8 GB broadcast limit long before 100 TB
+    * (round-1 verdict). AQE picks broadcast when the map is actually
+    * small and a shuffled hash/sort-merge join on the key otherwise —
+    * both sides already hash on the same key, which is the scale plan. */
   def opJoinKeymap(spark: SparkSession, sfDir: String): DataFrame = {
     val keymap = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("o_orderkey_new"))
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(keymap), col("l_orderkey") === col("o_orderkey"))
+      .join(keymap, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey_new").as("l_orderkey_new"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
