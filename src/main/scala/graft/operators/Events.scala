@@ -9,10 +9,12 @@ import graft.sources.Tables
 
 /** Event-stream operators over the `events` fixture (SURVEY §2.9 T6 and
   * §7.5): JSON prop extraction, tumbling/sliding time windows, and
-  * sessionization — the batch forms. The same transforms run under
-  * Structured Streaming in [[graft.streaming.StreamingOps]]; keeping the
-  * column logic shared means the batch oracle here also validates the
-  * streaming semantics (same expressions, same windows).
+  * sessionization — the batch forms. The window aggregations are exposed
+  * as input-DataFrame → output-DataFrame transforms ([[tumblingAgg]],
+  * [[slidingAgg]]) consumed verbatim by the Structured Streaming twins in
+  * [[graft.streaming.StreamingOps]]: the batch oracle here validates the
+  * exact column logic the streaming queries run (same expressions, same
+  * windows).
   *
   * Scale: all window aggregations shuffle once on (window, key); the
   * sessionize path shuffles once on user_id and sorts within partitions —
@@ -20,6 +22,24 @@ import graft.sources.Tables
   * involvement.
   */
 object Events {
+
+  /** Tumbling 1-hour (window, event_type) count + exact sum — shared by
+    * the batch query below and the streaming twin (unsorted: streaming
+    * aggregations cannot sort; callers order the final result). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour-every-30-min windows — shared batch/streaming. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
 
   /** JSON property extraction (driver `events.props` motivates
     * get_json_object — SURVEY §1.2). */

@@ -41,6 +41,24 @@ object Tables {
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+  /** Streaming twin of [[events]]: the same fixture read through the
+    * Structured Streaming file source (schema-asserted parquet scan +
+    * the identical ns→µs conversion), for the T6 streaming window ops in
+    * [[graft.streaming.StreamingOps]]. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // The fixture is a single parquet FILE; FileStreamSource derives its
+    // basePath from the input path and requires a directory — a literal
+    // file path fails ("Option 'basePath' must be a directory"). A glob
+    // that matches only this file makes the source treat the parent dir
+    // as base, which is also the shape a real deployment uses
+    // (dir/*.parquet over an arriving-file directory).
+    spark.readStream.schema(Schemas.eventsRaw)
+      .parquet(s"$sfDir/events.parqu[e]t")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction + vacuum as a maintenance job — the parquet
+  * equivalent of the reference's `optimize.compact()` + `vacuum(0)`
+  * (reference pipeline/preprocess.py:62-93, every 6 h per workflow.py:20-23):
+  *
+  *  1. read the table directory,
+  *  2. rewrite it as `targetFiles` partitions into a temp dir (K5),
+  *  3. atomically swap temp into place (directory rename),
+  *  4. delete the superseded files (K6 vacuum, retention 0).
+  *
+  * The swap is a metadata-only rename on any real filesystem, so readers
+  * see either the old file set or the new one, never a mix. What this
+  * deliberately does NOT preserve is a streaming sink's `_spark_metadata`
+  * commit log — compaction retires it (the rewritten files are not the
+  * committed ones, so a stale log would hide them from batch readers).
+  * Ingestion into a compacted table therefore resumes with a fresh
+  * checkpoint + sink log, exactly like the reference's cadence where
+  * compaction runs between ingest cycles under a shared lock (T4;
+  * reference pipeline/settings.py:37-40). A transactional table format
+  * (Delta/Iceberg) is the production answer when compaction must
+  * interleave with live appends — not available offline (SURVEY §7).
+  *
+  * Scale: the rewrite is one distributed `repartition(k)` pass —
+  * shuffle-bounded, no driver data movement; vacuum is a driver-side
+  * metadata walk of the retired directory only.
+  */
+object Compact {
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+
+  /** Compact `tableDir` to `targetFiles` files. Returns (filesBefore,
+    * filesAfter) counted over data files. */
+  def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int): (Int, Int) = {
+    def dataFiles(dir: Path): Array[Path] =
+      if (!Files.exists(dir)) Array.empty
+      else Files.walk(dir).toArray.map(_.asInstanceOf[Path])
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    val dir = Paths.get(tableDir)
+    val before = dataFiles(dir).length
+    val tmp = Paths.get(tableDir + ".compact_tmp")
+    val old = Paths.get(tableDir + ".compact_old")
+    deleteRec(tmp); deleteRec(old)
+    spark.read.parquet(tableDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // drop the scratch _SUCCESS marker so the swapped dir is data-only
+    Files.deleteIfExists(tmp.resolve("_SUCCESS"))
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old) // K6 vacuum, retention 0
+    val after = dataFiles(dir).length
+    (before, after)
+  }
+}

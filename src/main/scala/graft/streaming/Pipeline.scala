@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Schemas
+import graft.functions.Text
+import graft.sources.Tables
+
+/** End-to-end incremental-pipeline entries — the reference's reason to
+  * exist (generate → stage → ingest → table → maintain; reference
+  * workflow.py:12-23), run as oracle-verified queries:
+  *
+  *  - `pipe_ingest_roundtrip`: two [[Synthesize]] generation cycles
+  *    (disjoint key slices) each drained by the [[Ingest]] streaming
+  *    query into parquet tables, plus a third drain with nothing staged
+  *    (the idempotent no-op), then a checksum summary of the final
+  *    tables. Every transform in the synthesis is content-addressed
+  *    (md5 keys, md5-uniform noise, fixed affine windows), so DuckDB
+  *    recomputes the exact expected state from the fixture tables alone:
+  *    a hash match proves the JSON encode → stage → discover → stream →
+  *    append → commit path end-to-end, including exactly-once across
+  *    the three runs (a duplicated or dropped file would shift
+  *    `n_rows`/checksums).
+  *  - `pipe_compact_roundtrip`: writes a 16-file table, [[Compact]]s it
+  *    to 2 files with an atomic swap + vacuum, and checksums the result;
+  *    the oracle pins both the content (unchanged) and the file count.
+  *
+  * Scratch lives under the repo's build dir (gitignored), one directory
+  * per scale factor; each invocation starts from a wiped slate so the
+  * entries are deterministic and rerunnable.
+  */
+object Pipeline {
+
+  private val P = 1000000007L
+
+  private def scratchBase: String =
+    sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")
+
+  private def wipe(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    Files.createDirectories(p)
+  }
+
+  private def sfName(sfDir: String): String =
+    Paths.get(sfDir).getFileName.toString
+
+  /** Checksum row for one ingested table: modular sums over the columns
+    * the transforms touched (key, time, price). */
+  private def summarize(df: DataFrame, tbl: String, keyCheck: String,
+                        timeCheck: String, priceCheck: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(expr(s"($keyCheck) % $P")).as("key_check"),
+      sum(expr(s"($timeCheck) % $P")).as("time_check"),
+      sum(expr(s"($priceCheck) % $P")).as("price_check"))
+      .select(lit(tbl).as("tbl"), col("n_rows"), col("key_check"),
+        col("time_check"), col("price_check"))
+
+  /** Generate ×2 → ingest ×3 → checksum (see object doc). */
+  def pipeIngestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/ingest_${sfName(sfDir)}"
+    wipe(base)
+    val staging = s"$base/staging"
+    val tables = s"$base/tables"
+    val ckpt = s"$base/ckpt"
+    val schemas = Map(
+      "orders" -> Schemas.stagedOrders,
+      "lineitem" -> Schemas.stagedLineitem,
+      "customer" -> Schemas.customer)
+
+    Synthesize.cycle(spark, sfDir, staging, tables, batchId = 0, nBatches = 2)
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    // second cycle: facts grow, the static dim is skipped (T5)
+    Synthesize.cycle(spark, sfDir, staging, tables, batchId = 1, nBatches = 2)
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    // third drain with nothing staged: the idempotent no-op (T3/T5)
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+
+    val ord = spark.read.parquet(s"$tables/orders")
+    val li = spark.read.parquet(s"$tables/lineitem")
+    val cust = spark.read.parquet(s"$tables/customer")
+    summarize(cust, "customer", "c_custkey", "0", "cast(round(c_acctbal * 100) as bigint)")
+      .unionAll(summarize(li, "lineitem",
+        Text.hash60SparkSql("l_orderkey"),
+        "unix_micros(l_ship_time)",
+        "cast(round(l_extendedprice * 100) as bigint)"))
+      .unionAll(summarize(ord, "orders",
+        Text.hash60SparkSql("o_orderkey"),
+        "unix_micros(o_order_time)",
+        "cast(round(o_totalprice * 100) as bigint)"))
+      .orderBy("tbl")
+  }
+
+  /** DuckDB recomputation of the expected post-ingest state, straight
+    * from the fixture tables (the staged transforms are all
+    * content-addressed — see [[Synthesize]]). */
+  private val pipeIngestRoundtripSql: String = {
+    val ordUuid = "md5('order:' || o_orderkey::VARCHAR)"
+    val liUuid = "md5('order:' || l_orderkey::VARCHAR)"
+    val liNoise = Synthesize.noiseDuck("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+    val ordTime = Synthesize.affineDuck("o_orderdate", Synthesize.OrdTgtLo, Synthesize.OrdTgtHi)
+    val shipTime = Synthesize.affineDuck("l_shipdate", Synthesize.ShipTgtLo, Synthesize.ShipTgtHi)
+    s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
+       |  sum(c_custkey % $P)::BIGINT AS key_check,
+       |  0::BIGINT AS time_check,
+       |  sum(round(c_acctbal * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM customer
+       |UNION ALL
+       |SELECT 'lineitem', count(*),
+       |  sum((${Text.hash60DuckSql(liUuid)}) % $P)::BIGINT,
+       |  sum(epoch_us($shipTime) % $P)::BIGINT,
+       |  sum(round(($liNoise) * l_extendedprice * 100)::BIGINT % $P)::BIGINT
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'orders', count(*),
+       |  sum((${Text.hash60DuckSql(ordUuid)}) % $P)::BIGINT,
+       |  sum(epoch_us($ordTime) % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |FROM orders
+       |ORDER BY tbl""".stripMargin
+  }
+
+  /** 16-file table → compact to 2 → checksum + file counts. */
+  def pipeCompactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/compact_${sfName(sfDir)}"
+    wipe(base)
+    val dir = s"$base/orders"
+    Tables.orders(spark, sfDir).repartition(16).write.mode("overwrite").parquet(dir)
+    val (before, after) = Compact.compactTable(spark, dir, targetFiles = 2)
+    spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("key_check"), col("price_check"),
+        lit(before.toLong).as("files_before"), lit(after.toLong).as("files_after"))
+  }
+
+  /** The oracle pins content AND the file counts (16 → 2): a compaction
+    * that lost/duplicated rows or produced the wrong layout fails. */
+  private val pipeCompactRoundtripSql: String =
+    s"""SELECT 'orders' AS tbl, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  16::BIGINT AS files_before, 2::BIGINT AS files_after
+       |FROM orders""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_ingest_roundtrip" -> (pipeIngestRoundtrip _),
+    "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "pipe_ingest_roundtrip" -> pipeIngestRoundtripSql,
+    "pipe_compact_roundtrip" -> pipeCompactRoundtripSql)
+}

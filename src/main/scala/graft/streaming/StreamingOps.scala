@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Exact
+import graft.operators.Events
+import graft.sources.Tables
+
+/** Structured Streaming twins of the event-window operators (SURVEY §2.9
+  * T6): the SAME aggregation transforms as the batch forms
+  * ([[graft.operators.Events.tumblingAgg]] / `slidingAgg` — shared code,
+  * not copies) executed as streaming queries over the file source, so
+  * the batch DuckDB oracle verifies the streaming execution path too.
+  *
+  * The collection sink here is the in-memory table sink — a TEST sink:
+  * it gives the driver a queryable result to hand back as a DataFrame,
+  * which is what the Verify/Bench contract needs. A production deployment
+  * replaces ONLY the sink (parquet/Kafka, as [[Ingest]] does for the
+  * ingestion path); the source, transforms, trigger, and state handling
+  * are exactly what would run on a cluster.
+  *
+  * Output mode: `complete` — these are pure aggregations whose full
+  * result is re-emitted per micro-batch; with `Trigger.AvailableNow` the
+  * final emission is the complete answer. Session windows use the same
+  * mode: with no watermark, no state is ever dropped, so the final
+  * result equals the batch computation (late data handling via
+  * `withWatermark` + append is exercised in the ScalaTest suite, where
+  * multi-batch arrival order is controlled).
+  */
+object StreamingOps {
+
+  /** Run a streaming aggregation to the memory sink with AvailableNow,
+    * block until drained, and return the collected table. */
+  private def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    spark.catalog.dropTempView(name) // rerunnable: drop a previous run's sink table
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming tumbling 1-h windows (same transform as
+    * `op_events_tumbling`; same oracle). */
+  def opStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, Events.tumblingAgg(Tables.eventsStream(spark, sfDir)),
+      "graft_stream_tumbling")
+      .orderBy("window_start", "event_type")
+
+  /** Streaming sliding windows (same transform as `op_events_sliding`). */
+  def opStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, Events.slidingAgg(Tables.eventsStream(spark, sfDir)),
+      "graft_stream_sliding")
+      .orderBy("window_start")
+
+  /** Streaming sessionization via the built-in `session_window` (gap
+    * 30 min) — the stateful merging-window operator, run as a stream.
+    * Session end = last event + gap, so the oracle is the lag/running-sum
+    * batch construction with `session_end + 30 minutes`. */
+  def opStreamSession(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      Tables.eventsStream(spark, sfDir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end_gap"),
+          col("n_events"), col("total_value")),
+      "graft_stream_session")
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_tumbling" -> (opStreamTumbling _),
+    "op_stream_sliding" -> (opStreamSliding _),
+    "op_stream_session" -> (opStreamSession _))
+
+  val oracles: Map[String, String] = Map(
+    "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
+    "op_stream_sliding" -> Events.oracles("op_events_sliding"),
+    "op_stream_session" -> opStreamSessionSql)
+
+  private lazy val opStreamSessionSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > ${30L * 60 * 1000000}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT user_id, ts, value, event_id,
+       |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |        FROM events) t),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       |  FROM marked)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '30 minutes' AS session_end_gap,
+       |  count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start""".stripMargin
+}

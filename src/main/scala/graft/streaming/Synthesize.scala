@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Deterministic staged-data generator — the Spark re-expression of the
+  * reference's generation flow (reference pipeline/data.py:37-121):
+  * per cycle it derives a "staged" batch from the fixture tables and
+  * appends it to a JSON-lines staging directory as timestamped files
+  * (K1), applying the reference's transforms:
+  *
+  *  - J3 uuid keymap: `o_orderkey` → a 32-hex synthetic key, propagated
+  *    into `l_orderkey` via an equi-join (reference pipeline/data.py:74-93).
+  *    The reference uses `uuid4()`; we use md5("order:"||key) — the same
+  *    shape, but content-addressed so DuckDB can recompute every key and
+  *    the whole pipeline stays hash-verifiable (SURVEY §7 risk list).
+  *    No broadcast hint on the keymap join — it is fact-proportional;
+  *    AQE broadcasts when small.
+  *  - E2 affine time remap: `*date` → `*_time` rescaled into a fixed
+  *    target window (reference pipeline/data.py:24-26,96-108; fixed
+  *    window instead of `now` for determinism).
+  *  - E3 price perturbation: `l_extendedprice *= u`, u ∈ [0,1) derived
+  *    from md5 of the row key (reference pipeline/data.py:101-103 uses
+  *    `np.random.rand`; the md5-uniform is the seeded, verifiable form).
+  *  - T5 static-table skip: `customer` is generated only if absent
+  *    (reference pipeline/data.py:38,62-67) — facts grow, dims don't.
+  *
+  * Batches split the fixture on key parity/modulus so successive cycles
+  * append disjoint slices, mimicking the reference's incremental growth.
+  */
+object Synthesize {
+
+  /** Affine remap constants (shared with the oracle SQL). */
+  val SrcLo = "1995-01-01 00:00:00"
+  val SrcHi = "2001-08-01 00:00:00"
+  val OrdTgtLo = "2024-01-01 00:00:00"
+  val OrdTgtHi = "2024-01-01 00:15:00"
+  val ShipTgtLo = "2024-01-01 00:00:00"
+  val ShipTgtHi = "2024-01-04 00:00:00"
+
+  /** ISO-with-µs timestamp format for the JSON-lines staging files (the
+    * default JSON format truncates to millis; the affine remap produces
+    * µs values that must survive the roundtrip bit-exactly). */
+  val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private val P = "1000000007"
+
+  /** Spark SQL for the affine µs remap of a timestamp column. */
+  private def affineS(c: String, tgtLo: String, tgtHi: String): String = {
+    s"""timestamp_micros(unix_micros(timestamp'$tgtLo') + cast(floor(
+       |  cast(unix_micros($c) - unix_micros(timestamp'$SrcLo') as double) *
+       |  (cast(unix_micros(timestamp'$tgtHi') - unix_micros(timestamp'$tgtLo') as double) /
+       |   cast(unix_micros(timestamp'$SrcHi') - unix_micros(timestamp'$SrcLo') as double))) as bigint))""".stripMargin
+  }
+
+  /** DuckDB SQL for the same remap (µs epoch arithmetic, same IEEE ops). */
+  def affineDuck(c: String, tgtLo: String, tgtHi: String): String =
+    s"""make_timestamp(epoch_us(TIMESTAMP '$tgtLo') + floor(
+       |  (epoch_us($c) - epoch_us(TIMESTAMP '$SrcLo'))::DOUBLE *
+       |  ((epoch_us(TIMESTAMP '$tgtHi') - epoch_us(TIMESTAMP '$tgtLo'))::DOUBLE /
+       |   (epoch_us(TIMESTAMP '$SrcHi') - epoch_us(TIMESTAMP '$SrcLo'))::DOUBLE))::BIGINT)""".stripMargin
+
+  /** u ∈ [0,1): md5-derived uniform, the deterministic rand() stand-in.
+    * 2^60 is a power of two, so long→double rounding and the division
+    * are the same IEEE ops in Spark and DuckDB. */
+  private def noiseS(keyExpr: String): String =
+    s"cast(${Text.hash60SparkSql(s"concat('noise:', $keyExpr)")} as double) / 1152921504606846976.0D"
+
+  def noiseDuck(keyExpr: String): String =
+    s"(${Text.hash60DuckSql(s"'noise:' || $keyExpr")})::DOUBLE / 1152921504606846976.0"
+
+  /** Staged orders batch: uuid key + affine order time. `batchMod`
+    * selects the cycle's slice (o_orderkey % nBatches == batchId). */
+  def stagedOrders(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % nBatches === batchId)
+      .select(
+        md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        expr(affineS("o_orderdate", OrdTgtLo, OrdTgtHi)).as("o_order_time"),
+        col("o_orderpriority"))
+
+  /** Staged lineitem batch: J3 keymap join + E3 noise + E2 ship-time
+    * remap. The keymap is derived, not stored — md5 is content-addressed,
+    * so the join result is verifiable against recomputation. */
+  def stagedLineitem(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int): DataFrame = {
+    val keymap = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_orderkey_new"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % nBatches === batchId)
+      .join(keymap, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey_new").as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (expr(noiseS("cast(l_orderkey as string), ':', cast(l_linenumber as string)")) *
+          col("l_extendedprice")).as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        expr(affineS("l_shipdate", ShipTgtLo, ShipTgtHi)).as("l_ship_time"))
+  }
+
+  /** Write one staged batch as timestamped JSON-lines files into
+    * `stagingDir/<table>/` (K1: append-by-new-file). Spark writes one
+    * file per partition into a scratch dir; the parts are then moved to
+    * flat `{table}_{batch}_{part}.json` names — the reference's
+    * `{table}_{isotime}.json` naming (reference pipeline/data.py:110-121),
+    * with batch id standing in for wall-clock time (determinism). */
+  def writeStaged(df: DataFrame, stagingDir: String, table: String, batchId: Int): Unit = {
+    val tableDir = Paths.get(stagingDir, table)
+    Files.createDirectories(tableDir)
+    val tmp = Paths.get(stagingDir, s".tmp_${table}_$batchId")
+    df.write.mode("overwrite")
+      .option("timestampFormat", TsFmt)
+      .json(tmp.toString)
+    val parts = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, tableDir.resolve(f"${table}_b${batchId}_p$i%04d.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // scrap the _SUCCESS marker + dir
+    Files.list(tmp).toArray.map(_.asInstanceOf[Path]).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(tmp)
+  }
+
+  /** Synthesize one generation cycle into the staging dir: the two fact
+    * tables always; the static dim only when neither staged nor already
+    * ingested into `tablesDir` (T5 idempotent skip). Mirrors the
+    * reference's per-cycle `generate` flow (reference pipeline/data.py:126-132). */
+  def cycle(spark: SparkSession, sfDir: String, stagingDir: String, tablesDir: String,
+            batchId: Int, nBatches: Int): Unit = {
+    writeStaged(stagedOrders(spark, sfDir, batchId, nBatches), stagingDir, "orders", batchId)
+    writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches), stagingDir, "lineitem", batchId)
+    val custStagedOrIngested = Files.exists(Paths.get(stagingDir, "customer")) ||
+      Files.exists(Paths.get(tablesDir, "customer"))
+    if (!custStagedOrIngested)
+      writeStaged(Tables.customer(spark, sfDir), stagingDir, "customer", batchId)
+  }
+}
