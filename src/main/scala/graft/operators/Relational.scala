@@ -480,9 +480,101 @@ object Relational {
       |FROM orders WHERE o_totalprice > 450000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** String-key equi join (J2, reference pipeline/reduce.py:64 — after
+    * the uuid rewrite the orders⋈lineitem join key IS a string): both
+    * sides derive the md5 uuid form of their orderkey and join on it.
+    * Covers the string/uuid-key join path the int-key ops don't. */
+  def opJoinStrkey(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_uuid"),
+        col("o_totalprice"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 45)
+      .select(md5(concat(lit("order:"), col("l_orderkey").cast("string"))).as("l_uuid"),
+        col("l_linenumber"), col("l_quantity"))
+    li.join(ord, col("l_uuid") === col("o_uuid"))
+      .select(col("l_uuid"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+      .orderBy("l_uuid", "l_linenumber")
+  }
+
+  private val opJoinStrkeySql: String =
+    """SELECT md5('order:' || l_orderkey::VARCHAR) AS l_uuid, l_linenumber, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON md5('order:' || l_orderkey::VARCHAR) = md5('order:' || o_orderkey::VARCHAR)
+      |WHERE l_quantity >= 45
+      |ORDER BY l_uuid, l_linenumber""".stripMargin
+
+  /** Catalog scan (S2, reference pipeline/data.py:56-60): register the
+    * fixture tables as temp views, list them from the session catalog.
+    * The oracle pins the expected listing. */
+  def opCatalogScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("customer", "lineitem", "orders")
+    names.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(s"graft_cat_$n"))
+    spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_cat_"))
+      .select(col("name").as("table_name"))
+      .orderBy("table_name")
+  }
+
+  private val opCatalogScanSql: String =
+    """SELECT 'graft_cat_customer' AS table_name
+      |UNION ALL SELECT 'graft_cat_lineitem'
+      |UNION ALL SELECT 'graft_cat_orders'
+      |ORDER BY table_name""".stripMargin
+
+  /** Metadata-level column predicate (P8, reference pipeline/data.py:104):
+    * select all columns whose NAME contains "date" (plus the key) —
+    * driver-side schema reflection, not a row expression. */
+  def opMetaColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val dateCols = li.columns.filter(_.contains("date")).sorted
+    li.select((Array("l_orderkey", "l_linenumber") ++ dateCols).map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val opMetaColumnsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Result sink + serving read-back (K4/S6, reference pipeline/reduce.py:76-78
+    * + dashboard.py:9-11): write the flagship result as a single snappy
+    * parquet file, read it back, serve. The returned DataFrame is the
+    * READ-BACK, so the oracle verifies the write→read roundtrip. */
+  def opResultSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/results/q3_${java.nio.file.Paths.get(sfDir).getFileName}"
+    q3Unshipped(spark, sfDir)
+      .coalesce(1) // one result file per segment, like the reference
+      .write.mode("overwrite").option("compression", "snappy").parquet(out)
+    spark.read.parquet(out).orderBy(col("revenue").desc, col("l_orderkey"))
+  }
+
+  /** True uuid4 generation (E4, reference pipeline/data.py:76-79):
+    * nondeterministic by nature — no DuckDB oracle (driver records the
+    * rows-only check); shape/uniqueness invariants live in ScalaTest
+    * (SURVEY §5 contract for nondeterministic ops). */
+  def opUuidGen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), expr("uuid()").as("o_uuid"))
+      .orderBy("o_orderkey")
+
+  /** Seeded random price perturbation (E3, reference pipeline/data.py:101-103):
+    * `rand(seed)` is deterministic for a fixed partition layout but not
+    * across engines — no oracle; bounds/determinism invariants in
+    * ScalaTest. */
+  def opRandPerturb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (rand(42) * col("l_extendedprice")).as("price_noised"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_join_strkey" -> (opJoinStrkey _),
+    "op_catalog_scan" -> (opCatalogScan _),
+    "op_meta_columns" -> (opMetaColumns _),
+    "op_result_sink" -> (opResultSink _),
+    "op_uuid_gen" -> (opUuidGen _),
+    "op_rand_perturb" -> (opRandPerturb _)) ++ Map(
     "q3_unshipped" -> ((s, d) => q3Unshipped(s, d)),
     "q1_pricing" -> (q1Pricing _),
     "q6_forecast" -> (q6Forecast _),
@@ -508,6 +600,10 @@ object Relational {
     "op_display_format" -> (opDisplayFormat _))
 
   val oracles: Map[String, String] = Map(
+    "op_join_strkey" -> opJoinStrkeySql,
+    "op_catalog_scan" -> opCatalogScanSql,
+    "op_meta_columns" -> opMetaColumnsSql,
+    "op_result_sink" -> q3Sql("BUILDING"),
     "q3_unshipped" -> q3Sql("BUILDING"),
     "q1_pricing" -> q1Sql,
     "q6_forecast" -> q6Sql,

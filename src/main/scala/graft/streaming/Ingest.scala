@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.StructType
   *    retried — the role Delta's transaction log plays in the reference
   *    (reference pipeline/preprocess.py:41-44). Re-running the stream
   *    with the same checkpoint re-processes nothing (T5 idempotency).
-  *  - K3 retirement: `cleanSource=delete` removes source files once
-  *    their batch commits (reference `fs.rm`, pipeline/preprocess.py:45);
-  *    deletion is asynchronous (a cleaner thread), which is safe — the
-  *    source log, not file absence, is what prevents re-reads.
+  *  - K3 retirement: `cleanSource=delete` removes a batch's source
+  *    files once a SUBSEQUENT batch commits (reference `fs.rm`,
+  *    pipeline/preprocess.py:45) — asynchronous and one batch late, so
+  *    a quiesced stream leaves its final batch's files staged until the
+  *    next cycle. That is at-least-once retirement, and it is safe: the
+  *    checkpoint's source log, not file absence, prevents re-reads.
   *  - T4 mutual exclusion: one streaming query owns one sink; Spark
   *    serializes micro-batches within a query by construction, replacing
   *    the reference's FileLock (reference pipeline/settings.py:37-40).

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Cross-operator dedup invariants (SURVEY §5): the probabilistic paths
+  * must agree with the exact path where their guarantees say they must. */
+class DedupSpec extends SparkSpec {
+
+  test("dd_exact is a fixpoint: one representative per distinct content") {
+    val d = Dedup.ddExact(spark, sf).cache()
+    try {
+      val n = d.count()
+      assert(n > 0)
+      assert(d.select("content_key").distinct().count() == n)
+      assert(d.select("doc_id_keep").distinct().count() == n,
+        "same representative chosen for two different content groups")
+      // idempotence: dedup of the deduped representatives changes nothing
+      assert(d.groupBy("content_key").count().filter(col("count") > 1).count() == 0)
+    } finally d.unpersist()
+  }
+
+  test("minhash-LSH near-dup pairs are a subset of the exact-Jaccard pairs") {
+    // LSH candidates can MISS pairs (probabilistic recall) but every
+    // emitted pair is verified with the exact Jaccard, so emitted ⊆ exact.
+    val lsh = Dedup.ddMinhashLsh(spark, sf).select("doc_a", "doc_b")
+    val exact = Dedup.ddNgramJaccard(spark, sf).select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a pair the exact join rejects")
+  }
+
+  test("simhash banding finds every pair within Hamming<=10 (vs brute force)") {
+    val banded = Dedup.ddSimhash(spark, sf).select("doc_a", "doc_b")
+    // brute-force all-pairs over the signatures, same threshold
+    val ex = graft.functions.Text.shingled(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
+    val sigs = ex.groupBy("doc_id").agg(graft.plans.SimhashAgg.simhash(col("h")).as("simhash"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.simhash ^ b.simhash)") <= 10)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    assert(banded.exceptAll(brute).count() == 0, "banding emitted a non-near pair")
+    assert(brute.exceptAll(banded).count() == 0,
+      "banding MISSED a pair within Hamming<=10 — the block-pair guarantee is broken")
+  }
+}

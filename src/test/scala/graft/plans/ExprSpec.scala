@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Custom Catalyst expression/aggregate correctness vs built-in
+  * compositions: the codegen'd [[WordShingles]] against the equivalent
+  * higher-order-function pipeline, and [[SimhashAgg]] against the 60
+  * parallel bit-vote aggregates it replaced. */
+class ExprSpec extends SparkSpec {
+
+  test("WordShingles == split/transform/slice composition on the documents fixture") {
+    val docs = Tables.documents(spark, sf)
+    val mine = docs.select(col("doc_id"),
+      WordShingles.wordShingles(col("text"), 3).as("sh"))
+    // (sequence(0, n) with n < 0 counts DOWN, so short texts need the
+    // explicit empty-array branch)
+    val ref = docs.select(col("doc_id"), expr(
+      """CASE WHEN size(split(text, ' ')) < 3 THEN slice(split(text, ' '), 1, 0)
+        |ELSE array_distinct(transform(
+        |  sequence(0, size(split(text, ' ')) - 3),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))) END""".stripMargin).as("sh"))
+    val diff = mine.as("a").join(ref.as("b"), "doc_id")
+      .filter(col("a.sh") =!= col("b.sh"))
+    assert(diff.count() == 0, "WordShingles diverges from built-in composition")
+    assert(mine.count() > 0)
+  }
+
+  test("WordShingles edge cases: short text, repeated shingles, empty string") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"),
+      (5L, "a b c a b c a b c"), // repeats collapse via distinct
+      (6L, "x y z w")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == Nil && got(2L) == Nil && got(3L) == Nil)
+    assert(got(4L) == List("one two three"))
+    assert(got(5L) == List("a b c", "b c a", "c a b"))
+    assert(got(6L) == List("x y z", "y z w"))
+  }
+
+  test("SimhashAgg == 60 parallel sum(when(bit)) aggregates") {
+    val ex = graft.functions.Text.shingled(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
+    val fast = ex.groupBy("doc_id").agg(SimhashAgg.simhash(col("h")).as("simhash"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
+    val packed = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val slow = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+    val diff = fast.as("a").join(slow.as("b"), "doc_id")
+      .filter(col("a.simhash") =!= col("b.simhash"))
+    assert(diff.count() == 0, "SimhashAgg diverges from the 60-column form")
+    assert(fast.count() > 0)
+  }
+}

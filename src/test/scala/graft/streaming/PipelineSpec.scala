@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Schemas
+import graft.sources.Tables
+
+/** End-to-end pipeline behavior the oracle's checksums don't pin down at
+  * the file level: incremental append counts, idempotent re-drain,
+  * source-file retirement, static-dim skip, and compaction invariants. */
+class PipelineSpec extends SparkSpec {
+
+  private val base = "/root/repo/target/test-pipe"
+
+  private def wipe(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+  }
+
+  private def jsonFiles(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).filter(f => f.toString.endsWith(".json")).count()
+  }
+
+  test("ingest: incremental batches accumulate exactly the fixture row counts; re-drain is a no-op; staged files retire") {
+    val root = s"$base/ingest"
+    wipe(root)
+    val staging = s"$root/staging"; val tables = s"$root/tables"; val ckpt = s"$root/ckpt"
+    val schemas = Map(
+      "orders" -> Schemas.stagedOrders,
+      "lineitem" -> Schemas.stagedLineitem,
+      "customer" -> Schemas.customer)
+
+    Synthesize.cycle(spark, sf, staging, tables, batchId = 0, nBatches = 2)
+    assert(jsonFiles(s"$staging/customer") > 0, "static dim staged on first cycle")
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    val ordersB0 = spark.read.parquet(s"$tables/orders").count()
+    val fixtureOrders = Tables.orders(spark, sf).count()
+    val evenOrders = Tables.orders(spark, sf).filter(col("o_orderkey") % 2 === 0).count()
+    assert(ordersB0 == evenOrders, "first drain should hold exactly the batch-0 slice")
+
+    Synthesize.cycle(spark, sf, staging, tables, batchId = 1, nBatches = 2)
+    // (batch-0's customer file may still await the async cleaner here,
+    // so assert specifically that no batch-1 customer file was created)
+    val p = Paths.get(s"$staging/customer")
+    val restaged = if (!Files.exists(p)) 0L
+      else Files.walk(p).filter(f => f.getFileName.toString.contains("_b1_")).count()
+    assert(restaged == 0, "static dim must NOT be re-staged once ingested (T5)")
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    assert(spark.read.parquet(s"$tables/orders").count() == fixtureOrders)
+    assert(spark.read.parquet(s"$tables/lineitem").count() == Tables.lineitem(spark, sf).count())
+    assert(spark.read.parquet(s"$tables/customer").count() == Tables.customer(spark, sf).count())
+
+    // idempotent no-op drain: nothing staged, nothing appended
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    assert(spark.read.parquet(s"$tables/orders").count() == fixtureOrders,
+      "re-drain with empty staging duplicated rows — exactly-once broken")
+
+    // K3 retirement: FileStreamSource deletes a batch's files when a
+    // SUBSEQUENT batch commits (and the cleaner is async) — so batch-0
+    // fact files must be gone after the batch-1 drain, while the last
+    // committed batch per table may leave one tail file until the next
+    // cycle. Poll for the async cleaner, then assert exactly that.
+    def b0FactFiles(): Long = {
+      val p = Paths.get(staging)
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".json") && n.contains("_b0_") && !n.startsWith("customer")
+      }.count()
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (b0FactFiles() > 0 && System.nanoTime() < deadline) Thread.sleep(250)
+    assert(b0FactFiles() == 0,
+      "batch-0 staged files were not retired after the batch-1 commit")
+  }
+
+  test("compaction: file count drops to target, contents bit-identical") {
+    val root = s"$base/compact"
+    wipe(root)
+    val dir = s"$root/orders"
+    Tables.orders(spark, sf).repartition(16).write.parquet(dir)
+    val beforeDf = spark.read.parquet(dir).cache()
+    val beforeRows = beforeDf.collect().toSet
+    val (before, after) = Compact.compactTable(spark, dir, targetFiles = 2)
+    beforeDf.unpersist()
+    assert(before == 16 && after == 2, s"expected 16 -> 2 files, got $before -> $after")
+    val afterRows = spark.read.parquet(dir).collect().toSet
+    assert(afterRows == beforeRows, "compaction changed table contents")
+    assert(!Files.exists(Paths.get(dir + ".compact_old")) &&
+      !Files.exists(Paths.get(dir + ".compact_tmp")), "vacuum left retired dirs behind")
+  }
+}

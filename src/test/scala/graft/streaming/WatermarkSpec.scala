@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Late-data / watermark semantics of session windows under APPEND mode
+  * with controlled multi-batch arrival — the part of T6 that AvailableNow
+  * over a static fixture cannot exercise (the complete-mode queries in
+  * [[StreamingOps]] cover the full-result path). */
+class WatermarkSpec extends SparkSpec {
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  private def t(min: Long): Timestamp = new Timestamp(60L * 1000 * min)
+
+  test("append-mode session_window emits a session only once the watermark passes it") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val sessions = input.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+    val name = "wm_sessions"
+    spark.catalog.dropTempView(name)
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 minutes apart -> one open session
+      input.addData(Ev(1L, t(0), 1.0), Ev(1L, t(5), 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "session emitted before watermark passed its end")
+      // batch 2: an event 2 hours later moves the watermark far past the
+      // first session's end (t5 + 30min) -> exactly that session emits
+      input.addData(Ev(1L, t(120), 1.0))
+      q.processAllAvailable()
+      // the no-data batch that finalizes state can trail processAllAvailable
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table(name).count() < 1 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      val rows = spark.table(name).collect()
+      assert(rows.length == 1, s"expected exactly the closed session, got ${rows.length}")
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getTimestamp(1) == t(0))
+      assert(rows(0).getLong(2) == 2L, "closed session should contain both early events")
+    } finally q.stop()
+  }
+}
