@@ -14,6 +14,10 @@ object Verify {
       // µs parquet timestamps: DuckDB-comparable (INT96 is deprecated and
       // reads back as ns in some arrow paths, breaking value compares).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.ts is parquet TIMESTAMP(NANOS): set once at build time so
+      // table loaders don't mutate session state mid-query (only nanos
+      // columns are affected; no fixture has others).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

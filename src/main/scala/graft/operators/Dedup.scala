@@ -53,7 +53,10 @@ object Dedup {
     * shingle → per-(band,row) md5-minhash → band signature → equi-join
     * buckets → exact-Jaccard verification of candidates only. */
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: consumed three times (minhash explode + both
+    // verification sides) — see the ddNgramJaccard note
     val sh = Text.shingled(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Explode shingles and min-aggregate the salted md5s per doc: md5 is
     // a codegen'd scalar expression here, vs an interpreted higher-order
     // lambda if computed inside transform() on the array — ~50× faster
@@ -131,26 +134,36 @@ object Dedup {
     * IDENTICAL to the naive inverted-index join — the sf0.01 oracle
     * (which runs the naive form) proves it. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Text.shingled(spark, sfDir)
-    // Global order = md5 order; md5(g) is injective on shingles for join
-    // purposes, so the hashed prefix itself is the join key. Prefix length
-    // uses integer ceil(0.8n) = (4n+4) div 5 — float 0.8·n rounds UP at
-    // exact multiples of 5, which would shorten the prefix and lose pairs.
-    val prefix = sh
-      .withColumn("pfx", expr(
-        "slice(array_sort(transform(sh, s -> md5(s))), 1, " +
-          "size(sh) - ((size(sh) * 4 + 4) div 5) + 1)"))
+    // Hash every shingle set ONCE into a sorted md5 array and persist it:
+    // the relation is consumed four times (both prefix sides, both
+    // verification sides), and without materialization Spark re-runs the
+    // scan→shingle→hash subtree for each consumer — measured 4× the
+    // query's cost at sf0.1. md5 is injective on shingles for set
+    // purposes, so |A∩B| over hashed arrays equals the string-set
+    // intersection, and the sorted array doubles as the global prefix
+    // order. At 100 TB the persist becomes an explicit staging table
+    // (write once, read four times) — same plan shape, storage instead
+    // of executor cache; Spark's ContextCleaner reclaims this cache once
+    // the query's RDDs are unreferenced.
+    val hs = Text.shingled(spark, sfDir)
+      .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Prefix length uses integer ceil(0.8n) = (4n+4) div 5 — float 0.8·n
+    // rounds UP at exact multiples of 5, which would shorten the prefix
+    // and lose pairs.
+    val prefix = hs
+      .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
       .select(col("doc_id"), explode(col("pfx")).as("g"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("na", size(col("sh_a")).cast("long"))
-      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("na", size(col("hs_a")).cast("long"))
+      .withColumn("nb", size(col("hs_b")).cast("long"))
       .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= 0.8)
       .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")

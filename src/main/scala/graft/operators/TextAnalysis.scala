@@ -144,17 +144,47 @@ object TextAnalysis {
        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bag
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish regex tokenization (the pre-tokenizer split BPE vocabularies
+    * are trained over — GPT-2-style alpha runs / digit runs / single
+    * punctuation, ASCII classes so Java and DuckDB regex agree): token
+    * counts per class + length stats per document. The per-row
+    * `regexp_extract_all` is codegen'd; no shuffle at all. */
+  def taBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(toks, t -> t rlike '^[A-Za-z]+$'))").cast("long").as("n_alpha"),
+        expr("size(filter(toks, t -> t rlike '^[0-9]+$'))").cast("long").as("n_num"),
+        expr("size(filter(toks, t -> not (t rlike '^[A-Za-z0-9]')))").cast("long").as("n_punct"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("n_chars_tok"))
+      .orderBy("doc_id")
+
+  private val taBpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(toks)::BIGINT AS n_tokens,
+      |  len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::BIGINT AS n_alpha,
+      |  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::BIGINT AS n_num,
+      |  len(list_filter(toks, t -> NOT regexp_matches(t, '^[A-Za-z0-9]')))::BIGINT AS n_punct,
+      |  coalesce(list_sum(list_transform(toks, t -> len(t))), 0)::BIGINT AS n_chars_tok
+      |FROM (SELECT doc_id,
+      |        regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1) AS toks
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_stats" -> (taTokenStats _),
     "ta_quality" -> (taQuality _),
     "ta_lang_id" -> (taLangId _),
     "ta_ngram_freq" -> (taNgramFreq _),
-    "ta_fingerprint" -> (taFingerprint _))
+    "ta_fingerprint" -> (taFingerprint _),
+    "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "ta_token_stats" -> taTokenStatsSql,
     "ta_quality" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,
     "ta_ngram_freq" -> taNgramFreqSql,
-    "ta_fingerprint" -> taFingerprintSql)
+    "ta_fingerprint" -> taFingerprintSql,
+    "ta_bpe_tokens" -> taBpeTokensSql)
 }

@@ -34,10 +34,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos and
     * floor-truncate to µs TimestampType (matches DuckDB's ns→µs cast). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Harness sessions (Verify/Bench/tests) set this at build time; the
+    // runtime set here covers caller-owned sessions. It only changes how
+    // TIMESTAMP(NANOS) parquet columns read — no fixture has others.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     // integer `div`, not `/`: ns epoch values (~1.7e18) exceed double's
     // 2^53 integer range, so float division would corrupt low bits.
+    // `div` truncates toward zero, which equals DuckDB's ns→µs cast for
+    // the post-1970 fixture epochs; pre-epoch (negative) values would
+    // need floor-division in both engines.
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -150,11 +150,32 @@ object Pipeline {
        |  16::BIGINT AS files_before, 2::BIGINT AS files_after
        |FROM orders""".stripMargin
 
+  /** From-scratch generation (S1): 10k-row orders-shaped table from
+    * `spark.range` + content-addressed exprs; DuckDB regenerates the
+    * identical table from `generate_series` — the generator itself is
+    * hash-verified, not just consumed. */
+  def opSynthTable(spark: SparkSession, sfDir: String): DataFrame =
+    Synthesize.synthTable(spark, 10000).orderBy("o_orderkey")
+
+  private val opSynthTableSql: String = {
+    val custH = Text.hash60DuckSql("'cust:' || i::VARCHAR")
+    val priceH = Text.hash60DuckSql("'price:' || i::VARCHAR")
+    s"""SELECT i AS o_orderkey,
+       |  1 + ($custH % 1000) AS o_custkey,
+       |  list_extract(['O','F','P'], (i % 3)::INT + 1) AS o_orderstatus,
+       |  (1000 + ($priceH % 499000))::DOUBLE / 10.0 AS o_totalprice,
+       |  TIMESTAMP '1995-01-01 00:00:00' + (i % 2400) * INTERVAL '1 day' AS o_orderdate
+       |FROM generate_series(1, 10000) AS t(i)
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_ingest_roundtrip" -> (pipeIngestRoundtrip _),
-    "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _))
+    "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _),
+    "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
     "pipe_ingest_roundtrip" -> pipeIngestRoundtripSql,
-    "pipe_compact_roundtrip" -> pipeCompactRoundtripSql)
+    "pipe_compact_roundtrip" -> pipeCompactRoundtripSql,
+    "op_synth_table" -> opSynthTableSql)
 }

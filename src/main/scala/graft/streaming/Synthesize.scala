@@ -74,6 +74,22 @@ object Synthesize {
   def noiseDuck(keyExpr: String): String =
     s"(${Text.hash60DuckSql(s"'noise:' || $keyExpr")})::DOUBLE / 1152921504606846976.0"
 
+  /** From-scratch deterministic table generation (S1, reference
+    * pipeline/data.py:39-53 runs DuckDB's dbgen): an orders-shaped table
+    * synthesized with `spark.range` + content-addressed column
+    * expressions — every value a pure function of the row id, so DuckDB
+    * regenerates the identical table from `generate_series`. This is the
+    * 100 TB data-gen shape: `range(n)` partitions across executors, no
+    * driver data, no source files. */
+  def synthTable(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(1, n + 1)
+      .select(
+        col("id").as("o_orderkey"),
+        expr(s"1 + (${Text.hash60SparkSql("concat('cust:', cast(id as string))")} % 1000)").as("o_custkey"),
+        expr("element_at(array('O','F','P'), cast(id % 3 as int) + 1)").as("o_orderstatus"),
+        expr(s"cast(1000 + (${Text.hash60SparkSql("concat('price:', cast(id as string))")} % 499000) as double) / 10.0").as("o_totalprice"),
+        expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, cast(id % 2400 as int), 0, 0, 0)").as("o_orderdate"))
+
   /** Staged orders batch: uuid key + affine order time. `batchMod`
     * selects the cycle's slice (o_orderkey % nBatches == batchId). */
   def stagedOrders(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int): DataFrame =
