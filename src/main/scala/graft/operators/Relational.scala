@@ -503,6 +503,58 @@ object Relational {
       |WHERE l_quantity >= 45
       |ORDER BY l_uuid, l_linenumber""".stripMargin
 
+  /** Bucketed co-located join: both fact tables written bucketed on the
+    * join key (`bucketBy` catalog tables), then joined WITHOUT any
+    * shuffle — the physical plan has zero Exchange nodes (asserted in
+    * ScalaTest against the executed plan). This is the 100 TB repeated-
+    * join strategy: pay one layout-time shuffle when a table lands, then
+    * every subsequent join on that key is exchange-free. The oracle is
+    * the plain join SQL — bucketing must not change results, only the
+    * plan. */
+  def opBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 8
+    // per-sf table names: the in-memory catalog lives as long as the
+    // session, which may serve several scale factors
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    def ensure(name: String, build: () => DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        build().write.mode("overwrite")
+          .bucketBy(nb, key).sortBy(key)
+          .option("path", s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/bkt/$name")
+          .saveAsTable(name)
+      }
+    val ordT = s"graft_bkt_orders_$sfTag"
+    val liT = s"graft_bkt_lineitem_$sfTag"
+    ensure(ordT, () => Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+      "o_orderkey")
+    ensure(liT, () => Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_linenumber", "l_quantity"),
+      "l_orderkey")
+    spark.table(liT)
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("o_orderdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val opBucketedJoinSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 48
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Approximate distinct counting (HLL++, the sketch every 100 TB
+    * cardinality estimate uses): deterministic per engine but not across
+    * engines (different sketch layouts), so no DuckDB oracle — the
+    * rows-only driver check applies, and ScalaTest pins the relative
+    * error against the exact count. */
+  def opApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   /** Catalog scan (S2, reference pipeline/data.py:56-60): register the
     * fixture tables as temp views, list them from the session catalog.
     * The oracle pins the expected listing. */
@@ -570,6 +622,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_join_strkey" -> (opJoinStrkey _),
+    "op_bucketed_join" -> (opBucketedJoin _),
+    "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
     "op_result_sink" -> (opResultSink _),
@@ -601,6 +655,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "op_join_strkey" -> opJoinStrkeySql,
+    "op_bucketed_join" -> opBucketedJoinSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),

@@ -65,6 +65,11 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming twin of [[documents]] (same single-file glob trick as
+    * [[eventsStream]]) for the stateful streaming dedup op. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(Schemas.documents).parquet(s"$sfDir/documents.parqu[e]t")
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -73,15 +73,41 @@ object StreamingOps {
       "graft_stream_session")
       .orderBy("user_id", "session_start")
 
+  /** Stateful streaming exact dedup: `dropDuplicates` on the content
+    * hash over the documents stream — first occurrence wins, state keyed
+    * by md5. Append mode: each distinct content emits exactly once. (The
+    * fixture has no exact duplicates, so the emitted SET is the whole
+    * corpus and the oracle is deterministic even though first-wins tie-
+    * breaking is arrival-order-dependent in general; a long-running
+    * deployment bounds the state with `dropDuplicatesWithinWatermark`.) */
+  def opStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = Tables.documentsStream(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("content_key"))
+      .dropDuplicates("content_key")
+    spark.catalog.dropTempView("graft_stream_dedup")
+    val q = dedup.writeStream
+      .format("memory").queryName("graft_stream_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup").orderBy("doc_id")
+  }
+
+  private val opStreamDedupSql: String =
+    """SELECT doc_id, md5(text) AS content_key FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_stream_tumbling" -> (opStreamTumbling _),
     "op_stream_sliding" -> (opStreamSliding _),
-    "op_stream_session" -> (opStreamSession _))
+    "op_stream_session" -> (opStreamSession _),
+    "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
     "op_stream_sliding" -> Events.oracles("op_events_sliding"),
-    "op_stream_session" -> opStreamSessionSql)
+    "op_stream_session" -> opStreamSessionSql,
+    "op_stream_dedup" -> opStreamDedupSql)
 
   private lazy val opStreamSessionSql: String =
     s"""WITH marked AS (

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-plan assertions — the properties the oracle can't see. */
+class PlanSpec extends SparkSpec {
+
+  test("bucketed join runs with ZERO exchanges (co-located by bucket layout)") {
+    // materialize once: ensures the bucketed catalog tables exist and the
+    // query itself is correct against its oracle path
+    Relational.opBucketedJoin(spark, sf).write.mode("overwrite").format("noop").save()
+    val sfTag = java.nio.file.Paths.get(sf).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the planner must pick the shuffle-prone
+      // join path — bucketing is what must make it exchange-free
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"graft_bkt_lineitem_$sfTag")
+        .join(spark.table(s"graft_bkt_orders_$sfTag"), col("l_orderkey") === col("o_orderkey"))
+      j.write.mode("overwrite").format("noop").save()
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"bucketed join still shuffles:\n$planStr")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over bucketed tables:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx_count_distinct stays within the configured 2% rsd (10% hard bound)") {
+    val rows = Relational.opApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1); val exact = r.getLong(2)
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"HLL estimate $approx too far from exact $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("flagship q3: filters and projections reach the parquet scans") {
+    val df = Relational.q3Unshipped(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), "no pushed filters in scan")
+    // lineitem scan must read only the 3 needed columns
+    assert(plan.contains("l_extendedprice") && !plan.contains("l_tax"),
+      "column pruning failed: unneeded lineitem columns in scan")
+  }
+}
