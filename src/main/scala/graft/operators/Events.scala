@@ -124,15 +124,84 @@ object Events {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join (an operator Spark has no native form of — builder
+    * preference (a): compose existing ops): each `purchase` event is
+    * joined to the same user's most recent strictly-preceding `view`
+    * event. Instead of a per-row inequality join (quadratic, and a
+    * BroadcastNestedLoopJoin in Spark), the union-and-carry construction
+    * runs it in ONE shuffle on user_id: tag view timestamps, carry the
+    * last seen one forward with a running `last(ignoreNulls)` window over
+    * strictly-preceding rows, then keep the purchases. At 100 TB this is
+    * the same single exchange + in-partition sort as sessionization. */
+  def opAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("asof_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofJoinSql: String =
+    """SELECT event_id, user_id, ts, asof_view_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view_ts
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Range (interval) join, bin-bucketed for scale: for every `error`
+    * event, count the same user's events in the following 10 minutes.
+    * The naive form is a θ-join on `ts BETWEEN e.ts AND e.ts+10min` —
+    * a nested-loop at scale. Bucketing both sides into 10-minute bins
+    * turns it into an equi-join on (user_id, bin) — each probe interval
+    * spans ≤ 2 bins, so the right side is exploded into its bin and the
+    * probe into (bin, bin+1), and the exact predicate filters the
+    * candidates (the same bucket-then-verify shape as the LSH dedups;
+    * identical results to the θ-join, which is what the oracle runs). */
+  def opRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val binUs = 10L * 60 * 1000000
+    val ev = Tables.events(spark, sfDir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t0"))
+      .withColumn("bin", explode(array(
+        expr(s"t0 div $binUs"), expr(s"t0 div $binUs + 1"))))
+    val rhs = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+      .withColumn("bin", expr(s"t1 div $binUs"))
+    errs.join(rhs, Seq("user_id", "bin"))
+      .filter(col("t1") > col("t0") && col("t1") <= col("t0") + binUs)
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("event_id")
+  }
+
+  private val opRangeJoinSql: String =
+    s"""SELECT e.event_id, e.user_id, count(*) AS n_follow
+       |FROM events e JOIN events f
+       |  ON f.user_id = e.user_id
+       | AND epoch_us(f.ts) > epoch_us(e.ts)
+       | AND epoch_us(f.ts) <= epoch_us(e.ts) + ${10L * 60 * 1000000}
+       |WHERE e.event_type = 'error'
+       |GROUP BY e.event_id, e.user_id
+       |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_json_extract" -> (opJsonExtract _),
     "op_events_tumbling" -> (opEventsTumbling _),
     "op_events_sliding" -> (opEventsSliding _),
-    "op_events_session" -> (opEventsSession _))
+    "op_events_session" -> (opEventsSession _),
+    "op_asof_join" -> (opAsofJoin _),
+    "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "op_json_extract" -> opJsonExtractSql,
     "op_events_tumbling" -> opEventsTumblingSql,
     "op_events_sliding" -> opEventsSlidingSql,
-    "op_events_session" -> opEventsSessionSql)
+    "op_events_session" -> opEventsSessionSql,
+    "op_asof_join" -> opAsofJoinSql,
+    "op_range_join" -> opRangeJoinSql)
 }

@@ -185,13 +185,40 @@ object Similarity {
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
 
+  /** Per-label centroids (the training-data analytics primitive behind
+    * IVF coarse quantizers and class prototypes): posexplode the vector,
+    * one shuffle on (label, dim), fixed-point exact mean per dimension.
+    * Emitted as (label, pos, centroid) scalar rows — at 100 TB the
+    * explode is map-side and the aggregate is partial/final on a
+    * 64×|labels| key space. */
+  def embCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(sum(round(col("x").cast("double") * 1048576.0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s") / 1048576.0 / col("n")).as("centroid"), col("n"))
+      .orderBy("label", "pos")
+
+  private val embCentroidSql: String =
+    """SELECT label, i - 1 AS pos,
+      |  sum(round(x::DOUBLE * 1048576.0)::BIGINT)::BIGINT / 1048576.0 / count(*) AS centroid,
+      |  count(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS x,
+      |        unnest(generate_series(1, len(embedding))) AS i
+      |      FROM embeddings) t
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact" -> (annTopkExact _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
-    "dd_embed_cosine" -> (ddEmbedCosine _))
+    "dd_embed_cosine" -> (ddEmbedCosine _),
+    "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_exact" -> annTopkExactSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
-    "dd_embed_cosine" -> ddEmbedCosineSql)
+    "dd_embed_cosine" -> ddEmbedCosineSql,
+    "emb_centroid" -> embCentroidSql)
 }
