@@ -18,6 +18,7 @@ object Verify {
       // table loaders don't mutate session state mid-query (only nanos
       // columns are affected; no fixture has others).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -172,7 +172,30 @@ object TextAnalysis {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** The custom Catalyst expression exercised through the pure-SQL
+    * surface: `word_shingles` is registered as a session SQL function
+    * ([[graft.plans.GraftExtensions]]) and invoked from `spark.sql` —
+    * the path a SQL-only consumer of this library uses. Per-language
+    * shingle totals; short documents contribute empty arrays (size 0),
+    * matching the oracle's comprehension semantics. */
+  def taSqlShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("graft_sql_docs")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(size(word_shingles(text, 3))) AS n_shingles
+        |FROM graft_sql_docs GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val taSqlShinglesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in generate_series(1, len(w) - 2)])))::BIGINT AS n_shingles
+      |FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_sql_shingles" -> (taSqlShingles _),
     "ta_token_stats" -> (taTokenStats _),
     "ta_quality" -> (taQuality _),
     "ta_lang_id" -> (taLangId _),
@@ -181,6 +204,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_sql_shingles" -> taSqlShinglesSql,
     "ta_token_stats" -> taTokenStatsSql,
     "ta_quality" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,

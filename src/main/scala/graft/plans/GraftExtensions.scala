@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions
+  * (builder preference order (b) + the SparkSessionExtensions entry
+  * point): `word_shingles(text[, k])` and `simhash_agg(hash_col)`
+  * become callable from `spark.sql(...)` exactly like built-ins —
+  * analyzed, optimized, and codegen'd by Catalyst, usable by SQL-only
+  * consumers of the library.
+  *
+  * Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (how Verify/Bench/tests create their sessions) or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+object GraftExtensions {
+
+  /** Imperative registration for sessions created WITHOUT the extension
+    * conf (e.g. a caller-owned session handed to the query map): same
+    * builders, registered into the session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.FunctionBridge.registerAll(spark)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def kOf(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"word_shingles k must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WordShingles(text, 3)
+        case Seq(text, k) => WordShingles(text, kOf(k))
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text[, k]) takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimhashAgg(child).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "simhash_agg(hash_col) takes exactly 1 argument")
+      }))
+  }
+}

@@ -13,3 +13,23 @@ object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Function-registry access for imperative SQL-function registration
+  * (`sessionState` is private[sql]; this is the same supported pattern
+  * as ColumnBridge). Keep the builders in sync with
+  * [[graft.plans.GraftExtensions]]. */
+object FunctionBridge {
+  import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("word_shingles", args => args match {
+      case Seq(text) => graft.plans.WordShingles(text, 3)
+      case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+        graft.plans.WordShingles(text, k)
+      case _ => throw new IllegalArgumentException("word_shingles(text[, k])")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_agg", args =>
+      graft.plans.SimhashAgg(args.head).toAggregateExpression(), "scala_udf")
+  }
+}

@@ -43,6 +43,22 @@ class ExprSpec extends SparkSpec {
     assert(got(6L) == List("x y z", "y z w"))
   }
 
+  test("SQL surface (spark.sql.extensions): word_shingles + simhash_agg callable from SQL, equal to Column API") {
+    // the shared session is built with spark.sql.extensions=GraftExtensions,
+    // so both functions resolve in pure SQL with no imperative registration
+    Tables.documents(spark, sf).createOrReplaceTempView("exprspec_docs")
+    val viaSql = spark.sql(
+      s"""SELECT simhash_agg(${graft.functions.Text.hash60SparkSql("s")}) AS sig FROM (
+         |  SELECT explode(word_shingles(text, 3)) AS s FROM exprspec_docs WHERE doc_id = 1
+         |) t""".stripMargin).first().getLong(0)
+    val viaApi = Tables.documents(spark, sf).filter(col("doc_id") === 1)
+      .select(explode(WordShingles.wordShingles(col("text"), 3)).as("s"))
+      .select(expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
+      .agg(SimhashAgg.simhash(col("h")).as("sig"))
+      .first().getLong(0)
+    assert(viaSql == viaApi, "SQL-registered functions diverge from Column API")
+  }
+
   test("SimhashAgg == 60 parallel sum(when(bit)) aggregates") {
     val ex = graft.functions.Text.shingled(spark, sf)
       .select(col("doc_id"), explode(col("sh")).as("s"))
