@@ -543,6 +543,34 @@ object Relational {
       |WHERE l_quantity >= 48
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Salted join — the skew-mitigation pattern (AQE's skew-join split
+    * is the automatic form; salting is the explicit one for keys so hot
+    * AQE can't split them, e.g. a power-law fact key): the probe side
+    * derives a deterministic salt (pmod of a second attribute), the
+    * build side is exploded ×S with every salt value, and the join key
+    * becomes (key, salt) — one hot key fans out over S reducers.
+    * Results are identical to the unsalted join, which is what the
+    * oracle runs. */
+  def opSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 4
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 47)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        pmod(col("l_linenumber"), lit(S)).as("salt"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(array((0 until S).map(lit(_)): _*)).as("salt"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val opSaltedJoinSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 47
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Approximate distinct counting (HLL++, the sketch every 100 TB
     * cardinality estimate uses): deterministic per engine but not across
     * engines (different sketch layouts), so no DuckDB oracle — the
@@ -623,6 +651,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
+    "op_salted_join" -> (opSaltedJoin _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
@@ -656,6 +685,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,
+    "op_salted_join" -> opSaltedJoinSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),

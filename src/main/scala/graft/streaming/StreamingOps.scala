@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.functions.Exact
 import graft.operators.Events
@@ -97,13 +97,66 @@ object StreamingOps {
   private val opStreamDedupSql: String =
     """SELECT doc_id, md5(text) AS content_key FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Event row for the arbitrary-stateful path (fixed-point cents so the
+    * per-group fold is order-insensitive and exact). */
+  case class UserEvent(user_id: Long, cents: Long)
+  case class UserState(n: Long, cents: Long)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful streaming via `flatMapGroupsWithState` — the
+    * arbitrary-state API (the shape a custom sessionizer / online
+    * feature builder uses; `session_window` above is the declarative
+    * special case). State: per-user (count, cent-sum), updated per
+    * micro-batch, emitted on every update (append + NoTimeout), so with
+    * an AvailableNow drain the final emission per user is the complete
+    * aggregate — which is exactly what the DuckDB oracle recomputes.
+    * Scale: state is two longs per user in the state store, update is
+    * one fold per group per batch — the 100 TB shape for keyed online
+    * state. */
+  def opStreamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val updateFn = (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) => {
+      var s = state.getOption.getOrElse(UserState(0L, 0L))
+      rows.foreach(r => s = UserState(s.n + 1, s.cents + r.cents))
+      state.update(s)
+      Iterator(UserTotals(userId, s.n, s.cents / 100.0))
+    }
+    val totals = Tables.eventsStream(spark, sfDir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateFn)
+    spark.catalog.dropTempView("graft_stream_stateful")
+    val q = totals.toDF().writeStream
+      .format("memory").queryName("graft_stream_stateful")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one emission per (user, batch): keep each user's final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table("graft_stream_stateful")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("user_id")
+  }
+
+  private val opStreamStatefulSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(round(value * 100)::BIGINT)::BIGINT / 100.0 AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_stateful" -> (opStreamStateful _),
     "op_stream_tumbling" -> (opStreamTumbling _),
     "op_stream_sliding" -> (opStreamSliding _),
     "op_stream_session" -> (opStreamSession _),
     "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_stateful" -> opStreamStatefulSql,
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
     "op_stream_sliding" -> Events.oracles("op_events_sliding"),
     "op_stream_session" -> opStreamSessionSql,
