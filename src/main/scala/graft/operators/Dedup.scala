@@ -153,9 +153,12 @@ object Dedup {
     // and lose pairs.
     val prefix = hs
       .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
-      .select(col("doc_id"), explode(col("pfx")).as("g"))
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("pfx")).as("g"))
+    // AllPairs length filter: J(A,B) >= t forces |A|/|B| ∈ [t, 1/t] —
+    // candidates whose set sizes can't reach the threshold never join.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          (col("b.n") * 5 >= col("a.n") * 4) && (col("a.n") * 5 >= col("b.n") * 4))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
