@@ -543,6 +543,48 @@ object Relational {
       |WHERE l_quantity >= 48
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Exact grouped quantiles (linear interpolation between order
+    * statistics — the same definition as DuckDB's quantile_cont, so the
+    * values are oracle-comparable after fixed-point rounding): the
+    * distribution profile every data-quality pass computes. Spark also
+    * ships approx_percentile (t-digest-style) for the sketch form at
+    * scale — engine-specific, so the exact form is what's verified. */
+  def opQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(p: Double, name: String) =
+      (round(expr(s"percentile(o_totalprice, $p)") * 100).cast("long") / 100.0).as(name)
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(q(0.5, "p50"), q(0.95, "p95"), q(0.99, "p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val opQuantilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5) * 100)::BIGINT / 100.0 AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95) * 100)::BIGINT / 100.0 AS p95,
+      |  round(quantile_cont(o_totalprice, 0.99) * 100)::BIGINT / 100.0 AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Window-function breadth: lag deltas + ntile + percent_rank over
+    * per-customer order history (one shuffle on the partition key). */
+  def opWindowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("delta",
+        round((col("o_totalprice") - coalesce(col("prev_price"), lit(0.0))) * 100).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "delta", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val opWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round((o_totalprice - coalesce(lag(o_totalprice, 1)
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)) * 100)::BIGINT AS delta,
+      |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT AS quartile
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Salted join — the skew-mitigation pattern (AQE's skew-join split
     * is the automatic form; salting is the explicit one for keys so hot
     * AQE can't split them, e.g. a power-law fact key): the probe side
@@ -652,6 +694,8 @@ object Relational {
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
     "op_salted_join" -> (opSaltedJoin _),
+    "op_quantiles" -> (opQuantiles _),
+    "op_window_lag" -> (opWindowLag _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
@@ -686,6 +730,8 @@ object Relational {
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,
     "op_salted_join" -> opSaltedJoinSql,
+    "op_quantiles" -> opQuantilesSql,
+    "op_window_lag" -> opWindowLagSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),

@@ -185,6 +185,88 @@ object Similarity {
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
 
+  /** IVF ANN (the trained-coarse-quantizer scale path, complementing the
+    * training-free hyperplane LSH above):
+    *
+    *  1. TRAIN — coarse centroids via the fixed-point-exact per-label
+    *     mean pass ([[embCentroid]]'s formula; the label partition
+    *     stands in for a k-means fit — the index/search shape is
+    *     identical), collected to the driver exactly like any
+    *     quantizer fit (10×64 doubles, not data-proportional).
+    *  2. INDEX — every vector assigned to its max-cosine cell in ONE
+    *     map-side projection over centroid literals: no crossJoin, no
+    *     window, the corpus never shuffles for assignment (argmax =
+    *     array_min over (−cos, label) structs, ties to the lower
+    *     label — mirrored in the oracle's ORDER BY cos DESC, label).
+    *  3. SEARCH — nprobe=1: probes equi-join their cell's inverted
+    *     list and rerank by exact cosine; at 100 TB each probe touches
+    *     one cell's partitions only.
+    *
+    * The oracle RECOMPUTES the centroids, assignment, and rerank from
+    * scratch in DuckDB — train+index+search are all hash-verified. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val centRows = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * 1048576.0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("s") / 1048576.0 / col("n")).as("c"))
+      .collect()
+    val cents: Map[Int, Array[Double]] = centRows.groupBy(_.getInt(0)).map { case (l, rs) =>
+      l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+    }
+    val labels = cents.keys.toArray.sorted
+    // literal doubles via string round-trip (parseDouble of toString is
+    // exact), so the plan's constants are bit-identical to the trained
+    // values the oracle recomputes
+    def dl(d: Double): String = s"cast('${d.toString}' as double)"
+    def centArr(l: Int): String = cents(l).map(dl).mkString("array(", ", ", ")")
+    def cnrm(l: Int): Double = {
+      var acc = 0.0; val c = cents(l); var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 } // same left fold as both engines' dot
+      math.sqrt(acc)
+    }
+    val cellStructs = labels.map { l =>
+      s"struct(-(${dotS("emb", centArr(l))} / (nrm * ${dl(cnrm(l))})) as negcos, $l as lbl)"
+    }.mkString("array_min(array(", ", ", ")).lbl")
+    val asg = embWithNorm(spark, sfDir).withColumn("cell", expr(cellStructs).cast("int"))
+    val probes = asg.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+      col("nrm").as("p_nrm"), col("cell"))
+      .filter(col("probe_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    asg.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr(s"${dotS("emb", "p_emb")}") / (col("nrm") * col("p_nrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val annIvfSql: String =
+    s"""WITH $duckEmbCte,
+       |cs AS (SELECT label, i - 1 AS pos,
+       |  sum(round(x::DOUBLE * 1048576.0)::BIGINT)::BIGINT / 1048576.0 / count(*) AS c
+       |  FROM (SELECT label, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings) t
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cs GROUP BY label),
+       |cn AS (SELECT label, cv, sqrt(${dotD("cv", "cv")}) AS cnrm FROM cent),
+       |asg AS (SELECT vec_id, embedding, nrm, label AS cell FROM (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cn.label,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "cn.cv")} / (e.nrm * cn.cnrm) DESC, cn.label) AS rn
+       |  FROM e CROSS JOIN cn) s WHERE rn = 1)
+       |SELECT probe_id, neighbor_id, cell, cosine, rank FROM (
+       |  SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id, a.cell::BIGINT AS cell,
+       |    ${dotD("a.embedding", "p.embedding")} / (a.nrm * p.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("a.embedding", "p.embedding")} / (a.nrm * p.nrm) DESC,
+       |               a.vec_id) AS rank
+       |  FROM asg a JOIN asg p ON a.cell = p.cell AND p.vec_id < 10
+       |    AND a.vec_id <> p.vec_id) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** Per-label centroids (the training-data analytics primitive behind
     * IVF coarse quantizers and class prototypes): posexplode the vector,
     * one shuffle on (label, dim), fixed-point exact mean per dimension.
@@ -214,11 +296,13 @@ object Similarity {
     "ann_topk_exact" -> (annTopkExact _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
+    "ann_ivf" -> (annIvf _),
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_exact" -> annTopkExactSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
+    "ann_ivf" -> annIvfSql,
     "emb_centroid" -> embCentroidSql)
 }
