@@ -36,20 +36,32 @@ object Compact {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
 
-  /** Compact `tableDir` to `targetFiles` files. Returns (filesBefore,
-    * filesAfter) counted over data files. */
-  def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int): (Int, Int) = {
+  /** Recursive delete for sibling maintenance jobs (checkpoint
+    * retirement when a compaction supersedes a streaming sink log). */
+  def deleteRecPublic(p: Path): Unit = deleteRec(p)
+
+  /** Compact `tableDir` to `targetFiles` files (pass <= 0 to size the
+    * target from the data: ceil(bytes / 128 MB), the parquet-friendly
+    * file size — so compaction never INCREASES the file count of a
+    * small table). Returns (filesBefore, filesAfter) over data files. */
+  def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int = 0): (Int, Int) = {
     def dataFiles(dir: Path): Array[Path] =
       if (!Files.exists(dir)) Array.empty
       else Files.walk(dir).toArray.map(_.asInstanceOf[Path])
         .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
     val dir = Paths.get(tableDir)
     val before = dataFiles(dir).length
+    val target =
+      if (targetFiles > 0) targetFiles
+      else {
+        val bytes = dataFiles(dir).map(Files.size(_)).sum
+        math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      }
     val tmp = Paths.get(tableDir + ".compact_tmp")
     val old = Paths.get(tableDir + ".compact_old")
     deleteRec(tmp); deleteRec(old)
     spark.read.parquet(tableDir)
-      .repartition(targetFiles)
+      .repartition(target)
       .write.mode("overwrite").parquet(tmp.toString)
     // drop the scratch _SUCCESS marker so the swapped dir is data-only
     Files.deleteIfExists(tmp.resolve("_SUCCESS"))

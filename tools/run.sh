@@ -18,5 +18,7 @@ case "$CMD" in
   check)  shift 3 2>/dev/null || shift $#
           SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$SF" "$OUT"
           python3 tools/check_oracle.py "$OUT" "$SF" "$@" ;;
+  pipeline) rm -rf target/pipe/main
+          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.streaming.PipelineMain "$SF" "$(pwd)/target/pipe/main" "${3:-4}" "${4:-2}" ;;
   *) echo "unknown cmd $CMD"; exit 2 ;;
 esac
