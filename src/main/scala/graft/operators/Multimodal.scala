@@ -66,6 +66,36 @@ object Multimodal {
       |        1 + n_chars % 30 AS n_frames FROM documents) t
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize planning (STUB decode, real plumbing): compute the scaled
+    * dimensions that fit each "image" into a 224×224 budget preserving
+    * aspect ratio — integer arithmetic both engines share; the actual
+    * pixel resample would live in the [[decodeFeatures]] mapPartitions
+    * stage next to the codec. Emits original + target dims + scale
+    * in per-mille (fixed-point, engine-identical). */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(320L) + col("n_chars") % 320).as("width"),
+        (lit(240L) + col("n_chars") % 240).as("height"))
+      .withColumn("scale_pm", // integer div: `/` on Columns is double division
+        least(expr("224000 div width"), expr("224000 div height"), lit(1000L)))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("width * scale_pm div 1000").as("out_w"),
+        expr("height * scale_pm div 1000").as("out_h"),
+        col("scale_pm"))
+      .orderBy("doc_id")
+
+  private val mmResizeSql: String =
+    """SELECT doc_id, width, height,
+      |  width * scale_pm // 1000 AS out_w,
+      |  height * scale_pm // 1000 AS out_h,
+      |  scale_pm
+      |FROM (SELECT doc_id, width, height,
+      |        least(224000 // width, 224000 // height, 1000) AS scale_pm
+      |      FROM (SELECT doc_id, 320 + n_chars % 320 AS width,
+      |              240 + n_chars % 240 AS height FROM documents) a) b
+      |ORDER BY doc_id""".stripMargin
+
   // ----- mapPartitions batch-decode path (ScalaTest-verified; the
   // ----- iterator shape a real decoder plugs into) -------------------
 
@@ -98,9 +128,11 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta_extract" -> (mmMetaExtract _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql)
 }

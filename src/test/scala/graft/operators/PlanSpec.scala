@@ -39,6 +39,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no nested-loop joins in the bucketized theta-join operators") {
+    // dd_embed_cosine, op_range_join, op_asof_join were designed to turn
+    // inequality/similarity predicates into equi-joins (+filter) or a
+    // single window pass — a BroadcastNestedLoopJoin/CartesianProduct in
+    // any of their plans means the design regressed to O(n^2)
+    Seq(
+      "dd_embed_cosine" -> graft.operators.Similarity.ddEmbedCosine(spark, sf),
+      "op_range_join" -> Events.opRangeJoin(spark, sf),
+      "op_asof_join" -> Events.opAsofJoin(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("flagship q3: filters and projections reach the parquet scans") {
     val df = Relational.q3Unshipped(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
