@@ -30,7 +30,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries + action give round-over-round totals their context:
+    // r1 measured 41 queries under count() (projection-pruned); r2+
+    // measures the full surface under noop materialization.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"action":"noop-write"}""")
     spark.stop()
   }
 }

@@ -81,6 +81,42 @@ class PipelineSpec extends SparkSpec {
       "batch-0 staged files were not retired after the batch-1 commit")
   }
 
+  test("ingest quarantine: a corrupt JSON line is captured, good rows land (PERMISSIVE)") {
+    val root = s"$base/corrupt"
+    wipe(root)
+    val staging = s"$root/staging/orders"
+    Files.createDirectories(Paths.get(staging))
+    // two good lines + one broken one, as a staged file
+    Files.writeString(Paths.get(s"$staging/orders_b0_p0000.json"),
+      """{"o_orderkey":"k1","o_custkey":1,"o_orderstatus":"O","o_totalprice":10.5,"o_order_time":"2024-01-01T00:00:00.000000Z","o_orderpriority":"1-URGENT"}
+        |{"o_orderkey":"k2","o_custkey":2,"o_orderstatus":"F","o_totalprice":THIS_IS_NOT_JSON
+        |{"o_orderkey":"k3","o_custkey":3,"o_orderstatus":"P","o_totalprice":30.5,"o_order_time":"2024-01-01T00:05:00.000000Z","o_orderpriority":"3-MEDIUM"}
+        |""".stripMargin)
+    // PERMISSIVE + corrupt-record column: bad lines become quarantine
+    // rows instead of failing the batch (the reference's answer was 10
+    // Prefect retries that would never succeed on a poison file)
+    val schema = Schemas.stagedOrders
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val src = spark.readStream.schema(schema)
+      .option("timestampFormat", Synthesize.TsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staging)
+    val q = src.writeStream.format("parquet")
+      .option("path", s"$root/tables/orders")
+      .option("checkpointLocation", s"$root/ckpt/orders")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = spark.read.parquet(s"$root/tables/orders")
+    assert(t.count() == 3, "expected 2 good + 1 quarantined row")
+    assert(t.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(t.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(t.filter(col("o_orderkey") === "k1").count() == 1)
+    assert(t.filter(col("o_orderkey") === "k3").count() == 1)
+  }
+
   test("compaction: file count drops to target, contents bit-identical") {
     val root = s"$base/compact"
     wipe(root)
