@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamingOps.queries ++ Pipeline.queries
+      StreamingOps.queries ++ Pipeline.queries ++
+      graft.sources.FormatRoundtrips.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamingOps.oracles ++ Pipeline.oracles
+      StreamingOps.oracles ++ Pipeline.oracles ++
+      graft.sources.FormatRoundtrips.oracles
 }

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth beyond parquet + JSON-lines: CSV and ORC
+  * write→read roundtrips (the formats a reference user would hand this
+  * engine next). Each op writes the fixture table in the target format
+  * under scratch, reads it back schema-asserted (no inference scan),
+  * and returns a checksum summary — the oracle computes the same
+  * checksums from the original parquet, so a value corrupted anywhere
+  * in the encode/decode path fails the hash compare. Timestamps carry
+  * explicit µs formats in text formats; doubles round-trip exactly via
+  * shortest-repr encoding. */
+object FormatRoundtrips {
+
+  private val P = 1000000007L
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def scratch(sfDir: String, fmt: String): String = {
+    val tag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/fmt/${fmt}_$tag"
+  }
+
+  private def summarize(df: DataFrame, fmt: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(expr(s"o_orderkey % $P")).as("key_check"),
+      sum(expr(s"unix_micros(o_orderdate) % $P")).as("time_check"),
+      sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit(fmt).as("fmt"), col("n_rows"), col("key_check"),
+        col("time_check"), col("price_check"))
+
+  private def oracleFor(fmt: String): String =
+    s"""SELECT '$fmt' AS fmt, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(epoch_us(o_orderdate) % $P)::BIGINT AS time_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders""".stripMargin
+
+  /** CSV roundtrip (header + explicit µs timestamp format; read is
+    * schema-asserted so no inference pass touches the files). */
+  def opCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "csv")
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(dir)
+    summarize(spark.read.schema(graft.Schemas.orders)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(dir), "csv")
+  }
+
+  /** ORC roundtrip (columnar alternative to parquet; schema-asserted). */
+  def opOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "orc")
+    Tables.orders(spark, sfDir).write.mode("overwrite").orc(dir)
+    summarize(spark.read.schema(graft.Schemas.orders).orc(dir), "orc")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_csv_roundtrip" -> (opCsvRoundtrip _),
+    "op_orc_roundtrip" -> (opOrcRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "op_csv_roundtrip" -> oracleFor("csv"),
+    "op_orc_roundtrip" -> oracleFor("orc"))
+}
