@@ -57,11 +57,46 @@ object FormatRoundtrips {
     summarize(spark.read.schema(graft.Schemas.orders).orc(dir), "orc")
   }
 
+  /** Hive-style partitioned layout + partition pruning: write orders
+    * partitioned by order year, then read back with a partition
+    * predicate — the scan must touch ONLY that year's directory
+    * (PartitionFilters in the plan, asserted in PlanSpec), which at
+    * 100 TB is the difference between scanning a day and scanning a
+    * decade. The checksum oracle recomputes the same year's rows from
+    * the unpartitioned fixture. */
+  def opPartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "part")
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    prunedRead(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"unix_micros(o_orderdate) % $P")).as("time_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit("part1997").as("fmt"), col("n_rows"), col("key_check"),
+        col("time_check"), col("price_check"))
+  }
+
+  /** The pruned scan itself (shared with the PlanSpec assertion). */
+  def prunedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).filter(col("o_year") === 1997)
+
+  private val opPartitionedWriteSql: String =
+    s"""SELECT 'part1997' AS fmt, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(epoch_us(o_orderdate) % $P)::BIGINT AS time_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_csv_roundtrip" -> (opCsvRoundtrip _),
-    "op_orc_roundtrip" -> (opOrcRoundtrip _))
+    "op_orc_roundtrip" -> (opOrcRoundtrip _),
+    "op_partitioned_write" -> (opPartitionedWrite _))
 
   val oracles: Map[String, String] = Map(
     "op_csv_roundtrip" -> oracleFor("csv"),
-    "op_orc_roundtrip" -> oracleFor("orc"))
+    "op_orc_roundtrip" -> oracleFor("orc"),
+    "op_partitioned_write" -> opPartitionedWriteSql)
 }

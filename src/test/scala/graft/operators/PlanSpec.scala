@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: the year predicate prunes to one partition directory") {
+    graft.sources.FormatRoundtrips.opPartitionedWrite(spark, sf)
+      .write.mode("overwrite").format("noop").save() // materializes the layout
+    val tag = java.nio.file.Paths.get(sf).getFileName.toString
+    val dir = s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/fmt/part_$tag"
+    val pruned = graft.sources.FormatRoundtrips.prunedRead(spark, dir)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"no partition filter in scan:\n$plan")
+    pruned.count() // execute so scan metrics populate
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(scanned < total,
+      s"partition pruning read $scanned of $total files — nothing was pruned")
+  }
+
   test("flagship q3: filters and projections reach the parquet scans") {
     val df = Relational.q3Unshipped(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
