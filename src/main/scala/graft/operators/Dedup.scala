@@ -28,8 +28,9 @@ import graft.sources.Tables
   *    ([[graft.plans.SimhashAgg]]); candidate pairs from block-pair
   *    Hamming LSH (66 bands × 10-bit keys) — never a cross join.
   *
-  * All hashing is md5-derived ([[Text.hash60SparkSql]]) so DuckDB
-  * reproduces every value — even the LSH pipeline is hash-verified.
+  * All hashing is md5-derived ([[graft.functions.Text.hash60SparkSql]])
+  * so DuckDB reproduces every value — even the LSH pipeline is
+  * hash-verified.
   */
 object Dedup {
 
