@@ -18,6 +18,10 @@ object Verify {
       // table loaders don't mutate session state mid-query (only nanos
       // columns are affected; no fixture has others).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregate (SimhashAgg) groups exceed the 128-entry
+      // sort-fallback default in every partition at any real scale; keep
+      // the map-side hash aggregate hashed.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 
 import graft.Schemas
-import graft.operators.Relational
 
 /** Runnable end-to-end pipeline — the `workflow.py` equivalent
   * (reference workflow.py:12-31): per cycle, GENERATE staged data →
@@ -51,6 +50,10 @@ object PipelineMain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregate (SimhashAgg) groups exceed the 128-entry
+      // sort-fallback default in every partition at any real scale; keep
+      // the map-side hash aggregate hashed.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,6 +15,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TypedImperativeAggregate (SimhashAgg) groups exceed the 128-entry
+    // sort-fallback default in every partition at any real scale; keep
+    // the map-side hash aggregate hashed.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
