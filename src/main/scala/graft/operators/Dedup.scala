@@ -255,15 +255,88 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup CLUSTERING — the step that turns pairwise matches into a
+    * deletion decision (pairs → connected components → keep the
+    * smallest doc_id per component): iterative min-label propagation
+    * over the LSH pair graph, each iteration one equi-join + min-agg
+    * (the simplified large-star step; converges in O(log n) iterations
+    * on near-dup graphs, whose components are tiny by construction).
+    * The driver loop only checks a convergence COUNT per iteration —
+    * all data movement is distributed joins. Output: every document in
+    * a component, its canonical representative, component size, and
+    * the keep/delete verdict. The oracle recomputes the same components
+    * with a recursive CTE over the same LSH pairs. */
+  def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ddMinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nrep")).as("nrep"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"),
+        (col("doc_id") === col("rep")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val ddClusterSql: String =
+    s"""WITH RECURSIVE ${Text.shingleCteSql},
+       |bands AS (
+       |${(0 until Bands).map { b =>
+      val mins = (0 until RowsPerBand).map { r =>
+        s"list_min(list_transform(s, x -> md5('mh$b:$r:' || x)))"
+      }.mkString(" || ")
+      s"SELECT doc_id, $b AS band, $mins AS sig FROM sh"
+    }.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |    len(x.s)::BIGINT AS na, len(y.s)::BIGINT AS nb,
+       |    len(list_intersect(x.s, y.s))::BIGINT AS inter
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+       |pairs AS (SELECT doc_a, doc_b FROM v
+       |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id),
+       |comp AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id),
+       |sz AS (SELECT cluster_rep AS cr, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
+       |SELECT doc_id, cluster_rep, cluster_size, doc_id = cluster_rep AS keep
+       |FROM comp JOIN sz ON sz.cr = comp.cluster_rep
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
-    "dd_simhash" -> (ddSimhash _))
+    "dd_simhash" -> (ddSimhash _),
+    "dd_cluster" -> (ddCluster _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
-    "dd_simhash" -> ddSimhashSql)
+    "dd_simhash" -> ddSimhashSql,
+    "dd_cluster" -> ddClusterSql)
 }

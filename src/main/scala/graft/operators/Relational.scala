@@ -613,6 +613,33 @@ object Relational {
       |WHERE l_quantity >= 47
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Deterministic stratified sampling: keep ~10% of rows per stratum
+    * by thresholding an md5-derived uniform on the row key — the
+    * content-addressed form of `sampleBy` that large pipelines use
+    * because it is reproducible across engines/runs and stable under
+    * repartitioning (seeded `rand()` is neither). Verified by per-
+    * stratum counts + a membership checksum, so the oracle pins exactly
+    * WHICH rows were sampled, not just how many. */
+  def opSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = graft.functions.Text.hash60SparkSql(
+      "concat('smp:', cast(l_orderkey as string), ':', cast(l_linenumber as string))")
+    Tables.lineitem(spark, sfDir)
+      .filter(expr(s"$u % 100 < 10"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(expr(s"(l_orderkey * 7 + l_linenumber) % 1000000007")).as("member_check"))
+      .orderBy("l_returnflag")
+  }
+
+  private val opSampleStratifiedSql: String = {
+    val u = graft.functions.Text.hash60DuckSql(
+      "'smp:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+    s"""SELECT l_returnflag, count(*) AS n_sampled,
+       |  sum((l_orderkey * 7 + l_linenumber) % 1000000007)::BIGINT AS member_check
+       |FROM lineitem WHERE ($u) % 100 < 10
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Approximate distinct counting (HLL++, the sketch every 100 TB
     * cardinality estimate uses): deterministic per engine but not across
     * engines (different sketch layouts), so no DuckDB oracle — the
@@ -696,6 +723,7 @@ object Relational {
     "op_salted_join" -> (opSaltedJoin _),
     "op_quantiles" -> (opQuantiles _),
     "op_window_lag" -> (opWindowLag _),
+    "op_sample_stratified" -> (opSampleStratified _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
@@ -732,6 +760,7 @@ object Relational {
     "op_salted_join" -> opSaltedJoinSql,
     "op_quantiles" -> opQuantilesSql,
     "op_window_lag" -> opWindowLagSql,
+    "op_sample_stratified" -> opSampleStratifiedSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),
