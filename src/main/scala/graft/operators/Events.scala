@@ -189,7 +189,47 @@ object Events {
        |GROUP BY e.event_id, e.user_id
        |ORDER BY e.event_id""".stripMargin
 
+  /** PIVOT: per-user event-type counts as columns (the long→wide
+    * feature-izing step; Spark pivots with explicit values so the
+    * output schema is static — required at scale and for the oracle). */
+  def opPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private val opPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** UNPIVOT (melt): the wide table back to long (metric, value) rows —
+    * Spark's native unpivot operator. */
+  def opUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    opPivot(spark, sfDir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "metric", "n")
+      .orderBy("user_id", "metric")
+
+  private val opUnpivotSql: String =
+    """SELECT user_id, metric, n FROM (
+      |  SELECT user_id, 'click' AS metric, count(*) FILTER (event_type = 'click') AS n FROM events GROUP BY user_id
+      |  UNION ALL SELECT user_id, 'error', count(*) FILTER (event_type = 'error') FROM events GROUP BY user_id
+      |  UNION ALL SELECT user_id, 'purchase', count(*) FILTER (event_type = 'purchase') FROM events GROUP BY user_id
+      |  UNION ALL SELECT user_id, 'signup', count(*) FILTER (event_type = 'signup') FROM events GROUP BY user_id
+      |  UNION ALL SELECT user_id, 'view', count(*) FILTER (event_type = 'view') FROM events GROUP BY user_id) t
+      |ORDER BY user_id, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_pivot" -> (opPivot _),
+    "op_unpivot" -> (opUnpivot _),
     "op_json_extract" -> (opJsonExtract _),
     "op_events_tumbling" -> (opEventsTumbling _),
     "op_events_sliding" -> (opEventsSliding _),
@@ -198,6 +238,8 @@ object Events {
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "op_pivot" -> opPivotSql,
+    "op_unpivot" -> opUnpivotSql,
     "op_json_extract" -> opJsonExtractSql,
     "op_events_tumbling" -> opEventsTumblingSql,
     "op_events_sliding" -> opEventsSlidingSql,

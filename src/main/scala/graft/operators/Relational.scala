@@ -613,6 +613,31 @@ object Relational {
       |WHERE l_quantity >= 47
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** String-function breadth: edit distance (the fuzzy-match primitive
+    * behind entity resolution / near-key joins), regex replace,
+    * translate, substring, position — all codegen'd per-row exprs. */
+  def opStringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        col("c_name"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("lev"),
+        regexp_replace(col("c_name"), "[^0-9]", "").as("digits"),
+        translate(col("c_name"), "#0", "-X").as("translated"),
+        substring(col("c_name"), 10, 9).as("key_part"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"))
+      .orderBy("c_custkey")
+
+  private val opStringFuncsSql: String =
+    """SELECT c_custkey, c_name,
+      |  levenshtein(c_name, 'Customer#000000001')::BIGINT AS lev,
+      |  regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
+      |  translate(c_name, '#0', '-X') AS translated,
+      |  substring(c_name, 10, 9) AS key_part,
+      |  strpos(c_name, '#')::BIGINT AS hash_pos
+      |FROM customer WHERE c_custkey <= 500
+      |ORDER BY c_custkey""".stripMargin
+
   /** Deterministic stratified sampling: keep ~10% of rows per stratum
     * by thresholding an md5-derived uniform on the row key — the
     * content-addressed form of `sampleBy` that large pipelines use
@@ -724,6 +749,7 @@ object Relational {
     "op_quantiles" -> (opQuantiles _),
     "op_window_lag" -> (opWindowLag _),
     "op_sample_stratified" -> (opSampleStratified _),
+    "op_string_funcs" -> (opStringFuncs _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
@@ -761,6 +787,7 @@ object Relational {
     "op_quantiles" -> opQuantilesSql,
     "op_window_lag" -> opWindowLagSql,
     "op_sample_stratified" -> opSampleStratifiedSql,
+    "op_string_funcs" -> opStringFuncsSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),
