@@ -51,4 +51,39 @@ class WatermarkSpec extends SparkSpec {
       assert(rows(0).getLong(2) == 2L, "closed session should contain both early events")
     } finally q.stop()
   }
+
+  case class Doc(content_key: String, ts: Timestamp, doc_id: Long)
+
+  test("dropDuplicatesWithinWatermark: duplicate inside the watermark window is dropped, state expires") {
+    import spark.implicits._
+    val input = MemoryStream[Doc](spark)
+    val dedup = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+    val name = "wm_dedup"
+    spark.catalog.dropTempView(name)
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: original + an in-window duplicate -> one survivor
+      input.addData(Doc("k1", t(0), 1L), Doc("k1", t(5), 2L), Doc("k2", t(5), 3L))
+      q.processAllAvailable()
+      assert(spark.table(name).select("content_key").distinct().count() == 2)
+      assert(spark.table(name).filter(col("content_key") === "k1").count() == 1,
+        "in-window duplicate content was not dropped")
+      // batch 2 advances the watermark past k1's state expiry (t5+10min)
+      // — the watermark moves AFTER a batch, so eviction needs this
+      // intermediate batch before re-admittance is observable
+      input.addData(Doc("k3", t(60), 4L))
+      q.processAllAvailable()
+      // batch 3: the same content key far beyond the horizon is
+      // legitimately NEW (state expired) — this bounded re-admittance is
+      // exactly the contract that keeps dedup state finite at 100 TB,
+      // vs op_stream_dedup's unbounded exact variant
+      input.addData(Doc("k1", t(120), 5L))
+      q.processAllAvailable()
+      assert(spark.table(name).filter(col("content_key") === "k1").count() == 2,
+        "expired-state re-admittance did not happen — state may be unbounded")
+    } finally q.stop()
+  }
 }
