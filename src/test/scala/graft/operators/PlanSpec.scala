@@ -39,6 +39,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("GLOBAL: no accidental nested-loop or cartesian join in ANY query plan") {
+    // The one intentional exception: ann_topk_exact broadcasts an O(k)
+    // probe batch into a nested-loop by design (brute-force baseline) —
+    // bounded because the build side is a fixed probe set, not data.
+    val allowNestedLoop = Set("ann_topk_exact")
+    // Pipeline entries execute side effects (staging, streams) on
+    // invocation; their DataFrames are plain reads — include them too.
+    val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+    val offenders = plans.collect {
+      case (name, plan)
+        if !allowNestedLoop(name) &&
+          (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian joins leaked into: ${offenders.mkString(", ")}")
+  }
+
   test("no nested-loop joins in the bucketized theta-join operators") {
     // dd_embed_cosine, op_range_join, op_asof_join were designed to turn
     // inequality/similarity predicates into equi-joins (+filter) or a
