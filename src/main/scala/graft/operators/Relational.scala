@@ -613,6 +613,31 @@ object Relational {
       |WHERE l_quantity >= 47
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Date/time-function breadth: truncation, field extraction, offset
+    * arithmetic, day difference — the partitioning/bucketing helpers
+    * every time-organized 100 TB layout leans on. */
+  def opDatetimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  private val opDatetimeFuncsSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  quarter(o_orderdate)::BIGINT AS qtr,
+      |  dayofweek(o_orderdate)::BIGINT + 1 AS dow,
+      |  (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m,
+      |  date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS days_to_2002
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_orderkey""".stripMargin
+
   /** String-function breadth: edit distance (the fuzzy-match primitive
     * behind entity resolution / near-key joins), regex replace,
     * translate, substring, position — all codegen'd per-row exprs. */
@@ -750,6 +775,7 @@ object Relational {
     "op_window_lag" -> (opWindowLag _),
     "op_sample_stratified" -> (opSampleStratified _),
     "op_string_funcs" -> (opStringFuncs _),
+    "op_datetime_funcs" -> (opDatetimeFuncs _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
@@ -788,6 +814,7 @@ object Relational {
     "op_window_lag" -> opWindowLagSql,
     "op_sample_stratified" -> opSampleStratifiedSql,
     "op_string_funcs" -> opStringFuncsSql,
+    "op_datetime_funcs" -> opDatetimeFuncsSql,
     "op_catalog_scan" -> opCatalogScanSql,
     "op_meta_columns" -> opMetaColumnsSql,
     "op_result_sink" -> q3Sql("BUILDING"),
