@@ -28,16 +28,19 @@ object Bench {
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries report -1 (NOT their elapsed-until-throw time, and
+    // NOT in the total) so a broken query can never read as a speedup
+    val qs = results.map { case (k, (v, ok)) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, (_, false)) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = results.values.collect { case (v, true) => v }.sum
     // n_queries + action give round-over-round totals their context:
     // r1 measured 41 queries under count() (projection-pruned); r2+
     // measures the full surface under noop materialization.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"action":"noop-write"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write"}""")
     spark.stop()
   }
 }

@@ -60,13 +60,20 @@ object Dedup {
     * minhash → band → verify pipeline per consumer would double the
     * most expensive stage. In a persisted deployment this is the
     * staging table between the pair job and the cluster job; here it is
-    * an executor-cached DataFrame reclaimed with the session. */
-  private val pairCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * an executor-cached DataFrame. Weak session keys: a stopped session
+    * releases its entry (no leak, no identity-reuse confusion); the
+    * fixture at a given sfDir is assumed immutable within a session —
+    * the harness contract. */
+  private val pairCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    pairCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ =>
-      minhashLshPlan(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairCache.synchronized {
+      pairCache.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(sfDir,
+          minhashLshPlan(spark, sfDir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** MinHash+LSH near-duplicate detection, threshold 0.8 Jaccard.
     * shingle → per-(band,row) md5-minhash → band signature → equi-join
@@ -165,8 +172,10 @@ object Dedup {
     // intersection, and the sorted array doubles as the global prefix
     // order. At 100 TB the persist becomes an explicit staging table
     // (write once, read four times) — same plan shape, storage instead
-    // of executor cache; Spark's ContextCleaner reclaims this cache once
-    // the query's RDDs are unreferenced.
+    // of executor cache. The cache lives for the session (the returned
+    // DataFrame's lineage reads it, so it cannot be unpersisted here);
+    // it is megabytes at bench scale, and a long-lived service would
+    // drop it via a query-completion listener.
     val hs = Text.shingled(spark, sfDir)
       .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -292,20 +301,31 @@ object Dedup {
       .withColumn("rep", col("doc_id"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // Convergence needs O(component diameter) iterations; near-dup
+    // components are chains at worst, so the cap is a safety net — and
+    // exhausting it must FAIL, not silently return partial components
+    // (a wrong keep-list deletes the wrong documents).
+    val MaxIter = 50
+    while (!converged && iter < MaxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nrep")).as("nrep"))
+      val prev = labels
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+      val changed = next.join(prev.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).count()
+      if (iter > 0) prev.unpersist() // superseded iteration's cache
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dd_cluster did not converge in $MaxIter iterations — component diameter exceeds the cap")
     val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    edges.unpersist() // iterations done; result lineage reads only `labels`
     labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"),
         (col("doc_id") === col("rep")).as("keep"))

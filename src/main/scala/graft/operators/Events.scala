@@ -57,11 +57,7 @@ object Events {
     * `window()` aligns to the epoch; the oracle's time_bucket aligns to
     * 2000-01-01 — both are whole-hour origins, so buckets coincide. */
   def opEventsTumbling(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+    tumblingAgg(Tables.events(spark, sfDir))
       .orderBy("window_start", "event_type")
 
   private val opEventsTumblingSql: String =
@@ -73,11 +69,7 @@ object Events {
     * two windows. The oracle expands the window set explicitly
     * (k ∈ {0,1}) — same bucket math, engine-independent. */
   def opEventsSliding(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
-      .select(col("window.start").as("window_start"),
-        col("n_events"), col("total_value"))
+    slidingAgg(Tables.events(spark, sfDir))
       .orderBy("window_start")
 
   private val opEventsSlidingSql: String =

@@ -511,11 +511,20 @@ object Relational {
     * every subsequent join on that key is exchange-free. The oracle is
     * the plain join SQL — bucketing must not change results, only the
     * plan. */
+  /** Catalog tag for per-fixture bucketed tables: basename + a hash of
+    * the FULL path, so two fixture dirs sharing a basename can't alias
+    * each other's tables within one session (fixtures are immutable
+    * within a session — the harness contract). */
+  def bucketTag(sfDir: String): String = {
+    val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+    java.nio.file.Paths.get(sfDir).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.security.MessageDigest.getInstance("MD5").digest(abs.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+  }
+
   def opBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val nb = 8
-    // per-sf table names: the in-memory catalog lives as long as the
-    // session, which may serve several scale factors
-    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val sfTag = bucketTag(sfDir)
     def ensure(name: String, build: () => DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(name)) {
         build().write.mode("overwrite")

@@ -14,8 +14,12 @@ import org.apache.spark.sql.SparkSession
   *  3. atomically swap temp into place (directory rename),
   *  4. delete the superseded files (K6 vacuum, retention 0).
   *
-  * The swap is a metadata-only rename on any real filesystem, so readers
-  * see either the old file set or the new one, never a mix. What this
+  * The swap is a pair of metadata-only renames: readers see the old
+  * file set, a brief missing-directory window (fail-fast, retryable —
+  * never a MIX of old and new files), or the new set. A crash inside
+  * that window leaves the data in `.compact_old`; the next
+  * `compactTable` call restores it before doing anything else, so no
+  * crash point loses the table. What this
   * deliberately does NOT preserve is a streaming sink's `_spark_metadata`
   * commit log — compaction retires it (the rewritten files are not the
   * committed ones, so a stale log would hide them from batch readers).
@@ -33,8 +37,11 @@ import org.apache.spark.sql.SparkSession
 object Compact {
 
   private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally s.close()
+    }
 
   /** Recursive delete for sibling maintenance jobs (checkpoint
     * retirement when a compaction supersedes a streaming sink log). */
@@ -47,9 +54,20 @@ object Compact {
   def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int = 0): (Int, Int) = {
     def dataFiles(dir: Path): Array[Path] =
       if (!Files.exists(dir)) Array.empty
-      else Files.walk(dir).toArray.map(_.asInstanceOf[Path])
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      else {
+        val s = Files.walk(dir)
+        try s.toArray.map(_.asInstanceOf[Path])
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
     val dir = Paths.get(tableDir)
+    // crash recovery: a previous run that died between the two swap
+    // moves left the data only in `.compact_old` — restore it BEFORE
+    // the scratch cleanup below, which would otherwise delete the last
+    // surviving copy of the table.
+    val oldP = Paths.get(tableDir + ".compact_old")
+    if (!Files.exists(dir) && Files.exists(oldP))
+      Files.move(oldP, dir, StandardCopyOption.ATOMIC_MOVE)
     val before = dataFiles(dir).length
     val target =
       if (targetFiles > 0) targetFiles

@@ -41,10 +41,8 @@ object Pipeline {
     sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")
 
   private def wipe(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    Files.createDirectories(p)
+    Compact.deleteRecPublic(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
   }
 
   private def sfName(sfDir: String): String =

@@ -134,14 +134,18 @@ object Synthesize {
     df.write.mode("overwrite")
       .option("timestampFormat", TsFmt)
       .json(tmp.toString)
-    val parts = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+    def ls(): Array[Path] = {
+      val s = Files.list(tmp)
+      try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+    }
+    val parts = ls()
       .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, tableDir.resolve(f"${table}_b${batchId}_p$i%04d.json"),
         StandardCopyOption.REPLACE_EXISTING)
     }
     // scrap the _SUCCESS marker + dir
-    Files.list(tmp).toArray.map(_.asInstanceOf[Path]).foreach(Files.deleteIfExists(_))
+    ls().foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(tmp)
   }
 

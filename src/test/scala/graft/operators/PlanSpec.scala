@@ -11,7 +11,7 @@ class PlanSpec extends SparkSpec {
     // materialize once: ensures the bucketed catalog tables exist and the
     // query itself is correct against its oracle path
     Relational.opBucketedJoin(spark, sf).write.mode("overwrite").format("noop").save()
-    val sfTag = java.nio.file.Paths.get(sf).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val sfTag = Relational.bucketTag(sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable broadcast so the planner must pick the shuffle-prone

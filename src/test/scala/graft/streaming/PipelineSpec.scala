@@ -16,16 +16,15 @@ class PipelineSpec extends SparkSpec {
 
   private val base = "/root/repo/target/test-pipe"
 
-  private def wipe(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-  }
+  private def wipe(dir: String): Unit = Compact.deleteRecPublic(Paths.get(dir))
 
   private def jsonFiles(dir: String): Long = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).filter(f => f.toString.endsWith(".json")).count()
+    else {
+      val s = Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".json")).count() finally s.close()
+    }
   }
 
   test("ingest: incremental batches accumulate exactly the fixture row counts; re-drain is a no-op; staged files retire") {
@@ -70,10 +69,13 @@ class PipelineSpec extends SparkSpec {
     def b0FactFiles(): Long = {
       val p = Paths.get(staging)
       if (!Files.exists(p)) 0L
-      else Files.walk(p).filter { f =>
-        val n = f.getFileName.toString
-        n.endsWith(".json") && n.contains("_b0_") && !n.startsWith("customer")
-      }.count()
+      else {
+        val s = Files.walk(p)
+        try s.filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".json") && n.contains("_b0_") && !n.startsWith("customer")
+        }.count() finally s.close()
+      }
     }
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (b0FactFiles() > 0 && System.nanoTime() < deadline) Thread.sleep(250)
