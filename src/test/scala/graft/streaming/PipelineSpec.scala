@@ -119,6 +119,23 @@ class PipelineSpec extends SparkSpec {
     assert(t.filter(col("o_orderkey") === "k3").count() == 1)
   }
 
+  test("compaction crash recovery: a death between the swap moves loses no data") {
+    val root = s"$base/crash"
+    wipe(root)
+    val dir = s"$root/orders"
+    graft.sources.Tables.orders(spark, sf).repartition(4).write.parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+    // simulate a crash after `move(dir, old)` but before `move(tmp, dir)`:
+    // the table directory is gone; data lives only in .compact_old
+    java.nio.file.Files.move(Paths.get(dir), Paths.get(dir + ".compact_old"))
+    assert(!java.nio.file.Files.exists(Paths.get(dir)))
+    // the next compaction run must restore before doing anything else
+    val (before, after) = Compact.compactTable(spark, dir, targetFiles = 2)
+    assert(before == 4 && after == 2)
+    assert(spark.read.parquet(dir).count() == expected, "rows lost across crash recovery")
+    assert(!java.nio.file.Files.exists(Paths.get(dir + ".compact_old")))
+  }
+
   test("compaction: file count drops to target, contents bit-identical") {
     val root = s"$base/compact"
     wipe(root)
