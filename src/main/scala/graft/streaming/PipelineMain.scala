@@ -58,7 +58,14 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
+    spark.stop()
+  }
 
+  /** The whole workflow on a caller-owned session (what `main` wraps;
+    * also the E2E test entry). */
+  def runPipeline(spark: SparkSession, sfDir: String, workDir: String,
+                  nCycles: Int, compactEvery: Int): Unit = {
     val staging = s"$workDir/staging"
     val tables = s"$workDir/tables"
     val ckpt = s"$workDir/ckpt"
@@ -108,6 +115,5 @@ object PipelineMain {
         .option("compression", "snappy").parquet(s"$results/$seg")
       println(s"[pipeline] served $seg: ${spark.read.parquet(s"$results/$seg").count()} rows")
     }
-    spark.stop()
   }
 }

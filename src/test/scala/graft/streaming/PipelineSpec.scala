@@ -119,6 +119,23 @@ class PipelineSpec extends SparkSpec {
     assert(t.filter(col("o_orderkey") === "k3").count() == 1)
   }
 
+  test("PipelineMain E2E: generate->ingest->compact->reduce->serve produces 5 segment results") {
+    val root = s"$base/main-e2e"
+    wipe(root)
+    PipelineMain.runPipeline(spark, sf, root, nCycles = 2, compactEvery = 1)
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    segs.foreach { seg =>
+      val res = spark.read.parquet(s"$root/results/$seg")
+      assert(res.count() == 50, s"segment $seg should serve exactly top-50")
+      assert(res.columns.sorted.sameElements(Array("l_orderkey", "o_order_time", "revenue")))
+      // one data file per segment result, like the reference's layout
+      assert(res.inputFiles.length == 1)
+    }
+    // the ingested fact tables hold the full fixture after both cycles
+    assert(spark.read.parquet(s"$root/tables/orders").count() ==
+      graft.sources.Tables.orders(spark, sf).count())
+  }
+
   test("compaction crash recovery: a death between the swap moves loses no data") {
     val root = s"$base/crash"
     wipe(root)
