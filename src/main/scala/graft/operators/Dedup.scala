@@ -291,7 +291,9 @@ object Dedup {
     * all data movement is distributed joins. Output: every document in
     * a component, its canonical representative, component size, and
     * the keep/delete verdict. The oracle recomputes the same components
-    * with a recursive CTE over the same LSH pairs. */
+    * with a recursive CTE over the same LSH pairs. (Bench note: whichever
+    * of dd_minhash_lsh / dd_cluster runs FIRST pays for materializing the
+    * shared pair relation — the other reads the cache.) */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select("doc_a", "doc_b")
     val edges = pairs
