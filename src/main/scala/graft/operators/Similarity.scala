@@ -185,6 +185,58 @@ object Similarity {
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
 
+  /** ANN index QUALITY as a first-class verified query: recall@5 of the
+    * LSH-bucketed index against the exact brute-force top-5, per probe.
+    * Both pipelines are deterministic, so the recall itself is
+    * deterministic and the oracle recomputes it end-to-end — the
+    * measurement every ANN deployment needs, expressed as one
+    * DataFrame (at scale: two bounded per-probe result sets joined on
+    * (probe, neighbor), nothing corpus-sized moves). */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact5 = annTopkExact(spark, sfDir).filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val lsh5 = annLshBucketed(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact5.join(lsh5, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    exact5.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall_at_5"))
+      .orderBy("probe_id")
+  }
+
+  private val annRecallSql: String =
+    s"""WITH $duckEmbCte,
+       |bk AS (SELECT vec_id, embedding, nrm, ${bucketExprD("embedding")} AS bucket FROM e),
+       |exact5 AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t
+       |  WHERE rank <= 5),
+       |lsh5 AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM bk e JOIN bk p ON e.bucket = p.bucket AND p.vec_id < 10
+       |      AND e.vec_id <> p.vec_id) t
+       |  WHERE rank <= 5),
+       |hits AS (SELECT a.probe_id, count(*) AS n_hits
+       |  FROM exact5 a JOIN lsh5 b
+       |    ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY a.probe_id)
+       |SELECT p.probe_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(n_hits, 0)::DOUBLE / 5.0 AS recall_at_5
+       |FROM (SELECT DISTINCT probe_id FROM exact5) p
+       |LEFT JOIN hits ON hits.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
   /** IVF ANN (the trained-coarse-quantizer scale path, complementing the
     * training-free hyperplane LSH above):
     *
@@ -297,6 +349,7 @@ object Similarity {
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "ann_ivf" -> (annIvf _),
+    "ann_recall" -> (annRecall _),
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +357,6 @@ object Similarity {
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ann_ivf" -> annIvfSql,
+    "ann_recall" -> annRecallSql,
     "emb_centroid" -> embCentroidSql)
 }
