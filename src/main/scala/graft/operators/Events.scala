@@ -145,6 +145,36 @@ object Events {
       |  FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** As-of join with a lookback tolerance (the full ASOF semantics:
+    * match only if the preceding event is within `tolerance`) — same
+    * single-shuffle union-and-carry plan as [[opAsofJoin]], plus a
+    * bound check; out-of-tolerance matches null out. */
+  def opAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 60L * 60 * 1000000 // 1 hour lookback
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("prev_view", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("asof_view_ts",
+        when(unix_micros(col("ts")) - unix_micros(col("prev_view")) <= tolUs, col("prev_view")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofToleranceSql: String =
+    s"""SELECT event_id, user_id, ts,
+       |  CASE WHEN epoch_us(ts) - epoch_us(prev_view) <= ${60L * 60 * 1000000}
+       |       THEN prev_view END AS asof_view_ts
+       |FROM (
+       |  SELECT event_id, user_id, ts, event_type,
+       |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view
+       |  FROM events) t
+       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   /** Range (interval) join, bin-bucketed for scale: for every `error`
     * event, count the same user's events in the following 10 minutes.
     * The naive form is a θ-join on `ts BETWEEN e.ts AND e.ts+10min` —
@@ -227,6 +257,7 @@ object Events {
     "op_events_sliding" -> (opEventsSliding _),
     "op_events_session" -> (opEventsSession _),
     "op_asof_join" -> (opAsofJoin _),
+    "op_asof_tolerance" -> (opAsofTolerance _),
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +268,6 @@ object Events {
     "op_events_sliding" -> opEventsSlidingSql,
     "op_events_session" -> opEventsSessionSql,
     "op_asof_join" -> opAsofJoinSql,
+    "op_asof_tolerance" -> opAsofToleranceSql,
     "op_range_join" -> opRangeJoinSql)
 }
