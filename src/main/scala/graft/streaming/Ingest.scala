@@ -43,10 +43,40 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   /** Drain everything currently staged for `table` into
-    * `tablesDir/<table>`, exactly once. Blocks until the drain finishes. */
+    * `tablesDir/<table>`, exactly once. Blocks until the drain finishes.
+    *
+    * Crash-consistency guard: the streaming checkpoint (source log) and
+    * the sink's `_spark_metadata` (commit log) must live and die
+    * together. A maintenance crash can strand either half, and both
+    * stranded states lose data SILENTLY if a drain proceeds:
+    *  - checkpoint WITHOUT sink log (crash during the first-ever drain
+    *    before any commit): resuming is safe only because nothing was
+    *    committed — the checkpoint is retired and discovery restarts;
+    *    no staged file was deleted (retirement is post-commit), so
+    *    nothing is lost or doubled.
+    *  - sink log WITHOUT checkpoint (crash between a compaction's
+    *    checkpoint retirement and its table swap): a fresh query would
+    *    number batches from 0, and FileStreamSink skips every batchId
+    *    already in the sink log — the new data would be dropped without
+    *    an error. Deleting the log instead would hide the OLD files
+    *    from the fresh log the new query writes. There is no safe
+    *    automatic choice at this layer, so it FAILS LOUD; the
+    *    orchestrator repairs by finishing the compaction
+    *    ([[PipelineMain]] does this on startup), which retires the log
+    *    and returns the table to plain-parquet listing. */
   def drainTable(spark: SparkSession, stagingDir: String, tablesDir: String,
                  ckptDir: String, table: String, schema: StructType,
                  maxFilesPerTrigger: Int = 8): Unit = {
+    val ckptPath = java.nio.file.Paths.get(ckptDir, table)
+    val sinkLog = java.nio.file.Paths.get(tablesDir, table, "_spark_metadata")
+    if (java.nio.file.Files.exists(ckptPath) && !java.nio.file.Files.exists(sinkLog))
+      Compact.deleteRecPublic(ckptPath) // no commit ever happened; restart discovery
+    if (!java.nio.file.Files.exists(ckptPath) && java.nio.file.Files.exists(sinkLog))
+      throw new IllegalStateException(
+        s"table $table has a sink commit log but no checkpoint — an interrupted " +
+          "compaction left it half-retired; finish the compaction (retire the log " +
+          "by rewriting the table) before draining, or new batches would be " +
+          "silently skipped against the stale log")
     val src = spark.readStream
       .schema(schema)
       .option("timestampFormat", Synthesize.TsFmt)

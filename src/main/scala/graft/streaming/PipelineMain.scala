@@ -25,16 +25,27 @@ object PipelineMain {
 
   /** Compact quiesced tables: synchronously retire committed staged
     * tail files first (the drain completed, so everything still staged
-    * IS committed — the reference's rm-after-ingest, K3), then rewrite
-    * + swap + vacuum, then retire the superseded checkpoint. */
+    * IS committed — the reference's rm-after-ingest, K3), then retire
+    * the streaming checkpoint, THEN rewrite + swap + vacuum.
+    *
+    * Checkpoint-before-swap ordering is load-bearing: compactTable
+    * retires the sink's `_spark_metadata` log, and if a crash left the
+    * OLD checkpoint behind, the next cycle's drain would resume from it
+    * and append under a FRESH sink log starting at batch 0 — which takes
+    * precedence over directory listing and hides every compacted file
+    * from batch readers (silent row loss). With the checkpoint retired
+    * first, every crash point is safe: dying before compactTable leaves
+    * the table + old sink log fully consistent and the next drain simply
+    * starts a fresh checkpoint (the staged tail was already committed,
+    * so nothing is re-ingested). */
   private def compact(spark: SparkSession, staging: String, tables: String,
                       ckpt: String, names: Seq[String]): Unit =
     names.foreach { t =>
       val dir = s"$tables/$t"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
         Compact.deleteRecPublic(java.nio.file.Paths.get(s"$staging/$t"))
-        val (b, a) = Compact.compactTable(spark, dir) // size-derived target
         Compact.deleteRecPublic(java.nio.file.Paths.get(s"$ckpt/$t"))
+        val (b, a) = Compact.compactTable(spark, dir) // size-derived target
         println(s"[pipeline] compacted $t: $b -> $a files")
       }
     }
@@ -74,6 +85,22 @@ object PipelineMain {
       "orders" -> Schemas.stagedOrders,
       "lineitem" -> Schemas.stagedLineitem,
       "customer" -> Schemas.customer)
+
+    // Crash repair: a previous run that died between a compaction's
+    // checkpoint retirement and its table swap leaves a sink commit log
+    // with no checkpoint — the one state [[Ingest.drainTable]] fails
+    // loud on (a fresh drain would silently skip batches against the
+    // stale log). Finishing the compaction retires the log and returns
+    // the table to plain-parquet listing; every other crash point is
+    // already consistent (see compact()'s ordering note).
+    for (t <- schemas.keys) {
+      val sinkLog = java.nio.file.Paths.get(tables, t, "_spark_metadata")
+      val ck = java.nio.file.Paths.get(ckpt, t)
+      if (java.nio.file.Files.exists(sinkLog) && !java.nio.file.Files.exists(ck)) {
+        val (b, a) = Compact.compactTable(spark, s"$tables/$t")
+        println(s"[pipeline] crash-repaired $t via compaction: $b -> $a files")
+      }
+    }
 
     for (cycle <- 0 until nCycles) {
       Synthesize.cycle(spark, sfDir, staging, tables, batchId = cycle, nBatches = nCycles)

@@ -136,6 +136,38 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("compaction crash window: a stranded sink log (checkpoint retired, swap not run) fails loud, and the startup repair recovers it") {
+    val root = s"$base/ckpt-crash"
+    wipe(root)
+    val staging = s"$root/staging"; val tables = s"$root/tables"; val ckpt = s"$root/ckpt"
+    val schemas = Map("orders" -> Schemas.stagedOrders)
+    Synthesize.cycle(spark, sf, staging, tables, batchId = 0, nBatches = 2)
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    val afterB0 = spark.read.parquet(s"$tables/orders").count()
+    assert(afterB0 > 0)
+    // simulate the compaction crash window: checkpoint retired, but the
+    // process died before compactTable swapped the sink log away
+    Compact.deleteRecPublic(Paths.get(s"$ckpt/orders"))
+    assert(Files.exists(Paths.get(s"$tables/orders/_spark_metadata")))
+    // a fresh drain against the stale sink log would silently SKIP its
+    // first batches (FileStreamSink drops any batchId <= the log's
+    // latest) — the guard must refuse instead of losing rows
+    Synthesize.cycle(spark, sf, staging, tables, batchId = 1, nBatches = 2)
+    val ex = intercept[IllegalStateException] {
+      Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    }
+    assert(ex.getMessage.contains("sink commit log but no checkpoint"))
+    assert(spark.read.parquet(s"$tables/orders").count() == afterB0,
+      "failed drain must not have touched the table")
+    // the orchestrator's startup repair: finish the compaction (retires
+    // the sink log), after which the staged batch drains cleanly
+    Compact.compactTable(spark, s"$tables/orders")
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    assert(spark.read.parquet(s"$tables/orders").count() ==
+      Tables.orders(spark, sf).count(),
+      "post-repair drain must land the staged batch exactly once")
+  }
+
   test("compaction crash recovery: a death between the swap moves loses no data") {
     val root = s"$base/crash"
     wipe(root)
