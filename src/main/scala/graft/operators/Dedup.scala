@@ -306,6 +306,40 @@ object Dedup {
     * consumer's timing absorbs it.) */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"),
+        (col("doc_id") === col("rep")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation (the simplified large-star step; O(diameter)
+    * iterations — near-dup components are chains at worst). The driver
+    * loop only checks a convergence COUNT per iteration; all data
+    * movement is distributed joins. Returns (doc_id, rep).
+    *
+    * Lineage hygiene (round-2 verdict, and worse than it estimated):
+    * each iteration's plan references the previous labels TWICE (the
+    * propagation join and inside viaNeighbors), so an uncheckpointed
+    * loop grows the logical plan EXPONENTIALLY in the iteration count —
+    * a 30-node chain OOMs the driver around iteration 25 just
+    * stringifying the plan for the execution listener (persist caches
+    * data but does not truncate the analyzed plan). Every
+    * [[CheckpointEvery]] iterations the labels are `localCheckpoint`ed
+    * (eager), truncating lineage to a LogicalRDD leaf; plan size is
+    * then bounded by 2^CheckpointEvery × base regardless of diameter —
+    * the cadence must stay small BECAUSE the growth is exponential.
+    * localCheckpoint stores blocks on executors — on a cluster, losing
+    * an executor forfeits the truncated lineage and fails the job
+    * (acceptable for a maintenance job; reliable `checkpoint()` to a
+    * checkpoint dir is the alternative when that tradeoff flips).
+    *
+    * Exhausting `maxIter` FAILS, not silently returns partial
+    * components — a wrong keep-list deletes the wrong documents. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val CheckpointEvery = 3
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -313,19 +347,16 @@ object Dedup {
       .withColumn("rep", col("doc_id"))
     var converged = false
     var iter = 0
-    // Convergence needs O(component diameter) iterations; near-dup
-    // components are chains at worst, so the cap is a safety net — and
-    // exhausting it must FAIL, not silently return partial components
-    // (a wrong keep-list deletes the wrong documents).
-    val MaxIter = 50
-    while (!converged && iter < MaxIter) {
+    while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nrep")).as("nrep"))
       val prev = labels
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if ((iter + 1) % CheckpointEvery == 0) stepped.localCheckpoint() // eager; truncates lineage
+        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(prev.withColumnRenamed("rep", "old"), "doc_id")
         .filter(col("rep") =!= col("old")).count()
       if (iter > 0) prev.unpersist() // superseded iteration's cache
@@ -335,13 +366,9 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dd_cluster did not converge in $MaxIter iterations — component diameter exceeds the cap")
-    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        s"connected components did not converge in $maxIter iterations — component diameter exceeds the cap")
     edges.unpersist() // iterations done; result lineage reads only `labels`
-    labels.join(sizes, "rep")
-      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"),
-        (col("doc_id") === col("rep")).as("keep"))
-      .orderBy("doc_id")
+    labels
   }
 
   private val ddClusterSql: String =

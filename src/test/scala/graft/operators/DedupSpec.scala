@@ -29,6 +29,34 @@ class DedupSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a pair the exact join rejects")
   }
 
+  test("connected components: 30-node path graph converges with bounded plan depth; exhausting the cap fails loud") {
+    import spark.implicits._
+    // a single 30-node chain — worst-case diameter for label propagation,
+    // needing ~29 propagation rounds (many checkpoint cadences deep, so
+    // lineage truncation is actually exercised; without it the plan
+    // doubles per iteration and the driver OOMs around iteration 25)
+    val pairs = (1 until 30)
+      .map(i => (f"d$i%02d", f"d${i + 1}%02d")).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).cache()
+    try {
+      assert(labels.count() == 30)
+      assert(labels.select("rep").distinct().count() == 1, "a path is ONE component")
+      assert(labels.agg(min("rep")).head.getString(0) == "d01",
+        "representative must be the minimum label")
+      // bounded plan depth: without localCheckpoint the final plan holds
+      // ~29 nested join/agg generations (hundreds of nodes); with
+      // truncation every 10 iterations it is at most one cadence's worth
+      val planNodes = labels.queryExecution.logical.collect { case p => p }.size
+      assert(planNodes < 60,
+        s"final plan holds $planNodes nodes — lineage not truncated")
+    } finally labels.unpersist()
+    // partial components must never be returned silently
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 5).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("simhash banding finds every pair within Hamming<=10 (vs brute force)") {
     val banded = Dedup.ddSimhash(spark, sf).select("doc_a", "doc_b")
     // brute-force all-pairs over the signatures, same threshold
