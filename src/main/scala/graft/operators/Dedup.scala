@@ -54,6 +54,13 @@ object Dedup {
   private val Bands = 6
   private val RowsPerBand = 2
 
+  /** Document-frequency cap for ddNgramJaccard candidate generation
+    * (anti-join threshold; see its scaladoc for the exactness bound).
+    * Far above every fixture shingle's df (max 24 at sf0.1), so the
+    * naive-form oracle stays byte-identical; at corpus scale it bounds
+    * the candidate join linearly. */
+  private val NgramDfCap = 50L
+
   /** Per-(session, sfDir) cache of the verified LSH pair relation: the
     * dedup pipeline computes pairs ONCE and feeds every consumer
     * (pair report, clustering, keep-list) — recomputing the shingle →
@@ -170,7 +177,21 @@ object Dedup {
     * document's shingles instead of all of them (~25× fewer joined rows
     * at t=0.8); candidates are then verified exactly. Result set is
     * IDENTICAL to the naive inverted-index join — the sf0.01 oracle
-    * (which runs the naive form) proves it. */
+    * (which runs the naive form) proves it.
+    *
+    * Scale bound (round-2 verdict: the candidate join is O(Σ df²) in
+    * per-shingle document frequency — quadratic in a hot shingle's df):
+    * prefix shingles with df > [[NgramDfCap]] are EXCLUDED from
+    * candidate generation (never from verification), the standard
+    * df-cap. Candidate pairs are then ≤ cap × (distinct prefix
+    * shingles) — linear in corpus size — at the cost of missing only
+    * pairs ALL of whose shared prefix shingles are boilerplate
+    * (df > cap); near-dup pairs share ~n·(1-t) prefix shingles, so a
+    * loss requires every one of them to be corpus-hot. The cap provably
+    * does not bite at fixture scale (measured max prefix df: 7 at
+    * sf0.01, 24 at sf0.1 — the naive-form oracle stays byte-identical);
+    * at 100 TB it is the difference between a bounded join and a
+    * df²-shaped one. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Hash every shingle set ONCE into a sorted md5 array and persist it:
     // the relation is consumed four times (both prefix sides, both
@@ -191,9 +212,17 @@ object Dedup {
     // Prefix length uses integer ceil(0.8n) = (4n+4) div 5 — float 0.8·n
     // rounds UP at exact multiples of 5, which would shorten the prefix
     // and lose pairs.
-    val prefix = hs
+    val rawPrefix = hs
       .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("pfx")).as("g"))
+    // df-cap (see scaladoc): drop corpus-hot shingles from candidate
+    // generation so no single shingle can contribute df² pairs. One
+    // partial-agg count per shingle + an equi-join back — both keyed on
+    // the shingle, the same shuffle the candidate join needs anyway.
+    val hot = rawPrefix.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap)
+      .select("g")
+    val prefix = rawPrefix.join(hot, Seq("g"), "left_anti")
     // AllPairs length filter: J(A,B) >= t forces |A|/|B| ∈ [t, 1/t] —
     // candidates whose set sizes can't reach the threshold never join.
     val cand = prefix.as("a").join(prefix.as("b"),
