@@ -47,12 +47,22 @@ object Dedup {
     """SELECT md5(text) AS content_key, min(doc_id) AS doc_id_keep, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY doc_id_keep""".stripMargin
 
-  /** 6 bands × 2 rows: P[candidate | J=0.8] = 1−(1−0.8²)⁶ ≈ 99.8%
-    * (round 1's 3×2 gave 95.3% — toy-sized). Larger corpora push r up
-    * (sharper threshold) and b with it; both sides of the oracle derive
-    * from these constants, so tuning them can't desynchronize it. */
-  private val Bands = 6
-  private val RowsPerBand = 2
+  /** Banding parameters, overridable per JVM (`graft.lsh.bands` /
+    * `graft.lsh.rows` system properties — read once, so the Spark plans
+    * and the oracle SQL generated in the same JVM can never
+    * desynchronize). Defaults 6×2: P[candidate | J=0.8] = 1−(1−0.8²)⁶ ≈
+    * 99.8%. For real corpora derive them instead:
+    * [[LshParams.lshParams]] grows rows with log n to keep the candidate
+    * join linear (property-tested across nine orders of magnitude), and
+    * `dd_minhash_lsh_wide` runs that derived non-default setting
+    * ((9,4) for the 500-doc verification corpus) end-to-end against its
+    * own oracle. */
+  private val Bands = sys.props.get("graft.lsh.bands").map(_.toInt).getOrElse(6)
+  private val RowsPerBand = sys.props.get("graft.lsh.rows").map(_.toInt).getOrElse(2)
+
+  /** The derived non-default setting exercised by dd_minhash_lsh_wide:
+    * [[LshParams.lshParams]](500) — the verification corpus size. */
+  private val (wideBands, wideRows) = LshParams.lshParams(500)
 
   /** Document-frequency cap for ddNgramJaccard candidate generation
     * (anti-join threshold; see its scaladoc for the exactness bound).
@@ -97,7 +107,16 @@ object Dedup {
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir)
 
-  private def minhashLshPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The same pipeline at the corpus-DERIVED banding
+    * ([[LshParams.lshParams]] for n=500 → 9 bands × 4 rows): the
+    * oracle-verified proof that the banding is a true parameter — both
+    * the Spark plan and the DuckDB SQL are generated from the derived
+    * values, and the verification stage keeps the result exact. */
+  def ddMinhashLshWide(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshPlan(spark, sfDir, wideBands, wideRows)
+
+  private def minhashLshPlan(spark: SparkSession, sfDir: String,
+                             bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     // persisted: consumed three times (minhash explode + both
     // verification sides) — see the ddNgramJaccard note
     val sh = Text.shingled(spark, sfDir)
@@ -108,8 +127,9 @@ object Dedup {
     // per row, and the explode/groupBy shape is exactly what distributes
     // on a cluster (shuffle key = doc_id, partial min map-side).
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minCols = for { b <- 0 until Bands; r <- 0 until RowsPerBand }
-      yield min(md5(concat(lit(s"mh$b:$r:"), col("s")))).as(s"m_${b}_$r")
+    val minCols: Seq[org.apache.spark.sql.Column] =
+      for { b <- 0 until bands; r <- 0 until rowsPerBand }
+        yield min(md5(concat(lit(s"mh$b:$r:"), col("s")))).as(s"m_${b}_$r")
     val minh = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // One row per (band, signature) via explode — signatures are computed
     // once — then bucket-group and emit in-bucket pairs. This replaces a
@@ -118,13 +138,13 @@ object Dedup {
     // collect_list stays bounded; a pathological hot bucket would mean
     // the band/row parameters are wrong for the corpus, not that the
     // plan shape is.
-    val bandStructs = (0 until Bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until RowsPerBand).map(r => col(s"m_${b}_$r")): _*).as("sig"))
+        concat((0 until rowsPerBand).map(r => col(s"m_${b}_$r")): _*).as("sig"))
     }
-    val bands = minh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    val banded = minh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.groupBy("band", "sig")
+    val cand = banded.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
@@ -145,9 +165,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val ddMinhashLshSql: String = {
-    val bandRows = (0 until Bands).map { b =>
-      val mins = (0 until RowsPerBand).map { r =>
+  private def minhashLshSql(bands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
+    val bandRows = (0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map { r =>
         s"list_min(list_transform(s, x -> md5('mh$b:$r:' || x)))"
       }.mkString(" || ")
       s"SELECT doc_id, $b AS band, $mins AS sig FROM sh"
@@ -433,13 +453,15 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_lsh_wide" -> (ddMinhashLshWide _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_simhash" -> (ddSimhash _),
     "dd_cluster" -> (ddCluster _))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
-    "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_lsh" -> minhashLshSql(),
+    "dd_minhash_lsh_wide" -> minhashLshSql(wideBands, wideRows),
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_cluster" -> ddClusterSql)

@@ -84,36 +84,57 @@ object Similarity {
        |  FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
-  /** Deterministic ±1 hyperplanes: sign p,j from md5("plane:p:j") parity.
-    * Derived in Scala once and inlined as literals in BOTH the Spark plan
-    * and the oracle SQL, so the bucketing is engine-independent.
-    * `nPlanes` sets the bucket count (2^n): 6 planes for the probe-style
-    * ANN join, 8 (256 buckets) for the corpus-wide near-dup pass where
-    * in-bucket pair count is the scale driver. */
+  /** Deterministic ±1 hyperplanes: sign p,j from md5 parity of a seed
+    * string. Derived in Scala once and inlined as literals in BOTH the
+    * Spark plan and the oracle SQL, so the bucketing is
+    * engine-independent. Two independent families:
+    *  - `plane:p:j` — the probe-style ANN join (6 planes, fixed: probe
+    *    recall is MEASURED by ann_recall, not assumed);
+    *  - `dplane:t:p:j` — the corpus-wide near-dup pass, one set per
+    *    hash table t, with the plane count DERIVED from a corpus-size
+    *    estimate ([[LshParams.dedupPlanes]]; `graft.corpus.embeddings`
+    *    system property, default 500 = the verification fixture) so
+    *    bucket count scales with the corpus. */
   private val Planes = 6
-  private val DedupPlanes = 8
+  private val EmbCorpus =
+    sys.props.get("graft.corpus.embeddings").map(_.toLong).getOrElse(500L)
+  private val DedupPlanes = LshParams.dedupPlanes(EmbCorpus)
+  private val DedupTables =
+    sys.props.get("graft.lsh.embtables").map(_.toInt).getOrElse(4)
   private val Dim = 64
-  private lazy val planes: Array[Array[Int]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(DedupPlanes, Dim) { (p, j) =>
-      val h = mdt.digest(s"plane:$p:$j".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1 else -1
-    }
+
+  private def sign(seed: String): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1 else -1
   }
+  private lazy val planes: Array[Array[Int]] =
+    Array.tabulate(Planes, Dim)((p, j) => sign(s"plane:$p:$j"))
+  private lazy val dplanes: Array[Array[Array[Int]]] =
+    Array.tabulate(DedupTables, DedupPlanes, Dim)((t, p, j) => sign(s"dplane:$t:$p:$j"))
 
-  private def planeArrS(p: Int): String =
-    planes(p).map(v => s"${v}.0D").mkString("array(", ", ", ")")
-  private def planeArrD(p: Int): String =
-    planes(p).map(v => s"${v}.0").mkString("([", ", ", "]::DOUBLE[])")
+  private def arrS(a: Array[Int]): String =
+    a.map(v => s"${v}.0D").mkString("array(", ", ", ")")
+  private def arrD(a: Array[Int]): String =
+    a.map(v => s"${v}.0").mkString("([", ", ", "]::DOUBLE[])")
 
-  private def bucketExprS(nPlanes: Int = Planes): String =
-    (0 until nPlanes).map { p =>
-      s"(CASE WHEN ${dotS("emb", planeArrS(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+  private def bucketExprS(): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN ${dotS("emb", arrS(planes(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("cast(", " + ", " as bigint)")
 
-  private def bucketExprD(emb: String, nPlanes: Int = Planes): String =
-    (0 until nPlanes).map { p =>
-      s"(CASE WHEN ${dotD(emb, planeArrD(p))} > 0 THEN ${1 << p} ELSE 0 END)"
+  private def bucketExprD(emb: String): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN ${dotD(emb, arrD(planes(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+
+  private def dedupBucketS(t: Int): String =
+    (0 until DedupPlanes).map { p =>
+      s"(CASE WHEN ${dotS("emb", arrS(dplanes(t)(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("cast(", " + ", " as bigint)")
+
+  private def dedupBucketD(emb: String, t: Int): String =
+    (0 until DedupPlanes).map { p =>
+      s"(CASE WHEN ${dotD(emb, arrD(dplanes(t)(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
   /** LSH-bucketed ANN (scale path): assign every vector to one of 2^6
@@ -147,43 +168,59 @@ object Similarity {
        |    AND e.vec_id <> p.vec_id) t
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed on BOTH sides:
-    * every vector lands in one of 2^8 hyperplane buckets; candidate
-    * pairs are bucket-mates (an equi-join on a small int key — the same
-    * shuffle shape as any groupBy, nothing broadcast, nothing O(n²));
-    * candidates are reranked by exact cosine, top-100 reported. The
-    * bucketing IS the operator's semantics (LSH near-dup — cosine-close
-    * pairs collide with high probability since bucket agreement
-    * probability is (1 − θ/π)^planes), and the oracle computes the
-    * identical bucketed join, so the result is still hash-verified.
-    * Round 1 broadcast a corpus-proportional probe decile into a
-    * nested-loop join — O(n²/10) compares and a broadcast that grows
-    * with the corpus; this equi-join shape is the one that survives
-    * 100 TB. (Fixture vectors have no cosine > 0.5 pairs, so a
-    * threshold form would be vacuous — top-k keeps the operator
-    * observable at every scale.) */
+  /** Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane
+    * LSH: [[DedupTables]] independent hash tables, each bucketing every
+    * vector by [[DedupPlanes]] hyperplane signs; candidate pairs are
+    * bucket-mates in ANY table (a union of equi-joins on small int keys
+    * — the same shuffle shape as any groupBy, nothing broadcast),
+    * deduplicated, then reranked by exact cosine, top-100 reported.
+    *
+    * Scale arithmetic (round-2 advice: a FIXED bucket count is still
+    * Θ(n²/buckets) — quadratic): the plane count is derived from the
+    * corpus estimate so buckets ≈ n/occupancy, making expected
+    * candidate pairs ≈ tables·n·occupancy/2 — LINEAR in n. The extra
+    * tables buy back the recall that deeper buckets cost: a pair at
+    * cosine θ collides w.p. 1−(1−(1−θ/π)^planes)^tables
+    * ([[LshParams.hyperplaneRecall]]). The bucketing IS the operator's
+    * semantics (LSH near-dup) and the oracle computes the identical
+    * multi-table join, so the result stays hash-verified. (Fixture
+    * vectors have no cosine > 0.5 pairs, so a threshold form would be
+    * vacuous — top-k keeps the operator observable at every scale.) */
   def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embWithNorm(spark, sfDir).withColumn("bucket", expr(bucketExprS(DedupPlanes)))
-    val lhs = e.select(col("vec_id").as("va"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"), col("bucket"))
-    val rhs = e.select(col("vec_id").as("vb"), col("emb").as("emb_b"),
-      col("nrm").as("nrm_b"), col("bucket"))
-    lhs.join(rhs, Seq("bucket"))
-      .filter(col("va") < col("vb"))
+    // persisted: consumed by every hash table's bucket join plus both
+    // rerank sides; megabytes at fixture scale, a staging table at 100 TB
+    val e = embWithNorm(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = (0 until DedupTables).map { t =>
+      val bk = e.select(col("vec_id"), expr(dedupBucketS(t)).as("bucket"))
+      bk.as("a").join(bk.as("b"), Seq("bucket"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("va"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), "vb")
       .withColumn("cosine", expr(s"${dotS("emb_a", "emb_b")}") / (col("nrm_a") * col("nrm_b")))
       .select(col("va"), col("vb"), col("cosine"))
       .orderBy(col("cosine").desc, col("va"), col("vb"))
       .limit(100)
   }
 
-  private val ddEmbedCosineSql: String =
+  private val ddEmbedCosineSql: String = {
+    val tables = (0 until DedupTables).map { t =>
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) a
+         |  JOIN (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
     s"""WITH $duckEmbCte,
-       |bk AS (SELECT vec_id, embedding, nrm,
-       |  ${bucketExprD("embedding", DedupPlanes)} AS bucket FROM e)
-       |SELECT a.vec_id AS va, b.vec_id AS vb,
-       |  ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |cand AS (
+       |$tables)
+       |SELECT cand.va, cand.vb,
+       |  ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+       |FROM cand JOIN e x ON x.vec_id = cand.va JOIN e y ON y.vec_id = cand.vb
        |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
+  }
 
   /** ANN index QUALITY as a first-class verified query: recall@5 of the
     * LSH-bucketed index against the exact brute-force top-5, per probe.
