@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction + vacuum as a maintenance job — the parquet
@@ -13,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   *  2. rewrite it as `targetFiles` partitions into a temp dir (K5),
   *  3. atomically swap temp into place (directory rename),
   *  4. delete the superseded files (K6 vacuum, retention 0).
+  *
+  * All file ops go through Hadoop's FileSystem ([[Fs]]), so the same
+  * code runs against any scheme Spark reads; the swap's atomicity holds
+  * on local FS and HDFS (object stores emulate rename — there, a
+  * transactional format is the answer, see below).
   *
   * The swap is a pair of metadata-only renames: readers see the old
   * file set, a brief missing-directory window (fail-fast, retryable —
@@ -26,9 +28,10 @@ import org.apache.spark.sql.SparkSession
   * Ingestion into a compacted table therefore resumes with a fresh
   * checkpoint + sink log, exactly like the reference's cadence where
   * compaction runs between ingest cycles under a shared lock (T4;
-  * reference pipeline/settings.py:37-40). A transactional table format
-  * (Delta/Iceberg) is the production answer when compaction must
-  * interleave with live appends — not available offline (SURVEY §7).
+  * reference pipeline/settings.py:37-40). For compaction that must
+  * interleave with live appends, see [[Manifest]] (a minimal
+  * manifest-commit protocol) — Delta/Iceberg being the production
+  * answer (SURVEY §7 — no such jars offline).
   *
   * Scale: the rewrite is one distributed `repartition(k)` pass —
   * shuffle-bounded, no driver data movement; vacuum is a driver-side
@@ -36,57 +39,43 @@ import org.apache.spark.sql.SparkSession
   */
 object Compact {
 
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally s.close()
-    }
-
   /** Recursive delete for sibling maintenance jobs (checkpoint
     * retirement when a compaction supersedes a streaming sink log). */
-  def deleteRecPublic(p: Path): Unit = deleteRec(p)
+  def deleteRecPublic(spark: SparkSession, path: String): Unit =
+    Fs.deleteRec(spark, path)
 
   /** Compact `tableDir` to `targetFiles` files (pass <= 0 to size the
     * target from the data: ceil(bytes / 128 MB), the parquet-friendly
     * file size — so compaction never INCREASES the file count of a
     * small table). Returns (filesBefore, filesAfter) over data files. */
   def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int = 0): (Int, Int) = {
-    def dataFiles(dir: Path): Array[Path] =
-      if (!Files.exists(dir)) Array.empty
-      else {
-        val s = Files.walk(dir)
-        try s.toArray.map(_.asInstanceOf[Path])
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
-      }
-    val dir = Paths.get(tableDir)
+    def dataFiles(dir: String): Seq[(String, Long)] =
+      Fs.listFiles(spark, dir, _.endsWith(".parquet"))
+    val oldDir = tableDir + ".compact_old"
+    val tmpDir = tableDir + ".compact_tmp"
     // crash recovery: a previous run that died between the two swap
     // moves left the data only in `.compact_old` — restore it BEFORE
     // the scratch cleanup below, which would otherwise delete the last
     // surviving copy of the table.
-    val oldP = Paths.get(tableDir + ".compact_old")
-    if (!Files.exists(dir) && Files.exists(oldP))
-      Files.move(oldP, dir, StandardCopyOption.ATOMIC_MOVE)
-    val before = dataFiles(dir).length
+    if (!Fs.exists(spark, tableDir) && Fs.exists(spark, oldDir))
+      Fs.rename(spark, oldDir, tableDir)
+    val before = dataFiles(tableDir).length
     val target =
       if (targetFiles > 0) targetFiles
       else {
-        val bytes = dataFiles(dir).map(Files.size(_)).sum
+        val bytes = dataFiles(tableDir).map(_._2).sum
         math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
       }
-    val tmp = Paths.get(tableDir + ".compact_tmp")
-    val old = Paths.get(tableDir + ".compact_old")
-    deleteRec(tmp); deleteRec(old)
+    Fs.deleteRec(spark, tmpDir); Fs.deleteRec(spark, oldDir)
     spark.read.parquet(tableDir)
       .repartition(target)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").parquet(tmpDir)
     // drop the scratch _SUCCESS marker so the swapped dir is data-only
-    Files.deleteIfExists(tmp.resolve("_SUCCESS"))
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(old) // K6 vacuum, retention 0
-    val after = dataFiles(dir).length
+    Fs.deleteIfExists(spark, s"$tmpDir/_SUCCESS")
+    Fs.rename(spark, tableDir, oldDir)
+    Fs.rename(spark, tmpDir, tableDir)
+    Fs.deleteRec(spark, oldDir) // K6 vacuum, retention 0
+    val after = dataFiles(tableDir).length
     (before, after)
   }
 }

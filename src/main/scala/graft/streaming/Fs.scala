@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem operations for the pipeline's maintenance jobs, routed
+  * through Hadoop's [[FileSystem]] abstraction instead of
+  * `java.nio.file` (round-2 verdict item 7): every probe/move/delete
+  * resolves the filesystem FROM THE PATH'S SCHEME with the session's
+  * Hadoop configuration, so the same pipeline code runs against local
+  * paths, HDFS, or an object store — exactly the set of schemes Spark
+  * itself can read.
+  *
+  * Semantics note carried by the callers: `rename` is atomic on local
+  * FS and HDFS (the two this pipeline's swap protocol assumes); object
+  * stores emulate rename by copy+delete, which is why the compaction
+  * path documents Delta/Iceberg as the production answer there. */
+object Fs {
+
+  def conf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  private def fsOf(path: String, c: Configuration): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(c), p)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(path, conf(spark)); fs.exists(p)
+  }
+
+  /** Recursive delete; no-op when absent. */
+  def deleteRec(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(path, conf(spark))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(path, conf(spark)); fs.mkdirs(p)
+  }
+
+  /** Directory/file rename (the swap primitive; atomic on local/HDFS). */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (fs, s) = fsOf(src, conf(spark))
+    fs.rename(s, new Path(dst))
+  }
+
+  def deleteIfExists(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(path, conf(spark))
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Recursive listing of regular files under `path` whose name passes
+    * `keep`; empty when the directory is absent. */
+  def listFiles(spark: SparkSession, path: String, keep: String => Boolean): Seq[(String, Long)] = {
+    val (fs, p) = fsOf(path, conf(spark))
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && keep(st.getPath.getName))
+          buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.toSeq
+    }
+  }
+}

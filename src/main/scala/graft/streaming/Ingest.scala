@@ -67,11 +67,11 @@ object Ingest {
   def drainTable(spark: SparkSession, stagingDir: String, tablesDir: String,
                  ckptDir: String, table: String, schema: StructType,
                  maxFilesPerTrigger: Int = 8): Unit = {
-    val ckptPath = java.nio.file.Paths.get(ckptDir, table)
-    val sinkLog = java.nio.file.Paths.get(tablesDir, table, "_spark_metadata")
-    if (java.nio.file.Files.exists(ckptPath) && !java.nio.file.Files.exists(sinkLog))
-      Compact.deleteRecPublic(ckptPath) // no commit ever happened; restart discovery
-    if (!java.nio.file.Files.exists(ckptPath) && java.nio.file.Files.exists(sinkLog))
+    val ckptPath = s"$ckptDir/$table"
+    val sinkLog = s"$tablesDir/$table/_spark_metadata"
+    if (Fs.exists(spark, ckptPath) && !Fs.exists(spark, sinkLog))
+      Fs.deleteRec(spark, ckptPath) // no commit ever happened; restart discovery
+    if (!Fs.exists(spark, ckptPath) && Fs.exists(spark, sinkLog))
       throw new IllegalStateException(
         s"table $table has a sink commit log but no checkpoint — an interrupted " +
           "compaction left it half-retired; finish the compaction (retire the log " +
@@ -97,8 +97,8 @@ object Ingest {
   def drainAll(spark: SparkSession, stagingDir: String, tablesDir: String,
                ckptDir: String, schemas: Map[String, StructType]): Unit =
     schemas.foreach { case (table, schema) =>
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(stagingDir, table)) ||
-          java.nio.file.Files.exists(java.nio.file.Paths.get(ckptDir, table)))
+      if (Fs.exists(spark, s"$stagingDir/$table") ||
+          Fs.exists(spark, s"$ckptDir/$table"))
         drainTable(spark, stagingDir, tablesDir, ckptDir, table, schema)
     }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,9 +39,9 @@ object Pipeline {
   private def scratchBase: String =
     sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")
 
-  private def wipe(dir: String): Unit = {
-    Compact.deleteRecPublic(Paths.get(dir))
-    Files.createDirectories(Paths.get(dir))
+  private def wipe(spark: SparkSession, dir: String): Unit = {
+    Fs.deleteRec(spark, dir)
+    Fs.mkdirs(spark, dir)
   }
 
   private def sfName(sfDir: String): String =
@@ -63,7 +62,7 @@ object Pipeline {
   /** Generate ×2 → ingest ×3 → checksum (see object doc). */
   def pipeIngestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"$scratchBase/ingest_${sfName(sfDir)}"
-    wipe(base)
+    wipe(spark, base)
     val staging = s"$base/staging"
     val tables = s"$base/tables"
     val ckpt = s"$base/ckpt"
@@ -127,7 +126,7 @@ object Pipeline {
   /** 16-file table → compact to 2 → checksum + file counts. */
   def pipeCompactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"$scratchBase/compact_${sfName(sfDir)}"
-    wipe(base)
+    wipe(spark, base)
     val dir = s"$base/orders"
     Tables.orders(spark, sfDir).repartition(16).write.mode("overwrite").parquet(dir)
     val (before, after) = Compact.compactTable(spark, dir, targetFiles = 2)

@@ -42,9 +42,9 @@ object PipelineMain {
                       ckpt: String, names: Seq[String]): Unit =
     names.foreach { t =>
       val dir = s"$tables/$t"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
-        Compact.deleteRecPublic(java.nio.file.Paths.get(s"$staging/$t"))
-        Compact.deleteRecPublic(java.nio.file.Paths.get(s"$ckpt/$t"))
+      if (Fs.exists(spark, dir)) {
+        Fs.deleteRec(spark, s"$staging/$t")
+        Fs.deleteRec(spark, s"$ckpt/$t")
         val (b, a) = Compact.compactTable(spark, dir) // size-derived target
         println(s"[pipeline] compacted $t: $b -> $a files")
       }
@@ -94,9 +94,8 @@ object PipelineMain {
     // the table to plain-parquet listing; every other crash point is
     // already consistent (see compact()'s ordering note).
     for (t <- schemas.keys) {
-      val sinkLog = java.nio.file.Paths.get(tables, t, "_spark_metadata")
-      val ck = java.nio.file.Paths.get(ckpt, t)
-      if (java.nio.file.Files.exists(sinkLog) && !java.nio.file.Files.exists(ck)) {
+      if (Fs.exists(spark, s"$tables/$t/_spark_metadata") &&
+          !Fs.exists(spark, s"$ckpt/$t")) {
         val (b, a) = Compact.compactTable(spark, s"$tables/$t")
         println(s"[pipeline] crash-repaired $t via compaction: $b -> $a files")
       }

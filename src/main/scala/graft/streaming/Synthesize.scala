@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -128,25 +127,21 @@ object Synthesize {
     * `{table}_{isotime}.json` naming (reference pipeline/data.py:110-121),
     * with batch id standing in for wall-clock time (determinism). */
   def writeStaged(df: DataFrame, stagingDir: String, table: String, batchId: Int): Unit = {
-    val tableDir = Paths.get(stagingDir, table)
-    Files.createDirectories(tableDir)
-    val tmp = Paths.get(stagingDir, s".tmp_${table}_$batchId")
+    val spark = df.sparkSession
+    val tableDir = s"$stagingDir/$table"
+    Fs.mkdirs(spark, tableDir)
+    val tmp = s"$stagingDir/.tmp_${table}_$batchId"
     df.write.mode("overwrite")
       .option("timestampFormat", TsFmt)
-      .json(tmp.toString)
-    def ls(): Array[Path] = {
-      val s = Files.list(tmp)
-      try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
-    }
-    val parts = ls()
-      .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+      .json(tmp)
+    val parts = Fs.listFiles(spark, tmp, _.endsWith(".json")).map(_._1).sorted
     parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, tableDir.resolve(f"${table}_b${batchId}_p$i%04d.json"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val dst = f"$tableDir/${table}_b${batchId}_p$i%04d.json"
+      Fs.deleteIfExists(spark, dst) // idempotent re-stage (Hadoop rename won't overwrite)
+      Fs.rename(spark, p, dst)
     }
     // scrap the _SUCCESS marker + dir
-    ls().foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(tmp)
+    Fs.deleteRec(spark, tmp)
   }
 
   /** Synthesize one generation cycle into the staging dir: the two fact
@@ -157,8 +152,8 @@ object Synthesize {
             batchId: Int, nBatches: Int): Unit = {
     writeStaged(stagedOrders(spark, sfDir, batchId, nBatches), stagingDir, "orders", batchId)
     writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches), stagingDir, "lineitem", batchId)
-    val custStagedOrIngested = Files.exists(Paths.get(stagingDir, "customer")) ||
-      Files.exists(Paths.get(tablesDir, "customer"))
+    val custStagedOrIngested = Fs.exists(spark, s"$stagingDir/customer") ||
+      Fs.exists(spark, s"$tablesDir/customer")
     if (!custStagedOrIngested)
       writeStaged(Tables.customer(spark, sfDir), stagingDir, "customer", batchId)
   }

@@ -16,7 +16,7 @@ class PipelineSpec extends SparkSpec {
 
   private val base = "/root/repo/target/test-pipe"
 
-  private def wipe(dir: String): Unit = Compact.deleteRecPublic(Paths.get(dir))
+  private def wipe(dir: String): Unit = Compact.deleteRecPublic(spark, dir)
 
   private def jsonFiles(dir: String): Long = {
     val p = Paths.get(dir)
@@ -147,7 +147,7 @@ class PipelineSpec extends SparkSpec {
     assert(afterB0 > 0)
     // simulate the compaction crash window: checkpoint retired, but the
     // process died before compactTable swapped the sink log away
-    Compact.deleteRecPublic(Paths.get(s"$ckpt/orders"))
+    Compact.deleteRecPublic(spark, s"$ckpt/orders")
     assert(Files.exists(Paths.get(s"$tables/orders/_spark_metadata")))
     // a fresh drain against the stale sink log would silently SKIP its
     // first batches (FileStreamSink drops any batchId <= the log's
