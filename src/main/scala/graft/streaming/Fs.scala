@@ -51,6 +51,31 @@ object Fs {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
+  /** Atomically publish `src` at `dst` IFF `dst` does not exist; returns
+    * whether this caller won. The primitive a commit log needs, and the
+    * reason log stores specialize per scheme: HDFS `rename` refuses an
+    * existing destination atomically, but LOCAL rename maps to POSIX
+    * rename(2), which silently OVERWRITES — two racing committers would
+    * both "succeed" and one commit would vanish (observed in the
+    * ManifestSpec thread race). On local paths this therefore uses a
+    * hard link (POSIX link(2) is atomic create-exclusive) and unlinks
+    * the source; everywhere else, the filesystem's rename contract. */
+  def commitFile(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (fs, s) = fsOf(src, conf(spark))
+    val d = new Path(dst)
+    if (fs.getScheme == "file") {
+      val sNio = java.nio.file.Paths.get(fs.makeQualified(s).toUri.getPath)
+      val dNio = java.nio.file.Paths.get(fs.makeQualified(d).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dNio, sNio)
+        java.nio.file.Files.deleteIfExists(sNio)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(s, d)
+  }
+
   /** Recursive listing of regular files under `path` whose name passes
     * `keep`; empty when the directory is absent. */
   def listFiles(spark: SparkSession, path: String, keep: String => Boolean): Seq[(String, Long)] = {

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-commit table protocol: snapshot-isolated reads and
+  * compaction that can interleave with live appends — the semantics gap
+  * [[Compact]] documents (its swap requires append-quiescence), solved
+  * the way transactional table formats solve it (Delta's transaction
+  * log, reference pipeline/preprocess.py:74-75; no such jars offline,
+  * so this is the protocol reduced to its core).
+  *
+  * Layout: parquet data files live under `<table>/data/` (immutable once
+  * committed, never overwritten); `<table>/_manifest/v<20-digit>.manifest`
+  * holds one COMPLETE file list per committed version (one relative
+  * path per line).
+  *
+  * Commit = write the new list to a temp name, then atomically publish
+  * it at the next version number via [[Fs.commitFile]] (create-exclusive
+  * — hard link on local FS, rename-no-overwrite on HDFS), so exactly one
+  * of two racing committers wins the version; the loser re-reads the
+  * new latest, REBASES its intent, and retries (optimistic
+  * concurrency):
+  *  - an append rebases trivially (its new files union any list);
+  *  - a compaction rebases as `latest − rewrittenInputs + compacted`,
+  *    preserving files that were appended mid-rewrite; if another
+  *    actor already removed one of its inputs, it aborts loudly.
+  *
+  * Readers resolve the latest manifest ONCE and read exactly that file
+  * set — never a directory listing — so a reader sees a committed
+  * snapshot or a newer committed snapshot, never a mix of pre- and
+  * post-compaction files and never a torn append. Atomic visibility
+  * rests on atomic rename (local FS, HDFS); on object stores a real
+  * table format is the answer, exactly as for [[Compact]].
+  *
+  * Vacuum deletes data files no manifest references, with a modification
+  * -time retention window so a writer's files that are moved into
+  * `data/` but not yet committed are never swept.
+  *
+  * Scale: the manifest is file-count-sized metadata (not data-sized);
+  * appends/compactions move data only through executor-side parquet
+  * jobs; the driver handles the file LIST — the same division of labor
+  * as Delta's log.
+  */
+object Manifest {
+
+  private def dataDir(table: String) = s"$table/data"
+  private def manifestDir(table: String) = s"$table/_manifest"
+  private def versionName(v: Long) = f"v$v%020d.manifest"
+
+  def latestVersion(spark: SparkSession, table: String): Long =
+    Fs.listFiles(spark, manifestDir(table), _.endsWith(".manifest"))
+      .map(f => new org.apache.hadoop.fs.Path(f._1).getName.drop(1).takeWhile(_.isDigit).toLong)
+      .foldLeft(-1L)(math.max)
+
+  /** The committed relative file list of one version (tests assert
+    * per-version snapshot consistency with this). */
+  private[streaming] def filesAt(spark: SparkSession, table: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${manifestDir(table)}/${versionName(v)}")
+    val fs = p.getFileSystem(Fs.conf(spark))
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      src.getLines().filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  /** (version, relative data-file paths) of the latest committed
+    * snapshot; (-1, empty) for a table with no commits. */
+  def snapshot(spark: SparkSession, table: String): (Long, Seq[String]) = {
+    val v = latestVersion(spark, table)
+    if (v < 0) (v, Seq.empty) else (v, filesAt(spark, table, v))
+  }
+
+  /** Read the latest snapshot (exactly its committed file set). */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val (v, files) = snapshot(spark, table)
+    require(v >= 0, s"manifest table $table has no committed version")
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  /** Try to commit `files` as version `parent + 1`; None if another
+    * committer took that version first (caller re-reads and rebases). */
+  private def tryCommit(spark: SparkSession, table: String,
+                        files: Seq[String], parent: Long): Option[Long] = {
+    val dir = manifestDir(table)
+    Fs.mkdirs(spark, dir)
+    val tmp = s"$dir/.tmp_${java.util.UUID.randomUUID().toString}"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(Fs.conf(spark))
+    val out = fs.create(p, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val next = parent + 1
+    if (Fs.commitFile(spark, tmp, s"$dir/${versionName(next)}")) Some(next)
+    else { Fs.deleteIfExists(spark, tmp); None }
+  }
+
+  /** Move the parquet parts of a finished Spark write under `data/`
+    * with collision-free names; returns the relative paths. */
+  private def adoptParts(spark: SparkSession, table: String,
+                         scratch: String, tag: String): Seq[String] = {
+    Fs.mkdirs(spark, dataDir(table))
+    val parts = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).map(_._1).sorted
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val rel = parts.zipWithIndex.map { case (src, i) =>
+      val r = f"data/$tag-$uid-p$i%04d.parquet"
+      require(Fs.rename(spark, src, s"$table/$r"), s"adopting $src failed")
+      r
+    }
+    Fs.deleteRec(spark, scratch)
+    rel
+  }
+
+  /** Append `df` as new data files + one manifest commit. Returns the
+    * committed version. Safe under concurrent appends/compactions. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val scratch = s"$table/.append_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val mine = adoptParts(spark, table, scratch, "append")
+    var committed = -1L
+    while (committed < 0) {
+      val (parent, existing) = snapshot(spark, table)
+      committed = tryCommit(spark, table, existing ++ mine, parent).getOrElse(-1L)
+    }
+    committed
+  }
+
+  /** Compact the CURRENT snapshot's files into `targetFiles`, committing
+    * `latest − inputs + compacted` so appends that land mid-rewrite
+    * survive. `beforeCommit` is a test seam for deterministic
+    * interleaving. Fails loud if an input vanished from the latest
+    * manifest (a competing remover). Returns the committed version. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              beforeCommit: () => Unit = () => ()): Long = {
+    val (v0, inputs) = snapshot(spark, table)
+    require(v0 >= 0, s"manifest table $table has no committed version")
+    val scratch = s"$table/.compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(inputs.map(f => s"$table/$f"): _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val compacted = adoptParts(spark, table, scratch, "compact")
+    beforeCommit()
+    val inputSet = inputs.toSet
+    var committed = -1L
+    while (committed < 0) {
+      val (parent, latest) = snapshot(spark, table)
+      val missing = inputSet -- latest.toSet
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"compaction inputs vanished from $table manifest v$parent: $missing — a competing remover; aborting")
+      val next = latest.filterNot(inputSet) ++ compacted
+      committed = tryCommit(spark, table, next, parent).getOrElse(-1L)
+    }
+    committed
+  }
+
+  /** Delete data files no longer referenced by the latest manifest and
+    * older than `retentionMs` (mod-time guard protects adopted-but-not-
+    * yet-committed writer files). Returns the number deleted. */
+  def vacuum(spark: SparkSession, table: String, retentionMs: Long = 10 * 60 * 1000L): Int = {
+    val (_, files) = snapshot(spark, table)
+    // compare by file NAME (unique by construction): the listing returns
+    // fully-qualified URIs, the manifest stores table-relative paths
+    val live = files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val fs = new org.apache.hadoop.fs.Path(dataDir(table)).getFileSystem(Fs.conf(spark))
+    val dead = Fs.listFiles(spark, dataDir(table), _.endsWith(".parquet"))
+      .map(_._1)
+      .filterNot(p => live(new org.apache.hadoop.fs.Path(p).getName))
+      .filter(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime < cutoff)
+    dead.foreach(Fs.deleteIfExists(spark, _))
+    dead.size
+  }
+}

@@ -147,6 +147,43 @@ object Pipeline {
        |  16::BIGINT AS files_before, 2::BIGINT AS files_after
        |FROM orders""".stripMargin
 
+  /** Transactional compaction under a racing append, end-to-end as an
+    * oracle-verified query ([[Manifest]]): three slices of `orders` are
+    * appended, the third landing BETWEEN the compaction's rewrite and
+    * its commit; the compaction must lose the version race, rebase, and
+    * preserve the raced append. The oracle pins full-table content
+    * (nothing lost), the post-compaction file count (2 compacted + 1
+    * raced append), the version history length (2 appends + raced
+    * append + compaction = v3), and the vacuum count (the 8 rewritten
+    * input files). */
+  def pipeTxnCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/txn_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(4))
+    Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 1).repartition(4))
+    val version = Manifest.compact(spark, tbl, targetFiles = 2, beforeCommit = () => {
+      Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 2).repartition(1)); ()
+    })
+    val vacuumed = Manifest.vacuum(spark, tbl, retentionMs = 0)
+    val (_, files) = Manifest.snapshot(spark, tbl)
+    Manifest.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("key_check"), col("price_check"),
+        lit(files.size.toLong).as("n_files"), lit(version).as("version"),
+        lit(vacuumed.toLong).as("n_vacuumed"))
+  }
+
+  private val pipeTxnCompactSql: String =
+    s"""SELECT 'orders' AS tbl, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  3::BIGINT AS n_files, 3::BIGINT AS version, 8::BIGINT AS n_vacuumed
+       |FROM orders""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -169,10 +206,12 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_ingest_roundtrip" -> (pipeIngestRoundtrip _),
     "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _),
+    "pipe_txn_compact" -> (pipeTxnCompact _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
     "pipe_ingest_roundtrip" -> pipeIngestRoundtripSql,
     "pipe_compact_roundtrip" -> pipeCompactRoundtripSql,
+    "pipe_txn_compact" -> pipeTxnCompactSql,
     "op_synth_table" -> opSynthTableSql)
 }
