@@ -66,7 +66,21 @@ object Ingest {
     *    and returns the table to plain-parquet listing. */
   def drainTable(spark: SparkSession, stagingDir: String, tablesDir: String,
                  ckptDir: String, table: String, schema: StructType,
-                 maxFilesPerTrigger: Int = 8): Unit = {
+                 maxFilesPerTrigger: Int = 8): Unit =
+    streamTable(spark, stagingDir, tablesDir, ckptDir, table, schema,
+      Trigger.AvailableNow(), maxFilesPerTrigger).awaitTermination()
+
+  /** Start (and return, still running) the ingestion query for `table`
+    * under an arbitrary trigger — `Trigger.AvailableNow` gives the
+    * batch-drain cadence ([[drainTable]] wraps it), a
+    * `Trigger.ProcessingTime` gives the long-lived wall-clock mode the
+    * reference's 15-minute schedule corresponds to
+    * ([[PipelineMain.runLive]]). The crash-consistency guard runs either
+    * way. */
+  def streamTable(spark: SparkSession, stagingDir: String, tablesDir: String,
+                  ckptDir: String, table: String, schema: StructType,
+                  trigger: Trigger,
+                  maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     val ckptPath = s"$ckptDir/$table"
     val sinkLog = s"$tablesDir/$table/_spark_metadata"
     if (Fs.exists(spark, ckptPath) && !Fs.exists(spark, sinkLog))
@@ -83,14 +97,13 @@ object Ingest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("cleanSource", "delete")
       .json(s"$stagingDir/$table")
-    val q = src.writeStream
+    src.writeStream
       .format("parquet")
       .option("path", s"$tablesDir/$table")
       .option("checkpointLocation", s"$ckptDir/$table")
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 
   /** Drain all staged tables (skips tables never staged). */

@@ -84,7 +84,11 @@ object Manifest {
                         files: Seq[String], parent: Long): Option[Long] = {
     val dir = manifestDir(table)
     Fs.mkdirs(spark, dir)
-    val tmp = s"$dir/.tmp_${java.util.UUID.randomUUID().toString}"
+    // temp manifests live OUTSIDE the listed directory: losers delete
+    // their temp concurrently with other committers' version listings,
+    // and a listing must never observe a vanishing entry
+    Fs.mkdirs(spark, s"$table/_tmp")
+    val tmp = s"$table/_tmp/.tmp_${java.util.UUID.randomUUID().toString}"
     val p = new org.apache.hadoop.fs.Path(tmp)
     val fs = p.getFileSystem(Fs.conf(spark))
     val out = fs.create(p, false)

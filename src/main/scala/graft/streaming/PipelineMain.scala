@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.Schemas
 
@@ -11,17 +12,33 @@ import graft.Schemas
   * segment) → SERVE the results as one parquet file per segment.
   *
   * The reference runs these as four Prefect schedules (15 min / 15 min /
-  * 6 h / 24 h); here one main drives N cycles back-to-back with
-  * `Trigger.AvailableNow` standing in for the wall-clock cadence (T1) —
-  * a deployment would run the same calls from its scheduler, or switch
-  * the ingest trigger to `ProcessingTime`. Work ordering inside a cycle
+  * 6 h / 24 h) serialized by a shared FileLock
+  * (pipeline/settings.py:37-40). Both forms exist here:
+  *  - [[runPipeline]] drives N cycles back-to-back with
+  *    `Trigger.AvailableNow` standing in for the wall-clock cadence (T1);
+  *  - [[runLive]] is the long-lived form: ingestion runs as resident
+  *    `Trigger.ProcessingTime` streaming queries while the generator
+  *    stages batches on a wall-clock cadence.
+  * Every maintenance step (generate+drain cycle, compaction, reduce)
+  * holds the workDir's [[PipelineLock]], so overlapping invocations —
+  * threads or separate JVMs — serialize instead of interleaving
+  * destructively (T4 across processes). Work ordering inside a cycle
   * follows the reference's dependency (orders staged before lineitem so
   * the uuid keymap exists before it is consumed — O3,
   * reference pipeline/data.py:62).
   *
-  * Usage: PipelineMain <sfDir> <workDir> [nCycles] [compactEvery]
+  * Usage: PipelineMain <sfDir> <workDir> [nCycles] [compactEvery] [--live]
   */
 object PipelineMain {
+
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  private def schemas = Map(
+    "orders" -> Schemas.stagedOrders,
+    "lineitem" -> Schemas.stagedLineitem,
+    "customer" -> Schemas.customer)
+
+  private def lockFile(workDir: String) = s"$workDir/.pipeline.lock"
 
   /** Compact quiesced tables: synchronously retire committed staged
     * tail files first (the drain completed, so everything still staged
@@ -51,10 +68,11 @@ object PipelineMain {
     }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val workDir = args.lift(1).getOrElse("/root/repo/target/pipe/main")
-    val nCycles = args.lift(2).map(_.toInt).getOrElse(4)
-    val compactEvery = args.lift(3).map(_.toInt).getOrElse(2)
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = pos.lift(1).getOrElse("/root/repo/target/pipe/main")
+    val nCycles = pos.lift(2).map(_.toInt).getOrElse(4)
+    val compactEvery = pos.lift(3).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,30 +87,23 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
+    if (args.contains("--live"))
+      runLive(spark, sfDir, workDir, nBatches = nCycles,
+        cadenceMs = 2000L, processingTimeMs = 500L)
+    else
+      runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
     spark.stop()
   }
 
-  /** The whole workflow on a caller-owned session (what `main` wraps;
-    * also the E2E test entry). */
-  def runPipeline(spark: SparkSession, sfDir: String, workDir: String,
-                  nCycles: Int, compactEvery: Int): Unit = {
-    val staging = s"$workDir/staging"
-    val tables = s"$workDir/tables"
-    val ckpt = s"$workDir/ckpt"
-    val results = s"$workDir/results"
-    val schemas = Map(
-      "orders" -> Schemas.stagedOrders,
-      "lineitem" -> Schemas.stagedLineitem,
-      "customer" -> Schemas.customer)
-
-    // Crash repair: a previous run that died between a compaction's
-    // checkpoint retirement and its table swap leaves a sink commit log
-    // with no checkpoint — the one state [[Ingest.drainTable]] fails
-    // loud on (a fresh drain would silently skip batches against the
-    // stale log). Finishing the compaction retires the log and returns
-    // the table to plain-parquet listing; every other crash point is
-    // already consistent (see compact()'s ordering note).
+  /** Crash repair (run under the lock before any cycle): a previous run
+    * that died between a compaction's checkpoint retirement and its
+    * table swap leaves a sink commit log with no checkpoint — the one
+    * state [[Ingest.drainTable]] fails loud on (a fresh drain would
+    * silently skip batches against the stale log). Finishing the
+    * compaction retires the log and returns the table to plain-parquet
+    * listing; every other crash point is already consistent (see
+    * compact()'s ordering note). */
+  private def repair(spark: SparkSession, tables: String, ckpt: String): Unit =
     for (t <- schemas.keys) {
       if (Fs.exists(spark, s"$tables/$t/_spark_metadata") &&
           !Fs.exists(spark, s"$ckpt/$t")) {
@@ -101,45 +112,114 @@ object PipelineMain {
       }
     }
 
-    for (cycle <- 0 until nCycles) {
-      Synthesize.cycle(spark, sfDir, staging, tables, batchId = cycle, nBatches = nCycles)
-      Ingest.drainAll(spark, staging, tables, ckpt, schemas)
-      if ((cycle + 1) % compactEvery == 0)
-        compact(spark, staging, tables, ckpt, Seq("customer"))
+  /** The whole workflow on a caller-owned session (what `main` wraps;
+    * also the E2E test entry). */
+  def runPipeline(spark: SparkSession, sfDir: String, workDir: String,
+                  nCycles: Int, compactEvery: Int): Unit = {
+    runCycles(spark, sfDir, workDir, 0 until nCycles, nCycles, compactEvery)
+    finishAndServe(spark, sfDir, workDir)
+  }
+
+  /** Generate+drain the given batch slices, one lock-held cycle each.
+    * Two overlapping invocations (same workDir, DISJOINT batch ids —
+    * the reference's two schedulers generating distinct data) serialize
+    * at cycle granularity: a drain never observes a half-staged batch
+    * or races a compaction for the shared checkpoints. */
+  def runCycles(spark: SparkSession, sfDir: String, workDir: String,
+                batchIds: Seq[Int], nBatches: Int, compactEvery: Int): Unit = {
+    val staging = s"$workDir/staging"
+    val tables = s"$workDir/tables"
+    val ckpt = s"$workDir/ckpt"
+    PipelineLock.withLock(lockFile(workDir))(repair(spark, tables, ckpt))
+    for (cycle <- batchIds) {
+      PipelineLock.withLock(lockFile(workDir)) {
+        Synthesize.cycle(spark, sfDir, staging, tables, batchId = cycle, nBatches = nBatches)
+        Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+        if ((cycle + 1) % compactEvery == 0)
+          compact(spark, staging, tables, ckpt, Seq("customer"))
+      }
       println(s"[pipeline] cycle $cycle complete")
     }
-    // Final maintenance: compact the fact tables now that no further
-    // appends target them. Without a transactional table format,
-    // compaction must quiesce a table first: the swap retires the
-    // streaming sink's _spark_metadata log, and a LATER streaming
-    // append would start a new log that hides the compacted files from
-    // batch readers (the log takes precedence). The static dim is
-    // append-quiesced after cycle 0, so it compacts mid-run on the
-    // reference's cadence; facts compact here. Delta/Iceberg is the
-    // production answer for compaction interleaved with live appends
-    // (SURVEY §7 — no such jars offline).
-    compact(spark, staging, tables, ckpt, Seq("orders", "lineitem"))
+  }
 
-    // REDUCE + SERVE: the flagship per segment over the INGESTED tables
-    // (staged schema: uuid keys, *_time columns — the reference's
-    // reduce reads the same processed form, pipeline/reduce.py:43-74)
-    import org.apache.spark.sql.functions._
-    val li = spark.read.parquet(s"$tables/lineitem")
-    val ord = spark.read.parquet(s"$tables/orders")
-    val cust = spark.read.parquet(s"$tables/customer")
-    val cutoff = lit(Synthesize.OrdTgtHi).cast("timestamp")
-    for (seg <- Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")) {
-      val top = ord.filter(col("o_order_time") < cutoff)
-        .join(cust.filter(col("c_mktsegment") === seg), col("o_custkey") === col("c_custkey"))
-        .join(li.filter(col("l_ship_time") > cutoff), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("l_orderkey", "o_order_time")
-        .agg(graft.functions.Exact.exactSum(
-          col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(50)
-      top.coalesce(1).write.mode("overwrite")
-        .option("compression", "snappy").parquet(s"$results/$seg")
-      println(s"[pipeline] served $seg: ${spark.read.parquet(s"$results/$seg").count()} rows")
+  /** Final maintenance + reduce + serve, under the lock. Fact tables
+    * compact here because no further appends target them — without a
+    * transactional format, compaction must quiesce a table first; the
+    * static dim already compacted mid-run on the reference's cadence.
+    * ([[Manifest]] is the compaction-under-append form.) Idempotent:
+    * a second invocation re-compacts a plain parquet dir and
+    * re-overwrites the served results. */
+  def finishAndServe(spark: SparkSession, sfDir: String, workDir: String): Unit =
+    PipelineLock.withLock(lockFile(workDir)) {
+      val staging = s"$workDir/staging"
+      val tables = s"$workDir/tables"
+      val ckpt = s"$workDir/ckpt"
+      val results = s"$workDir/results"
+      compact(spark, staging, tables, ckpt, Seq("orders", "lineitem"))
+
+      // REDUCE + SERVE: the flagship per segment over the INGESTED tables
+      // (staged schema: uuid keys, *_time columns — the reference's
+      // reduce reads the same processed form, pipeline/reduce.py:43-74)
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$tables/lineitem")
+      val ord = spark.read.parquet(s"$tables/orders")
+      val cust = spark.read.parquet(s"$tables/customer")
+      val cutoff = lit(Synthesize.OrdTgtHi).cast("timestamp")
+      for (seg <- Segments) {
+        val top = ord.filter(col("o_order_time") < cutoff)
+          .join(cust.filter(col("c_mktsegment") === seg), col("o_custkey") === col("c_custkey"))
+          .join(li.filter(col("l_ship_time") > cutoff), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_order_time")
+          .agg(graft.functions.Exact.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(50)
+        top.coalesce(1).write.mode("overwrite")
+          .option("compression", "snappy").parquet(s"$results/$seg")
+        println(s"[pipeline] served $seg: ${spark.read.parquet(s"$results/$seg").count()} rows")
+      }
     }
+
+  /** Long-lived wall-clock mode (the deployment form of the reference's
+    * 15-minute schedules): resident `Trigger.ProcessingTime` ingestion
+    * queries discover and commit staged batches as they appear, while
+    * the generator stages a batch every `cadenceMs` under the lock.
+    * After `nBatches` the streams stop gracefully and one
+    * `AvailableNow` mop-up drain pins the deterministic end state
+    * (everything staged is committed), then compact + reduce + serve.
+    * Exactly-once holds throughout — the resident queries and the
+    * mop-up share the same checkpoints. */
+  def runLive(spark: SparkSession, sfDir: String, workDir: String,
+              nBatches: Int, cadenceMs: Long, processingTimeMs: Long): Unit = {
+    val staging = s"$workDir/staging"
+    val tables = s"$workDir/tables"
+    val ckpt = s"$workDir/ckpt"
+    PipelineLock.withLock(lockFile(workDir)) {
+      repair(spark, tables, ckpt)
+      schemas.keys.foreach(t => Fs.mkdirs(spark, s"$staging/$t"))
+    }
+    val queries = schemas.map { case (t, s) =>
+      Ingest.streamTable(spark, staging, tables, ckpt, t, s,
+        Trigger.ProcessingTime(processingTimeMs))
+    }.toSeq
+    try {
+      for (b <- 0 until nBatches) {
+        PipelineLock.withLock(lockFile(workDir)) {
+          Synthesize.cycle(spark, sfDir, staging, tables, batchId = b, nBatches = nBatches)
+        }
+        println(s"[pipeline] live: staged batch $b")
+        Thread.sleep(cadenceMs)
+      }
+    } finally {
+      queries.foreach(_.stop())
+      queries.foreach { q =>
+        try q.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      }
+    }
+    PipelineLock.withLock(lockFile(workDir)) {
+      Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    }
+    finishAndServe(spark, sfDir, workDir)
   }
 }

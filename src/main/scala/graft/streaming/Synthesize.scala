@@ -152,8 +152,13 @@ object Synthesize {
             batchId: Int, nBatches: Int): Unit = {
     writeStaged(stagedOrders(spark, sfDir, batchId, nBatches), stagingDir, "orders", batchId)
     writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches), stagingDir, "lineitem", batchId)
-    val custStagedOrIngested = Fs.exists(spark, s"$stagingDir/customer") ||
-      Fs.exists(spark, s"$tablesDir/customer")
+    // staged/ingested = actual FILES present: live mode pre-creates the
+    // staging roots, and FileStreamSink creates the table dir at query
+    // start before any commit — bare-directory existence would skip the
+    // static dim forever and serve an empty customer table
+    val custStagedOrIngested =
+      Fs.listFiles(spark, s"$stagingDir/customer", _.endsWith(".json")).nonEmpty ||
+        Fs.listFiles(spark, s"$tablesDir/customer", _.endsWith(".parquet")).nonEmpty
     if (!custStagedOrIngested)
       writeStaged(Tables.customer(spark, sfDir), stagingDir, "customer", batchId)
   }

@@ -43,8 +43,9 @@ class PlanSpec extends SparkSpec {
     // The one intentional exception: ann_topk_exact broadcasts an O(k)
     // probe batch into a nested-loop by design (brute-force baseline) —
     // bounded because the build side is a fixed probe set, not data.
-    // ann_recall composes that same exact baseline, so it inherits it.
-    val allowNestedLoop = Set("ann_topk_exact", "ann_recall")
+    // ann_recall and ann_ivf_recall compose that same exact baseline
+    // (it is their ground truth), so they inherit it.
+    val allowNestedLoop = Set("ann_topk_exact", "ann_recall", "ann_ivf_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -52,12 +52,15 @@ class ManifestSpec extends SparkSpec {
     val ord = Tables.orders(spark, sf).cache()
     val total = ord.count()
     Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 8 === 0).repartition(2))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 7).map { m =>
       new Thread(() => {
-        Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 8 === m).repartition(2))
+        try Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 8 === m).repartition(2))
+        catch { case e: Throwable => errs.add(e) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"append thread failed: ${Option(errs.peek()).map(_.toString)}")
     ord.unpersist()
     val (v, _) = Manifest.snapshot(spark, tbl)
     assert(v == 7, s"8 appends must produce versions 0..7, latest was $v")

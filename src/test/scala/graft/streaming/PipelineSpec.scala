@@ -136,6 +136,75 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("pipeline lock excludes a separate JVM while held, and admits it after release") {
+    val lock = s"$base/locks/.pipeline.lock"
+    wipe(s"$base/locks")
+    val scalaLib = new java.io.File("/opt/spark/jars").listFiles()
+      .map(_.getPath).filter(_.contains("scala-library")).head
+    def probe(): String = {
+      val pb = new ProcessBuilder("java", "-cp",
+        s"/root/repo/target/scala-2.13/classes:$scalaLib",
+        "graft.streaming.PipelineLock", "probe", lock)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor()
+      out.linesIterator.toSeq.last
+    }
+    val held = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => PipelineLock.withLock(lock) {
+      held.set(true); release.await()
+    })
+    t.start()
+    while (!held.get()) Thread.sleep(10)
+    assert(probe() == "BUSY", "a second process acquired the held pipeline lock")
+    release.countDown(); t.join()
+    assert(probe() == "ACQUIRED", "lock not released after withLock exited")
+  }
+
+  test("two overlapping pipeline invocations on one workDir: cycles serialize, nothing lost or doubled") {
+    val root = s"$base/overlap"
+    wipe(root)
+    // the reference's model: two schedulers share the lock and generate
+    // DISTINCT batches; here each invocation drives half the batch ids,
+    // racing over the same staging/tables/checkpoints
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(Seq(0, 1), Seq(2, 3)).map { ids =>
+      new Thread(() => {
+        try PipelineMain.runCycles(spark, sf, root, ids, nBatches = 4,
+          compactEvery = Int.MaxValue)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"overlapping invocation failed: ${errs.peek()}")
+    PipelineMain.finishAndServe(spark, sf, root)
+    assert(spark.read.parquet(s"$root/tables/orders").count() ==
+      Tables.orders(spark, sf).count(), "orders lost or doubled across overlapping invocations")
+    assert(spark.read.parquet(s"$root/tables/lineitem").count() ==
+      Tables.lineitem(spark, sf).count(), "lineitem lost or doubled across overlapping invocations")
+    assert(spark.read.parquet(s"$root/tables/customer").count() ==
+      Tables.customer(spark, sf).count())
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").foreach { seg =>
+      assert(spark.read.parquet(s"$root/results/$seg").count() == 50)
+    }
+  }
+
+  test("live mode: resident ProcessingTime ingestion + wall-clock generator lands the full fixture exactly once") {
+    val root = s"$base/live"
+    wipe(root)
+    PipelineMain.runLive(spark, sf, root, nBatches = 2,
+      cadenceMs = 1500L, processingTimeMs = 300L)
+    assert(spark.read.parquet(s"$root/tables/orders").count() ==
+      Tables.orders(spark, sf).count(), "live ingestion lost or doubled orders")
+    assert(spark.read.parquet(s"$root/tables/lineitem").count() ==
+      Tables.lineitem(spark, sf).count())
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").foreach { seg =>
+      assert(spark.read.parquet(s"$root/results/$seg").count() == 50)
+    }
+  }
+
   test("compaction crash window: a stranded sink log (checkpoint retired, swap not run) fails loud, and the startup repair recovers it") {
     val root = s"$base/ckpt-crash"
     wipe(root)
