@@ -106,12 +106,26 @@ object Ingest {
       .start()
   }
 
-  /** Drain all staged tables (skips tables never staged). */
+  /** Drain all staged tables CONCURRENTLY (skips tables never staged):
+    * each table is its own streaming query over its own checkpoint and
+    * sink, with no cross-table dependency at ingest time (the
+    * reference's O3 ordering constraint binds GENERATION — the keymap
+    * must exist before lineitem is staged — not ingestion of the
+    * self-contained staged files). Starting all queries before awaiting
+    * any overlaps their micro-batches across the executor pool — on a
+    * cluster, table count × file × partition parallelism instead of one
+    * table at a time. Guard failures (the stranded-sink-log state)
+    * still surface: start() runs the guard synchronously per table
+    * before anything is awaited. */
   def drainAll(spark: SparkSession, stagingDir: String, tablesDir: String,
-               ckptDir: String, schemas: Map[String, StructType]): Unit =
-    schemas.foreach { case (table, schema) =>
-      if (Fs.exists(spark, s"$stagingDir/$table") ||
-          Fs.exists(spark, s"$ckptDir/$table"))
-        drainTable(spark, stagingDir, tablesDir, ckptDir, table, schema)
+               ckptDir: String, schemas: Map[String, StructType]): Unit = {
+    val queries = schemas.toSeq.collect {
+      case (table, schema)
+        if Fs.exists(spark, s"$stagingDir/$table") ||
+          Fs.exists(spark, s"$ckptDir/$table") =>
+        streamTable(spark, stagingDir, tablesDir, ckptDir, table, schema,
+          Trigger.AvailableNow())
     }
+    queries.foreach(_.awaitTermination())
+  }
 }
