@@ -359,7 +359,10 @@ object Similarity {
   private[operators] def annIvfAt(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
     val cents = ivfCentroids(spark, sfDir, iters)
     val labels = cents.keys.toArray.sorted
+    // persisted: consumed by the index assignment AND the probe ranking
+    // (at 100 TB the assignment is a staging table; here executor cache)
     val e = embWithNorm(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asg = e.withColumn("cell", expr(argmaxCellExpr(cents)).cast("int"))
     // nprobe=2: the probe's two nearest centroids via one sorted struct
     // array (negcos asc = cosine desc, ties to lower label)

@@ -18,6 +18,7 @@ object Prof {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
+    if (args.contains("plans")) { auditPlans(spark, sf); spark.stop(); return }
     spark.range(100).count()
     val sh = graft.functions.Text.shingled(spark, sf)
     t("shingled.count")(sh.count())
@@ -34,5 +35,21 @@ object Prof {
     t("simhash.full")(graft.operators.Dedup.ddSimhash(spark, sf).count())
     t("minhash.full")(graft.operators.Dedup.ddMinhashLsh(spark, sf).count())
     spark.stop()
+  }
+
+  /** `Prof <sf> plans`: physical-plan shape stats for the round-3
+    * queries — scan/exchange/codegen counts, the facts behind the
+    * "is this the plan you'd want at 100 TB" audit. */
+  private def auditPlans(spark: SparkSession, sf: String): Unit = {
+    def stats(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(p).size
+      println(f"$name%-20s parquetScans=${n("Scan parquet")}%2d cacheScans=${n("InMemoryTableScan")}%2d " +
+        f"exchanges=${n("Exchange")}%2d wholestage=${p.contains("WholeStageCodegen")}")
+    }
+    stats("dd_embed_cosine", graft.operators.Similarity.ddEmbedCosine(spark, sf))
+    stats("ml_score_gbt", graft.operators.MlScore.mlScoreGbt(spark, sf))
+    stats("ann_ivf", graft.operators.Similarity.annIvf(spark, sf))
+    stats("dd_ngram_jaccard", graft.operators.Dedup.ddNgramJaccard(spark, sf))
   }
 }
