@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Corpus-curation operators — the composition layer a training-data
+  * pipeline runs on top of the per-signal operators (north-star
+  * extension surface):
+  *
+  *  - [[dcContamination]]: benchmark decontamination. Flag corpus
+  *    documents sharing word-shingles with a benchmark/eval set — the
+  *    standard pre-training hygiene step (n-gram overlap against held-
+  *    out benchmarks). The benchmark side is FIXED-SIZE, so the shingle
+  *    equi-join broadcasts it and the corpus streams through map-side:
+  *    at 100 TB the corpus is scanned once, nothing corpus-sized
+  *    shuffles.
+  *  - [[pipeCuration]]: the composed keep/drop ledger — language gate
+  *    (ta_lang_id), quality gate (ta_quality), and near-dup keep-list
+  *    (dd_cluster's connected components over MinHash-LSH pairs) joined
+  *    into one verdict per document. This is the query a user of the
+  *    reference's stack would actually run nightly; every constituent
+  *    signal is already oracle-verified on its own, and the composition
+  *    is hash-verified end-to-end (the oracle recomputes lang + quality
+  *    + the recursive-CTE components in one statement).
+  */
+object Curation {
+
+  /** Benchmark = the first [[BenchDocs]] doc_ids (stand-in for an eval
+    * set); flag corpus docs sharing >= [[MinShared]] distinct shingles. */
+  private val BenchDocs = 10L
+  private val MinShared = 3L
+
+  def dcContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Text.shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bench = sh.filter(col("doc_id") < BenchDocs)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = sh.filter(col("doc_id") >= BenchDocs)
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private val dcContaminationSql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(DISTINCT c.g)::BIGINT AS n_shared
+       |FROM ex c JOIN ex b ON c.g = b.g AND b.doc_id < $BenchDocs AND c.doc_id >= $BenchDocs
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(DISTINCT c.g) >= $MinShared
+       |ORDER BY c.doc_id, bench_id""".stripMargin
+
+  /** kept = English AND quality >= threshold AND not a near-duplicate
+    * (dedup keep-list). Emits the full per-document ledger so every
+    * gate's verdict is hash-pinned, not just the survivor count. */
+  private val QualityMin = 0.25
+
+  def pipeCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang = TextAnalysis.taLangId(spark, sfDir).select(col("doc_id"), col("pred_lang"))
+    val qual = TextAnalysis.taQuality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    // near-dup deletions: cluster members that are not the representative
+    val del = Dedup.ddCluster(spark, sfDir)
+      .filter(!col("keep")).select(col("doc_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(lang, "doc_id")
+      .join(qual, "doc_id")
+      .join(del.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("dedup_keep", col("dup").isNull).drop("dup")
+      .withColumn("kept",
+        col("dedup_keep") && col("pred_lang") === "en" && col("quality_score") >= QualityMin)
+      .select("doc_id", "pred_lang", "quality_score", "dedup_keep", "kept")
+      .orderBy("doc_id")
+  }
+
+  private val pipeCurationSql: String = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |dele AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN s_de > greatest(s_en, s_fr, s_es) THEN 'de'
+       |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+       |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       |       WHEN s_en >= 1 THEN 'en' ELSE 'und' END AS pred_lang
+       |  FROM (SELECT doc_id,
+       |      len(list_filter(w, t -> t IN ('the', 'a', 'of')))::BIGINT AS s_en,
+       |      len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und')))::BIGINT AS s_de,
+       |      len(list_filter(w, t -> t IN ('le', 'la', 'les', 'et')))::BIGINT AS s_fr,
+       |      len(list_filter(w, t -> t IN ('el', 'los', 'las', 'y')))::BIGINT AS s_es
+       |    FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t) s),
+       |qual AS (SELECT doc_id,
+       |  least(1.0, len(w)::DOUBLE / 200.0) *
+       |    (1.0 - len(list_filter(w, t -> t IN ($inStops)))::DOUBLE / len(w)) AS quality_score
+       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t)
+       |SELECT d.doc_id, lang.pred_lang, qual.quality_score,
+       |  d.doc_id NOT IN (SELECT doc_id FROM dele) AS dedup_keep,
+       |  (d.doc_id NOT IN (SELECT doc_id FROM dele)
+       |    AND lang.pred_lang = 'en' AND qual.quality_score >= $QualityMin) AS kept
+       |FROM documents d
+       |JOIN lang ON lang.doc_id = d.doc_id
+       |JOIN qual ON qual.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dc_contamination" -> (dcContamination _),
+    "pipe_curation" -> (pipeCuration _))
+
+  val oracles: Map[String, String] = Map(
+    "dc_contamination" -> dcContaminationSql,
+    "pipe_curation" -> pipeCurationSql)
+}

@@ -420,8 +420,12 @@ object Dedup {
     labels
   }
 
-  private val ddClusterSql: String =
-    s"""WITH RECURSIVE ${Text.shingleCteSql},
+  /** CTE body recomputing LSH pairs → connected components (`comp`:
+    * doc_id, cluster_rep) — shared by the dd_cluster oracle and the
+    * curation-pipeline oracle ([[Curation]]). Callers prepend
+    * `WITH RECURSIVE `. */
+  private[operators] val clusterCtes: String =
+    s"""${Text.shingleCteSql},
        |bands AS (
        |${(0 until Bands).map { b =>
       val mins = (0 until RowsPerBand).map { r =>
@@ -444,7 +448,10 @@ object Dedup {
        |  SELECT doc_a, doc_a FROM edges
        |  UNION
        |  SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id),
-       |comp AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id),
+       |comp AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val ddClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
        |sz AS (SELECT cluster_rep AS cr, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
        |SELECT doc_id, cluster_rep, cluster_size, doc_id = cluster_rep AS keep
        |FROM comp JOIN sz ON sz.cr = comp.cluster_rep

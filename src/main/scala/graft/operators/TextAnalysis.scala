@@ -17,7 +17,7 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Token counting (whitespace tokenizer): counts, distinct counts,
     * type-token ratio, mean token length. */

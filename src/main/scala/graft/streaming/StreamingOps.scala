@@ -148,7 +148,52 @@ object StreamingOps {
       |  sum(round(value * 100)::BIGINT)::BIGINT / 100.0 AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** STREAM-STREAM inner join (StreamingSymmetricHashJoin — the one
+    * windowed-join shape the batch ops can't exercise): error events
+    * joined to the same user's non-error events in the 15 minutes
+    * before the error — the "what led up to this failure" query. Both
+    * sides carry event-time watermarks and the join predicate is
+    * time-range-bounded, which is exactly what lets Spark expire join
+    * state at scale: each side buffers only 15 minutes + watermark
+    * delay of per-user events, regardless of stream length. The fixture
+    * drains in one AvailableNow batch, so no row is ever beyond the
+    * watermark and the batch oracle computes the identical join. */
+  def opStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val errors = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      .withWatermark("err_ts", "1 hour")
+    val context = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("ctx_user"), col("ts").as("ctx_ts"),
+        col("event_id").as("ctx_id"), col("event_type").as("ctx_type"))
+      .withWatermark("ctx_ts", "1 hour")
+    val joined = errors.join(context,
+      col("user_id") === col("ctx_user") &&
+        col("ctx_ts") >= col("err_ts") - expr("INTERVAL 15 MINUTES") &&
+        col("ctx_ts") < col("err_ts"))
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("ctx_id"), col("ctx_type"), col("ctx_ts"))
+    spark.catalog.dropTempView("graft_stream_join")
+    val q = joined.writeStream
+      .format("memory").queryName("graft_stream_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_join").orderBy("user_id", "err_id", "ctx_id")
+  }
+
+  private val opStreamJoinSql: String =
+    """SELECT e.user_id, e.event_id AS err_id, e.ts AS err_ts,
+      |  o.event_id AS ctx_id, o.event_type AS ctx_type, o.ts AS ctx_ts
+      |FROM events e JOIN events o
+      |  ON o.user_id = e.user_id AND e.event_type = 'error' AND o.event_type <> 'error'
+      |  AND o.ts >= e.ts - INTERVAL '15 minutes' AND o.ts < e.ts
+      |ORDER BY e.user_id, err_id, ctx_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_join" -> (opStreamJoin _),
     "op_stream_stateful" -> (opStreamStateful _),
     "op_stream_tumbling" -> (opStreamTumbling _),
     "op_stream_sliding" -> (opStreamSliding _),
@@ -156,6 +201,7 @@ object StreamingOps {
     "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_join" -> opStreamJoinSql,
     "op_stream_stateful" -> opStreamStatefulSql,
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
     "op_stream_sliding" -> Events.oracles("op_events_sliding"),
