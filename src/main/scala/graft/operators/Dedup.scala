@@ -86,11 +86,13 @@ object Dedup {
     * JVM-per-invocation model; a long-lived service would evict on a
     * SparkListener application-end event. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), DataFrame]
 
-  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    pairCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir),
-      minhashLshPlan(spark, sfDir)
+  private def minhashPairs(spark: SparkSession, sfDir: String,
+                           bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame =
+    pairCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, bands, rowsPerBand),
+      minhashLshPlan(spark, sfDir, bands, rowsPerBand)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Force the shared pair relation to materialize (count() the persisted
@@ -113,7 +115,7 @@ object Dedup {
     * the Spark plan and the DuckDB SQL are generated from the derived
     * values, and the verification stage keeps the result exact. */
   def ddMinhashLshWide(spark: SparkSession, sfDir: String): DataFrame =
-    minhashLshPlan(spark, sfDir, wideBands, wideRows)
+    minhashPairs(spark, sfDir, wideBands, wideRows)
 
   private def minhashLshPlan(spark: SparkSession, sfDir: String,
                              bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
