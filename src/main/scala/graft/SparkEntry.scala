@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, MlScore, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++
+      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++ Pq.queries ++
       graft.sources.FormatRoundtrips.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++
+      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++ Pq.oracles ++
       graft.sources.FormatRoundtrips.oracles
 }

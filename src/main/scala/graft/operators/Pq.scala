@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization ANN (PQ + asymmetric distance computation — the
+  * memory-side scale path COMPLEMENTING IVF's partition-side one; the
+  * standard construction of Jégou/Douze/Schmid, TPAMI'11, public
+  * algorithm):
+  *
+  *  1. TRAIN — split the 64-dim space into [[M]] 8-dim subspaces and fit
+  *     [[K]] centroids per subspace by Lloyd k-means ([[Iters]] rounds;
+  *     init = the first K vectors' subvectors, the deterministic
+  *     first-k-points seeding). Same distributed shape as
+  *     [[Similarity.annIvf]]'s fit: assignment is a map + window-argmin
+  *     per (vector, subspace), means are one fixed-point shuffle, only
+  *     the M×K×8 centroid doubles ever reach the driver. At 100 TB the
+  *     fit runs on a sample; encode/search below are full-corpus
+  *     map-side work either way.
+  *  2. ENCODE — every vector compresses to M 4-bit codes (its argmin-L2
+  *     centroid per subspace): 64 floats → 8 codes, the 64× memory
+  *     reduction that lets a billion-vector index live in RAM.
+  *  3. SEARCH (ADC) — each probe computes one M×K table of exact
+  *     subspace distances to the CENTROIDS (128 doubles per probe,
+  *     independent of corpus size), then every corpus vector's
+  *     approximate distance is just M table lookups summed — an
+  *     equi-join of codes against the probe tables on (subspace, code)
+  *     followed by a fixed-point sum; no full-vector arithmetic touches
+  *     the corpus at query time.
+  *
+  * Determinism: subspace distances are strict left folds of
+  * (x−y)·(x−y); per-subspace lookups are fixed-pointed
+  * (`round(d²·2²⁰)::long`) BEFORE the cross-subspace sum, so the
+  * addition is exact integer arithmetic in any order and engine; argmin
+  * ties break to the lower code in both engines. The DuckDB oracle
+  * recomputes train, encode, and search from scratch and must match
+  * hash-exactly. */
+object Pq {
+
+  private val M = 8       // subspaces
+  private val Dsub = 8    // dims per subspace (M × Dsub = 64)
+  private val K = 16      // centroids per subspace (4-bit codes)
+  private val Iters = 2   // Lloyd rounds after first-k-points init
+  private val Probes = 10
+  private val TopN = 5
+
+  /** Strict-left-fold squared L2 between a sub-vector column and a
+    * literal centroid (Spark side). */
+  private def d2S(sub: String, cent: Array[Double]): String = {
+    val arr = cent.map(d => s"cast('${d.toString}' as double)").mkString("array(", ", ", ")")
+    s"aggregate(zip_with($sub, $arr, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+  }
+
+  /** The same fold, DuckDB side, against the oracle's computed centroid
+    * list column. */
+  private def d2D(sub: String, cv: String): String =
+    s"list_reduce(list_transform(generate_series(1, $Dsub), i -> ($sub[i]::DOUBLE - $cv[i]::DOUBLE) * ($sub[i]::DOUBLE - $cv[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** (vec_id, m, sub) — every vector exploded into its M subvectors,
+    * already double-cast. */
+  private def subvecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"), col("emb"))
+      .select(col("vec_id"), col("m"), expr(s"slice(emb, m * $Dsub + 1, $Dsub)").as("sub"))
+
+  /** Lloyd fit per subspace; returns (m, k) -> centroid. Assignment uses
+    * a window-argmin against a small broadcast centroid relation (the
+    * join form — 128 rows — rather than 128 inlined struct literals). */
+  private def pqCentroids(spark: SparkSession, sfDir: String): Map[(Int, Int), Array[Double]] = {
+    val sv = subvecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def toMap(rows: Array[org.apache.spark.sql.Row]): Map[(Int, Int), Array[Double]] =
+      rows.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (mk, rs) =>
+        mk -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    // init: the first K vectors' subvectors are the k=vec_id centroids
+    var cents = toMap(sv.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").cast("int").as("k"),
+        posexplode(col("sub")).as(Seq("pos", "x")))
+      .select(col("m"), col("k"), col("pos"), col("x"))
+      .collect())
+    for (_ <- 1 to Iters) {
+      val centDf = spark.createDataFrame(
+        cents.toSeq.map { case ((m, k), c) => (m, k, c) }).toDF("m", "k", "cv")
+      val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
+      val asg = sv.join(broadcast(centDf), Seq("m"))
+        .withColumn("d2", expr(
+          s"aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("k").as("code"), col("sub"))
+      val upd = toMap(asg
+        .select(col("m"), col("code").as("k"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("m", "k", "pos")
+        .agg(sum(round(col("x") * 1048576.0).cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("m"), col("k"), col("pos"), (col("s") / 1048576.0 / col("n")).as("c"))
+        .collect())
+      cents = cents.map { case (mk, old) => mk -> upd.getOrElse(mk, old) }
+    }
+    sv.unpersist()
+    cents
+  }
+
+  /** PQ-ADC top-5 per probe: encode the corpus against the trained
+    * codebook, build each probe's subspace distance table, equi-join on
+    * (m, code), exact-integer sum, rank. */
+  def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = pqCentroids(spark, sfDir)
+    val sv = subvecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // encode: per (vec, m) the argmin-L2 code, via one inlined
+    // struct-array min over the K centroid literals (map-side, no join)
+    def codeExpr(m: Int): String =
+      (0 until K).map { k =>
+        s"struct(${d2S("sub", cents((m, k)))} as d2, $k as k)"
+      }.mkString("array_min(array(", ", ", ")).k")
+    val codeBranches = (0 until M).map(m => s"WHEN m = $m THEN (${codeExpr(m)})")
+      .mkString("CASE ", " ", " END")
+    val codes = sv.select(col("vec_id"), col("m"), expr(codeBranches).cast("int").as("code"))
+    // probe tables: fixed-point subspace distance to EVERY (m, k)
+    def tableExpr(m: Int): String =
+      (0 until K).map { k =>
+        s"struct($k as k, cast(round(${d2S("sub", cents((m, k)))} * 1048576.0) as bigint) as dq)"
+      }.mkString("array(", ", ", ")")
+    val tableBranches = (0 until M).map(m => s"WHEN m = $m THEN (${tableExpr(m)})")
+      .mkString("CASE ", " ", " END")
+    val ptab = sv.filter(col("vec_id") < Probes)
+      .select(col("vec_id").as("probe_id"), col("m"), explode(expr(tableBranches)).as("e"))
+      .select(col("probe_id"), col("m"), col("e.k").as("code"), col("e.dq").as("dq"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dq_total"), col("neighbor_id"))
+    codes.join(ptab, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dq")).as("dq_total"))
+      .withColumn("approx_d2", col("dq_total") / 1048576.0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopN)
+      .select("probe_id", "neighbor_id", "approx_d2", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Oracle: recompute subvectors → init → Lloyd rounds → encode →
+    * probe tables → ADC sum, all in one statement. */
+  private val annPqAdcSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH sv AS (
+         |  SELECT vec_id, m, embedding[m * $Dsub + 1 : m * $Dsub + $Dsub] AS sub
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) ms),
+         |c0 AS (SELECT m, vec_id::INT AS k, list_transform(sub, x -> x::DOUBLE) AS cv
+         |  FROM sv WHERE vec_id < $K)""".stripMargin)
+    for (i <- 1 to Iters) {
+      val prev = s"c${i - 1}"
+      sb.append(
+        s""",
+           |a$i AS (SELECT vec_id, m, k AS code, sub FROM (
+           |  SELECT sv.vec_id, sv.m, c.k, sv.sub,
+           |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+           |      ORDER BY ${d2D("sv.sub", "c.cv")}, c.k) AS rn
+           |  FROM sv JOIN $prev c ON c.m = sv.m) t WHERE rn = 1),
+           |m$i AS (SELECT m, code AS k, i - 1 AS pos,
+           |    sum(round(x::DOUBLE * 1048576.0)::BIGINT)::BIGINT / 1048576.0 / count(*) AS c
+           |  FROM (SELECT m, code, unnest(sub) AS x,
+           |          unnest(generate_series(1, $Dsub)) AS i FROM a$i) t
+           |  GROUP BY m, code, i),
+           |g$i AS (SELECT m, k, list(c ORDER BY pos) AS cv FROM m$i GROUP BY m, k),
+           |c$i AS (SELECT p.m, p.k, coalesce(g.cv, p.cv) AS cv
+           |  FROM c${i - 1} p LEFT JOIN g$i g ON g.m = p.m AND g.k = p.k)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |enc AS (SELECT vec_id, m, k AS code FROM (
+         |  SELECT sv.vec_id, sv.m, c.k,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+         |      ORDER BY ${d2D("sv.sub", "c.cv")}, c.k) AS rn
+         |  FROM sv JOIN c$Iters c ON c.m = sv.m) t WHERE rn = 1),
+         |pt AS (SELECT sv.vec_id AS probe_id, sv.m, c.k AS code,
+         |    round((${d2D("sv.sub", "c.cv")}) * 1048576.0)::BIGINT AS dq
+         |  FROM sv JOIN c$Iters c ON c.m = sv.m WHERE sv.vec_id < $Probes)
+         |SELECT probe_id, neighbor_id, approx_d2, rank FROM (
+         |  SELECT probe_id, neighbor_id, dq_total / 1048576.0 AS approx_d2,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dq_total, neighbor_id) AS rank
+         |  FROM (SELECT pt.probe_id, enc.vec_id AS neighbor_id, sum(pt.dq)::BIGINT AS dq_total
+         |        FROM enc JOIN pt ON pt.m = enc.m AND pt.code = enc.code
+         |        WHERE enc.vec_id <> pt.probe_id
+         |        GROUP BY pt.probe_id, enc.vec_id) s) t
+         |WHERE rank <= $TopN ORDER BY probe_id, rank""".stripMargin)
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_adc" -> (annPqAdc _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_pq_adc" -> annPqAdcSql)
+}
