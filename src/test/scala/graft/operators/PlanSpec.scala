@@ -44,8 +44,9 @@ class PlanSpec extends SparkSpec {
     // probe batch into a nested-loop by design (brute-force baseline) —
     // bounded because the build side is a fixed probe set, not data.
     // ann_recall and ann_ivf_recall compose that same exact baseline
-    // (it is their ground truth), so they inherit it.
-    val allowNestedLoop = Set("ann_topk_exact", "ann_recall", "ann_ivf_recall")
+    // (it is their ground truth), so they inherit it; ann_pq_recall's
+    // exact-L2 ground truth is the same bounded probe-broadcast shape.
+    val allowNestedLoop = Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
