@@ -106,11 +106,50 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Fuzzy (edit-distance <= 1) self-join on customer name — entity
+    * resolution for near-identical keys, the string analogue of the
+    * LSH dedups. Candidate generation is SYMMETRIC DELETION (the
+    * SymSpell construction, public algorithm): every name emits itself
+    * plus each single-character deletion; two strings within one edit
+    * share at least one variant, so candidates come from an equi-join
+    * on the variant string and the exact `levenshtein` check runs only
+    * on bucket-mates — never all pairs. At 100 TB: per-row fan-out is
+    * O(len), the join shuffles on the variant hash, and bucket sizes
+    * are bounded by alphabet structure, not corpus size (the oracle is
+    * the naive quadratic θ-join, which is what it replaces). */
+  def opFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val variants = c.select(col("c_custkey"), col("c_name"),
+      explode(expr(
+        """array_union(array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substring(c_name, 1, i - 1),
+          |                substring(c_name, i + 1, length(c_name)))))""".stripMargin)).as("v"))
+    val a = variants.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"), col("v"))
+    val b = variants.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("cust_a") < col("cust_b"))
+      .select("cust_a", "cust_b", "name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("cust_a", "cust_b", "dist")
+      .orderBy("cust_a", "cust_b")
+  }
+
+  private val opFuzzyJoinSql: String =
+    """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY cust_a, cust_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dc_contamination" -> (dcContamination _),
-    "pipe_curation" -> (pipeCuration _))
+    "pipe_curation" -> (pipeCuration _),
+    "op_fuzzy_join" -> (opFuzzyJoin _))
 
   val oracles: Map[String, String] = Map(
     "dc_contamination" -> dcContaminationSql,
-    "pipe_curation" -> pipeCurationSql)
+    "pipe_curation" -> pipeCurationSql,
+    "op_fuzzy_join" -> opFuzzyJoinSql)
 }

@@ -249,7 +249,59 @@ object Events {
       |  UNION ALL SELECT user_id, 'view', count(*) FILTER (event_type = 'view') FROM events GROUP BY user_id) t
       |ORDER BY user_id, metric""".stripMargin
 
+  /** Resample + gap-fill (the time-series regularization step Spark has
+    * no native operator for — builder preference (a): compose existing
+    * ops): hourly (event_type, bucket) aggregates re-gridded onto the
+    * COMPLETE hour range of the table, empty buckets emitted with
+    * n_events = 0 and the last observed aggregate carried forward
+    * (null before a type's first observation).
+    *
+    * Scale: the aggregation is one shuffle on (hour, type); the grid is
+    * O(span × types) rows built by exploding a 1-row bounds aggregate —
+    * no cross join, no driver loop — and the gap-fill is one window
+    * pass partitioned by type. At 100 TB the grid stays tiny (it scales
+    * with time span, not data volume) and everything corpus-sized moves
+    * exactly once. */
+  def opResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, sfDir)
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"))
+      .select(col("window_start"), explode(array(types.map(lit): _*)).as("event_type"))
+    val w = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("window_start", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_ffill", last(col("total_value"), ignoreNulls = true).over(w))
+      .select("window_start", "event_type", "n_events", "value_ffill")
+      .orderBy("window_start", "event_type")
+  }
+
+  private val opResampleFfillSql: String =
+    s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+       |  FROM events),
+       |grid AS (SELECT g.ws AS window_start, t.event_type
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+       |                                      INTERVAL 1 HOUR)) AS ws) g
+       |  CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type) t),
+       |agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT g.window_start, g.event_type,
+       |  coalesce(a.n_events, 0)::BIGINT AS n_events,
+       |  last_value(a.total_value IGNORE NULLS) OVER (PARTITION BY g.event_type
+       |    ORDER BY g.window_start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.window_start = g.window_start AND a.event_type = g.event_type
+       |ORDER BY g.window_start, g.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_resample_ffill" -> (opResampleFfill _),
     "op_pivot" -> (opPivot _),
     "op_unpivot" -> (opUnpivot _),
     "op_json_extract" -> (opJsonExtract _),
@@ -261,6 +313,7 @@ object Events {
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "op_resample_ffill" -> opResampleFfillSql,
     "op_pivot" -> opPivotSql,
     "op_unpivot" -> opUnpivotSql,
     "op_json_extract" -> opJsonExtractSql,
