@@ -150,7 +150,10 @@ object Pq {
       .select(col("vec_id").as("probe_id"), col("m"), explode(expr(tableBranches)).as("e"))
       .select(col("probe_id"), col("m"), col("e.k").as("code"), col("e.dq").as("dq"))
     val w = Window.partitionBy("probe_id").orderBy(col("dq_total"), col("neighbor_id"))
-    codes.join(ptab, Seq("m", "code"))
+    // ptab is Probes×M×K rows BY CONSTRUCTION — broadcast it explicitly
+    // so the corpus codes never shuffle (and are never the build side,
+    // which fixture-scale stats would otherwise pick).
+    codes.join(broadcast(ptab), Seq("m", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("dq")).as("dq_total"))
@@ -235,7 +238,9 @@ object Pq {
     val probes = e.filter(col("vec_id") < Probes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
     val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
-    shortlist
+    // the shortlist is Probes×Shortlist rows by construction — broadcast
+    // so the corpus side streams map-side through both joins
+    broadcast(shortlist)
       .join(e.select(col("vec_id").as("neighbor_id"), col("emb")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("d2", expr(

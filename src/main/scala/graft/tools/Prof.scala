@@ -51,5 +51,11 @@ object Prof {
     stats("ml_score_gbt", graft.operators.MlScore.mlScoreGbt(spark, sf))
     stats("ann_ivf", graft.operators.Similarity.annIvf(spark, sf))
     stats("dd_ngram_jaccard", graft.operators.Dedup.ddNgramJaccard(spark, sf))
+    stats("ann_pq_adc", graft.operators.Pq.annPqAdc(spark, sf))
+    stats("ann_pq_rerank", graft.operators.Pq.annPqRerank(spark, sf))
+    stats("op_resample_ffill", graft.operators.Events.opResampleFfill(spark, sf))
+    stats("op_fuzzy_join", graft.operators.Curation.opFuzzyJoin(spark, sf))
+    println("\n-- ann_pq_adc full plan (is the probe table the broadcast side?) --")
+    println(graft.operators.Pq.annPqAdc(spark, sf).queryExecution.executedPlan.toString.take(4000))
   }
 }
