@@ -300,7 +300,81 @@ object Events {
        |  ON a.window_start = g.window_start AND a.event_type = g.event_type
        |ORDER BY g.window_start, g.event_type""".stripMargin
 
+  /** Resample + LINEAR INTERPOLATION — [[opResampleFfill]]'s grid with
+    * interior gaps filled by interpolating between the surrounding
+    * observations instead of carrying the last one: two window passes
+    * (previous/next observed value and hour index), then
+    * `pv + (nv - pv) * frac`. Null outside the observed range (no
+    * extrapolation). The arithmetic is the SAME expression tree in both
+    * engines — integer hour indexes, one double division — so results
+    * are bit-identical. Same scale shape as ffill: one shuffle for the
+    * aggregate, window passes partitioned by type. */
+  def opResampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, sfDir)
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"))
+      .select(col("window_start"), explode(array(types.map(lit): _*)).as("event_type"))
+    val back = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(agg, Seq("window_start", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("t", (unix_seconds(col("window_start")) / 3600L).cast("long"))
+      .withColumn("obs_t", when(col("total_value").isNotNull, col("t")))
+      .withColumn("pv", last(col("total_value"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(col("obs_t"), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("total_value"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(col("obs_t"), ignoreNulls = true).over(fwd))
+      .withColumn("value_interp",
+        when(col("total_value").isNotNull, col("total_value"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))))
+      .select("window_start", "event_type", "n_events", "value_interp")
+      .orderBy("window_start", "event_type")
+  }
+
+  private val opResampleInterpSql: String =
+    s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+       |  FROM events),
+       |grid AS (SELECT g.ws AS window_start, t.event_type
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+       |                                      INTERVAL 1 HOUR)) AS ws) g
+       |  CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type) t),
+       |agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |  FROM events GROUP BY 1, 2),
+       |j AS (SELECT g.window_start, g.event_type,
+       |    coalesce(a.n_events, 0)::BIGINT AS n_events, a.total_value,
+       |    epoch(g.window_start)::BIGINT // 3600 AS t,
+       |    CASE WHEN a.total_value IS NOT NULL
+       |         THEN epoch(g.window_start)::BIGINT // 3600 END AS obs_t
+       |  FROM grid g LEFT JOIN agg a
+       |    ON a.window_start = g.window_start AND a.event_type = g.event_type),
+       |w AS (SELECT window_start, event_type, n_events, total_value, t,
+       |    last_value(total_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY window_start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(obs_t IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY window_start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(total_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY window_start
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(obs_t IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY window_start
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM j)
+       |SELECT window_start, event_type, n_events,
+       |  CASE WHEN total_value IS NOT NULL THEN total_value
+       |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+       |       ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE) END AS value_interp
+       |FROM w ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_resample_interp" -> (opResampleInterp _),
     "op_resample_ffill" -> (opResampleFfill _),
     "op_pivot" -> (opPivot _),
     "op_unpivot" -> (opUnpivot _),
@@ -313,6 +387,7 @@ object Events {
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "op_resample_interp" -> opResampleInterpSql,
     "op_resample_ffill" -> opResampleFfillSql,
     "op_pivot" -> opPivotSql,
     "op_unpivot" -> opUnpivotSql,

@@ -192,7 +192,36 @@ object StreamingOps {
       |  AND o.ts >= e.ts - INTERVAL '15 minutes' AND o.ts < e.ts
       |ORDER BY e.user_id, err_id, ctx_id""".stripMargin
 
+  /** Stream-static enrichment join — the canonical streaming-ETL shape
+    * Spark runs by re-broadcasting the static dimension into each
+    * micro-batch: streaming events enriched with the customer→nation
+    * dimension (equi-join on user_id, explicitly broadcast — the dim is
+    * dimension-table-sized by definition), then a per-nation windowless
+    * aggregation in complete mode. At 100 TB the fact stream never
+    * shuffles for the join; only the 25-row aggregate state lives in
+    * the store. */
+  def opStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    val agg = Tables.eventsStream(spark, sfDir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+    runToMemory(spark, agg, "graft_stream_enrich").orderBy("nation")
+  }
+
+  private val opStreamEnrichSql: String =
+    s"""SELECT n.n_name AS nation, count(*) AS n_events,
+       |  ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM events e
+       |JOIN customer c ON c.c_custkey = e.user_id
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |GROUP BY 1 ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_join" -> (opStreamJoin _),
     "op_stream_stateful" -> (opStreamStateful _),
     "op_stream_tumbling" -> (opStreamTumbling _),
@@ -201,6 +230,7 @@ object StreamingOps {
     "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_join" -> opStreamJoinSql,
     "op_stream_stateful" -> opStreamStatefulSql,
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
