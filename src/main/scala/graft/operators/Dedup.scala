@@ -47,6 +47,28 @@ object Dedup {
     """SELECT md5(text) AS content_key, min(doc_id) AS doc_id_keep, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY doc_id_keep""".stripMargin
 
+  /** Exact dedup after TEXT NORMALIZATION — the standard curation form
+    * (byte-identical dedup misses trivially-reformatted copies):
+    * lowercase, strip non-alphanumerics to spaces, collapse runs,
+    * trim, THEN hash-group. Same one-shuffle shape as [[ddExact]]; the
+    * normalization is pure per-row column work. The regex classes are
+    * deliberately simple enough to behave identically in Java (Spark)
+    * and RE2-style (DuckDB) dialects. */
+  def ddExactNorm(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .groupBy(md5(col("norm")).as("content_key"))
+      .agg(min(col("doc_id")).as("doc_id_keep"), count(lit(1)).as("n_copies"))
+      .orderBy("doc_id_keep")
+
+  private val ddExactNormSql: String =
+    """SELECT md5(norm) AS content_key, min(doc_id) AS doc_id_keep, count(*) AS n_copies
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |      FROM documents) t
+      |GROUP BY md5(norm) ORDER BY doc_id_keep""".stripMargin
+
   /** Banding parameters, overridable per JVM (`graft.lsh.bands` /
     * `graft.lsh.rows` system properties — read once, so the Spark plans
     * and the oracle SQL generated in the same JVM can never
@@ -461,6 +483,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_exact_norm" -> (ddExactNorm _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_lsh_wide" -> (ddMinhashLshWide _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -469,6 +492,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
+    "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash_lsh" -> minhashLshSql(),
     "dd_minhash_lsh_wide" -> minhashLshSql(wideBands, wideRows),
     "dd_ngram_jaccard" -> ddNgramJaccardSql,

@@ -774,9 +774,43 @@ object Relational {
         (rand(42) * col("l_extendedprice")).as("price_noised"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Z-order (Morton) key over (o_custkey, order date) — the
+    * multi-dimensional data-layout primitive: interleaving the bits of
+    * both dimensions makes rows close in EITHER dimension close in the
+    * single sort key, so one `repartitionByRange(zval) +
+    * sortWithinPartitions(zval)` write produces parquet whose row-group
+    * min/max statistics prune scans filtered on either column (classic
+    * Bayer curve layout; Delta/Iceberg OPTIMIZE ZORDER is this exact
+    * construction). The query emits the key itself so the oracle
+    * hash-pins the bit math; the write-side use is one line at a call
+    * site. Pure per-row integer work — no shuffle beyond the final
+    * presentation sort. */
+  def opZorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        (col("o_custkey").bitwiseAND(lit(65535L))).as("a"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")).cast("bigint")
+          .bitwiseAND(lit(65535L))).as("b"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), cast(0 as bigint),
+          |  (acc, i) -> acc + shiftleft(shiftright(a, i) & 1, 2 * i)
+          |            + shiftleft(shiftright(b, i) & 1, 2 * i + 1))""".stripMargin))
+      .select("o_orderkey", "zval")
+      .orderBy("zval", "o_orderkey")
+
+  private val opZorderKeySql: String =
+    """SELECT o_orderkey,
+      |  list_sum(list_transform(generate_series(0, 15), i ->
+      |    (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))::BIGINT AS zval
+      |FROM (SELECT o_orderkey, o_custkey & 65535 AS a,
+      |        (o_orderdate::DATE - DATE '1970-01-01') & 65535 AS b
+      |      FROM orders) t
+      |ORDER BY zval, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
     "op_salted_join" -> (opSaltedJoin _),
@@ -816,6 +850,7 @@ object Relational {
     "op_display_format" -> (opDisplayFormat _))
 
   val oracles: Map[String, String] = Map(
+    "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,
     "op_salted_join" -> opSaltedJoinSql,
