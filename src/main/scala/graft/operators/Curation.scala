@@ -130,8 +130,10 @@ object Curation {
     a.join(b, Seq("v"))
       .filter(col("cust_a") < col("cust_b"))
       .select("cust_a", "cust_b", "name_a", "name_b").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      // threshold form early-exits the DP at distance > 1 (returns -1):
+      // O(k·len) per candidate instead of O(len²)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .filter(col("dist") >= 0)
       .select("cust_a", "cust_b", "dist")
       .orderBy("cust_a", "cust_b")
   }

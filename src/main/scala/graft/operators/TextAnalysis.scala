@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -194,7 +195,70 @@ object TextAnalysis {
       |FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Document chunking into overlapping token windows (the unit-of-work
+    * split every embedding/training pipeline runs before vectorizing):
+    * windows of [[ChunkW]] tokens every [[ChunkS]] (16-token overlap),
+    * the final short window kept. Pure per-row explode — chunk count
+    * per doc is ceil((n−W)/S)+1 — so it is map-side at any corpus
+    * size; no shuffle except the presentation sort. */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  def taChunk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, CASE WHEN size(toks) <= $ChunkW THEN 0 " +
+          s"ELSE (size(toks) - $ChunkW + $ChunkS - 1) div $ChunkS END)")))
+      .withColumn("chunk", expr(s"slice(toks, chunk_id * $ChunkS + 1, $ChunkW)"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val taChunkSql: String =
+    s"""SELECT doc_id, cid::BIGINT AS chunk_id,
+       |  len(w[cid * $ChunkS + 1 : cid * $ChunkS + $ChunkW])::BIGINT AS n_tokens,
+       |  array_to_string(w[cid * $ChunkS + 1 : cid * $ChunkS + $ChunkW], ' ') AS chunk_text
+       |FROM (SELECT doc_id, w, unnest(generate_series(0,
+       |        CASE WHEN len(w) <= $ChunkW THEN 0
+       |             ELSE (len(w) - $ChunkW + $ChunkS - 1) // $ChunkS END)) AS cid
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * ([[PackBudget]]) by running prefix-sum order within each source
+    * stream — the batch-construction step that keeps training batches
+    * dense. Windowed per `source` (not globally) so the prefix sums
+    * parallelize across streams at scale; assignment is deterministic
+    * in (source, doc_id) order. */
+  private val PackBudget = 1024L
+
+  def taPackBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"cum0 div $PackBudget").as("bin"),
+        (col("cum0") % PackBudget).as("bin_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val taPackBinsSql: String =
+    s"""SELECT source, doc_id, n_tokens,
+       |  (cum0 // $PackBudget)::BIGINT AS bin, (cum0 % $PackBudget)::BIGINT AS bin_offset
+       |FROM (SELECT source, doc_id, n_tokens,
+       |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum0
+       |      FROM (SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       |            FROM documents) t) u
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chunk" -> (taChunk _),
+    "ta_pack_bins" -> (taPackBins _),
     "ta_sql_shingles" -> (taSqlShingles _),
     "ta_token_stats" -> (taTokenStats _),
     "ta_quality" -> (taQuality _),
@@ -204,6 +268,8 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_chunk" -> taChunkSql,
+    "ta_pack_bins" -> taPackBinsSql,
     "ta_sql_shingles" -> taSqlShinglesSql,
     "ta_token_stats" -> taTokenStatsSql,
     "ta_quality" -> taQualitySql,
