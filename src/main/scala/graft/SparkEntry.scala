@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, IvfPq, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++ Pq.queries ++
+      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++
+      Pq.queries ++ IvfPq.queries ++
       graft.sources.FormatRoundtrips.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++ Pq.oracles ++
+      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++
+      Pq.oracles ++ IvfPq.oracles ++
       graft.sources.FormatRoundtrips.oracles
 }

@@ -78,27 +78,32 @@ object Pq {
 
   private def pqCentroids(spark: SparkSession, sfDir: String): Map[(Int, Int), Array[Double]] =
     codebookCache.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
-      _ => fitCentroids(spark, sfDir))
+      _ => lloydFit(spark, subvecs(spark, sfDir), K, Iters))
 
-  /** Lloyd fit per subspace; returns (m, k) -> centroid. Assignment uses
-    * a window-argmin against a small broadcast centroid relation (the
-    * join form — 128 rows — rather than 128 inlined struct literals). */
-  private def fitCentroids(spark: SparkSession, sfDir: String): Map[(Int, Int), Array[Double]] = {
-    val sv = subvecs(spark, sfDir)
+  /** Generic per-subspace Lloyd fit over a (vec_id, m, sub) relation;
+    * returns (m, k) -> centroid. Init is the first-k-points seeding
+    * (vec_id < k), assignment a window-argmin against a small broadcast
+    * centroid relation (the join form rather than inlined struct
+    * literals), means one fixed-point shuffle per round. Only the
+    * centroid doubles reach the driver. Shared by the PQ codebook fit
+    * and [[IvfPq]]'s coarse + residual fits. */
+  private[operators] def lloydFit(spark: SparkSession, svIn: DataFrame,
+                                  k: Int, iters: Int): Map[(Int, Int), Array[Double]] = {
+    val sv = svIn.select("vec_id", "m", "sub")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def toMap(rows: Array[org.apache.spark.sql.Row]): Map[(Int, Int), Array[Double]] =
       rows.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (mk, rs) =>
         mk -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
       }
-    // init: the first K vectors' subvectors are the k=vec_id centroids
-    var cents = toMap(sv.filter(col("vec_id") < K)
+    // init: the first k vectors' subvectors are the k=vec_id centroids
+    var cents = toMap(sv.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").cast("int").as("k"),
         posexplode(col("sub")).as(Seq("pos", "x")))
       .select(col("m"), col("k"), col("pos"), col("x"))
       .collect())
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       val centDf = spark.createDataFrame(
-        cents.toSeq.map { case ((m, k), c) => (m, k, c) }).toDF("m", "k", "cv")
+        cents.toSeq.map { case ((m, kk), c) => (m, kk, c) }).toDF("m", "k", "cv")
       val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
       val asg = sv.join(broadcast(centDf), Seq("m"))
         .withColumn("d2", expr(
@@ -117,6 +122,11 @@ object Pq {
     sv.unpersist()
     cents
   }
+
+  /** Centroid map → a small (m, k, cv) relation for broadcast joins. */
+  private[operators] def centroidDf(spark: SparkSession,
+                                    cents: Map[(Int, Int), Array[Double]]): DataFrame =
+    spark.createDataFrame(cents.toSeq.map { case ((m, k), c) => (m, k, c) }).toDF("m", "k", "cv")
 
   /** PQ-ADC top-5 per probe: encode the corpus against the trained
     * codebook, build each probe's subspace distance table, equi-join on

@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
     // ann_recall and ann_ivf_recall compose that same exact baseline
     // (it is their ground truth), so they inherit it; ann_pq_recall's
     // exact-L2 ground truth is the same bounded probe-broadcast shape.
-    val allowNestedLoop = Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall")
+    val allowNestedLoop =
+      Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
