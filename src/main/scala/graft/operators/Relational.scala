@@ -785,26 +785,47 @@ object Relational {
     * hash-pins the bit math; the write-side use is one line at a call
     * site. Pure per-row integer work — no shuffle beyond the final
     * presentation sort. */
-  def opZorderKey(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"),
-        (col("o_custkey").bitwiseAND(lit(65535L))).as("a"),
-        (datediff(col("o_orderdate"), lit("1970-01-01")).cast("bigint")
-          .bitwiseAND(lit(65535L))).as("b"))
+  /** orders + (a, b, zval): both dimensions NORMALIZED to equal 8-bit
+    * ranges from a min/max stats pass (2 scalars to the driver — the
+    * same stats pass Delta's OPTIMIZE ZORDER runs for its
+    * range-partition ids; raw interleave would let the wider dimension
+    * monopolize every split), then bit-interleaved. Shared by the
+    * query and the layout-clustering proof in ZorderSpec. */
+  private[operators] def withZval(orders: DataFrame): DataFrame = {
+    val r = orders.agg(
+      min(col("o_custkey")).as("cl"), max(col("o_custkey")).as("ch"),
+      min(datediff(col("o_orderdate"), lit("1970-01-01"))).as("dl"),
+      max(datediff(col("o_orderdate"), lit("1970-01-01"))).as("dh")).first()
+    val (cl, ch) = (r.getLong(0), r.getLong(1))
+    val (dl, dh) = (r.getInt(2).toLong, r.getInt(3).toLong)
+    orders
+      .withColumn("a", expr(s"((o_custkey - $cl) * 255) div ${math.max(1L, ch - cl)}"))
+      .withColumn("b", expr(
+        s"((datediff(o_orderdate, date'1970-01-01') - $dl) * 255) div ${math.max(1L, dh - dl)}"))
       .withColumn("zval", expr(
-        """aggregate(sequence(0, 15), cast(0 as bigint),
+        """aggregate(sequence(0, 7), cast(0 as bigint),
           |  (acc, i) -> acc + shiftleft(shiftright(a, i) & 1, 2 * i)
           |            + shiftleft(shiftright(b, i) & 1, 2 * i + 1))""".stripMargin))
+  }
+
+  def opZorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    withZval(Tables.orders(spark, sfDir))
       .select("o_orderkey", "zval")
       .orderBy("zval", "o_orderkey")
 
   private val opZorderKeySql: String =
-    """SELECT o_orderkey,
-      |  list_sum(list_transform(generate_series(0, 15), i ->
+    """WITH bounds AS (SELECT min(o_custkey) AS cl, max(o_custkey) AS ch,
+      |    min(o_orderdate::DATE - DATE '1970-01-01') AS dl,
+      |    max(o_orderdate::DATE - DATE '1970-01-01') AS dh
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  list_sum(list_transform(generate_series(0, 7), i ->
       |    (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))::BIGINT AS zval
-      |FROM (SELECT o_orderkey, o_custkey & 65535 AS a,
-      |        (o_orderdate::DATE - DATE '1970-01-01') & 65535 AS b
-      |      FROM orders) t
+      |FROM (SELECT o_orderkey,
+      |        ((o_custkey - bounds.cl) * 255) // greatest(1, bounds.ch - bounds.cl) AS a,
+      |        (((o_orderdate::DATE - DATE '1970-01-01') - bounds.dl) * 255)
+      |          // greatest(1, bounds.dh - bounds.dl) AS b
+      |      FROM orders CROSS JOIN bounds) t
       |ORDER BY zval, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
