@@ -90,12 +90,53 @@ object FormatRoundtrips {
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
 
+  /** Schema evolution: a reader over files written under DIFFERENT
+    * schema versions (v1 without, v2 with a later-added column), merged
+    * with `mergeSchema` — the capability every long-lived ingestion
+    * layout needs (the reference's staged tables would hit this on any
+    * producer upgrade). The summary separates v1 rows (added column
+    * must read as NULL) from v2 rows (values intact); the oracle
+    * recomputes both populations from the base table, so wrong null
+    * semantics or column misalignment fails the hash. */
+  def opSchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "evo")
+    val orders = Tables.orders(spark, sfDir)
+    // v1 producer: no o_totalprice yet; v2 producer: adds it.
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      sum(expr(s"o_orderkey % $P")).as("key_check"),
+      count(col("o_totalprice")).as("n_with_price"),
+      sum(when(col("o_totalprice").isNull, expr(s"o_orderkey % $P"))).as("null_key_check"),
+      sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit("evo").as("fmt"), col("n_rows"), col("key_check"),
+        col("n_with_price"), col("null_key_check"), col("price_check"))
+  }
+
+  private val opSchemaMergeSql: String =
+    s"""SELECT 'evo' AS fmt, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  count(*) FILTER (o_orderkey % 2 = 1)::BIGINT AS n_with_price,
+       |  sum(o_orderkey % $P) FILTER (o_orderkey % 2 = 0)::BIGINT AS null_key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)
+       |    FILTER (o_orderkey % 2 = 1)::BIGINT AS price_check
+       |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_schema_merge" -> (opSchemaMerge _),
     "op_csv_roundtrip" -> (opCsvRoundtrip _),
     "op_orc_roundtrip" -> (opOrcRoundtrip _),
     "op_partitioned_write" -> (opPartitionedWrite _))
 
   val oracles: Map[String, String] = Map(
+    "op_schema_merge" -> opSchemaMergeSql,
     "op_csv_roundtrip" -> oracleFor("csv"),
     "op_orc_roundtrip" -> oracleFor("orc"),
     "op_partitioned_write" -> opPartitionedWriteSql)
