@@ -48,13 +48,21 @@ object Bench {
     val cacheSec = time(graft.operators.Dedup.materializePairCache(spark, sfDir))
     val Reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      val samples =
-        if (!ok) Seq.empty[Double]
-        else Seq.fill(Reps)(time(run(fn(spark, sfDir))))
-      (name, samples, ok)
+      // timed reps are guarded too: a query that passes warm-up but
+      // throws on a later rep must report as failed, not abort the
+      // whole bench with no JSON line emitted
+      val samples = try {
+        run(fn(spark, sfDir)) // warm-up
+        Seq.fill(Reps)(time(run(fn(spark, sfDir))))
+      } catch { case _: Throwable => Seq.empty[Double] }
+      // drop this query's scratch-persisted relations so their blocks
+      // don't skew every later query's memory (outside the timing)
+      graft.operators.Scratch.release()
+      (name, samples, samples.nonEmpty)
     }
-    def fmt(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
+    // and corrupt the JSON line
+    def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // failed queries report -1 (NOT their elapsed-until-throw time, and
     // NOT in the total) so a broken query can never read as a speedup
     def median(xs: Seq[Double]): Double =

@@ -263,15 +263,19 @@ object Events {
     * with time span, not data volume) and everything corpus-sized moves
     * exactly once. */
   def opResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
     val ev = Tables.events(spark, sfDir)
     val agg = ev
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+    // the type dimension is DERIVED from the data (a hard-coded list
+    // would silently drop aggregates of any unlisted type at the grid
+    // join); carrying the collect_set through the hour explode keeps
+    // the grid construction join-free
     val grid = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
-      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"))
-      .select(col("window_start"), explode(array(types.map(lit): _*)).as("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"),
+        collect_set(col("event_type")).as("tys"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"), col("tys"))
+      .select(col("window_start"), explode(col("tys")).as("event_type"))
     val w = Window.partitionBy("event_type").orderBy("window_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq("window_start", "event_type"), "left")
@@ -287,7 +291,7 @@ object Events {
        |grid AS (SELECT g.ws AS window_start, t.event_type
        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
        |                                      INTERVAL 1 HOUR)) AS ws) g
-       |  CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type) t),
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
        |agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
        |    count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
        |  FROM events GROUP BY 1, 2)
@@ -310,22 +314,26 @@ object Events {
     * are bit-identical. Same scale shape as ffill: one shuffle for the
     * aggregate, window passes partitioned by type. */
   def opResampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
     val ev = Tables.events(spark, sfDir)
     val agg = ev
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+    // type list derived from the data, join-free — see opResampleFfill
     val grid = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"))
-      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"))
-      .select(col("window_start"), explode(array(types.map(lit): _*)).as("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"), date_trunc("hour", max(col("ts"))).as("h1"),
+        collect_set(col("event_type")).as("tys"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("window_start"), col("tys"))
+      .select(col("window_start"), explode(col("tys")).as("event_type"))
     val back = Window.partitionBy("event_type").orderBy("window_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.partitionBy("event_type").orderBy("window_start")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     grid.join(agg, Seq("window_start", "event_type"), "left")
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      .withColumn("t", (unix_seconds(col("window_start")) / 3600L).cast("long"))
+      // floor, not truncate-toward-zero: matches the oracle for
+      // pre-1970 timestamps too (grid hours are exact multiples of
+      // 3600s, so the division itself is exact)
+      .withColumn("t", floor(unix_seconds(col("window_start")) / lit(3600)).cast("long"))
       .withColumn("obs_t", when(col("total_value").isNotNull, col("t")))
       .withColumn("pv", last(col("total_value"), ignoreNulls = true).over(back))
       .withColumn("pt", last(col("obs_t"), ignoreNulls = true).over(back))
@@ -346,15 +354,15 @@ object Events {
        |grid AS (SELECT g.ws AS window_start, t.event_type
        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
        |                                      INTERVAL 1 HOUR)) AS ws) g
-       |  CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type) t),
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
        |agg AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
        |    count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
        |  FROM events GROUP BY 1, 2),
        |j AS (SELECT g.window_start, g.event_type,
        |    coalesce(a.n_events, 0)::BIGINT AS n_events, a.total_value,
-       |    epoch(g.window_start)::BIGINT // 3600 AS t,
+       |    floor(epoch(g.window_start) / 3600)::BIGINT AS t,
        |    CASE WHEN a.total_value IS NOT NULL
-       |         THEN epoch(g.window_start)::BIGINT // 3600 END AS obs_t
+       |         THEN floor(epoch(g.window_start) / 3600)::BIGINT END AS obs_t
        |  FROM grid g LEFT JOIN agg a
        |    ON a.window_start = g.window_start AND a.event_type = g.event_type),
        |w AS (SELECT window_start, event_type, n_events, total_value, t,

@@ -138,8 +138,9 @@ object Pq {
 
   private def adcRanked(spark: SparkSession, sfDir: String, limit: Int): DataFrame = {
     val cents = pqCentroids(spark, sfDir)
-    val sv = subvecs(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query-scoped persist (consumed by encode AND probe tables);
+    // released by the harness between queries — see [[Scratch]]
+    val sv = Scratch.persist(subvecs(spark, sfDir))
     // encode: per (vec, m) the argmin-L2 code, via one inlined
     // struct-array min over the K centroid literals (map-side, no join)
     def codeExpr(m: Int): String =

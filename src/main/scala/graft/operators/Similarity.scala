@@ -188,9 +188,9 @@ object Similarity {
     * vacuous — top-k keeps the operator observable at every scale.) */
   def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     // persisted: consumed by every hash table's bucket join plus both
-    // rerank sides; megabytes at fixture scale, a staging table at 100 TB
-    val e = embWithNorm(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rerank sides; megabytes at fixture scale, a staging table at 100 TB.
+    // Query-scoped — released by the harness between queries ([[Scratch]])
+    val e = Scratch.persist(embWithNorm(spark, sfDir))
     val cand = (0 until DedupTables).map { t =>
       val bk = e.select(col("vec_id"), expr(dedupBucketS(t)).as("bucket"))
       bk.as("a").join(bk.as("b"), Seq("bucket"))
@@ -354,15 +354,28 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfAt(spark, sfDir, IvfIters)
 
+  /** The index assignment relation (vec_id → cell) — the same fit and
+    * argmax-cell expression [[annIvfAt]] indexes with, exposed so
+    * [[IvfSpec]] can assert the partition invariant (every vector in
+    * exactly one cell) against the assignment itself rather than
+    * inferring it from ranked search output. */
+  private[operators] def ivfAssignment(spark: SparkSession, sfDir: String,
+                                       iters: Int): DataFrame = {
+    val cents = ivfCentroids(spark, sfDir, iters)
+    embWithNorm(spark, sfDir)
+      .withColumn("cell", expr(argmaxCellExpr(cents)).cast("int"))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Parameterized form ([[IvfSpec]] compares iters=0 — the old
     * per-label fit — against the Lloyd fit on recall). */
   private[operators] def annIvfAt(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
     val cents = ivfCentroids(spark, sfDir, iters)
     val labels = cents.keys.toArray.sorted
     // persisted: consumed by the index assignment AND the probe ranking
-    // (at 100 TB the assignment is a staging table; here executor cache)
-    val e = embWithNorm(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (at 100 TB the assignment is a staging table; here executor cache).
+    // Query-scoped — released by the harness between queries ([[Scratch]])
+    val e = Scratch.persist(embWithNorm(spark, sfDir))
     val asg = e.withColumn("cell", expr(argmaxCellExpr(cents)).cast("int"))
     // nprobe=2: the probe's two nearest centroids via one sorted struct
     // array (negcos asc = cosine desc, ties to lower label)

@@ -58,7 +58,7 @@ object Compact {
     // the scratch cleanup below, which would otherwise delete the last
     // surviving copy of the table.
     if (!Fs.exists(spark, tableDir) && Fs.exists(spark, oldDir))
-      Fs.rename(spark, oldDir, tableDir)
+      Fs.renameOrFail(spark, oldDir, tableDir)
     val before = dataFiles(tableDir).length
     val target =
       if (targetFiles > 0) targetFiles
@@ -72,8 +72,11 @@ object Compact {
       .write.mode("overwrite").parquet(tmpDir)
     // drop the scratch _SUCCESS marker so the swapped dir is data-only
     Fs.deleteIfExists(spark, s"$tmpDir/_SUCCESS")
-    Fs.rename(spark, tableDir, oldDir)
-    Fs.rename(spark, tmpDir, tableDir)
+    // both swap moves must be CHECKED: Hadoop rename returns false on
+    // failure, and falling through to the vacuum after a failed swap
+    // would delete the only surviving copy of the table.
+    Fs.renameOrFail(spark, tableDir, oldDir)
+    Fs.renameOrFail(spark, tmpDir, tableDir)
     Fs.deleteRec(spark, oldDir) // K6 vacuum, retention 0
     val after = dataFiles(tableDir).length
     (before, after)

@@ -46,6 +46,14 @@ object Fs {
     fs.rename(s, new Path(dst))
   }
 
+  /** Rename that THROWS on failure. Hadoop's `rename` reports failure as
+    * `false` rather than an exception (unlike the `Files.move` it
+    * replaced), so any caller about to DELETE something on the
+    * assumption the move happened must use this form — a swallowed
+    * failed swap followed by a vacuum is silent data loss. */
+  def renameOrFail(spark: SparkSession, src: String, dst: String): Unit =
+    require(rename(spark, src, dst), s"rename $src -> $dst failed")
+
   def deleteIfExists(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(path, conf(spark))
     if (fs.exists(p)) fs.delete(p, false)
@@ -69,6 +77,12 @@ object Fs {
       try {
         java.nio.file.Files.createLink(dNio, sNio)
         java.nio.file.Files.deleteIfExists(sNio)
+        // the temp was written via ChecksumFileSystem, which left a
+        // `.<name>.crc` sidecar; deleting the data file through NIO
+        // bypasses that layer, so reap the sidecar explicitly or a
+        // long-lived table accretes one orphan per commit
+        java.nio.file.Files.deleteIfExists(
+          sNio.resolveSibling("." + sNio.getFileName.toString + ".crc"))
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false

@@ -138,7 +138,8 @@ object Synthesize {
     parts.zipWithIndex.foreach { case (p, i) =>
       val dst = f"$tableDir/${table}_b${batchId}_p$i%04d.json"
       Fs.deleteIfExists(spark, dst) // idempotent re-stage (Hadoop rename won't overwrite)
-      Fs.rename(spark, p, dst)
+      Fs.renameOrFail(spark, p, dst) // unchecked, a false here + the tmp
+      // cleanup below would silently drop this part's rows from the batch
     }
     // scrap the _SUCCESS marker + dir
     Fs.deleteRec(spark, tmp)

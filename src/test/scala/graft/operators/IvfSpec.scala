@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sources.Tables
 
 /** IVF index-quality invariants the oracle can't express: the Lloyd fit
   * must be at least as good an index as the per-label init it replaced
@@ -27,13 +28,22 @@ class IvfSpec extends SparkSpec {
   }
 
   test("IVF assignment is a partition: every vector lands in exactly one cell") {
-    val cents = 10 // fixture has 10 labels; k tracks the init partition
+    val k = 10 // fixture has 10 labels; the fit keeps k cells
+    val n = Tables.embeddings(spark, sf).count()
+    val asg = Similarity.ivfAssignment(spark, sf, 2)
+    // exactly one assignment row per corpus vector, every cell defined
+    // and within the trained centroid set — the partition property
+    assert(asg.count() == n, "assignment must cover every vector once")
+    assert(asg.select("vec_id").distinct().count() == n,
+      "a vector appeared in more than one cell")
+    assert(asg.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= k)
+      .count() == 0, s"cell ids must be non-null and in [0, $k)")
+    // and the search output built on it stays well-formed: at most 5
+    // ranked rows per probe, neighbors distinct
     val ivf = Similarity.annIvfAt(spark, sf, 2)
-    // each probe emits at most 5 ranked rows with distinct neighbors
     val perProbe = ivf.groupBy("probe_id").agg(
       count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("d"))
     assert(perProbe.filter(col("n") > 5 || col("n") =!= col("d")).count() == 0)
     assert(ivf.select("probe_id").distinct().count() <= 10)
-    assert(cents == 10)
   }
 }
