@@ -256,7 +256,71 @@ object TextAnalysis {
        |            FROM documents) t) u
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Repetition-based quality signals (the Gopher/MassiveText-style
+    * repetition gate, distinct from [[taQuality]]'s length/stopword
+    * features): per document, the share of word bigrams taken by the
+    * single most frequent bigram (`top_bigram_frac`) and the share of
+    * adjacent token positions that repeat the previous token
+    * (`dup_adjacent_frac` — catches "batch batch batch" runs), plus the
+    * boolean gate a curation pipeline would filter on. The fixture text
+    * has no newlines, so the line-level variants of these rules are
+    * vacuous here; the n-gram forms are the load-bearing ones.
+    *
+    * Shape at scale: bigram construction is a per-row projection
+    * (no shuffle), then one partial-aggregated groupBy on
+    * (doc_id, bigram) and one on doc_id — both keyed by doc, both
+    * map-side combinable. Fractions are single integer-over-integer
+    * divisions, bit-equal across engines. */
+  def taRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("dup_adjacent_n",
+        expr("size(filter(sequence(1, size(toks) - 1), i -> toks[i] = toks[i - 1]))")
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_adjacent_n"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("g"))
+    base.groupBy("doc_id", "n_tokens", "dup_adjacent_n", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "dup_adjacent_n")
+      .agg(count(lit(1)).as("n_distinct_bigrams"), max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - 1).as("n_bigrams"),
+        col("n_distinct_bigrams"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / (col("n_tokens") - 1)).as("top_bigram_frac"),
+        col("dup_adjacent_n"),
+        (col("dup_adjacent_n").cast("double") / (col("n_tokens") - 1)).as("dup_adjacent_frac"),
+        (col("top_bigram_n").cast("double") / (col("n_tokens") - 1) >= 0.1)
+          .as("flag_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  private val taRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |        len([i for i in generate_series(2, len(w)) if w[i] = w[i-1]])::BIGINT
+      |          AS dup_adjacent_n,
+      |        unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS g
+      |      FROM t),
+      |c AS (SELECT doc_id, n_tokens, dup_adjacent_n, g, count(*) AS c
+      |      FROM b GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id, n_tokens, n_tokens - 1 AS n_bigrams,
+      |  count(*)::BIGINT AS n_distinct_bigrams,
+      |  max(c)::BIGINT AS top_bigram_n,
+      |  max(c)::DOUBLE / (n_tokens - 1) AS top_bigram_frac,
+      |  dup_adjacent_n,
+      |  dup_adjacent_n::DOUBLE / (n_tokens - 1) AS dup_adjacent_frac,
+      |  max(c)::DOUBLE / (n_tokens - 1) >= 0.1 AS flag_repetitive
+      |FROM c GROUP BY doc_id, n_tokens, dup_adjacent_n
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> (taRepetition _),
     "ta_chunk" -> (taChunk _),
     "ta_pack_bins" -> (taPackBins _),
     "ta_sql_shingles" -> (taSqlShingles _),
@@ -268,6 +332,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_repetition" -> taRepetitionSql,
     "ta_chunk" -> taChunkSql,
     "ta_pack_bins" -> taPackBinsSql,
     "ta_sql_shingles" -> taSqlShinglesSql,
