@@ -55,6 +55,7 @@ object Prof {
     stats("ann_pq_rerank", graft.operators.Pq.annPqRerank(spark, sf))
     stats("op_resample_ffill", graft.operators.Events.opResampleFfill(spark, sf))
     stats("op_fuzzy_join", graft.operators.Curation.opFuzzyJoin(spark, sf))
+    stats("ta_repetition", graft.operators.TextAnalysis.taRepetition(spark, sf))
     println("\n-- ann_pq_adc full plan (is the probe table the broadcast side?) --")
     println(graft.operators.Pq.annPqAdc(spark, sf).queryExecution.executedPlan.toString.take(4000))
   }
