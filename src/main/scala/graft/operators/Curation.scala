@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -145,13 +146,72 @@ object Curation {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY cust_a, cust_b""".stripMargin
 
+  /** Deterministic domain-mixture resampling — the "mix web : books :
+    * code at target proportions" step every pretraining corpus build
+    * runs. Each source gets a target weight (here derived from the
+    * source id so the fixture exercises non-uniform targets); the
+    * binding source saturates (rate 1.0) and every other source is
+    * down-sampled so the kept set matches the target mixture.
+    * Membership is content-addressed (md5-hash thresholding, the same
+    * reproducible-sampling form as `op_sample_stratified`), so the
+    * oracle pins exactly WHICH documents survive, not just how many.
+    *
+    * Scale shape: per-source counts and rates are a 20-row aggregate
+    * computed with whole-relation window passes (tiny, driver never
+    * sees data); the corpus is scanned ONCE, filtered map-side against
+    * the broadcast rates relation, and summarized by a map-side-
+    * combinable per-source aggregate. No corpus-sized shuffle, no
+    * nested-loop scalar joins. */
+  def pipeMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    // whole-relation window over the tiny per-source counts relation
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", (expr("cast(substr(source, 4) as int)") % 4 + 1).cast("double"))
+    val counts = d.groupBy("source", "w").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .withColumn("p", col("w") / sum(col("w")).over(all))
+      .withColumn("quota", col("n_docs") / col("p"))
+      .withColumn("rate",
+        least(lit(1.0), min(col("quota")).over(all) * col("p") / col("n_docs")))
+      .select("source", "n_docs", "w", "rate")
+    val u = Text.hash60SparkSql("concat('mix:', cast(doc_id as string))")
+    d.select("doc_id", "source")
+      .join(rates, Seq("source")) // 20-row side: AQE broadcasts it
+      .filter(expr(s"$u % 1000000") < col("rate") * 1000000)
+      .groupBy("source", "n_docs", "w", "rate")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(expr("doc_id % 1000000007")).as("member_check"))
+      .orderBy("source")
+  }
+
+  private val pipeMixtureSql: String = {
+    val u = Text.hash60DuckSql("'mix:' || doc_id::VARCHAR")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    (substr(source, 4)::INT % 4 + 1)::DOUBLE AS w FROM documents),
+       |counts AS (SELECT source, w, count(*) AS n_docs FROM d GROUP BY 1, 2),
+       |r0 AS (SELECT source, w, n_docs, w / sum(w) OVER () AS p FROM counts),
+       |r1 AS (SELECT source, w, n_docs, p, n_docs / p AS quota FROM r0),
+       |rates AS (SELECT source, w, n_docs,
+       |    least(1.0, min(quota) OVER () * p / n_docs) AS rate FROM r1)
+       |SELECT d.source, r.n_docs::BIGINT AS n_docs, r.w, r.rate,
+       |  count(*)::BIGINT AS n_kept,
+       |  sum(d.doc_id % 1000000007)::BIGINT AS member_check
+       |FROM d JOIN rates r ON d.source = r.source
+       |WHERE ($u) % 1000000 < r.rate * 1000000
+       |GROUP BY d.source, r.n_docs, r.w, r.rate
+       |ORDER BY d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dc_contamination" -> (dcContamination _),
     "pipe_curation" -> (pipeCuration _),
+    "pipe_mixture" -> (pipeMixture _),
     "op_fuzzy_join" -> (opFuzzyJoin _))
 
   val oracles: Map[String, String] = Map(
     "dc_contamination" -> dcContaminationSql,
     "pipe_curation" -> pipeCurationSql,
+    "pipe_mixture" -> pipeMixtureSql,
     "op_fuzzy_join" -> opFuzzyJoinSql)
 }
