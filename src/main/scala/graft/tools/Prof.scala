@@ -42,10 +42,17 @@ object Prof {
     * "is this the plan you'd want at 100 TB" audit. */
   private def auditPlans(spark: SparkSession, sf: String): Unit = {
     def stats(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val p = df.queryExecution.executedPlan.toString
+      // execute THIS dataset's QueryExecution so AQE finalizes and the
+      // printed plan is the one that actually ran (pre-execution the
+      // AdaptiveSparkPlan hides codegen spans and runtime join picks)
+      df.collect()
+      // drop the "== Initial Plan ==" echo (it double-counts every
+      // node); codegen spans render as "*(n)" markers in this form
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       def n(pat: String) = pat.r.findAllIn(p).size
       println(f"$name%-20s parquetScans=${n("Scan parquet")}%2d cacheScans=${n("InMemoryTableScan")}%2d " +
-        f"exchanges=${n("Exchange")}%2d wholestage=${p.contains("WholeStageCodegen")}")
+        f"exchanges=${n("Exchange")}%2d wholestageSpans=${n("""\*\(\d+\)""")}%2d " +
+        f"final=${p.contains("isFinalPlan=true")}")
     }
     stats("dd_embed_cosine", graft.operators.Similarity.ddEmbedCosine(spark, sf))
     stats("ml_score_gbt", graft.operators.MlScore.mlScoreGbt(spark, sf))
