@@ -128,6 +128,48 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q5-shaped local-supplier-volume query — the canonical
+    * six-table star-join plan a 100 TB warehouse runs: the date filter
+    * pushes to the orders scan and the region filter prunes the dim
+    * BEFORE any join; nation⋈region (tens of rows) is explicitly
+    * broadcast; the fact-side joins (lineitem⋈orders⋈customer⋈supplier)
+    * are left to AQE — each is an equi-join on its natural key, so they
+    * shuffle at most once per key and partial aggregation runs map-side
+    * before the final 5-row group-by. Beyond the reference's Q3 variant;
+    * included to keep a rich multi-join plan under the plan-audit
+    * harness. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region")
+        .filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(spark, sfDir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Row-level range filter + projection (P1/P2/P4/P5): predicates land in
     * the scan as PushedFilters; only 5 of 11 columns are read. */
   def opFilterRange(spark: SparkSession, sfDir: String): DataFrame =
@@ -848,6 +890,7 @@ object Relational {
     "op_rand_perturb" -> (opRandPerturb _)) ++ Map(
     "q3_unshipped" -> ((s, d) => q3Unshipped(s, d)),
     "q1_pricing" -> (q1Pricing _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast" -> (q6Forecast _),
     "op_filter_range" -> (opFilterRange _),
     "op_project_rename" -> (opProjectRename _),
@@ -885,6 +928,7 @@ object Relational {
     "op_result_sink" -> q3Sql("BUILDING"),
     "q3_unshipped" -> q3Sql("BUILDING"),
     "q1_pricing" -> q1Sql,
+    "q5_local_supplier" -> q5Sql,
     "q6_forecast" -> q6Sql,
     "op_filter_range" -> opFilterRangeSql,
     "op_project_rename" -> opProjectRenameSql,

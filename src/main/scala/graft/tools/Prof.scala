@@ -63,6 +63,11 @@ object Prof {
     stats("op_resample_ffill", graft.operators.Events.opResampleFfill(spark, sf))
     stats("op_fuzzy_join", graft.operators.Curation.opFuzzyJoin(spark, sf))
     stats("ta_repetition", graft.operators.TextAnalysis.taRepetition(spark, sf))
+    stats("q5_local_supplier", graft.operators.Relational.q5LocalSupplier(spark, sf))
+    println("\n-- q5_local_supplier full plan (pushdowns + join strategies) --")
+    val q5 = graft.operators.Relational.q5LocalSupplier(spark, sf)
+    q5.collect()
+    println(q5.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0).take(6000))
     println("\n-- ann_pq_adc full plan (is the probe table the broadcast side?) --")
     println(graft.operators.Pq.annPqAdc(spark, sf).queryExecution.executedPlan.toString.take(4000))
   }
