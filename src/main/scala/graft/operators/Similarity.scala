@@ -493,6 +493,56 @@ object Similarity {
        |LEFT JOIN hits ON hits.probe_id = p.probe_id
        |ORDER BY p.probe_id""".stripMargin
 
+  /** SemDeDup cosine threshold — calibrated so the fixture (within-cell
+    * max cosine ≈ 0.35–0.47) yields a non-vacuous drop set. */
+  private val SemTheta = 0.3
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the SAME
+    * Lloyd k-means the IVF index trains (1 iteration here), then prune
+    * near-duplicates WITHIN each cell — a pair is a semantic dup when
+    * its cosine ≥ [[SemTheta]]; the greedy rule keeps the lowest
+    * vec_id of each qualifying pair and reports every dropped vector
+    * with its keeper, dup count, and max cosine.
+    *
+    * Scale shape: identical to every other candidate-generation path
+    * in this repo — the quadratic comparison is confined to a cell
+    * (cells ≈ n/occupancy as k grows with corpus size), pair
+    * generation is a bucketed equi-join on the cell id, and nothing
+    * corpus-sized is broadcast or collected. The oracle recomputes the
+    * Lloyd fit + assignment + in-cell pairing bit-identically. */
+  def ddSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfCentroids(spark, sfDir, 1)
+    // query-scoped persist: both pair sides scan the assigned relation
+    val e = Scratch.persist(embWithNorm(spark, sfDir)
+      .withColumn("cell", expr(argmaxCellExpr(cents)).cast("int")))
+    val a = e.select(col("cell"), col("vec_id").as("va"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("cell"), col("vec_id").as("vb"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cosine",
+        expr(s"${dotS("emb_a", "emb_b")}") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= SemTheta)
+      .groupBy(col("cell"), col("vb").as("dropped"))
+      .agg(min(col("va")).as("kept_ref"), count(lit(1)).as("n_dups"),
+        max(col("cosine")).as("max_cosine"))
+      .select("dropped", "cell", "kept_ref", "n_dups", "max_cosine")
+      .orderBy("dropped")
+  }
+
+  private val ddSemdedupSql: String =
+    s"""WITH $duckEmbCte,
+       |${ivfSqlCtes(1)},
+       |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, b.cell,
+       |    ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT vb AS dropped, cell, min(va)::BIGINT AS kept_ref,
+       |  count(*)::BIGINT AS n_dups, max(cosine) AS max_cosine
+       |FROM pr WHERE cosine >= $SemTheta
+       |GROUP BY vb, cell ORDER BY dropped""".stripMargin
+
   /** Per-label centroids (the training-data analytics primitive behind
     * IVF coarse quantizers and class prototypes): posexplode the vector,
     * one shuffle on (label, dim), fixed-point exact mean per dimension.
@@ -525,6 +575,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_recall" -> (annRecall _),
+    "dd_semdedup" -> (ddSemdedup _),
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
@@ -534,5 +585,6 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_recall" -> annRecallSql,
+    "dd_semdedup" -> ddSemdedupSql,
     "emb_centroid" -> embCentroidSql)
 }
