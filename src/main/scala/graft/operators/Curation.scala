@@ -156,12 +156,12 @@ object Curation {
     * reproducible-sampling form as `op_sample_stratified`), so the
     * oracle pins exactly WHICH documents survive, not just how many.
     *
-    * Scale shape: per-source counts and rates are a 20-row aggregate
-    * computed with whole-relation window passes (tiny, driver never
-    * sees data); the corpus is scanned ONCE, filtered map-side against
-    * the broadcast rates relation, and summarized by a map-side-
-    * combinable per-source aggregate. No corpus-sized shuffle, no
-    * nested-loop scalar joins. */
+    * Scale shape: two corpus passes — a per-source count aggregate
+    * (map-side combinable into |sources| rows) to derive the rates,
+    * then the membership pass filtering map-side against the broadcast
+    * rates relation into the per-source summary. No corpus-sized
+    * shuffle, no nested-loop scalar joins; the windowed rate derivation
+    * runs on the tiny counts relation only. */
   def pipeMixture(spark: SparkSession, sfDir: String): DataFrame = {
     // whole-relation window over the tiny per-source counts relation
     val all = Window.partitionBy()

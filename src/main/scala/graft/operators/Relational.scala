@@ -139,17 +139,17 @@ object Relational {
     * included to keep a rich multi-join plan under the plan-audit
     * harness. */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val dims = Tables.load(spark, sfDir, "nation")
-      .join(Tables.load(spark, sfDir, "region")
+    val dims = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir)
         .filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
-    val orders = Tables.load(spark, sfDir, "orders")
+    val orders = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
     Tables.lineitem(spark, sfDir)
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.load(spark, sfDir, "supplier"),
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

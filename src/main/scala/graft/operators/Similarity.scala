@@ -501,9 +501,14 @@ object Similarity {
     * arXiv:2303.09540): cluster the embedding corpus with the SAME
     * Lloyd k-means the IVF index trains (1 iteration here), then prune
     * near-duplicates WITHIN each cell — a pair is a semantic dup when
-    * its cosine ≥ [[SemTheta]]; the greedy rule keeps the lowest
-    * vec_id of each qualifying pair and reports every dropped vector
-    * with its keeper, dup count, and max cosine.
+    * its cosine ≥ [[SemTheta]]. The drop rule is the one-pass greedy
+    * approximation: a vector is dropped iff some LOWER-id cell-mate is
+    * within the threshold, so the kept set is the in-cell local minima
+    * of the similarity graph. `min_neighbor` is the lowest-id
+    * qualifying neighbor — the greedy witness, which may itself be
+    * dropped when dups chain (the standard one-pass caveat; exact
+    * per-component keepers are what [[Dedup]]'s connected-components
+    * path provides for the MinHash pipeline).
     *
     * Scale shape: identical to every other candidate-generation path
     * in this repo — the quadratic comparison is confined to a cell
@@ -526,9 +531,9 @@ object Similarity {
         expr(s"${dotS("emb_a", "emb_b")}") / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= SemTheta)
       .groupBy(col("cell"), col("vb").as("dropped"))
-      .agg(min(col("va")).as("kept_ref"), count(lit(1)).as("n_dups"),
+      .agg(min(col("va")).as("min_neighbor"), count(lit(1)).as("n_dups"),
         max(col("cosine")).as("max_cosine"))
-      .select("dropped", "cell", "kept_ref", "n_dups", "max_cosine")
+      .select("dropped", "cell", "min_neighbor", "n_dups", "max_cosine")
       .orderBy("dropped")
   }
 
@@ -538,7 +543,7 @@ object Similarity {
        |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, b.cell,
        |    ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-       |SELECT vb AS dropped, cell, min(va)::BIGINT AS kept_ref,
+       |SELECT vb AS dropped, cell, min(va)::BIGINT AS min_neighbor,
        |  count(*)::BIGINT AS n_dups, max(cosine) AS max_cosine
        |FROM pr WHERE cosine >= $SemTheta
        |GROUP BY vb, cell ORDER BY dropped""".stripMargin

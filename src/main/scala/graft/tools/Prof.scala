@@ -41,34 +41,38 @@ object Prof {
     * queries — scan/exchange/codegen counts, the facts behind the
     * "is this the plan you'd want at 100 TB" audit. */
   private def auditPlans(spark: SparkSession, sf: String): Unit = {
-    def stats(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    // finalized (post-collect) plan string, Initial Plan echo stripped
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def stats(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // execute THIS dataset's QueryExecution so AQE finalizes and the
       // printed plan is the one that actually ran (pre-execution the
       // AdaptiveSparkPlan hides codegen spans and runtime join picks)
       df.collect()
-      // drop the "== Initial Plan ==" echo (it double-counts every
-      // node); codegen spans render as "*(n)" markers in this form
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val p = finalPlan(df)
       def n(pat: String) = pat.r.findAllIn(p).size
+      // every operator inside a span carries the "*(id)" marker, so
+      // spans = DISTINCT stage ids, not marker occurrences
+      val spans = """\*\((\d+)\)""".r.findAllMatchIn(p).map(_.group(1)).toSet.size
       println(f"$name%-20s parquetScans=${n("Scan parquet")}%2d cacheScans=${n("InMemoryTableScan")}%2d " +
-        f"exchanges=${n("Exchange")}%2d wholestageSpans=${n("""\*\(\d+\)""")}%2d " +
+        f"exchanges=${n("Exchange")}%2d wholestageSpans=$spans%2d " +
         f"final=${p.contains("isFinalPlan=true")}")
+      df
     }
     stats("dd_embed_cosine", graft.operators.Similarity.ddEmbedCosine(spark, sf))
     stats("ml_score_gbt", graft.operators.MlScore.mlScoreGbt(spark, sf))
     stats("ann_ivf", graft.operators.Similarity.annIvf(spark, sf))
     stats("dd_ngram_jaccard", graft.operators.Dedup.ddNgramJaccard(spark, sf))
-    stats("ann_pq_adc", graft.operators.Pq.annPqAdc(spark, sf))
+    val adc = stats("ann_pq_adc", graft.operators.Pq.annPqAdc(spark, sf))
     stats("ann_pq_rerank", graft.operators.Pq.annPqRerank(spark, sf))
     stats("op_resample_ffill", graft.operators.Events.opResampleFfill(spark, sf))
     stats("op_fuzzy_join", graft.operators.Curation.opFuzzyJoin(spark, sf))
     stats("ta_repetition", graft.operators.TextAnalysis.taRepetition(spark, sf))
-    stats("q5_local_supplier", graft.operators.Relational.q5LocalSupplier(spark, sf))
+    stats("dd_semdedup", graft.operators.Similarity.ddSemdedup(spark, sf))
+    val q5 = stats("q5_local_supplier", graft.operators.Relational.q5LocalSupplier(spark, sf))
     println("\n-- q5_local_supplier full plan (pushdowns + join strategies) --")
-    val q5 = graft.operators.Relational.q5LocalSupplier(spark, sf)
-    q5.collect()
-    println(q5.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0).take(6000))
+    println(finalPlan(q5).take(6000))
     println("\n-- ann_pq_adc full plan (is the probe table the broadcast side?) --")
-    println(graft.operators.Pq.annPqAdc(spark, sf).queryExecution.executedPlan.toString.take(4000))
+    println(finalPlan(adc).take(4000))
   }
 }
