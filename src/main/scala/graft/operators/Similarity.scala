@@ -511,11 +511,15 @@ object Similarity {
     * path provides for the MinHash pipeline).
     *
     * Scale shape: identical to every other candidate-generation path
-    * in this repo — the quadratic comparison is confined to a cell
-    * (cells ≈ n/occupancy as k grows with corpus size), pair
-    * generation is a bucketed equi-join on the cell id, and nothing
-    * corpus-sized is broadcast or collected. The oracle recomputes the
-    * Lloyd fit + assignment + in-cell pairing bit-identically. */
+    * in this repo — the quadratic comparison is confined to a cell,
+    * pair generation is a bucketed equi-join on the cell id, and
+    * nothing corpus-sized is broadcast or collected. Honesty note on
+    * k: here it tracks the fixture's label count (the per-label init);
+    * a production deployment must grow k with corpus size so cells
+    * stay at bounded occupancy (the [[LshParams]] bucket-count
+    * derivation applies unchanged) — the Lloyd fit
+    * itself is k-agnostic. The oracle recomputes fit + assignment +
+    * in-cell pairing bit-identically. */
   def ddSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = ivfCentroids(spark, sfDir, 1)
     // query-scoped persist: both pair sides scan the assigned relation
