@@ -345,6 +345,34 @@ object Relational {
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS — the general form rollup/cube specialize: three
+    * heterogeneous sets ((region, nation), (mktsegment), ()) in one
+    * aggregation pass (Spark expands to a single Expand + partial/final
+    * aggregate, not three scans). Rows from different sets are
+    * distinguished by their null pattern; every grouped column is
+    * non-null in the fixture so the NULLS FIRST total order is
+    * deterministic without a grouping_id column. */
+  def opGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
+        col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(Exact.exactSum(col("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"),
+        asc_nulls_first("c_mktsegment"))
+
+  private val opGroupingSetsSql: String =
+    s"""SELECT r_name, n_name, c_mktsegment,
+       |  ${Exact.sqlSum("c_acctbal", 2)} AS total_bal, count(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name, n_name), (c_mktsegment), ())
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST,
+       |  c_mktsegment NULLS FIRST""".stripMargin
+
   /** Top-k (O1+O2, reference pipeline/reduce.py:69-72): Catalyst fuses
     * orderBy.limit into TakeOrderedAndProject — per-partition heap of 25,
     * driver merges k·partitions rows. The reference materializes a full
@@ -902,6 +930,7 @@ object Relational {
     "op_agg_stats" -> (opAggStats _),
     "op_rollup" -> (opRollup _),
     "op_cube" -> (opCube _),
+    "op_grouping_sets" -> (opGroupingSets _),
     "op_topk" -> (opTopk _),
     "op_window_rank" -> (opWindowRank _),
     "op_window_running" -> (opWindowRunning _),
@@ -940,6 +969,7 @@ object Relational {
     "op_agg_stats" -> opAggStatsSql,
     "op_rollup" -> opRollupSql,
     "op_cube" -> opCubeSql,
+    "op_grouping_sets" -> opGroupingSetsSql,
     "op_topk" -> opTopkSql,
     "op_window_rank" -> opWindowRankSql,
     "op_window_running" -> opWindowRunningSql,
