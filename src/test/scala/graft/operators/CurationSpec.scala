@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants of the corpus-composition operators that the
+  * DuckDB oracle can't express (it verifies value equality, not the
+  * properties the construction promises). */
+class CurationSpec extends SparkSpec {
+
+  test("pipe_mixture: binding source saturates at 1.0, rates in (0,1], kept <= docs") {
+    val out = Curation.pipeMixture(spark, sf).collect()
+    assert(out.nonEmpty)
+    val rates = out.map(_.getAs[Double]("rate"))
+    // the scarcest-per-target source is never down-sampled...
+    assert(rates.max == 1.0, "the binding source must saturate at rate 1.0")
+    // ...and no rate escapes (0, 1]
+    assert(rates.forall(r => r > 0.0 && r <= 1.0), s"rate out of range: ${rates.mkString(",")}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"),
+        s"source ${r.getAs[String]("source")} kept more docs than it has")
+    }
+  }
+
+  test("dd_semdedup: each cell's minimum vec_id is never dropped (local-minima keep rule)") {
+    val dropped = Similarity.ddSemdedup(spark, sf)
+      .select(col("dropped").as("vec_id"))
+    val cellMins = Similarity.ivfAssignment(spark, sf, 1)
+      .groupBy("cell").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    // a cell's global minimum has no lower-id cell-mate, so the greedy
+    // rule can never drop it — the keep-list is provably non-empty per
+    // occupied cell
+    assert(cellMins.join(dropped, Seq("vec_id"), "left_semi").count() == 0)
+  }
+}
