@@ -128,6 +128,36 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q14-shaped promotion-revenue ratio — the lineitem⋈part
+    * pattern no other query exercises: a date-pushed fact scan joined
+    * to the part dim on partkey (AQE picks broadcast at fixture scale,
+    * shuffle at real SF), a conditional fixed-point aggregate over a
+    * LIKE-class predicate, and a scalar ratio of the two exact sums
+    * computed with the identical expression shape in both engines. */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Exact.exactSum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0)), 4)
+          .as("promo_revenue"),
+        Exact.exactSum(disc, 4).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  private val q14Sql: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |  100.0 * promo_revenue / total_revenue AS promo_pct
+       |FROM (SELECT
+       |  ${Exact.sqlSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)} AS promo_revenue,
+       |  ${Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') t""".stripMargin
+
   /** TPC-H Q5-shaped local-supplier-volume query — the canonical
     * six-table star-join plan a 100 TB warehouse runs: the date filter
     * pushes to the orders scan and the region filter prunes the dim
@@ -920,6 +950,7 @@ object Relational {
     "q1_pricing" -> (q1Pricing _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast" -> (q6Forecast _),
+    "q14_promo" -> (q14Promo _),
     "op_filter_range" -> (opFilterRange _),
     "op_project_rename" -> (opProjectRename _),
     "op_join_inner" -> (opJoinInner _),
@@ -959,6 +990,7 @@ object Relational {
     "q1_pricing" -> q1Sql,
     "q5_local_supplier" -> q5Sql,
     "q6_forecast" -> q6Sql,
+    "q14_promo" -> q14Sql,
     "op_filter_range" -> opFilterRangeSql,
     "op_project_rename" -> opProjectRenameSql,
     "op_join_inner" -> opJoinInnerSql,
