@@ -128,6 +128,35 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q17-shaped small-quantity revenue — the DECORRELATED scalar
+    * subquery pattern ("rows below 0.2× their group's average") no
+    * other query exercises: the per-part threshold is a grouped
+    * fixed-point average joined back to the fact on partkey, so what a
+    * naive engine runs as a correlated per-row subquery is two
+    * partkey-shuffles and one equi-join here — the shape Catalyst's
+    * decorrelation produces and the only one that scales. The
+    * threshold itself is exact-average arithmetic with identical
+    * expression shape in both engines, so borderline rows filter
+    * identically. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val lim = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((Exact.exactAvg(col("l_quantity"), 2) * lit(0.2)).as("qty_lim"))
+    Tables.lineitem(spark, sfDir)
+      .join(lim, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(Exact.exactSum(col("l_extendedprice"), 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q17Sql: String =
+    s"""SELECT ${Exact.sqlSum("l_extendedprice", 2)} AS small_qty_revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem l JOIN (
+       |  SELECT l_partkey AS pk, ${Exact.sqlAvg("l_quantity", 2)} * 0.2 AS qty_lim
+       |  FROM lineitem GROUP BY l_partkey) a
+       |ON l.l_partkey = a.pk WHERE l.l_quantity < a.qty_lim""".stripMargin
+
   /** TPC-H Q14-shaped promotion-revenue ratio — the lineitem⋈part
     * pattern no other query exercises: a date-pushed fact scan joined
     * to the part dim on partkey (AQE picks broadcast at fixture scale,
@@ -951,6 +980,7 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast" -> (q6Forecast _),
     "q14_promo" -> (q14Promo _),
+    "q17_small_qty" -> (q17SmallQty _),
     "op_filter_range" -> (opFilterRange _),
     "op_project_rename" -> (opProjectRename _),
     "op_join_inner" -> (opJoinInner _),
@@ -991,6 +1021,7 @@ object Relational {
     "q5_local_supplier" -> q5Sql,
     "q6_forecast" -> q6Sql,
     "q14_promo" -> q14Sql,
+    "q17_small_qty" -> q17Sql,
     "op_filter_range" -> opFilterRangeSql,
     "op_project_rename" -> opProjectRenameSql,
     "op_join_inner" -> opJoinInnerSql,
