@@ -45,7 +45,12 @@ object Bench {
     // query's warm-up run isn't charged ~5s of one-time JVM cost.
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // The shared LSH pair relation, timed as its own line (see scaladoc).
-    val cacheSec = time(graft.operators.Dedup.materializePairCache(spark, sfDir))
+    // Guarded like the per-query reps: if the pair pipeline throws, the
+    // bench must still emit its one JSON line (cache_materialize = -1;
+    // the dd_* consumers will then report failed individually too).
+    val cacheSec =
+      try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
     val Reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // timed reps are guarded too: a query that passes warm-up but
@@ -74,7 +79,7 @@ object Bench {
       s"\"$k\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = medians.collect { case (_, v) if v >= 0 => v }.sum + cacheSec
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum + math.max(0.0, cacheSec)
     // n_queries + action give round-over-round totals their context:
     // r1 measured 41 queries under count() (projection-pruned); r2
     // measured the full surface once under noop materialization; r3+

@@ -87,7 +87,12 @@ object Fs {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else fs.rename(s, d)
+    } else if (fs.getScheme == "hdfs") fs.rename(s, d)
+    else throw new UnsupportedOperationException(
+      s"commitFile on scheme '${fs.getScheme}' ($dst): only file (hard link) and hdfs " +
+        "(rename-refuses-existing-dst) give the atomic create-exclusive this commit log " +
+        "needs; object-store rename overwrites, so two racing committers would both " +
+        "'succeed' and one commit would vanish — use a transactional table format there")
   }
 
   /** Recursive listing of regular files under `path` whose name passes

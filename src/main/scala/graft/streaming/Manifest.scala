@@ -47,6 +47,40 @@ object Manifest {
   private def manifestDir(table: String) = s"$table/_manifest"
   private def versionName(v: Long) = f"v$v%020d.manifest"
 
+  /** Losing the version race is fine (the winner advanced `parent`, we
+    * rebase); failing to commit WITHOUT the parent advancing is not a
+    * race — it is an environmental rename/link failure (permissions,
+    * quota, transient FS error), which Hadoop reports as `false` exactly
+    * like a lost race. Retrying that forever spins silently, so a commit
+    * loop throws after this many consecutive attempts at the SAME parent
+    * version. */
+  private val MaxStalledCommitAttempts = 8
+
+  /** Run a rebase-and-retry commit loop with the no-progress guard
+    * above. `attempt` receives the latest (parent, files) snapshot and
+    * returns the rebased file list to commit (or throws to abort). */
+  private def commitLoop(spark: SparkSession, table: String, what: String)
+                        (attempt: (Long, Seq[String]) => Seq[String]): Long = {
+    var lastParent = Long.MinValue
+    var stalled = 0
+    while (true) {
+      val (parent, latest) = snapshot(spark, table)
+      if (parent == lastParent) {
+        stalled += 1
+        if (stalled >= MaxStalledCommitAttempts)
+          throw new IllegalStateException(
+            s"$what commit to $table stalled: ${versionName(parent + 1)} failed " +
+              s"$stalled times with no competing commit advancing v$parent — " +
+              "an environmental create/rename failure, not a version race; aborting")
+      } else { lastParent = parent; stalled = 0 }
+      tryCommit(spark, table, attempt(parent, latest), parent) match {
+        case Some(v) => return v
+        case None    => ()
+      }
+    }
+    -1L // unreachable
+  }
+
   def latestVersion(spark: SparkSession, table: String): Long =
     Fs.listFiles(spark, manifestDir(table), _.endsWith(".manifest"))
       .map(f => new org.apache.hadoop.fs.Path(f._1).getName.drop(1).takeWhile(_.isDigit).toLong)
@@ -121,12 +155,7 @@ object Manifest {
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val mine = adoptParts(spark, table, scratch, "append")
-    var committed = -1L
-    while (committed < 0) {
-      val (parent, existing) = snapshot(spark, table)
-      committed = tryCommit(spark, table, existing ++ mine, parent).getOrElse(-1L)
-    }
-    committed
+    commitLoop(spark, table, "append")((_, existing) => existing ++ mine)
   }
 
   /** Compact the CURRENT snapshot's files into `targetFiles`, committing
@@ -146,33 +175,47 @@ object Manifest {
     val compacted = adoptParts(spark, table, scratch, "compact")
     beforeCommit()
     val inputSet = inputs.toSet
-    var committed = -1L
-    while (committed < 0) {
-      val (parent, latest) = snapshot(spark, table)
+    commitLoop(spark, table, "compact") { (parent, latest) =>
       val missing = inputSet -- latest.toSet
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"compaction inputs vanished from $table manifest v$parent: $missing — a competing remover; aborting")
-      val next = latest.filterNot(inputSet) ++ compacted
-      committed = tryCommit(spark, table, next, parent).getOrElse(-1L)
+      latest.filterNot(inputSet) ++ compacted
     }
-    committed
   }
 
-  /** Delete data files no longer referenced by the latest manifest and
-    * older than `retentionMs` (mod-time guard protects adopted-but-not-
-    * yet-committed writer files). Returns the number deleted. */
+  /** Garbage-collect in two coupled steps so every SURVIVING manifest
+    * version stays fully readable (round-3 advice: the old form swept
+    * data files still referenced by recent manifests, dangling the
+    * time-travel surface):
+    *  1. expire manifests older than `retentionMs` (never the latest) —
+    *     readers pinned beyond the retention window lose their snapshot
+    *     explicitly (missing manifest) rather than dangling on missing
+    *     data files;
+    *  2. delete data files referenced by NO surviving manifest and older
+    *     than `retentionMs` (the mod-time guard also protects a writer's
+    *     adopted-but-not-yet-committed files).
+    * Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, table: String, retentionMs: Long = 10 * 60 * 1000L): Int = {
-    val (_, files) = snapshot(spark, table)
-    // compare by file NAME (unique by construction): the listing returns
-    // fully-qualified URIs, the manifest stores table-relative paths
-    val live = files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val latest = latestVersion(spark, table)
     val cutoff = System.currentTimeMillis() - retentionMs
     val fs = new org.apache.hadoop.fs.Path(dataDir(table)).getFileSystem(Fs.conf(spark))
+    def mtime(p: String) =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime
+    val manifests = Fs.listFiles(spark, manifestDir(table), _.endsWith(".manifest")).map(_._1)
+    def versionOf(p: String) =
+      new org.apache.hadoop.fs.Path(p).getName.drop(1).takeWhile(_.isDigit).toLong
+    val (expired, surviving) = manifests.partition(p =>
+      versionOf(p) != latest && mtime(p) < cutoff)
+    expired.foreach(Fs.deleteIfExists(spark, _))
+    // compare by file NAME (unique by construction): the listing returns
+    // fully-qualified URIs, the manifest stores table-relative paths
+    val live = surviving.map(versionOf).flatMap(filesAt(spark, table, _))
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
     val dead = Fs.listFiles(spark, dataDir(table), _.endsWith(".parquet"))
       .map(_._1)
       .filterNot(p => live(new org.apache.hadoop.fs.Path(p).getName))
-      .filter(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime < cutoff)
+      .filter(p => mtime(p) < cutoff)
     dead.foreach(Fs.deleteIfExists(spark, _))
     dead.size
   }

@@ -32,20 +32,29 @@ object PipelineLock {
     Paths.get(lockFile).toAbsolutePath.normalize.toString
 
   /** Run `body` holding both the in-process stripe and the OS file lock;
-    * blocks until both are available. */
+    * blocks until both are available. Reentrant: a nested withLock on
+    * the same lock file from the same thread runs `body` under the
+    * OUTER invocation's holds — the stripe's ReentrantLock is reentrant,
+    * and the OS lock is skipped when this thread already holds it
+    * (`FileChannel.lock` on a fresh channel would otherwise throw
+    * OverlappingFileLockException, since the JVM already owns the lock —
+    * round-3 advice). */
   def withLock[T](lockFile: String)(body: => T): T = {
     val key = canonical(lockFile)
     val local = inProcess.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantLock())
     local.lock()
     try {
-      val p = Paths.get(key)
-      if (p.getParent != null) Files.createDirectories(p.getParent)
-      val ch = FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val flock = ch.lock() // blocks on another PROCESS's hold
-        try body finally flock.release()
-      } finally ch.close()
+      if (local.getHoldCount > 1) body // reentry: outer frame holds the OS lock
+      else {
+        val p = Paths.get(key)
+        if (p.getParent != null) Files.createDirectories(p.getParent)
+        val ch = FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val flock = ch.lock() // blocks on another PROCESS's hold
+          try body finally flock.release()
+        } finally ch.close()
+      }
     } finally local.unlock()
   }
 

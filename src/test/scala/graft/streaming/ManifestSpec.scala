@@ -68,6 +68,31 @@ class ManifestSpec extends SparkSpec {
       "concurrent appends dropped rows — the rename race is not safe")
   }
 
+  test("vacuum expires old manifests together with their files: surviving versions stay fully readable, expired readers fail explicitly") {
+    val tbl = s"$base/orders-vacuum"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf)
+    val total = ord.count()
+    Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2)) // v0
+    Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2)) // v1
+    Manifest.compact(spark, tbl, targetFiles = 1) // v2: the 4 append files now dead in v2's view
+    // generous retention: v0/v1 survive, so the pre-compaction files they
+    // reference MUST survive too (round-3 advice: the old vacuum swept
+    // them and dangled every older snapshot)
+    assert(Manifest.vacuum(spark, tbl, retentionMs = 60 * 60 * 1000L) == 0,
+      "vacuum removed files still referenced by a surviving manifest")
+    for (v <- 0L to 2L) {
+      val fs = Manifest.filesAt(spark, tbl, v)
+      fs.foreach(f => assert(Fs.exists(spark, s"$tbl/$f"), s"surviving v$v dangles on $f"))
+    }
+    // zero retention: v0/v1 expire WITH their files in one pass; the
+    // latest snapshot is untouched and still complete
+    assert(Manifest.vacuum(spark, tbl, retentionMs = 0) == 4)
+    assert(Manifest.read(spark, tbl).count() == total)
+    intercept[Exception](Manifest.filesAt(spark, tbl, 0)) // missing manifest, not missing data files
+    assert(Manifest.latestVersion(spark, tbl) == 2)
+  }
+
   test("compaction aborts loudly when its inputs vanish from the manifest") {
     val tbl = s"$base/orders-abort"
     Fs.deleteRec(spark, tbl)

@@ -163,6 +163,19 @@ class PipelineSpec extends SparkSpec {
     assert(probe() == "ACQUIRED", "lock not released after withLock exited")
   }
 
+  test("pipeline lock is reentrant within a thread: nested withLock runs under the outer hold and releases once") {
+    val lock = s"$base/locks-reentrant/.pipeline.lock"
+    wipe(s"$base/locks-reentrant")
+    // round-3 advice: FileChannel.lock on a fresh channel throws
+    // OverlappingFileLockException when the JVM already holds the lock,
+    // so composing locked helpers under one outer lock used to crash
+    val r = PipelineLock.withLock(lock) {
+      PipelineLock.withLock(lock) { 41 } + 1
+    }
+    assert(r == 42)
+    assert(PipelineLock.tryProbe(lock), "lock not released after nested withLock exited")
+  }
+
   test("two overlapping pipeline invocations on one workDir: cycles serialize, nothing lost or doubled") {
     val root = s"$base/overlap"
     wipe(root)
