@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line:
   * `{"metric":"total","value":<sum of per-query medians>,"unit":"sec",
-  *   "queries":{name:median,...},"samples":{name:[s1,s2,s3],...},...}`.
+  *   "queries":{name:median,...},...,"full":"BENCH_FULL.json"}`.
   *
   * Measurement protocol (round-2 verdict: single unrepeated runs made
   * regressions and speedups unfalsifiable — BASELINE.md documents 2-4×
@@ -14,7 +14,18 @@ import org.apache.spark.sql.SparkSession
   *    reported as its own `cache_materialize` line, so no dd_* query's
   *    number absorbs the pipeline's most expensive stage;
   *  - per query: one untimed warm-up execution, then median-of-3 timed
-  *    runs; all three samples are emitted so a reader can judge spread.
+  *    runs; all samples land in BENCH_FULL.json so a reader can judge
+  *    spread.
+  *
+  * Output-size contract (root cause of rounds 1-3 recording
+  * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
+  * and json-parses the result line out of it. A line carrying medians +
+  * samples for 100+ queries is several KB — its head gets truncated out
+  * of the tail and the parse fails. So the stdout line is BUDGETED: it
+  * always carries the aggregate fields, then per-query medians
+  * slowest-first until ~1500 chars, with `omitted` counting the rest.
+  * The COMPLETE per-query medians and samples are written to
+  * BENCH_FULL.json next to the repo (path echoed in the line).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,19 +84,35 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     val medians = results.map { case (k, ss, _) => k -> median(ss) }
-    val qs = (("cache_materialize" -> cacheSec) +: medians)
-      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val samplesJson = results.map { case (k, ss, _) =>
       s"\"$k\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum + math.max(0.0, cacheSec)
+    // Complete record → file (medians, all samples, failures).
+    val allQs = (("cache_materialize" -> cacheSec) +: medians)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val fullPath = "BENCH_FULL.json"
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"samples":$samplesJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write","protocol":"warmup+median-of-3"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case _: Throwable => () } // stdout line below is self-sufficient
+    // Budgeted stdout line: aggregates + slowest-first medians until the
+    // char budget (see scaladoc — the consumer tail is ~2000 chars; stay
+    // well under it so the WHOLE line survives even with a trailing sbt
+    // status line). Failed queries (-1) sort first so they are never
+    // silently omitted.
+    val budget = 1500
+    val ranked = ("cache_materialize" -> cacheSec) +:
+      medians.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
+    val entries = ranked.map { case (k, v) => s"\"$k\":${fmt(v)}" }
     // n_queries + action give round-over-round totals their context:
-    // r1 measured 41 queries under count() (projection-pruned); r2
-    // measured the full surface once under noop materialization; r3+
-    // reports median-of-3 after warm-up (r3 medians are the first
-    // numbers stable enough to compare round-over-round).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write","protocol":"warmup+median-of-3"}""")
+    // r1-r2 measured fewer queries under weaker actions; r3+ reports
+    // warm-up + median-of-3 (the first numbers stable round-over-round).
+    def line(qs: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"omitted":$omitted,"full":"$fullPath","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write","protocol":"warmup+median-of-3"}"""
+    var keep = entries.length
+    while (keep > 1 && line(entries.take(keep), entries.length - keep).length > budget) keep -= 1
+    println(line(entries.take(keep), entries.length - keep))
     spark.stop()
   }
 }
