@@ -46,8 +46,13 @@ class PlanSpec extends SparkSpec {
     // ann_recall and ann_ivf_recall compose that same exact baseline
     // (it is their ground truth), so they inherit it; ann_pq_recall's
     // exact-L2 ground truth is the same bounded probe-broadcast shape.
+    // q11_stock_value / q22_idle_balance broadcast a ONE-ROW scalar
+    // aggregate (the HAVING threshold / above-average balance cut) into
+    // a cross join — the exact plan a SQL scalar subquery compiles to,
+    // bounded by construction (build side is a single aggregate row).
     val allowNestedLoop =
-      Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall")
+      Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
+        "q11_stock_value", "q22_idle_balance")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
