@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Exact, Text}
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (north-star extension surface,
@@ -319,7 +319,126 @@ object TextAnalysis {
       |FROM c GROUP BY doc_id, n_tokens, dup_adjacent_n
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF: top-3 terms per document. The idf is the LOG-FREE rational
+    * form `N / df` (a monotone transform of the classic `ln(N/df)`, so
+    * rankings are identical) — deliberately, because `ln` is a libm call
+    * whose last-bit rounding is not guaranteed identical across engines,
+    * which would break the hash-exact oracle compare; every operation
+    * here is integer counting plus one division and one multiplication
+    * performed in the same order by both engines.
+    *
+    * Shape at scale: explode → (doc, term) partial-agg count (the only
+    * payload shuffle, keyed by high-cardinality term pairs), a term-keyed
+    * df aggregate AQE can broadcast, a ONE-ROW corpus-count broadcast
+    * (the scalar-subquery plan, whitelisted in PlanSpec), and a
+    * per-document window for the top-3 — no global sort. */
+  def taTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term").as("dterm")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, col("term") === col("dterm")).drop("dterm")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  private val taTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term AS dterm, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+      |SELECT doc_id, rk, term, tf, df, score FROM (
+      |  SELECT doc_id, term, tf, df,
+      |    tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) DESC, term) AS rk
+      |  FROM tf, df, n WHERE term = dterm) q
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Query terms for [[taBm25]] — fixed at build time like a search
+    * deployment's analyzed query; moderately common in the fixture
+    * vocabulary so tf and length normalization, not mere presence,
+    * decide the ranking. */
+  private[operators] val Bm25Terms = Seq("customer", "stream", "window")
+
+  /** BM25 keyword relevance (k1 = 1.2, b = 0.75) of every document for a
+    * fixed 3-term query, top 25. The idf is the Robertson form WITHOUT
+    * the log, `(N - df + 0.5) / (df + 0.5)` (same monotone-equivalence
+    * argument as [[taTfidf]] — libm `ln` is not bit-portable), and the
+    * 3 per-term scores are added as fixed-order column arithmetic, not a
+    * float aggregation, so association order is identical in both
+    * engines.
+    *
+    * Shape at scale: per-term tf and doclen are per-row projections over
+    * ONE scan (no explode, no shuffle); corpus stats (N, df per term,
+    * exact mean doclen) are a single 1-row aggregate broadcast into a
+    * cross join (scalar-subquery plan, whitelisted); the top-25 is
+    * TakeOrderedAndProject. */
+  def taBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf${i + 1}")
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("tf1") > 0, lit(1))).as("df1"),
+      count(when(col("tf2") > 0, lit(1))).as("df2"),
+      count(when(col("tf3") > 0, lit(1))).as("df3"),
+      Exact.exactAvg(col("dl"), 0).as("avgdl"))
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      idf * ((tf * lit(2.2)) / (tf + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", termScore(1) + termScore(2) + termScore(3))
+      .filter(col("score") > 0)
+      .select("doc_id", "tf1", "tf2", "tf3", "dl", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  private val taBm25Sql: String = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    def termScore(i: Int): String =
+      s"(n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) * " +
+        s"((tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * " +
+        "(1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl)))"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(w, x -> x = '$t1'))::BIGINT AS tf1,
+       |    len(list_filter(w, x -> x = '$t2'))::BIGINT AS tf2,
+       |    len(list_filter(w, x -> x = '$t3'))::BIGINT AS tf3,
+       |    len(w)::BIGINT AS dl
+       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t),
+       |s AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    count(CASE WHEN tf1 > 0 THEN 1 END)::BIGINT AS df1,
+       |    count(CASE WHEN tf2 > 0 THEN 1 END)::BIGINT AS df2,
+       |    count(CASE WHEN tf3 > 0 THEN 1 END)::BIGINT AS df3,
+       |    ${Exact.sqlAvg("dl", 0)} AS avgdl
+       |  FROM d)
+       |SELECT doc_id, tf1, tf2, tf3, dl, score FROM (
+       |  SELECT doc_id, tf1, tf2, tf3, dl,
+       |    ${termScore(1)} + ${termScore(2)} + ${termScore(3)} AS score
+       |  FROM d, s) q
+       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf" -> (taTfidf _),
+    "ta_bm25" -> (taBm25 _),
     "ta_repetition" -> (taRepetition _),
     "ta_chunk" -> (taChunk _),
     "ta_pack_bins" -> (taPackBins _),
@@ -332,6 +451,8 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_tfidf" -> taTfidfSql,
+    "ta_bm25" -> taBm25Sql,
     "ta_repetition" -> taRepetitionSql,
     "ta_chunk" -> taChunkSql,
     "ta_pack_bins" -> taPackBinsSql,
