@@ -203,15 +203,192 @@ object Curation {
        |ORDER BY d.source""".stripMargin
   }
 
+  /** PII redaction. The fixture text is synthetic word soup with no PII,
+    * so the op first ENRICHES each document with deterministic synthetic
+    * PII derived from doc_id (an email, a phone fragment, an IPv4 —
+    * mirrored exactly in the oracle), then scrubs with sequential
+    * regexp_replace passes and reports per-class match counts plus an
+    * md5 of the scrubbed text and a residual-match count (must be 0).
+    * Patterns stay in the Java∩RE2 common syntax so Spark and DuckDB
+    * regex engines agree.
+    *
+    * Shape at scale: pure per-row projection — one scan, zero shuffles,
+    * all inside WholeStageCodegen; the orderBy exists only for the
+    * deterministic oracle compare. */
+  def cuPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    Tables.documents(spark, sfDir)
+      .withColumn("enriched", concat(
+        col("text"), lit(" contact u"), col("doc_id"), lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") / 256).cast("long") % 256).cast("string")))
+      // function API with lit() patterns, NOT expr(): an expr() string
+      // passes through the SQL parser, whose string-literal escaping
+      // strips the regex backslashes (the Scala regexp_replace below
+      // takes the pattern verbatim, so the two would disagree)
+      .withColumn("n_emails", regexp_count(col("enriched"), lit(emailPat)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("enriched"), lit(phonePat)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("enriched"), lit(ipPat)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("enriched"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+          phonePat, "<PHONE>"))
+      .withColumn("residual_pii",
+        (regexp_count(col("scrubbed"), lit(emailPat)) +
+          regexp_count(col("scrubbed"), lit(phonePat)) +
+          regexp_count(col("scrubbed"), lit(ipPat))).cast("long"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("scrubbed")).as("scrubbed_md5"), col("residual_pii"))
+      .orderBy("doc_id")
+  }
+
+  private val cuPiiScrubSql: String = {
+    val emailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    s"""WITH e AS (SELECT doc_id,
+       |    text || ' contact u' || doc_id || '@mail.example.com or 555-' ||
+       |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+       |    ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+       |    ((doc_id // 256) % 256)::VARCHAR AS enriched
+       |  FROM documents),
+       |s AS (SELECT doc_id, enriched,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(enriched, '$emailPat', '<EMAIL>', 'g'),
+       |        '$ipPat', '<IP>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g') AS scrubbed
+       |  FROM e)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(enriched, '$emailPat'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(enriched, '$phonePat'))::BIGINT AS n_phones,
+       |  len(regexp_extract_all(enriched, '$ipPat'))::BIGINT AS n_ips,
+       |  md5(scrubbed) AS scrubbed_md5,
+       |  (len(regexp_extract_all(scrubbed, '$emailPat')) +
+       |   len(regexp_extract_all(scrubbed, '$phonePat')) +
+       |   len(regexp_extract_all(scrubbed, '$ipPat')))::BIGINT AS residual_pii
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Span-level exact deduplication — the paragraph-dedup step of a
+    * pretraining pipeline (the fixture text has no newlines, so the
+    * "paragraph" unit is a fixed 8-token span; the machinery is
+    * identical: split → hash → group → keep-first). Emits one row per
+    * DUPLICATED span: copy counts, how many distinct docs share it, and
+    * the canonical keeper (first (doc_id, idx) in order) every other
+    * occurrence would be dropped in favor of.
+    *
+    * Shape at scale: span construction is a per-row projection; the one
+    * shuffle is the groupBy on the span hash (high cardinality, partial
+    * agg applies); the keeper is a deterministic conditional max over a
+    * per-hash row_number window on the same key — no second shuffle
+    * (window and groupBy share the hash partitioning). */
+  def ddSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val Span = 8
+    val spans = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $Span), i -> array_join(slice(toks, i * $Span + 1, $Span), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), md5(col("col")).as("span_md5"))
+    val w = Window.partitionBy("span_md5").orderBy("doc_id", "idx")
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keeper_doc"),
+        max(when(col("rn") === 1, col("idx"))).as("keeper_idx"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("span_md5"))
+  }
+
+  private val ddSpanDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sp AS (SELECT doc_id, i::BIGINT AS idx,
+      |    md5(array_to_string(w[(i * 8 + 1):((i + 1) * 8)], ' ')) AS span_md5
+      |  FROM t, generate_series(0, 10000) g(i) WHERE i * 8 < len(w)),
+      |r AS (SELECT doc_id, idx, span_md5,
+      |    row_number() OVER (PARTITION BY span_md5 ORDER BY doc_id, idx) AS rn
+      |  FROM sp)
+      |SELECT span_md5, count(*) AS n_copies,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc,
+      |  max(CASE WHEN rn = 1 THEN idx END) AS keeper_idx
+      |FROM r GROUP BY span_md5 HAVING count(*) > 1
+      |ORDER BY n_copies DESC, span_md5""".stripMargin
+
+  /** MERGE INTO emulation (upsert): apply a change batch — updates to
+    * existing keys plus inserts of new keys, both derived
+    * deterministically from the orders snapshot — via ONE full outer
+    * equi-join on the key with per-column coalesce(source, target),
+    * the relational core of Delta/Iceberg MERGE. Emits a one-row audit
+    * summary (target/source/updated/inserted/result counts and the
+    * exact post-merge total) rather than the merged table, so the
+    * oracle compare stays O(1). Where the transactional variant of this
+    * lives: [[graft.streaming.Manifest]] gives the same swap a commit
+    * protocol (pipe_txn_compact).
+    *
+    * Shape at scale: one shuffle per side on the join key (or fewer if
+    * the snapshot is bucketed), then partial-aggregated counts; the
+    * change batch is usually << snapshot and AQE broadcasts it. */
+  def opUpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"))
+    val src = Tables.orders(spark, sfDir)
+    val updates = src.filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey").as("s_key"), (col("o_totalprice") + lit(100.0)).as("s_price"))
+    val inserts = src.filter(col("o_orderkey") % 100 === 0)
+      .select((col("o_orderkey") + lit(10000000L)).as("s_key"), col("o_totalprice").as("s_price"))
+    val merged = target.join(updates.unionAll(inserts),
+        col("t_key") === col("s_key"), "full_outer")
+      .select(coalesce(col("t_key"), col("s_key")).as("key"),
+        coalesce(col("s_price"), col("t_price")).as("price"),
+        col("t_key"), col("s_key"))
+    merged.agg(
+      count(col("t_key")).as("n_target"),
+      count(col("s_key")).as("n_source"),
+      count(when(col("t_key").isNotNull && col("s_key").isNotNull, lit(1))).as("n_updated"),
+      count(when(col("t_key").isNull, lit(1))).as("n_inserted"),
+      count(lit(1)).as("n_result"),
+      graft.functions.Exact.exactSum(col("price"), 2).as("total_price"))
+  }
+
+  private val opUpsertMergeSql: String =
+    s"""WITH target AS (SELECT o_orderkey AS t_key, o_totalprice AS t_price FROM orders),
+       |changes AS (
+       |  SELECT o_orderkey AS s_key, o_totalprice + 100.0 AS s_price
+       |  FROM orders WHERE o_orderkey % 40 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000 AS s_key, o_totalprice AS s_price
+       |  FROM orders WHERE o_orderkey % 100 = 0),
+       |m AS (SELECT t_key, s_key, coalesce(s_price, t_price) AS price
+       |      FROM target FULL OUTER JOIN changes ON t_key = s_key)
+       |SELECT count(t_key) AS n_target, count(s_key) AS n_source,
+       |  count(CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 1 END) AS n_updated,
+       |  count(CASE WHEN t_key IS NULL THEN 1 END) AS n_inserted,
+       |  count(*) AS n_result,
+       |  ${graft.functions.Exact.sqlSum("price", 2)} AS total_price
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dc_contamination" -> (dcContamination _),
     "pipe_curation" -> (pipeCuration _),
     "pipe_mixture" -> (pipeMixture _),
-    "op_fuzzy_join" -> (opFuzzyJoin _))
+    "op_fuzzy_join" -> (opFuzzyJoin _),
+    "cu_pii_scrub" -> (cuPiiScrub _),
+    "dd_span_dedup" -> (ddSpanDedup _),
+    "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
     "dc_contamination" -> dcContaminationSql,
     "pipe_curation" -> pipeCurationSql,
     "pipe_mixture" -> pipeMixtureSql,
-    "op_fuzzy_join" -> opFuzzyJoinSql)
+    "op_fuzzy_join" -> opFuzzyJoinSql,
+    "cu_pii_scrub" -> cuPiiScrubSql,
+    "dd_span_dedup" -> ddSpanDedupSql,
+    "op_upsert_merge" -> opUpsertMergeSql)
 }
