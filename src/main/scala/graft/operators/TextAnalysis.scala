@@ -335,7 +335,10 @@ object TextAnalysis {
   def taTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the score join and the df aggregate — without the
+    // (query-scoped, harness-released) persist the whole explode+count
+    // subtree runs twice
+    val tf = Scratch.persist(tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term").as("dterm")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))

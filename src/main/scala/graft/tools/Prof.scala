@@ -70,8 +70,19 @@ object Prof {
     stats("ta_repetition", graft.operators.TextAnalysis.taRepetition(spark, sf))
     stats("dd_semdedup", graft.operators.Similarity.ddSemdedup(spark, sf))
     val q5 = stats("q5_local_supplier", graft.operators.Relational.q5LocalSupplier(spark, sf))
+    // round-4 additions: the TPC-H shapes with multi-way fact self-joins
+    // or decorrelated subqueries, plus the new text/merge operators
+    stats("q2_min_cost", graft.operators.Tpch.q2MinCost(spark, sf))
+    stats("q8_mktshare", graft.operators.Tpch.q8MktShare(spark, sf))
+    stats("q9_profit", graft.operators.Tpch.q9Profit(spark, sf))
+    val q21 = stats("q21_waiting", graft.operators.Tpch.q21Waiting(spark, sf))
+    stats("ta_tfidf", graft.operators.TextAnalysis.taTfidf(spark, sf))
+    stats("dd_span_dedup", graft.operators.Curation.ddSpanDedup(spark, sf))
+    stats("op_upsert_merge", graft.operators.Curation.opUpsertMerge(spark, sf))
     println("\n-- q5_local_supplier full plan (pushdowns + join strategies) --")
     println(finalPlan(q5).take(6000))
+    println("\n-- q21_waiting full plan (semi/anti self-joins must be hash, one lineitem scan reused) --")
+    println(finalPlan(q21).take(5000))
     println("\n-- ann_pq_adc full plan (is the probe table the broadcast side?) --")
     println(finalPlan(adc).take(4000))
   }
