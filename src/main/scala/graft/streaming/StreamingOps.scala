@@ -192,6 +192,70 @@ object StreamingOps {
       |  AND o.ts >= e.ts - INTERVAL '15 minutes' AND o.ts < e.ts
       |ORDER BY e.user_id, err_id, ctx_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the shape that exercises
+    * WATERMARK-DRIVEN NULL EMISSION: an unmatched error event can only
+    * emit its null-padded row once the watermark passes the end of its
+    * join interval and the engine knows no context event can still
+    * arrive. Determinism contract: a streaming outer join can never
+    * emit null rows for events inside the final (watermark delay +
+    * interval) of a bounded input — that state dies unevicted when the
+    * query stops — so results are restricted to a fixed cutoff
+    * (2024-01-28; fixture events end 2024-01-30 at every SF, leaving
+    * >2 days of margin over the 1 h delay + 15 min interval), below
+    * which AvailableNow's closing no-data batch provably flushes every
+    * unmatched row. The cutoff is applied AFTER the join, not to the
+    * source: a pre-join ts filter would lower the LEFT stream's own
+    * watermark to ~cutoff − delay, stranding exactly the last
+    * delay + interval of pre-cutoff state (observed: 3 unmatched rows
+    * short at sf0.01). The oracle mirrors the cutoff (equivalent on
+    * either side of a left join for a left-side predicate). Null-side
+    * are coalesced to sentinels so the transport schema stays
+    * non-nullable (nullable-int dtype round-trips differ between the
+    * two engines' parquet/pandas paths); `matched` carries the outer
+    * semantics explicitly. */
+  def opStreamOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("2024-01-28 00:00:00").cast("timestamp")
+    val errors = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      .withWatermark("err_ts", "1 hour")
+    val context = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("ctx_user"), col("ts").as("ctx_ts"),
+        col("event_id").as("ctx_id"), col("event_type").as("ctx_type"))
+      .withWatermark("ctx_ts", "1 hour")
+    val joined = errors.join(context,
+        col("user_id") === col("ctx_user") &&
+          col("ctx_ts") >= col("err_ts") - expr("INTERVAL 15 MINUTES") &&
+          col("ctx_ts") < col("err_ts"),
+        "left_outer")
+      .filter(col("err_ts") < cutoff)
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        coalesce(col("ctx_id"), lit(-1L)).as("ctx_id"),
+        coalesce(col("ctx_type"), lit("none")).as("ctx_type"),
+        col("ctx_ts").isNotNull.as("matched"))
+    spark.catalog.dropTempView("graft_stream_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("graft_stream_outer")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_outer").orderBy("user_id", "err_id", "ctx_id")
+  }
+
+  private val opStreamOuterSql: String =
+    """SELECT e.user_id, e.event_id AS err_id, e.ts AS err_ts,
+      |  coalesce(o.event_id, -1) AS ctx_id,
+      |  coalesce(o.event_type, 'none') AS ctx_type,
+      |  o.ts IS NOT NULL AS matched
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-28 00:00:00') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') o
+      |  ON o.user_id = e.user_id
+      |  AND o.ts >= e.ts - INTERVAL '15 minutes' AND o.ts < e.ts
+      |ORDER BY e.user_id, err_id, ctx_id""".stripMargin
+
   /** Stream-static enrichment join — the canonical streaming-ETL shape
     * Spark runs by re-broadcasting the static dimension into each
     * micro-batch: streaming events enriched with the customer→nation
@@ -223,6 +287,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_join" -> (opStreamJoin _),
+    "op_stream_outer" -> (opStreamOuter _),
     "op_stream_stateful" -> (opStreamStateful _),
     "op_stream_tumbling" -> (opStreamTumbling _),
     "op_stream_sliding" -> (opStreamSliding _),
@@ -232,6 +297,7 @@ object StreamingOps {
   val oracles: Map[String, String] = Map(
     "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_join" -> opStreamJoinSql,
+    "op_stream_outer" -> opStreamOuterSql,
     "op_stream_stateful" -> opStreamStatefulSql,
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
     "op_stream_sliding" -> Events.oracles("op_events_sliding"),

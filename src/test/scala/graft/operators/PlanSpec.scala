@@ -104,6 +104,32 @@ class PlanSpec extends SparkSpec {
       s"partition pruning read $scanned of $total files — nothing was pruned")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The static partition-pruning test above pushes a LITERAL year.
+    // Here the year comes from a JOIN against a dim filtered on a
+    // NON-KEY attribute — no literal ever touches the fact side, so
+    // only runtime DPP (Spark plants a dynamicpruning subquery from
+    // the dim's broadcast into the fact scan's PartitionFilters) can
+    // avoid reading every year's directory. At 100 TB this is the
+    // star-join pattern: fact partitioned by date, dim carrying the
+    // "which dates" predicate.
+    graft.sources.FormatRoundtrips.opPartitionedWrite(spark, sf)
+      .write.mode("overwrite").format("noop").save() // materializes the layout
+    val tag = java.nio.file.Paths.get(sf).getFileName.toString
+    val dir = s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/fmt/part_$tag"
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(1995, 2002)
+      .select(col("id").cast("int").as("d_year"), concat(lit("y"), col("id")).as("d_name"))
+      .filter(col("d_name") === "y1997") // non-key filter: not foldable onto the fact
+    val j = fact.join(dim, col("o_year") === col("d_year"))
+    val got = j.count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery in the fact scan:\n${plan.take(4000)}")
+    val expected = spark.read.parquet(dir).filter(col("o_year") === 1997).count()
+    assert(got == expected && got > 0, s"DPP join returned $got rows, expected $expected")
+  }
+
   test("flagship q3: filters and projections reach the parquet scans") {
     val df = Relational.q3Unshipped(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
