@@ -184,6 +184,98 @@ object Pipeline {
        |  3::BIGINT AS n_files, 3::BIGINT AS version, 8::BIGINT AS n_vacuumed
        |FROM orders""".stripMargin
 
+  /** Incremental aggregate maintenance — the scalable alternative to
+    * the reference's nightly full recompute (reference workflow.py:24-27
+    * reruns the whole reduction daily): a Q1-style pricing summary kept
+    * up to date batch-by-batch as data arrives, never rescanning history.
+    *
+    * Mechanics: the lineitem fixture is staged as 4 disjoint source
+    * files; a file stream with `maxFilesPerTrigger=1` drains them as 4
+    * micro-batches under `Trigger.AvailableNow`; `foreachBatch` computes
+    * the BATCH-LOCAL partial aggregate (integer cents, so the merge is
+    * exact and commutative — batch arrival order cannot matter) and
+    * merges it into the running result via full-outer-join + add,
+    * writing each generation to a batchId-keyed path — the idempotent
+    * foreachBatch sink pattern: a retried batch overwrites its own
+    * version rather than double-counting (exactly-once on top of
+    * at-least-once delivery).
+    *
+    * The output pins `n_batches = 4`: if the source coalesced files
+    * into fewer batches (i.e. the computation silently degenerated to
+    * a full recompute) the oracle compare fails loudly. The oracle
+    * recomputes the same summary from the fixture in one statement —
+    * equality proves the incremental path converges to the batch
+    * answer. */
+  def pipeIncrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/incr_${sfName(sfDir)}"
+    wipe(spark, base)
+    val src = s"$base/src"
+    val res = s"$base/res"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        col("l_orderkey"))
+    (0 until 4).foreach { b =>
+      li.filter(col("l_orderkey") % 4 === b).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_returnflag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("l_linestatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty_c", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_orderkey", org.apache.spark.sql.types.LongType)))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("q"), sum(col("price_c")).as("p"))
+        val merged =
+          if (id == 0) delta
+          else {
+            val prev = spark.read.parquet(s"$res/v${id - 1}")
+              .select(col("l_returnflag").as("prf"), col("l_linestatus").as("pls"),
+                col("n").as("pn"), col("q").as("pq"), col("p").as("pp"))
+            prev.join(delta,
+                col("prf") === col("l_returnflag") && col("pls") === col("l_linestatus"),
+                "full_outer")
+              .select(
+                coalesce(col("l_returnflag"), col("prf")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), col("pls")).as("l_linestatus"),
+                (coalesce(col("pn"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+                (coalesce(col("pq"), lit(0L)) + coalesce(col("q"), lit(0L))).as("q"),
+                (coalesce(col("pp"), lit(0L)) + coalesce(col("p"), lit(0L))).as("p"))
+          }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$res/v$id")
+        seen.set(math.max(seen.get, id + 1))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = seen.get
+    spark.read.parquet(s"$res/v${n - 1}")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n").as("count_order"),
+        (col("q") / 100.0).as("sum_qty"),
+        (col("p") / 100.0).as("sum_base_price"),
+        lit(n).as("n_batches"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val pipeIncrAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+      |  sum(round(l_quantity * 100)::BIGINT)::BIGINT / 100.0 AS sum_qty,
+      |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT / 100.0 AS sum_base_price,
+      |  4::BIGINT AS n_batches
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -207,11 +299,13 @@ object Pipeline {
     "pipe_ingest_roundtrip" -> (pipeIngestRoundtrip _),
     "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _),
     "pipe_txn_compact" -> (pipeTxnCompact _),
+    "pipe_incr_agg" -> (pipeIncrAgg _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
     "pipe_ingest_roundtrip" -> pipeIngestRoundtripSql,
     "pipe_compact_roundtrip" -> pipeCompactRoundtripSql,
     "pipe_txn_compact" -> pipeTxnCompactSql,
+    "pipe_incr_agg" -> pipeIncrAggSql,
     "op_synth_table" -> opSynthTableSql)
 }
