@@ -957,9 +957,36 @@ object Relational {
       |      FROM orders CROSS JOIN bounds) t
       |ORDER BY zval, o_orderkey""".stripMargin
 
+  /** ANALYZE-style table statistics — the per-column facts a cost-based
+    * optimizer (or a data engineer sizing a 100 TB migration) asks for
+    * first: row count, exact NDVs on the join keys, min/max ranges on
+    * the pruning columns, null counts. One scan, one partial/final
+    * aggregate; the two exact count-distincts expand to the standard
+    * two-phase plan. */
+  def opTableStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+      countDistinct(col("l_partkey")).as("ndv_partkey"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_shipdate")).as("max_shipdate"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      count(when(col("l_returnflag").isNull, lit(1))).as("nulls_returnflag"))
+
+  private val opTableStatsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_orderkey) AS ndv_orderkey,
+      |  count(DISTINCT l_partkey) AS ndv_partkey,
+      |  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS nulls_returnflag
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_table_stats" -> (opTableStats _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1004,6 +1031,7 @@ object Relational {
     "op_display_format" -> (opDisplayFormat _))
 
   val oracles: Map[String, String] = Map(
+    "op_table_stats" -> opTableStatsSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

@@ -276,6 +276,41 @@ object Pipeline {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Snapshot-isolated time travel over [[Manifest]] versions, as an
+    * oracle-verified query: two appends create versions 0 and 1; reading
+    * version 0 AFTER version 1 exists must see exactly the first
+    * append's rows (a reader pinned to a manifest version never sees
+    * later commits), while the latest read sees both. The oracle pins
+    * both versions' row counts and checksums from the fixture. */
+  def pipeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/tt_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    val v0 = Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    Manifest.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    def summary(v: Long): DataFrame =
+      // filesAt returns table-relative paths (same resolution Manifest.read does)
+      spark.read.parquet(Manifest.filesAt(spark, tbl, v).map(f => s"$tbl/$f"): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"o_orderkey % $P")).as("key_check"),
+          sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_check"), col("price_check"))
+    summary(v0).unionAll(summary(Manifest.latestVersion(spark, tbl))).orderBy("version")
+  }
+
+  private val pipeTimeTravelSql: String =
+    s"""SELECT 0::BIGINT AS version, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT 1::BIGINT, count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -300,6 +335,7 @@ object Pipeline {
     "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _),
     "pipe_txn_compact" -> (pipeTxnCompact _),
     "pipe_incr_agg" -> (pipeIncrAgg _),
+    "pipe_time_travel" -> (pipeTimeTravel _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +343,6 @@ object Pipeline {
     "pipe_compact_roundtrip" -> pipeCompactRoundtripSql,
     "pipe_txn_compact" -> pipeTxnCompactSql,
     "pipe_incr_agg" -> pipeIncrAggSql,
+    "pipe_time_travel" -> pipeTimeTravelSql,
     "op_synth_table" -> opSynthTableSql)
 }
