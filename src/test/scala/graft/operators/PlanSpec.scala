@@ -130,6 +130,46 @@ class PlanSpec extends SparkSpec {
     assert(got == expected && got > 0, s"DPP join returned $got rows, expected $expected")
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // One hot key holds 75% of the left side. With broadcast off, a
+    // static plan hashes all of it into ONE reducer — the straggler
+    // that kills a 1000-executor job. AQE must detect the skew from
+    // runtime shuffle stats and split the hot partition. Thresholds are
+    // lowered because the synthetic input is MBs, not GBs; the decision
+    // logic exercised is the same one that fires at scale. (The salted
+    // join op is the MANUAL remedy for the same problem when the skew
+    // is known ahead of time; this proves the runtime remedy works too.)
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 200000).select(
+        when(col("id") < 150000, lit(7L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 100).select(col("id").as("rk"), (col("id") * 2).as("rv"))
+      val j = left.join(right, col("k") === col("rk"))
+      // collect() (not count()) so THIS dataframe's QueryExecution runs
+      // and AQE finalizes its plan — count() builds a separate one
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true") ||
+        plan.contains("AQEShuffleRead skewed"),
+        s"no skew-split in the executed plan:\n${plan.take(4000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("flagship q3: filters and projections reach the parquet scans") {
     val df = Relational.q3Unshipped(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

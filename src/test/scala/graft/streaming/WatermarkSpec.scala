@@ -86,4 +86,52 @@ class WatermarkSpec extends SparkSpec {
         "expired-state re-admittance did not happen — state may be unbounded")
     } finally q.stop()
   }
+
+  case class L(k: Long, lts: Timestamp)
+  case class R(rk: Long, rts: Timestamp)
+
+  test("stream-stream left outer join: null row emits only after the watermark closes the interval") {
+    // The timing contract behind op_stream_outer's cutoff: an unmatched
+    // left row CANNOT emit while its join interval is still open — only
+    // after a later batch moves the watermark past it. Controlled
+    // batches make the two phases observable (the bounded AvailableNow
+    // run in StreamingOps only shows the final state).
+    import spark.implicits._
+    val left = MemoryStream[L](spark)
+    val right = MemoryStream[R](spark)
+    val joined = left.toDF().withWatermark("lts", "0 seconds")
+      .join(right.toDF().withWatermark("rts", "0 seconds"),
+        col("k") === col("rk") &&
+          col("rts") >= col("lts") - expr("INTERVAL 10 MINUTES") &&
+          col("rts") <= col("lts"),
+        "left_outer")
+    val name = "wm_outer"
+    spark.catalog.dropTempView(name)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: a matched pair and an unmatched left row. The match
+      // emits immediately; the unmatched row must NOT emit yet — a
+      // context event for it could still arrive.
+      left.addData(L(1L, t(5)), L(2L, t(6)))
+      right.addData(R(1L, t(4)))
+      q.processAllAvailable()
+      val phase1 = spark.table(name).collect()
+      assert(phase1.length == 1 && phase1(0).getLong(0) == 1L,
+        s"expected only the matched row in phase 1, got ${phase1.length}")
+      // batch 2: watermark jumps far past k=2's interval end -> the
+      // engine now KNOWS no match can arrive and emits the null row
+      left.addData(L(9L, t(120)))
+      right.addData(R(9L, t(119)))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table(name).filter(col("rk").isNull).count() < 1 &&
+        System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      val nullRows = spark.table(name).filter(col("rk").isNull).collect()
+      assert(nullRows.length == 1 && nullRows(0).getLong(0) == 2L,
+        s"unmatched left row did not emit null-padded after watermark passage")
+    } finally q.stop()
+  }
 }
