@@ -381,7 +381,51 @@ object Events {
        |       ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE) END AS value_interp
        |FROM w ORDER BY window_start, event_type""".stripMargin
 
+  /** Exponentially-weighted moving average (decay 1/2, depth 10) of each
+    * user's event values — the online-feature smoothing a training
+    * pipeline computes per entity. Cross-engine exactness by
+    * construction: values become integer cents, the weights are DYADIC
+    * (2^-i, exact in binary), so every term and the two partial sums are
+    * exact doubles in ANY summation order, and the closing num/den
+    * division is the single rounding both engines perform identically —
+    * no libm, no order sensitivity. The lag-chain form is one window
+    * pass per partition (user), shuffle on user_id only. */
+  def opEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val weights = (0 until 10).map(i => math.pow(0.5, i)) // dyadic: exact
+    val cents = round(col("value") * 100).cast("long")
+    val num = weights.zipWithIndex.map { case (wt, i) =>
+      coalesce(lag(cents, i).over(w) * lit(wt), lit(0.0))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wt, i) =>
+      when(lag(cents, i).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (num / den).as("ewma_cents"))
+      .withColumn("ewma", col("ewma_cents") / 100.0)
+      .drop("ewma_cents")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val opEwmaSql: String = {
+    val weights = (0 until 10).map(i => math.pow(0.5, i))
+    def lagc(i: Int) =
+      if (i == 0) "c" else s"lag(c, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    val num = weights.zipWithIndex.map { case (wt, i) =>
+      s"coalesce(${lagc(i)} * $wt, 0.0)"
+    }.mkString(" + ")
+    val den = weights.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagc(i)} IS NOT NULL THEN $wt ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, ts, value, (($num) / ($den)) / 100.0 AS ewma
+       |FROM (SELECT event_id, user_id, ts, value,
+       |        round(value * 100)::BIGINT AS c FROM events) t
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_ewma" -> (opEwma _),
     "op_resample_interp" -> (opResampleInterp _),
     "op_resample_ffill" -> (opResampleFfill _),
     "op_pivot" -> (opPivot _),
@@ -395,6 +439,7 @@ object Events {
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "op_ewma" -> opEwmaSql,
     "op_resample_interp" -> opResampleInterpSql,
     "op_resample_ffill" -> opResampleFfillSql,
     "op_pivot" -> opPivotSql,

@@ -439,7 +439,40 @@ object TextAnalysis {
        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
   }
 
+  /** Token-diversity scoring via GINI IMPURITY, 1 − Σ p(term)², the
+    * log-free stand-in for token entropy (same reason as [[taTfidf]]:
+    * libm `ln` is not bit-portable, Gini ranks diversity with pure
+    * rational arithmetic). All aggregation happens on exact integers
+    * (Σcnt, Σcnt²); the single closing division is identical in both
+    * engines. Shape: explode → (doc, term) partial-agg count → per-doc
+    * agg — two doc-keyed shuffles, both map-side combinable. */
+  def taDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("sum_sq"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+      .orderBy("doc_id")
+
+  private val taDiversitySql: String =
+    """SELECT doc_id, n_tokens, n_distinct, sum_sq,
+      |  1.0 - sum_sq::DOUBLE / (n_tokens * n_tokens)::DOUBLE AS gini
+      |FROM (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*) AS n_distinct,
+      |        sum(cnt * cnt)::BIGINT AS sum_sq
+      |      FROM (SELECT doc_id, term, count(*)::BIGINT AS cnt
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |                  FROM documents) u
+      |            GROUP BY doc_id, term) c
+      |      GROUP BY doc_id) g
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_diversity" -> (taDiversity _),
     "ta_tfidf" -> (taTfidf _),
     "ta_bm25" -> (taBm25 _),
     "ta_repetition" -> (taRepetition _),
@@ -454,6 +487,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_diversity" -> taDiversitySql,
     "ta_tfidf" -> taTfidfSql,
     "ta_bm25" -> taBm25Sql,
     "ta_repetition" -> taRepetitionSql,
