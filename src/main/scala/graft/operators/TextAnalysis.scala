@@ -471,7 +471,60 @@ object TextAnalysis {
       |      GROUP BY doc_id) g
       |ORDER BY doc_id""".stripMargin
 
+  /** Heavy hitters via the [[graft.plans.CmsAgg]] Count-Min sketch: one
+    * pass builds the fixed-size (3×1024-counter) sketch, the exact
+    * top-20 terms are then estimated from it, and the output carries
+    * both the exact count and the sketch estimate plus the overcount
+    * (≥ 0 by the CMS guarantee — a negative overcount anywhere means
+    * the sketch is broken). The oracle REBUILDS the identical sketch in
+    * SQL (the bucket hash is three disjoint 10-bit slices of the same
+    * md5-derived hash60), so the custom aggregate's full
+    * update/merge/eval path is hash-verified, not just sanity-checked.
+    *
+    * Shape at scale: the sketch pass aggregates to ONE 24 KB buffer via
+    * map-side partial merge — no key shuffle at any cardinality (the
+    * point of a sketch vs the exact groupBy, which this query also runs
+    * but only to pick the 20 terms worth reporting); the 1-row sketch
+    * broadcast is the scalar-subquery plan (whitelisted). */
+  def taHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .withColumn("h", expr(Text.hash60SparkSql("term")))
+    val sketch = tok.agg(graft.plans.CmsAgg.cms(col("h")).as("sk"))
+    val top = tok.groupBy("term", "h").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("cms_est", least(
+        expr("sk[cast((h & 1023) as int)]"),
+        expr("sk[cast(1024 + (shiftright(h, 10) & 1023) as int)]"),
+        expr("sk[cast(2048 + (shiftright(h, 20) & 1023) as int)]")))
+      .select(col("term"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  private val taHeavyHittersSql: String = {
+    val h = Text.hash60DuckSql("term")
+    s"""WITH tok AS (
+       |  SELECT term, $h AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u),
+       |ctr AS (
+       |  SELECT d, (h >> (10 * d)) & 1023 AS b, count(*)::BIGINT AS c
+       |  FROM tok, (SELECT unnest([0, 1, 2]) AS d) ds
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT term, h, count(*)::BIGINT AS exact_cnt
+       |  FROM tok GROUP BY 1, 2
+       |  ORDER BY exact_cnt DESC, term LIMIT 20)
+       |SELECT term, exact_cnt, min(c)::BIGINT AS cms_est,
+       |  (min(c) - exact_cnt)::BIGINT AS overcount
+       |FROM top JOIN ctr ON ((top.h >> (10 * ctr.d)) & 1023) = ctr.b
+       |GROUP BY term, exact_cnt
+       |ORDER BY exact_cnt DESC, term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_diversity" -> (taDiversity _),
     "ta_tfidf" -> (taTfidf _),
     "ta_bm25" -> (taBm25 _),
@@ -487,6 +540,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_diversity" -> taDiversitySql,
     "ta_tfidf" -> taTfidfSql,
     "ta_bm25" -> taBm25Sql,

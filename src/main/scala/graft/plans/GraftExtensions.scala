@@ -50,5 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "simhash_agg(hash_col) takes exactly 1 argument")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => CmsAgg(child).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "cms_agg(hash_col) takes exactly 1 argument")
+      }))
   }
 }

@@ -31,5 +31,7 @@ object FunctionBridge {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg", args =>
       graft.plans.SimhashAgg(args.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_agg", args =>
+      graft.plans.CmsAgg(args.head).toAggregateExpression(), "scala_udf")
   }
 }

@@ -50,11 +50,11 @@ class PlanSpec extends SparkSpec {
     // aggregate (the HAVING threshold / above-average balance cut) into
     // a cross join — the exact plan a SQL scalar subquery compiles to,
     // bounded by construction (build side is a single aggregate row).
-    // ta_tfidf / ta_bm25 broadcast their ONE-ROW corpus-stats aggregate
-    // (doc count / df / mean doclen) the same way.
+    // ta_tfidf / ta_bm25 / ta_heavy_hitters broadcast their ONE-ROW
+    // corpus aggregate (stats / the CMS sketch) the same way.
     val allowNestedLoop =
       Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
-        "q11_stock_value", "q22_idle_balance", "ta_tfidf", "ta_bm25")
+        "q11_stock_value", "q22_idle_balance", "ta_tfidf", "ta_bm25", "ta_heavy_hitters")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

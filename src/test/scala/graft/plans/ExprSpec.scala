@@ -75,4 +75,35 @@ class ExprSpec extends SparkSpec {
     assert(diff.count() == 0, "SimhashAgg diverges from the 60-column form")
     assert(fast.count() > 0)
   }
+
+  test("CmsAgg: estimates dominate exact counts, partition-layout-invariant, SQL-callable") {
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(col("term"), expr(graft.functions.Text.hash60SparkSql("term")).as("h"))
+    val sk1 = tok.agg(CmsAgg.cms(col("h"))).first().getSeq[Long](0)
+    // CMS merge is elementwise add (commutative/associative): a different
+    // partial-aggregation tree MUST produce the identical sketch
+    val sk2 = tok.repartition(7).agg(CmsAgg.cms(col("h"))).first().getSeq[Long](0)
+    assert(sk1 == sk2, "sketch differs across partition layouts — merge is broken")
+    assert(sk1.length == CmsAgg.Depth * CmsAgg.Width)
+    // per-depth counter mass must equal the token count exactly
+    val n = tok.count()
+    (0 until CmsAgg.Depth).foreach { d =>
+      assert(sk1.slice(d * CmsAgg.Width, (d + 1) * CmsAgg.Width).sum == n,
+        s"depth $d counters do not sum to the input count")
+    }
+    // estimate >= exact for EVERY term (the CMS one-sided guarantee)
+    val exact = tok.groupBy("term", "h").agg(count(lit(1)).as("c")).collect()
+    exact.foreach { r =>
+      val h = r.getLong(1)
+      val est = (0 until CmsAgg.Depth).map { d =>
+        sk1((d * CmsAgg.Width + ((h >>> (10 * d)) & (CmsAgg.Width - 1))).toInt)
+      }.min
+      assert(est >= r.getLong(2), s"CMS underestimated '${r.getString(0)}'")
+    }
+    // SQL surface via the session extension
+    tok.createOrReplaceTempView("exprspec_tok")
+    val viaSql = spark.sql("SELECT cms_agg(h) FROM exprspec_tok").first().getSeq[Long](0)
+    assert(viaSql == sk1, "SQL-registered cms_agg diverges from Column API")
+  }
 }
