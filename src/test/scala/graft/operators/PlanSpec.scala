@@ -170,6 +170,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join pruning: the selective dim plants a probe on the fact side") {
+    // The semi-join-reduction counterpart to DPP for NON-partition keys:
+    // when a shuffle join's build side is small and selective, Spark's
+    // InjectRuntimeFilter plants a bloom_filter_might_contain probe on
+    // the fact side so rows that cannot match die before the shuffle —
+    // at 100 TB that's the difference between shuffling the whole fact
+    // and shuffling the matching fraction. Size thresholds are lowered
+    // to fire at fixture scale (the application side is MBs, not the
+    // 10 GB default).
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = graft.sources.Tables.lineitem(spark, sf)
+      val dim = graft.sources.Tables.part(spark, sf).filter(col("p_size") === 1)
+      val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "p_partkey")
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloomfilter") || plan.contains("bloom_filter_might_contain"),
+        s"no runtime bloom filter on the fact side:\n${plan.take(4000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("flagship q3: filters and projections reach the parquet scans") {
     val df = Relational.q3Unshipped(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
