@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, IvfPq, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Curation, Dedup, Events, IvfPq, Journeys, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Tpch.queries ++ Events.queries ++ TextAnalysis.queries ++
+    Relational.queries ++ Tpch.queries ++ Events.queries ++ Journeys.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++
       Pq.queries ++ IvfPq.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Tpch.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
+    Relational.oracles ++ Tpch.oracles ++ Events.oracles ++ Journeys.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++
       Pq.oracles ++ IvfPq.oracles ++

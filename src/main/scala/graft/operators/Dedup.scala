@@ -299,6 +299,73 @@ object Dedup {
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric near-duplicate detection by SET CONTAINMENT
+    * C(A,B) = |S(A)∩S(B)| / |S(A)| ≥ 0.8 — the quote-inclusion /
+    * sub-document duplication case symmetric Jaccard structurally
+    * misses: a short document fully embedded in a long one has
+    * J ≈ |A|/|B| (arbitrarily small) but containment 1.0. Pairs are
+    * directed small-into-large (ties broken by doc id).
+    *
+    * Candidate generation is the PPJoin-family prefix filter adapted to
+    * containment: if C(A,B) ≥ t then at most |A| − ceil(t·|A|) of A's
+    * shingles are missing from B, so A must share one of its FIRST
+    * |A| − ceil(t·|A|) + 1 shingles (global md5 order) with B — the
+    * prefix depends only on the contained side, while the container
+    * side indexes ALL its shingles (the asymmetry vs the Jaccard
+    * variant, which may prefix-filter both sides). No length filter
+    * applies — |B| ≫ |A| is exactly the case worth finding.
+    *
+    * Scale: candidates = Σ_g pfx_df(g) · idx_df(g). The [[NgramDfCap]]
+    * anti-join caps the candidate join's per-shingle fan-out on both
+    * sides (provably inert at fixture df — the naive-form oracle stays
+    * byte-identical); verification touches candidates only. */
+  def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = Scratch.persist(Text.shingled(spark, sfDir)
+      .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs")))
+    val sized = hs.select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    // contained-side prefix: n - ceil(0.8n) + 1 = n - (4n+4) div 5 + 1
+    val prefix = sized
+      .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
+      .select(col("doc_id"), col("n"), explode(col("pfx")).as("g"))
+    // container-side index: EVERY shingle
+    val index = sized
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    val hot = index.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap).select("g")
+    val pfxCold = prefix.join(hot, Seq("g"), "left_anti")
+    val idxCold = index.join(hot, Seq("g"), "left_anti")
+    val cand = pfxCold.as("a").join(idxCold.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("na", size(col("hs_a")).cast("long"))
+      .withColumn("nb", size(col("hs_b")).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "na", "nb", "inter", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ddContainmentSql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh)
+       |SELECT doc_a, doc_b, x.n AS na, y.n AS nb, inter,
+       |  inter::DOUBLE / x.n AS containment
+       |FROM pc JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE (x.n < y.n OR (x.n = y.n AND doc_a < doc_b))
+       |  AND inter::DOUBLE / x.n >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash near-dup: 60-bit signature per document (majority vote of
     * shingle-hash bits), pairs within Hamming distance 10. */
   def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -487,6 +554,7 @@ object Dedup {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_lsh_wide" -> (ddMinhashLshWide _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment" -> (ddContainment _),
     "dd_simhash" -> (ddSimhash _),
     "dd_cluster" -> (ddCluster _))
 
@@ -496,6 +564,7 @@ object Dedup {
     "dd_minhash_lsh" -> minhashLshSql(),
     "dd_minhash_lsh_wide" -> minhashLshSql(wideBands, wideRows),
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_cluster" -> ddClusterSql)
 }

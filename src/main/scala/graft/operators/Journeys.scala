@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** User-journey analytics over the `events` fixture and slowly-changing
+  * dimension maintenance over `orders` — the behavioral-warehouse surface
+  * a pipeline serving product analytics needs next to plain window
+  * aggregation (reference serves one dashboard aggregate,
+  * `dashboard.py:30-47`; these are the standard generalizations).
+  *
+  * Scale design (all three ops):
+  *  - [[evFunnel]] chains groupBy(user_id) → join(user_id) stages, so
+  *    every stage shuffles on the SAME key and Catalyst reuses the
+  *    hash partitioning across the chain instead of re-exchanging; the
+  *    final output is one row per funnel step (3 rows), aggregated
+  *    map-side. No window over the whole corpus, no driver data.
+  *  - [[evRetention]] is two shuffles (first-touch per user on user_id,
+  *    then the cohort-cell aggregate) over integer keys; the distinct
+  *    inside the cell aggregate is a partial-agg-pushed
+  *    count(distinct) on an already-shuffled key.
+  *  - [[opScd2]] is the textbook two-window SCD2 build: change
+  *    detection via lag() and range closing via lead() both partition
+  *    by the dimension key, so the whole op is ONE exchange on
+  *    c_custkey followed by two in-partition sorted passes.
+  */
+object Journeys {
+
+  /** Ordered funnel steps: a user converts step k only with an event of
+    * that type STRICTLY AFTER their step-(k−1) conversion time (the
+    * standard strict-sequence funnel). Fixed 3-step funnel over the
+    * fixture's event vocabulary. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Per-step converted-user counts for the view → click → purchase
+    * funnel. Emits (step, step_name, users), one row per step. */
+  def evFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    // stage k: earliest qualifying event per user, strictly after the
+    // user's previous-stage conversion instant
+    val stages = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val base = ev.filter(col("event_type") === step)
+        val qualified = prev match {
+          case None => base
+          case Some(p) => base.join(p, "user_id").filter(col("ts") > col(s"t$i"))
+        }
+        Some(qualified.groupBy("user_id").agg(min("ts").as(s"t${i + 1}")))
+    }.flatten
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((s, name), i) =>
+      s.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
+  private val evFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS step, 'view' AS step_name, count(*)::BIGINT AS users FROM s1
+      |  UNION ALL
+      |  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+      |  UNION ALL
+      |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) f
+      |ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users cohorted by the ISO week of their
+    * first event; each cell counts distinct cohort members active in
+    * week cohort+offset. Week arithmetic is done on epoch seconds of
+    * week-truncated timestamps (both engines truncate to Monday 00:00),
+    * so the offset is exact integer math, not calendar-dependent. */
+  def evRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset",
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val evRetentionSql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |first AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT cohort_week,
+      |  ((epoch(wk)::BIGINT - epoch(cohort_week)::BIGINT) // 604800)::BIGINT AS week_offset,
+      |  count(DISTINCT ev.user_id)::BIGINT AS active_users
+      |FROM ev JOIN first ON ev.user_id = first.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** SCD Type-2 dimension build: customer order-priority history derived
+    * from the orders change stream. A history row opens at the first
+    * order whose priority differs from the previous order's
+    * (lag-detected change point) and closes at the next change point's
+    * open time (lead), NULL effective_to marking the current row. Ties
+    * on o_orderdate are broken by o_orderkey in BOTH windows, so the
+    * history is deterministic. */
+  def opScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(byTime))
+      .filter(col("prev_priority").isNull || col("prev_priority") =!= col("o_orderpriority"))
+    val byOpen = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(byOpen))
+      .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("custkey"), col("effective_from"), col("priority"))
+  }
+
+  private val opScd2Sql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_priority
+      |  FROM orders),
+      |hist AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS effective_to
+      |  FROM chg WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority)
+      |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |  o_orderdate AS effective_from, effective_to,
+      |  (effective_to IS NULL)::BIGINT AS is_current
+      |FROM hist ORDER BY custkey, effective_from, priority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> (evFunnel _),
+    "ev_retention" -> (evRetention _),
+    "op_scd2" -> (opScd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "ev_funnel" -> evFunnelSql,
+    "ev_retention" -> evRetentionSql,
+    "op_scd2" -> opScd2Sql)
+}

@@ -467,6 +467,33 @@ object Relational {
       |  FROM customer) t
       |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
 
+  /** Distribution window functions — percent_rank, cume_dist, ntile —
+    * per market segment over account balance. The window ORDER BY
+    * carries a c_custkey tiebreak so ranks (and therefore the derived
+    * fractions) are deterministic under ties; percent_rank's
+    * (rank−1)/(n−1) and cume_dist's peers/n are then each ONE IEEE
+    * division on identical integers in both engines. One exchange on
+    * c_mktsegment, one in-partition sort, all three functions in the
+    * same window pass. */
+  def opWindowDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("c_mktsegment", "c_custkey", "c_acctbal", "pr", "cd", "quartile")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private val opWindowDistSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  (ntile(4) OVER w)::BIGINT AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** Running (cumulative) sum per customer over order history. Uses the
     * fixed-point trick so every prefix sum is exact in both engines. */
   def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1021,6 +1048,7 @@ object Relational {
     "op_grouping_sets" -> (opGroupingSets _),
     "op_topk" -> (opTopk _),
     "op_window_rank" -> (opWindowRank _),
+    "op_window_dist" -> (opWindowDist _),
     "op_window_running" -> (opWindowRunning _),
     "op_union" -> (opUnion _),
     "op_intersect" -> (opIntersect _),
@@ -1063,6 +1091,7 @@ object Relational {
     "op_grouping_sets" -> opGroupingSetsSql,
     "op_topk" -> opTopkSql,
     "op_window_rank" -> opWindowRankSql,
+    "op_window_dist" -> opWindowDistSql,
     "op_window_running" -> opWindowRunningSql,
     "op_union" -> opUnionSql,
     "op_intersect" -> opIntersectSql,

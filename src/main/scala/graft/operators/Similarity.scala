@@ -577,7 +577,72 @@ object Similarity {
       |      FROM embeddings) t
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): the BM25 top-50 for the fixed keyword query
+    * ([[TextAnalysis.bm25Scored]]) fused with the cosine top-50 for a
+    * fixed probe embedding (vec_id 0 — `documents.doc_id` and
+    * `embeddings.vec_id` align 1:1 in the fixture), each list ranked
+    * 1..50, RRF score = 1/(60+r_lex) + 1/(60+r_vec) with a missing side
+    * contributing 0. The standard first-stage fusion for RAG-style
+    * retrieval over a corpus with both lexical and dense indexes.
+    *
+    * Shape at scale: each side is a global top-k (TakeOrderedAndProject
+    * — no full sort), so the rank windows and the full-outer fusion join
+    * run over two ≤50-row relations; corpus-sized data never shuffles.
+    * The probe side is a 1-row broadcast (scalar-subquery plan,
+    * whitelisted like the BM25 stats row).
+    *
+    * Bit-exactness: ranks are integers; 1/(60+r) is one IEEE division
+    * and the two terms add in fixed written order in both engines, so
+    * the doubles compare equal.
+    */
+  def annRrfHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    def rank1toK(df: DataFrame, by: Column, tiebreak: Column, k: Int, as: String): DataFrame =
+      // top-k FIRST (TakeOrderedAndProject, scalable), then rank the
+      // bounded k-row survivor set in one single-partition window
+      df.orderBy(by.desc, tiebreak).limit(k)
+        .withColumn(as, row_number().over(Window.orderBy(by.desc, tiebreak)).cast("long"))
+    val lex = rank1toK(TextAnalysis.bm25Scored(spark, sfDir),
+      col("score"), col("doc_id"), 50, "lex_rank")
+      .select("doc_id", "lex_rank")
+    val e = embWithNorm(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val cos = e.crossJoin(broadcast(probe))
+      .withColumn("cosine", expr(dotS("emb", "p_emb")) / (col("nrm") * col("p_nrm")))
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    val vec = rank1toK(cos, col("cosine"), col("doc_id"), 50, "vec_rank")
+      .select("doc_id", "vec_rank")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "lex_rank", "vec_rank", "rrf")
+  }
+
+  private val annRrfHybridSql: String =
+    s"""WITH ${TextAnalysis.bm25ScoredCtes},
+       |$duckEmbCte,
+       |lexr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS lex_rank
+       |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50) top_lex),
+       |cos AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) AS cosine
+       |  FROM e, (SELECT * FROM e WHERE vec_id = 0) p),
+       |vecr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)::BIGINT AS vec_rank
+       |  FROM (SELECT * FROM cos ORDER BY cosine DESC, doc_id LIMIT 50) top_vec)
+       |SELECT doc_id, lex_rank, vec_rank,
+       |  coalesce(1.0 / (60.0 + lex_rank::DOUBLE), 0.0) +
+       |    coalesce(1.0 / (60.0 + vec_rank::DOUBLE), 0.0) AS rrf
+       |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rrf_hybrid" -> (annRrfHybrid _),
     "ann_topk_exact" -> (annTopkExact _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
@@ -588,6 +653,7 @@ object Similarity {
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "ann_rrf_hybrid" -> annRrfHybridSql,
     "ann_topk_exact" -> annTopkExactSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,

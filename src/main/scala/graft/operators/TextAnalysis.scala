@@ -384,7 +384,15 @@ object TextAnalysis {
     * exact mean doclen) are a single 1-row aggregate broadcast into a
     * cross join (scalar-subquery plan, whitelisted); the top-25 is
     * TakeOrderedAndProject. */
-  def taBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def taBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scored(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+
+  /** The pre-top-k BM25 relation (doc_id, tf1..tf3, dl, score > 0) —
+    * shared by [[taBm25]] and the hybrid-retrieval fusion in
+    * [[Similarity.annRrfHybrid]]. */
+  private[operators] def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
     val perDoc = Tables.documents(spark, sfDir)
       .withColumn("toks", Text.tokens(col("text")))
       .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
@@ -408,17 +416,16 @@ object TextAnalysis {
       .withColumn("score", termScore(1) + termScore(2) + termScore(3))
       .filter(col("score") > 0)
       .select("doc_id", "tf1", "tf2", "tf3", "dl", "score")
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(25)
   }
 
-  private val taBm25Sql: String = {
+  /** Oracle CTEs producing the same `bm` relation as [[bm25Scored]]. */
+  private[operators] val bm25ScoredCtes: String = {
     val Seq(t1, t2, t3) = Bm25Terms
     def termScore(i: Int): String =
       s"(n_docs::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) * " +
         s"((tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * " +
         "(1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl)))"
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id,
        |    len(list_filter(w, x -> x = '$t1'))::BIGINT AS tf1,
        |    len(list_filter(w, x -> x = '$t2'))::BIGINT AS tf2,
@@ -431,13 +438,19 @@ object TextAnalysis {
        |    count(CASE WHEN tf2 > 0 THEN 1 END)::BIGINT AS df2,
        |    count(CASE WHEN tf3 > 0 THEN 1 END)::BIGINT AS df3,
        |    ${Exact.sqlAvg("dl", 0)} AS avgdl
-       |  FROM d)
-       |SELECT doc_id, tf1, tf2, tf3, dl, score FROM (
-       |  SELECT doc_id, tf1, tf2, tf3, dl,
-       |    ${termScore(1)} + ${termScore(2)} + ${termScore(3)} AS score
-       |  FROM d, s) q
-       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+       |  FROM d),
+       |bm AS (
+       |  SELECT doc_id, tf1, tf2, tf3, dl, score FROM (
+       |    SELECT doc_id, tf1, tf2, tf3, dl,
+       |      ${termScore(1)} + ${termScore(2)} + ${termScore(3)} AS score
+       |    FROM d, s) q
+       |  WHERE score > 0)""".stripMargin
   }
+
+  private val taBm25Sql: String =
+    s"""WITH $bm25ScoredCtes
+       |SELECT doc_id, tf1, tf2, tf3, dl, score FROM bm
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
   /** Token-diversity scoring via GINI IMPURITY, 1 − Σ p(term)², the
     * log-free stand-in for token entropy (same reason as [[taTfidf]]:

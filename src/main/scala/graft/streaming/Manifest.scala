@@ -158,6 +158,23 @@ object Manifest {
     commitLoop(spark, table, "append")((_, existing) => existing ++ mine)
   }
 
+  /** Copy-on-write REPLACE: commit `df` as the table's ENTIRE new file
+    * set — the file-level commit that MERGE/UPDATE/DELETE compile to in
+    * Delta/Iceberg's copy-on-write mode. Prior files leave the live
+    * snapshot atomically with the manifest commit and stay reachable
+    * only through earlier versions (time travel) until [[vacuum]].
+    * Returns the committed version. Unlike [[compact]] there is no
+    * input-liveness precondition: replace wins over concurrent appends
+    * by design (last-writer-wins table semantics), which is the
+    * documented contract of an overwrite commit. */
+  def replace(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val scratch = s"$table/.replace_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val mine = adoptParts(spark, table, scratch, "replace")
+    commitLoop(spark, table, "replace")((_, _) => mine)
+  }
+
   /** Compact the CURRENT snapshot's files into `targetFiles`, committing
     * `latest − inputs + compacted` so appends that land mid-rewrite
     * survive. `beforeCommit` is a test seam for deterministic

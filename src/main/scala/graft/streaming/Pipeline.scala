@@ -311,6 +311,67 @@ object Pipeline {
        |FROM orders
        |ORDER BY version""".stripMargin
 
+  /** Row-level CHANGE DATA CAPTURE between two [[Manifest]] versions:
+    * v0 commits the orders fixture; a copy-on-write [[Manifest.replace]]
+    * then applies one MERGE-generation of changes (delete keys ≡0 mod 7,
+    * reprice +1.00 for surviving keys ≡0 mod 5, insert copies of keys
+    * ≡0 mod 11 into a disjoint key space) as v1. The diff reads BOTH
+    * pinned snapshots (time travel) and full-outer joins on the key —
+    * the standard snapshot-diff CDC a lakehouse computes when the
+    * format lacks a change log. Output is per-op row counts + checksums,
+    * all derivable from the fixture by the oracle.
+    *
+    * Scale: one equi-join on the table key between two snapshots plus a
+    * 3-group aggregate; both sides are manifest-pinned parquet scans, so
+    * the join is shuffle-partitioned on the key with no driver data. */
+  def pipeCdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/cdc_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    val v0 = Manifest.append(spark, tbl, ord.repartition(2))
+    val survivors = ord.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val inserts = ord.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    val v1 = Manifest.replace(spark, tbl, survivors.unionAll(inserts).repartition(2))
+    def at(v: Long): DataFrame =
+      spark.read.parquet(Manifest.filesAt(spark, tbl, v).map(f => s"$tbl/$f"): _*)
+    val prev = at(v0).select(col("o_orderkey").as("k0"), col("o_totalprice").as("p0"))
+    val curr = at(v1).select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+    prev.join(curr, col("k0") === col("k1"), "full_outer")
+      .withColumn("op",
+        when(col("k1").isNull, lit("delete"))
+          .when(col("k0").isNull, lit("insert"))
+          .when(col("p0") =!= col("p1"), lit("update")))
+      .filter(col("op").isNotNull)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("k0"), col("k1")) % P).as("key_check"),
+        sum(expr("cast(round(coalesce(p1, p0) * 100) as bigint)") % P).as("price_check"))
+      .orderBy("op")
+  }
+
+  private val pipeCdcDiffSql: String =
+    s"""SELECT * FROM (
+       |  SELECT 'delete' AS op, count(*)::BIGINT AS n_rows,
+       |    sum(o_orderkey % $P)::BIGINT AS key_check,
+       |    sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT 'insert', count(*)::BIGINT,
+       |    sum((o_orderkey + 1000000000) % $P)::BIGINT,
+       |    sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |  FROM orders WHERE o_orderkey % 11 = 0
+       |  UNION ALL
+       |  SELECT 'update', count(*)::BIGINT,
+       |    sum(o_orderkey % $P)::BIGINT,
+       |    sum(round((o_totalprice + 1.0) * 100)::BIGINT % $P)::BIGINT
+       |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0) d
+       |WHERE n_rows > 0 ORDER BY op""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -336,6 +397,7 @@ object Pipeline {
     "pipe_txn_compact" -> (pipeTxnCompact _),
     "pipe_incr_agg" -> (pipeIncrAgg _),
     "pipe_time_travel" -> (pipeTimeTravel _),
+    "pipe_cdc_diff" -> (pipeCdcDiff _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +406,6 @@ object Pipeline {
     "pipe_txn_compact" -> pipeTxnCompactSql,
     "pipe_incr_agg" -> pipeIncrAggSql,
     "pipe_time_travel" -> pipeTimeTravelSql,
+    "pipe_cdc_diff" -> pipeCdcDiffSql,
     "op_synth_table" -> opSynthTableSql)
 }

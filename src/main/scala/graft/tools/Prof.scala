@@ -79,6 +79,15 @@ object Prof {
     stats("ta_tfidf", graft.operators.TextAnalysis.taTfidf(spark, sf))
     stats("dd_span_dedup", graft.operators.Curation.ddSpanDedup(spark, sf))
     stats("op_upsert_merge", graft.operators.Curation.opUpsertMerge(spark, sf))
+    // journey/SCD2/hybrid additions: funnel must chain user_id shuffles
+    // (no fresh exchange per stage beyond the events-side one), scd2 is
+    // a single exchange + two window passes, hybrid's joins are bounded
+    val fun = stats("ev_funnel", graft.operators.Journeys.evFunnel(spark, sf))
+    stats("ev_retention", graft.operators.Journeys.evRetention(spark, sf))
+    stats("op_scd2", graft.operators.Journeys.opScd2(spark, sf))
+    stats("ann_rrf_hybrid", graft.operators.Similarity.annRrfHybrid(spark, sf))
+    println("\n-- ev_funnel full plan (user_id partitioning reused across stages?) --")
+    println(finalPlan(fun).take(4000))
     println("\n-- q5_local_supplier full plan (pushdowns + join strategies) --")
     println(finalPlan(q5).take(6000))
     println("\n-- q21_waiting full plan (semi/anti self-joins must be hash, one lineitem scan reused) --")

@@ -106,4 +106,27 @@ class ManifestSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("vanished"))
   }
+
+  test("copy-on-write replace: live snapshot swaps atomically, prior version stays time-travel readable") {
+    val tbl = s"$base/orders-replace"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf)
+    val evens = ord.filter(col("o_orderkey") % 2 === 0)
+    val odds = ord.filter(col("o_orderkey") % 2 === 1)
+    val v0 = Manifest.append(spark, tbl, evens.repartition(2))
+    val v1 = Manifest.replace(spark, tbl, odds.repartition(2))
+    assert(v1 == v0 + 1)
+    // live read sees ONLY the replacement rows
+    val live = Manifest.read(spark, tbl)
+    assert(live.count() == odds.count())
+    assert(live.filter(col("o_orderkey") % 2 === 0).count() == 0)
+    // the replaced snapshot remains pinned and complete under v0
+    val pinned = spark.read.parquet(
+      Manifest.filesAt(spark, tbl, v0).map(f => s"$tbl/$f"): _*)
+    assert(pinned.count() == evens.count())
+    assert(pinned.filter(col("o_orderkey") % 2 === 1).count() == 0)
+    // vacuum with zero retention drops exactly v0's two files
+    assert(Manifest.vacuum(spark, tbl, retentionMs = 0) == 2)
+    assert(Manifest.read(spark, tbl).count() == odds.count())
+  }
 }
