@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over the TPC-H fixture expressed as plain DataFrame
+  * iteration — the missing-operator family next to connected components
+  * ([[Dedup.ddCluster]]). The graph is the CO-ORDER part graph: parts
+  * are vertices, an edge joins two parts that appear in the same order
+  * (the standard market-basket projection of an order-lines table).
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: scores
+  * are scaled BIGINTs, each contribution is one integer floor-division
+  * by out-degree, the damping mix is (15·S)/100 + (85·Σcontrib)/100 in
+  * integer division — every operation is associative or a single
+  * exact division, so Spark's shuffle order and DuckDB's scan order
+  * produce BIT-IDENTICAL scores (doubles never appear; libm never
+  * runs). Three fixed Jacobi iterations, unrolled identically in the
+  * oracle SQL by the same builder constants.
+  *
+  * Scale: edge construction is ONE self-equi-join on l_orderkey whose
+  * fan-out is bounded by per-order line counts (≤7 in TPC-H — at any
+  * corpus size the pair explosion is ≤ lines², per order, not global);
+  * each iteration is one equi-join on the source vertex plus one
+  * aggregation on the destination vertex — two shuffles on int keys,
+  * no driver-side data, no lineage growth beyond 3 fixed steps. */
+object Graph {
+
+  /** Fixed-point scale: scores start at [[Scale]] per vertex. */
+  private val Scale = 1000000L
+  private val Iters = 3
+
+  /** Directed co-order edge list (both directions present by symmetry)
+    * with source out-degrees. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** 3-iteration damped PageRank (d = 0.85) over the co-order graph,
+    * top 25 parts by final score. */
+  def grPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Scratch.persist(edges(spark, sfDir))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = Scratch.persist(e.join(deg, "src"))
+    val nodes = deg.select(col("src").as("p"))
+    var rank = nodes.withColumn("score", lit(Scale))
+    for (_ <- 1 to Iters) {
+      val contrib = withDeg
+        .join(rank.withColumnRenamed("p", "src"), "src")
+        // `div` is INTEGER division in Spark SQL — no doubles anywhere
+        .select(col("dst").as("p"), expr("score div deg").as("c"))
+        .groupBy("p").agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(contrib, Seq("p"), "left_outer")
+        .select(col("p"),
+          (lit(15L * Scale / 100L) +
+            expr(s"(85 * coalesce(inflow, 0L)) div 100")).as("score"))
+    }
+    rank.orderBy(col("score").desc, col("p")).limit(25)
+  }
+
+  private val grPagerankSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS p, sum(r${k - 1}.score // e.deg)::BIGINT AS inflow
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.p = e.src GROUP BY 1),
+         |r$k AS (SELECT n.p,
+         |    (${15L * Scale / 100L} + (85 * coalesce(c$k.inflow, 0)) // 100)::BIGINT AS score
+         |  FROM n LEFT JOIN c$k ON c$k.p = n.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d AS (SELECT src, count(*)::BIGINT AS deg FROM raw GROUP BY 1),
+       |e AS (SELECT raw.src, raw.dst, d.deg FROM raw JOIN d ON d.src = raw.src),
+       |n AS (SELECT src AS p FROM d),
+       |r0 AS (SELECT p, $Scale::BIGINT AS score FROM n),
+       |$iterCtes
+       |SELECT p, score FROM r$Iters
+       |ORDER BY score DESC, p LIMIT 25""".stripMargin
+  }
+
+  /** Association-rule mining over co-ordered part pairs: support,
+    * confidence and lift for every pair ordered both ways, minimum
+    * pair support 3, top 25 by lift. All counting is exact integers;
+    * confidence = n_ab/n_a and lift = (n_ab·N)/(n_a·n_b) are each ONE
+    * IEEE division of exact integer products (numerators ≤ 1e10 ≪ 2⁵³),
+    * so both engines emit bit-identical doubles.
+    *
+    * Scale: basket pairing is the same bounded per-order self-join as
+    * [[edges]]; pair counting is one shuffle on the (a,b) key with
+    * map-side partial counts; the per-part counts and the scalar order
+    * count broadcast into the small pair relation. */
+  def grAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("ante"), col("b.l_partkey").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val per = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+    val total = li.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(per.select(col("p").as("ante"), col("n_p").as("n_a")), "ante")
+      .join(per.select(col("p").as("cons"), col("n_p").as("n_b")), "cons")
+      .crossJoin(broadcast(total))
+      .withColumn("confidence", col("n_ab").cast("double") / col("n_a"))
+      .withColumn("lift",
+        (col("n_ab") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")))
+      .select("ante", "cons", "n_ab", "n_a", "n_b", "confidence", "lift")
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(25)
+  }
+
+  private val grAssocRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*)::BIGINT AS n_ab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |per AS (SELECT l_partkey AS p, count(*)::BIGINT AS n_p FROM li GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li)
+      |SELECT ante, cons, n_ab, x.n_p AS n_a, y.n_p AS n_b,
+      |  n_ab::DOUBLE / x.n_p AS confidence,
+      |  (n_ab * n_orders)::DOUBLE / (x.n_p * y.n_p) AS lift
+      |FROM pairs JOIN per x ON x.p = ante JOIN per y ON y.p = cons, tot
+      |ORDER BY lift DESC, ante, cons LIMIT 25""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_pagerank" -> (grPagerank _),
+    "gr_assoc_rules" -> (grAssocRules _))
+
+  val oracles: Map[String, String] = Map(
+    "gr_pagerank" -> grPagerankSql,
+    "gr_assoc_rules" -> grAssocRulesSql)
+}
