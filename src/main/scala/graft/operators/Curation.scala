@@ -374,7 +374,91 @@ object Curation {
        |  ${graft.functions.Exact.sqlSum("price", 2)} AS total_price
        |FROM m""".stripMargin
 
+  /** Hashed-feature bucket count for [[cuDsirWeights]] — small enough
+    * to broadcast anywhere, large enough that en/non-en token mass
+    * separates; a real deployment sizes this like any feature-hashing
+    * dimension (10k–1M) and the plan shape is unchanged. */
+  private val DsirBuckets = 256
+
+  /** SOFT deduplication: instead of dropping duplicates, every document
+    * gets sampling weight 1/n_copies of its exact-content cluster (the
+    * "count once in expectation" policy — repeated documents contribute
+    * one effective copy to training without a hard keep/drop edge).
+    * One window count over the content key — the same single shuffle
+    * as [[Dedup.ddExact]] — and one exact IEEE division per row. */
+  def cuDedupSoft(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("content_key")
+    Tables.documents(spark, sfDir)
+      .withColumn("content_key", md5(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .withColumn("weight", lit(1.0) / col("n_copies"))
+      .select("doc_id", "content_key", "n_copies", "weight")
+      .orderBy("doc_id")
+  }
+
+  private val cuDedupSoftSql: String =
+    """SELECT doc_id, md5(text) AS content_key,
+      |  count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+      |  1.0 / count(*) OVER (PARTITION BY md5(text)) AS weight
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by how much its hashed-token distribution looks like a
+    * TARGET domain (here lang='en'). Token features hash into
+    * [[DsirBuckets]] buckets; each bucket's smoothed frequency ratio
+    * (n_target+1)/(n_raw+1) is ONE exact division; a document's weight
+    * is the product of its tokens' bucket ratios, folded in SORTED
+    * bucket order as a strict left fold seeded at 1.0 — the same
+    * fixed-operation-sequence argument as the cosine fold in
+    * [[Similarity]], so the doubles match DuckDB bit for bit (no
+    * libm log/exp — DSIR's log-space sum is a monotone transform of
+    * this product).
+    *
+    * Shape at scale: the bucket table is [[DsirBuckets]] rows —
+    * broadcast — so scoring is token explode → map-side join → one
+    * doc-keyed aggregation; the corpus shuffles once on doc_id. */
+  def cuDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", expr(s"${Text.hash60SparkSql("tok")} % $DsirBuckets"))
+    val ratios = toks.groupBy("bucket").agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("lang") === "en", lit(1))).as("n_target"))
+      .withColumn("ratio",
+        (col("n_target") + lit(1L)).cast("double") / (col("n_raw") + lit(1L)))
+      .select("bucket", "ratio")
+    toks.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sort_array(collect_list(struct(col("bucket"), col("ratio")))).as("rs"))
+      .withColumn("weight",
+        expr("aggregate(rs, cast(1.0 as double), (acc, r) -> acc * r.ratio)"))
+      .select("doc_id", "n_toks", "weight")
+      .orderBy("doc_id")
+  }
+
+  private val cuDsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, ${Text.hash60DuckSql("tok")} % $DsirBuckets AS bucket
+       |      FROM toks),
+       |r AS (SELECT bucket,
+       |    (count(CASE WHEN lang = 'en' THEN 1 END) + 1)::DOUBLE
+       |      / (count(*) + 1) AS ratio
+       |  FROM b GROUP BY bucket),
+       |perdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks,
+       |    list(r.ratio ORDER BY b.bucket, r.ratio) AS rs
+       |  FROM b JOIN r ON r.bucket = b.bucket GROUP BY doc_id)
+       |SELECT doc_id, n_toks,
+       |  list_reduce(rs, (x, y) -> x * y) AS weight
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_dedup_soft" -> (cuDedupSoft _),
+    "cu_dsir_weights" -> (cuDsirWeights _),
     "dc_contamination" -> (dcContamination _),
     "pipe_curation" -> (pipeCuration _),
     "pipe_mixture" -> (pipeMixture _),
@@ -384,6 +468,8 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_dedup_soft" -> cuDedupSoftSql,
+    "cu_dsir_weights" -> cuDsirWeightsSql,
     "dc_contamination" -> dcContaminationSql,
     "pipe_curation" -> pipeCurationSql,
     "pipe_mixture" -> pipeMixtureSql,

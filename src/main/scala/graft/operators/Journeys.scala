@@ -137,13 +137,46 @@ object Journeys {
       |  (effective_to IS NULL)::BIGINT AS is_current
       |FROM hist ORDER BY custkey, effective_from, priority""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRIOR non-purchase event (its type and time); NULLs
+    * mean an unattributed/organic purchase. One window pass — the
+    * ignore-nulls last_value over a (ts, event_id)-ordered frame ending
+    * one row before current — so the whole op is one exchange on
+    * user_id and one in-partition sort, identical in both engines. */
+  def evAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchaseTs = when(col("event_type") =!= "purchase", col("ts"))
+    val nonPurchaseType = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(spark, sfDir)
+      .withColumn("attributed_ts", last(nonPurchaseTs, ignoreNulls = true).over(w))
+      .withColumn("attributed_type", last(nonPurchaseType, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "attributed_type", "attributed_ts")
+      .orderBy("event_id")
+  }
+
+  private val evAttributionSql: String =
+    """SELECT event_id, user_id, ts, attributed_type, attributed_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER w AS attributed_ts,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS attributed_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel" -> (evFunnel _),
     "ev_retention" -> (evRetention _),
+    "ev_attribution" -> (evAttribution _),
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
+    "ev_attribution" -> evAttributionSql,
     "op_scd2" -> opScd2Sql)
 }
