@@ -452,6 +452,73 @@ object TextAnalysis {
        |SELECT doc_id, tf1, tf2, tf3, dl, score FROM bm
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
+  /** Corpus-bigram language-model FLUENCY scoring — the n-gram-LM
+    * quality gate (the KenLM-perplexity filter of CCNet/Gopher in a
+    * bit-portable form): train add-one-smoothed bigram conditionals
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) on the corpus itself, score
+    * each document by its MEAN bigram conditional probability.
+    * Mean — not product — so nothing underflows and no log is needed;
+    * the per-doc sum folds position-ordered probabilities left to
+    * right (seeded 0.0), making the float accumulation
+    * order-identical in both engines, and the final mean is one IEEE
+    * division. High scores = documents built from corpus-common
+    * transitions; low = disfluent/rare token soup.
+    *
+    * Shape at scale: bigrams are built MAP-SIDE (zip_with over the
+    * token array — no self-join); the bigram-conditional table is one
+    * (w₁,w₂) aggregation joined back on the bigram key; V is a 1-row
+    * broadcast aggregate (whitelisted scalar plan); per-doc scoring is
+    * one doc-keyed aggregation. Three shuffles total, all on keys the
+    * aggregation needs anyway. */
+  def taLmFluency(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val bi = docs.select(col("doc_id"), posexplode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |(x, y) -> struct(x AS w1, y AS w2))""".stripMargin))
+        .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("cs"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vv"))
+    val p = cnt.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        ((col("c") + lit(1L)).cast("double") / (col("cs") + col("vv"))).as("p"))
+    bi.join(p, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .withColumn("fluency",
+        expr("aggregate(ps, cast(0.0 as double), (acc, x) -> acc + x.p)") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "fluency")
+      .orderBy("doc_id")
+  }
+
+  private val taLmFluencySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id,
+      |         unnest([{'pos': i, 'w1': w[i], 'w2': w[i + 1]}
+      |                 for i in generate_series(1, len(w) - 1)]) AS b
+      |       FROM t),
+      |bi AS (SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*)::BIGINT AS cs FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok)::BIGINT AS vv
+      |      FROM (SELECT unnest(w) AS tok FROM t) u),
+      |p AS (SELECT cnt.w1, cnt.w2, (c + 1)::DOUBLE / (cs + vv) AS p
+      |      FROM cnt JOIN ctx ON ctx.w1 = cnt.w1, v),
+      |perdoc AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |    list(p.p ORDER BY bi.pos) AS ps
+      |  FROM bi JOIN p ON p.w1 = bi.w1 AND p.w2 = bi.w2
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  list_reduce(ps, (x, y) -> x + y) / n_bigrams AS fluency
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+
   /** Token-diversity scoring via GINI IMPURITY, 1 − Σ p(term)², the
     * log-free stand-in for token entropy (same reason as [[taTfidf]]:
     * libm `ln` is not bit-portable, Gini ranks diversity with pure
@@ -541,6 +608,7 @@ object TextAnalysis {
     "ta_diversity" -> (taDiversity _),
     "ta_tfidf" -> (taTfidf _),
     "ta_bm25" -> (taBm25 _),
+    "ta_lm_fluency" -> (taLmFluency _),
     "ta_repetition" -> (taRepetition _),
     "ta_chunk" -> (taChunk _),
     "ta_pack_bins" -> (taPackBins _),
@@ -557,6 +625,7 @@ object TextAnalysis {
     "ta_diversity" -> taDiversitySql,
     "ta_tfidf" -> taTfidfSql,
     "ta_bm25" -> taBm25Sql,
+    "ta_lm_fluency" -> taLmFluencySql,
     "ta_repetition" -> taRepetitionSql,
     "ta_chunk" -> taChunkSql,
     "ta_pack_bins" -> taPackBinsSql,

@@ -86,6 +86,10 @@ object Prof {
     stats("ev_retention", graft.operators.Journeys.evRetention(spark, sf))
     stats("op_scd2", graft.operators.Journeys.opScd2(spark, sf))
     stats("ann_rrf_hybrid", graft.operators.Similarity.annRrfHybrid(spark, sf))
+    stats("gr_pagerank", graft.operators.Graph.grPagerank(spark, sf))
+    stats("dd_containment", graft.operators.Dedup.ddContainment(spark, sf))
+    stats("cu_dsir_weights", graft.operators.Curation.cuDsirWeights(spark, sf))
+    stats("ta_lm_fluency", graft.operators.TextAnalysis.taLmFluency(spark, sf))
     println("\n-- ev_funnel full plan (user_id partitioning reused across stages?) --")
     println(finalPlan(fun).take(4000))
     println("\n-- q5_local_supplier full plan (pushdowns + join strategies) --")
