@@ -641,7 +641,38 @@ object Similarity {
        |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of the n-gram [[Curation.dcContamination]]: flag every
+    * corpus vector whose cosine to ANY benchmark-set embedding reaches
+    * τ = 0.3 (calibrated like [[SemTheta]]: fixture cross-pairs top out
+    * ≈ 0.47, so the flag set is non-vacuous but selective). The
+    * benchmark set (vec_id < 20, the eval-set stand-in) is BROADCAST —
+    * benchmarks are small by construction, so the corpus is scanned
+    * once map-side and never shuffles; the nested-loop is bounded by
+    * the benchmark size exactly like [[annTopkExact]]'s probe batch
+    * (whitelisted). Emits (bench_id, vec_id, cosine) per hit. */
+  def dcEmbedContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embWithNorm(spark, sfDir)
+    val bench = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bench_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    e.filter(col("vec_id") >= 20)
+      .join(broadcast(bench))
+      .withColumn("cosine", expr(dotS("emb", "b_emb")) / (col("nrm") * col("b_nrm")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("bench_id"), col("vec_id"), col("cosine"))
+      .orderBy("bench_id", "vec_id")
+  }
+
+  private val dcEmbedContaminationSql: String =
+    s"""WITH $duckEmbCte
+       |SELECT b.vec_id AS bench_id, e.vec_id AS vec_id,
+       |  ${dotD("e.embedding", "b.embedding")} / (e.nrm * b.nrm) AS cosine
+       |FROM e JOIN e b ON b.vec_id < 20 AND e.vec_id >= 20
+       |WHERE ${dotD("e.embedding", "b.embedding")} / (e.nrm * b.nrm) >= 0.3
+       |ORDER BY bench_id, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dc_embed_contamination" -> (dcEmbedContamination _),
     "ann_rrf_hybrid" -> (annRrfHybrid _),
     "ann_topk_exact" -> (annTopkExact _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
@@ -653,6 +684,7 @@ object Similarity {
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "dc_embed_contamination" -> dcEmbedContaminationSql,
     "ann_rrf_hybrid" -> annRrfHybridSql,
     "ann_topk_exact" -> annTopkExactSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,

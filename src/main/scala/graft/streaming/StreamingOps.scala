@@ -284,7 +284,52 @@ object StreamingOps {
        |JOIN nation n ON n.n_nationkey = c.c_nationkey
        |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  case class AttrEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class AttrLast(ts: java.sql.Timestamp, typ: String)
+  case class AttrOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                     attributed_type: Option[String], attributed_ts: Option[java.sql.Timestamp])
+
+  /** Streaming last-touch attribution — the continuous twin of
+    * [[graft.operators.Journeys.evAttribution]]: per-user state holds
+    * the most recent non-purchase event; each purchase emits its
+    * attribution the moment it is processed. Within a micro-batch the
+    * group's rows are event-time-sorted (ts, event_id) before the walk
+    * — the fixture drains in one AvailableNow batch, so the emission
+    * set is EXACTLY the batch window query and the same oracle
+    * verifies both. State is one (ts, type) pair per user — constant
+    * per key, the cheapest possible stateful footprint at scale. */
+  def opStreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[AttrEvent], state: GroupState[AttrLast]) => {
+      val sorted = rows.toSeq.sortWith((a, b) =>
+        a.ts.compareTo(b.ts) < 0 || (a.ts.compareTo(b.ts) == 0 && a.event_id < b.event_id))
+      var last = state.getOption
+      val out = Seq.newBuilder[AttrOut]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          out += AttrOut(e.event_id, userId, e.ts, last.map(_.typ), last.map(_.ts))
+        else last = Some(AttrLast(e.ts, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    val res = Tables.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    spark.catalog.dropTempView("graft_stream_attr")
+    val q = res.toDF().writeStream
+      .format("memory").queryName("graft_stream_attr")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_attr").orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_attribution" -> (opStreamAttribution _),
     "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_join" -> (opStreamJoin _),
     "op_stream_outer" -> (opStreamOuter _),
@@ -295,6 +340,7 @@ object StreamingOps {
     "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
     "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_join" -> opStreamJoinSql,
     "op_stream_outer" -> opStreamOuterSql,
