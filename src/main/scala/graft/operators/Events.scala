@@ -390,6 +390,43 @@ object Events {
     * division is the single rounding both engines perform identically —
     * no libm, no order sensitivity. The lag-chain form is one window
     * pass per partition (user), shuffle on user_id only. */
+  /** Z-SCORE OUTLIER DETECTION per event type — the standard
+    * statistical anomaly gate. Exactness: per-type moments are exact
+    * integer sums over 100-scaled values (sx, sxx — BIGINT, shuffle-
+    * order-proof); mean, variance, and z then evaluate through a FIXED
+    * operation sequence ((v−sx/n)/sqrt(sxx/n − (sx/n)·(sx/n))) of IEEE
+    * ops — and IEEE-754 sqrt is correctly rounded, so it is as
+    * bit-portable as +,−,×,÷. Emits the global top-20 by |z| — no
+    * distributional threshold assumption. One 5-row stats aggregate
+    * broadcast back onto one scan, then TakeOrderedAndProject. */
+  def evAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val vc = round(col("value") * 100).cast("long")
+    val stats = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(vc).as("sx"), sum(vc * vc).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val z = (vc.cast("double") - mean) /
+      sqrt(col("sxx").cast("double") / col("n") - mean * mean)
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy(abs(col("z")).desc, col("event_id"))
+      .limit(20)
+  }
+
+  private val evAnomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(round(value * 100)::BIGINT)::BIGINT AS sx,
+      |    sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  (round(value * 100)::BIGINT::DOUBLE - sx::DOUBLE / n)
+      |    / sqrt(sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)) AS z
+      |FROM events e JOIN s ON s.event_type = e.event_type
+      |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin
+
   def opEwma(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val weights = (0 until 10).map(i => math.pow(0.5, i)) // dyadic: exact
@@ -426,6 +463,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_ewma" -> (opEwma _),
+    "ev_anomaly" -> (evAnomaly _),
     "op_resample_interp" -> (opResampleInterp _),
     "op_resample_ffill" -> (opResampleFfill _),
     "op_pivot" -> (opPivot _),
@@ -440,6 +478,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "op_ewma" -> opEwmaSql,
+    "ev_anomaly" -> evAnomalySql,
     "op_resample_interp" -> opResampleInterpSql,
     "op_resample_ffill" -> opResampleFfillSql,
     "op_pivot" -> opPivotSql,

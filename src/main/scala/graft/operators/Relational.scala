@@ -494,6 +494,34 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** LISTAGG / string_agg with a GUARANTEED element order (the form
+    * the SQL standard calls LISTAGG ... WITHIN GROUP): per segment,
+    * the top-5 customer names by balance concatenated rank-ascending.
+    * Spark has no order-preserving string_agg, so the op materializes
+    * (rank, name) structs, sorts the collected array (struct order =
+    * field order → rank), and joins — giving the same deterministic
+    * string DuckDB's `string_agg(... ORDER BY rk)` produces. Top-5
+    * filter first, so the collected arrays are bounded regardless of
+    * segment size. */
+  def opStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rk, c_name))), x -> x.c_name), ',')")
+        .as("top_names"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val opStringAggSql: String =
+    """SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rk) AS top_names FROM (
+      |  SELECT c_mktsegment, c_name,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 5 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Running (cumulative) sum per customer over order history. Uses the
     * fixed-point trick so every prefix sum is exact in both engines. */
   def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1049,6 +1077,7 @@ object Relational {
     "op_topk" -> (opTopk _),
     "op_window_rank" -> (opWindowRank _),
     "op_window_dist" -> (opWindowDist _),
+    "op_string_agg" -> (opStringAgg _),
     "op_window_running" -> (opWindowRunning _),
     "op_union" -> (opUnion _),
     "op_intersect" -> (opIntersect _),
@@ -1092,6 +1121,7 @@ object Relational {
     "op_topk" -> opTopkSql,
     "op_window_rank" -> opWindowRankSql,
     "op_window_dist" -> opWindowDistSql,
+    "op_string_agg" -> opStringAggSql,
     "op_window_running" -> opWindowRunningSql,
     "op_union" -> opUnionSql,
     "op_intersect" -> opIntersectSql,

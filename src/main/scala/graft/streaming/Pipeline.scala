@@ -211,11 +211,14 @@ object Pipeline {
     wipe(spark, base)
     val src = s"$base/src"
     val res = s"$base/res"
-    val li = Tables.lineitem(spark, sfDir)
+    // Scratch-persisted: the 4 staged slices would otherwise each
+    // re-scan and re-project the full lineitem (4 scans; cached, the
+    // three later writes read executor memory).
+    val li = graft.operators.Scratch.persist(Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_linestatus"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"),
         round(col("l_extendedprice") * 100).cast("long").as("price_c"),
-        col("l_orderkey"))
+        col("l_orderkey")))
     (0 until 4).foreach { b =>
       li.filter(col("l_orderkey") % 4 === b).coalesce(1)
         .write.mode("append").parquet(src)
