@@ -86,9 +86,22 @@ object Manifest {
       .map(f => new org.apache.hadoop.fs.Path(f._1).getName.drop(1).takeWhile(_.isDigit).toLong)
       .foldLeft(-1L)(math.max)
 
-  /** The committed relative file list of one version (tests assert
-    * per-version snapshot consistency with this). */
-  private[streaming] def filesAt(spark: SparkSession, table: String, v: Long): Seq[String] = {
+  /** A manifest ENTRY is `path` or `path|min|max` — the optional
+    * per-file column-stats suffix ([[append]]'s `statsCol`) that
+    * [[pruneFiles]] skips files by, the manifest-level form of Delta/
+    * Iceberg data skipping. Entries are the commit-identity unit
+    * (rebase set-arithmetic runs on whole entries, so stats travel
+    * with their file through racing commits). */
+  private def pathOf(entry: String): String = entry.takeWhile(_ != '|')
+
+  private def statsOf(entry: String): Option[(Long, Long)] =
+    entry.split('|') match {
+      case Array(_, mn, mx) => Some((mn.toLong, mx.toLong))
+      case _ => None
+    }
+
+  /** Raw manifest entries (path + optional stats) of one version. */
+  private[streaming] def entriesAt(spark: SparkSession, table: String, v: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"${manifestDir(table)}/${versionName(v)}")
     val fs = p.getFileSystem(Fs.conf(spark))
     val in = fs.open(p)
@@ -98,18 +111,39 @@ object Manifest {
     } finally in.close()
   }
 
-  /** (version, relative data-file paths) of the latest committed
-    * snapshot; (-1, empty) for a table with no commits. */
+  /** The committed relative data-file PATHS of one version (tests
+    * assert per-version snapshot consistency with this). */
+  private[streaming] def filesAt(spark: SparkSession, table: String, v: Long): Seq[String] =
+    entriesAt(spark, table, v).map(pathOf)
+
+  /** (version, raw manifest entries) of the latest committed snapshot;
+    * (-1, empty) for a table with no commits. Entries, not paths —
+    * commit rebases must preserve the stats suffix. */
   def snapshot(spark: SparkSession, table: String): (Long, Seq[String]) = {
     val v = latestVersion(spark, table)
-    if (v < 0) (v, Seq.empty) else (v, filesAt(spark, table, v))
+    if (v < 0) (v, Seq.empty) else (v, entriesAt(spark, table, v))
   }
 
   /** Read the latest snapshot (exactly its committed file set). */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val (v, files) = snapshot(spark, table)
+    val (v, entries) = snapshot(spark, table)
     require(v >= 0, s"manifest table $table has no committed version")
-    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    spark.read.parquet(entries.map(e => s"$table/${pathOf(e)}"): _*)
+  }
+
+  /** Data-skipping file selection: the latest snapshot's paths whose
+    * stats range intersects [lo, hi] — files WITHOUT stats are always
+    * kept (pruning is strictly conservative, so mixed stats/no-stats
+    * snapshots, e.g. after a compaction rewrote stats-carrying inputs,
+    * stay correct). Returns (kept paths, total file count). */
+  def pruneFiles(spark: SparkSession, table: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val (v, entries) = snapshot(spark, table)
+    require(v >= 0, s"manifest table $table has no committed version")
+    val kept = entries.filter(e => statsOf(e) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    }).map(pathOf)
+    (kept, entries.size)
   }
 
   /** Try to commit `files` as version `parent + 1`; None if another
@@ -133,28 +167,57 @@ object Manifest {
   }
 
   /** Move the parquet parts of a finished Spark write under `data/`
-    * with collision-free names; returns the relative paths. */
+    * with collision-free names; returns (relative path, source part
+    * file name) pairs — the source name keys per-file stats computed
+    * before adoption. */
   private def adoptParts(spark: SparkSession, table: String,
-                         scratch: String, tag: String): Seq[String] = {
+                         scratch: String, tag: String): Seq[(String, String)] = {
     Fs.mkdirs(spark, dataDir(table))
     val parts = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).map(_._1).sorted
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val rel = parts.zipWithIndex.map { case (src, i) =>
       val r = f"data/$tag-$uid-p$i%04d.parquet"
       require(Fs.rename(spark, src, s"$table/$r"), s"adopting $src failed")
-      r
+      (r, new org.apache.hadoop.fs.Path(src).getName)
     }
     Fs.deleteRec(spark, scratch)
     rel
   }
 
+  /** Per-part-file (min, max) of `statsCol` over a finished scratch
+    * write, keyed by part file name — one metadata-sized aggregation
+    * job (file-count rows to the driver, like the manifest itself). */
+  private def partStats(spark: SparkSession, scratch: String,
+                        statsCol: Option[String]): Map[String, (Long, Long)] =
+    statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        spark.read.parquet(scratch)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
+          .collect()
+          .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+            (r.getLong(1), r.getLong(2)))).toMap
+    }
+
+  private def withStats(adopted: Seq[(String, String)],
+                        stats: Map[String, (Long, Long)]): Seq[String] =
+    adopted.map { case (rel, srcName) =>
+      stats.get(srcName).map { case (mn, mx) => s"$rel|$mn|$mx" }.getOrElse(rel)
+    }
+
   /** Append `df` as new data files + one manifest commit. Returns the
-    * committed version. Safe under concurrent appends/compactions. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    * committed version. Safe under concurrent appends/compactions.
+    * `statsCol` (an integer column) records per-file min/max in the
+    * manifest entry for [[pruneFiles]] data skipping. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             statsCol: Option[String] = None): Long = {
     val scratch = s"$table/.append_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
-    val mine = adoptParts(spark, table, scratch, "append")
+    val stats = partStats(spark, scratch, statsCol)
+    val mine = withStats(adoptParts(spark, table, scratch, "append"), stats)
     commitLoop(spark, table, "append")((_, existing) => existing ++ mine)
   }
 
@@ -167,11 +230,13 @@ object Manifest {
     * input-liveness precondition: replace wins over concurrent appends
     * by design (last-writer-wins table semantics), which is the
     * documented contract of an overwrite commit. */
-  def replace(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def replace(spark: SparkSession, table: String, df: DataFrame,
+              statsCol: Option[String] = None): Long = {
     val scratch = s"$table/.replace_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
-    val mine = adoptParts(spark, table, scratch, "replace")
+    val stats = partStats(spark, scratch, statsCol)
+    val mine = withStats(adoptParts(spark, table, scratch, "replace"), stats)
     commitLoop(spark, table, "replace")((_, _) => mine)
   }
 
@@ -185,11 +250,14 @@ object Manifest {
     val (v0, inputs) = snapshot(spark, table)
     require(v0 >= 0, s"manifest table $table has no committed version")
     val scratch = s"$table/.compact_${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.read.parquet(inputs.map(f => s"$table/$f"): _*)
+    // inputs are raw entries — strip the stats suffix to read; the
+    // compacted outputs carry no stats (conservative: pruneFiles always
+    // keeps stats-less files, so correctness is unaffected)
+    spark.read.parquet(inputs.map(e => s"$table/${pathOf(e)}"): _*)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
-    val compacted = adoptParts(spark, table, scratch, "compact")
+    val compacted = adoptParts(spark, table, scratch, "compact").map(_._1)
     beforeCommit()
     val inputSet = inputs.toSet
     commitLoop(spark, table, "compact") { (parent, latest) =>

@@ -375,6 +375,49 @@ object Pipeline {
        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0) d
        |WHERE n_rows > 0 ORDER BY op""".stripMargin
 
+  /** MANIFEST-LEVEL DATA SKIPPING, proven as an oracle query: four
+    * range-disjoint one-file appends record per-file o_orderkey
+    * min/max in their manifest entries ([[Manifest.append]]'s
+    * `statsCol`); a range read then selects files via
+    * [[Manifest.pruneFiles]] — touching 1 of 4 files — and the
+    * aggregate over the pruned scan must equal the oracle's aggregate
+    * over the full table under the same predicate. This is the
+    * table-format half of data skipping (Delta/Iceberg manifest
+    * stats); `op_zorder_key`/`ZorderSpec` prove the layout half.
+    *
+    * Scale: stats are file-count-sized metadata collected by one
+    * aggregation job per commit; selection is a driver-side filter of
+    * the manifest list — exactly how log-structured formats plan
+    * scans, and at 100 TB the scan cost drops by the pruned fraction
+    * with zero data-path change. */
+  def pipeStatsPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/prune_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    val q = maxK / 4
+    Seq((Long.MinValue, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, Long.MaxValue))
+      .foreach { case (lo, hi) =>
+        Manifest.append(spark, tbl,
+          ord.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi).repartition(1),
+          statsCol = Some("o_orderkey"))
+      }
+    val (kept, total) = Manifest.pruneFiles(spark, tbl, q + 1, 2 * q)
+    spark.read.parquet(kept.map(f => s"$tbl/$f"): _*)
+      .filter(col("o_orderkey") > q && col("o_orderkey") <= 2 * q)
+      .agg(count(lit(1)).as("n_rows"), sum(expr(s"o_orderkey % $P")).as("key_check"))
+      .select(col("n_rows"), col("key_check"),
+        lit(total.toLong).as("n_files_total"), lit(kept.size.toLong).as("n_files_scanned"))
+  }
+
+  private val pipeStatsPruneSql: String =
+    s"""WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+       |SELECT count(*)::BIGINT AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  4::BIGINT AS n_files_total, 1::BIGINT AS n_files_scanned
+       |FROM orders, m WHERE o_orderkey > q AND o_orderkey <= 2 * q""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -401,6 +444,7 @@ object Pipeline {
     "pipe_incr_agg" -> (pipeIncrAgg _),
     "pipe_time_travel" -> (pipeTimeTravel _),
     "pipe_cdc_diff" -> (pipeCdcDiff _),
+    "pipe_stats_prune" -> (pipeStatsPrune _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -410,5 +454,6 @@ object Pipeline {
     "pipe_incr_agg" -> pipeIncrAggSql,
     "pipe_time_travel" -> pipeTimeTravelSql,
     "pipe_cdc_diff" -> pipeCdcDiffSql,
+    "pipe_stats_prune" -> pipeStatsPruneSql,
     "op_synth_table" -> opSynthTableSql)
 }

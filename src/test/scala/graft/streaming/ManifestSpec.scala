@@ -129,4 +129,33 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, tbl, retentionMs = 0) == 2)
     assert(Manifest.read(spark, tbl).count() == odds.count())
   }
+
+  test("per-file stats prune range reads; compaction degrades to conservative (read-all)") {
+    val tbl = s"$base/orders-stats"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf)
+    val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    val half = maxK / 2
+    Manifest.append(spark, tbl,
+      ord.filter(col("o_orderkey") <= half).repartition(1), statsCol = Some("o_orderkey"))
+    Manifest.append(spark, tbl,
+      ord.filter(col("o_orderkey") > half).repartition(1), statsCol = Some("o_orderkey"))
+    // a low-range read touches exactly the low file
+    val (kept, total) = Manifest.pruneFiles(spark, tbl, 1, half)
+    assert(total == 2 && kept.size == 1, s"expected 1/2 files, got ${kept.size}/$total")
+    val lowRows = spark.read.parquet(kept.map(f => s"$tbl/$f"): _*).count()
+    assert(lowRows == ord.filter(col("o_orderkey") <= half).count())
+    // stats survive an unrelated append's rebase
+    Manifest.append(spark, tbl, ord.limit(0).repartition(1))
+    assert(Manifest.pruneFiles(spark, tbl, 1, half)._1.size <= 2)
+    // compaction rewrites to stats-less files: pruning must keep them
+    // ALL (conservative), and the ranged read stays correct via the
+    // residual predicate
+    Manifest.compact(spark, tbl, targetFiles = 1)
+    val (keptAfter, totalAfter) = Manifest.pruneFiles(spark, tbl, 1, half)
+    assert(keptAfter.size == totalAfter, "stats-less files must never be pruned")
+    val n = spark.read.parquet(keptAfter.map(f => s"$tbl/$f"): _*)
+      .filter(col("o_orderkey") <= half).count()
+    assert(n == lowRows)
+  }
 }
