@@ -91,7 +91,16 @@ object Manifest {
     * [[pruneFiles]] skips files by, the manifest-level form of Delta/
     * Iceberg data skipping. Entries are the commit-identity unit
     * (rebase set-arithmetic runs on whole entries, so stats travel
-    * with their file through racing commits). */
+    * with their file through racing commits).
+    *
+    * A line starting with `#txn|` is a TRANSACTION MARKER, not a file:
+    * `#txn|<streamId>|<batchId>` records the highest micro-batch a
+    * streaming writer has committed (Delta's txnAppId/txnVersion).
+    * Markers ride the manifest so the batch watermark and its data
+    * commit are ONE atomic publish — the exactly-once property —
+    * and every file-consuming path filters them out. */
+  private def isMarker(entry: String): Boolean = entry.startsWith("#txn|")
+
   private def pathOf(entry: String): String = entry.takeWhile(_ != '|')
 
   private def statsOf(entry: String): Option[(Long, Long)] =
@@ -114,7 +123,7 @@ object Manifest {
   /** The committed relative data-file PATHS of one version (tests
     * assert per-version snapshot consistency with this). */
   private[streaming] def filesAt(spark: SparkSession, table: String, v: Long): Seq[String] =
-    entriesAt(spark, table, v).map(pathOf)
+    entriesAt(spark, table, v).filterNot(isMarker).map(pathOf)
 
   /** (version, raw manifest entries) of the latest committed snapshot;
     * (-1, empty) for a table with no commits. Entries, not paths —
@@ -128,8 +137,53 @@ object Manifest {
   def read(spark: SparkSession, table: String): DataFrame = {
     val (v, entries) = snapshot(spark, table)
     require(v >= 0, s"manifest table $table has no committed version")
-    spark.read.parquet(entries.map(e => s"$table/${pathOf(e)}"): _*)
+    spark.read.parquet(entries.filterNot(isMarker).map(e => s"$table/${pathOf(e)}"): _*)
   }
+
+  /** The highest micro-batch id `streamId` has committed to `table`
+    * (−1 if none) — the restart-recovery read of the txn marker. */
+  def lastCommittedBatch(spark: SparkSession, table: String, streamId: String): Long = {
+    val (v, entries) = snapshot(spark, table)
+    if (v < 0) -1L
+    else entries.collect {
+      case e if isMarker(e) && e.split('|')(1) == streamId => e.split('|')(2).toLong
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** EXACTLY-ONCE streaming append: commit `df` + the advanced txn
+    * marker for (streamId, batchId) in ONE manifest publish. A replayed
+    * batch (id ≤ the committed watermark — the foreachBatch redelivery
+    * after a crash/restart) is detected inside the commit loop against
+    * the LATEST snapshot and skipped, so duplicate delivery cannot
+    * double-append even when the replay races other writers. Returns
+    * true if this call committed the batch. */
+  def appendBatch(spark: SparkSession, table: String, streamId: String,
+                  batchId: Long, df: DataFrame): Boolean = {
+    if (lastCommittedBatch(spark, table, streamId) >= batchId) return false
+    val scratch = s"$table/.sbatch_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val mine = adoptParts(spark, table, scratch, f"b$batchId%06d").map(_._1)
+    val marker = s"#txn|$streamId|$batchId"
+    try {
+      commitLoop(spark, table, "appendBatch") { (_, latest) =>
+        val committed = latest.collect {
+          case e if isMarker(e) && e.split('|')(1) == streamId => e.split('|')(2).toLong
+        }.foldLeft(-1L)(math.max)
+        if (committed >= batchId)
+          throw new AlreadyCommitted  // lost to a concurrent replay of the same batch
+        latest.filterNot(e => isMarker(e) && e.split('|')(1) == streamId) ++
+          mine :+ marker
+      }
+      true
+    } catch {
+      case _: AlreadyCommitted =>
+        // our data files are orphans; vacuum's retention window sweeps them
+        false
+    }
+  }
+
+  private final class AlreadyCommitted extends RuntimeException
 
   /** Data-skipping file selection: the latest snapshot's paths whose
     * stats range intersects [lo, hi] — files WITHOUT stats are always
@@ -139,11 +193,12 @@ object Manifest {
   def pruneFiles(spark: SparkSession, table: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val (v, entries) = snapshot(spark, table)
     require(v >= 0, s"manifest table $table has no committed version")
-    val kept = entries.filter(e => statsOf(e) match {
+    val dataEntries = entries.filterNot(isMarker)
+    val kept = dataEntries.filter(e => statsOf(e) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true
     }).map(pathOf)
-    (kept, entries.size)
+    (kept, dataEntries.size)
   }
 
   /** Try to commit `files` as version `parent + 1`; None if another
@@ -247,8 +302,12 @@ object Manifest {
     * manifest (a competing remover). Returns the committed version. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
               beforeCommit: () => Unit = () => ()): Long = {
-    val (v0, inputs) = snapshot(spark, table)
+    val (v0, allEntries) = snapshot(spark, table)
     require(v0 >= 0, s"manifest table $table has no committed version")
+    // rewrite DATA entries only; txn markers pass through the rebase
+    // untouched (they are not in inputSet, so `latest.filterNot` keeps
+    // them — a streaming writer's watermark survives compaction)
+    val inputs = allEntries.filterNot(isMarker)
     val scratch = s"$table/.compact_${java.util.UUID.randomUUID().toString.take(8)}"
     // inputs are raw entries — strip the stats suffix to read; the
     // compacted outputs carry no stats (conservative: pruneFiles always

@@ -375,6 +375,66 @@ object Pipeline {
        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0) d
        |WHERE n_rows > 0 ORDER BY op""".stripMargin
 
+  /** EXACTLY-ONCE STREAMING INGESTION INTO A TRANSACTIONAL TABLE — the
+    * semantics the parquet streaming sink can't give (its
+    * `_spark_metadata` log owns the directory, forcing quiesced
+    * compaction): micro-batches land via [[Manifest.appendBatch]],
+    * which publishes each batch's files AND its (streamId, batchId)
+    * txn marker in one atomic manifest commit — Delta's
+    * txnAppId/txnVersion idempotence. The entry proves it the hard
+    * way: the SAME stream is run TWICE (second run from a fresh
+    * checkpoint, so foreachBatch redelivers every batch with replayed
+    * ids) and then compacted; the replay must commit nothing, the
+    * compaction must preserve the watermark marker, and the final
+    * aggregate must equal the fixture's — no dupes, no loss.
+    *
+    * Scale: per batch this is one executor-side parquet job + one
+    * manifest commit; replay detection is a driver-side read of the
+    * latest manifest. Compaction can now run WHILE a stream appends
+    * (the manifest rebase covers both) — closing the quiesce
+    * limitation the parquet-sink pipeline documents. */
+  def pipeStreamTxnSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/stxn_${sfName(sfDir)}"
+    wipe(spark, base)
+    val src = s"$base/src"
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    (0 until 4).foreach { b =>
+      ord.filter(col("o_orderkey") % 4 === b).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    def runStream(ckpt: String): Unit = {
+      val q = spark.readStream.schema(graft.Schemas.orders)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Manifest.appendBatch(spark, tbl, "ingest", id, batch); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream(s"$base/ckpt1")
+    runStream(s"$base/ckpt2") // full redelivery: txn markers must skip every batch
+    Manifest.compact(spark, tbl, targetFiles = 2)
+    val nFiles = Manifest.snapshot(spark, tbl)._2.count(!_.startsWith("#txn|"))
+    Manifest.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(col("n_rows"), col("key_check"), col("price_check"),
+        lit(nFiles.toLong).as("n_files"),
+        lit(Manifest.lastCommittedBatch(spark, tbl, "ingest")).as("last_batch"))
+  }
+
+  private val pipeStreamTxnSinkSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  2::BIGINT AS n_files, 3::BIGINT AS last_batch
+       |FROM orders""".stripMargin
+
   /** MANIFEST-LEVEL DATA SKIPPING, proven as an oracle query: four
     * range-disjoint one-file appends record per-file o_orderkey
     * min/max in their manifest entries ([[Manifest.append]]'s
@@ -445,6 +505,7 @@ object Pipeline {
     "pipe_time_travel" -> (pipeTimeTravel _),
     "pipe_cdc_diff" -> (pipeCdcDiff _),
     "pipe_stats_prune" -> (pipeStatsPrune _),
+    "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -455,5 +516,6 @@ object Pipeline {
     "pipe_time_travel" -> pipeTimeTravelSql,
     "pipe_cdc_diff" -> pipeCdcDiffSql,
     "pipe_stats_prune" -> pipeStatsPruneSql,
+    "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
     "op_synth_table" -> opSynthTableSql)
 }

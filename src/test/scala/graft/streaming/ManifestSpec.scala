@@ -158,4 +158,34 @@ class ManifestSpec extends SparkSpec {
       .filter(col("o_orderkey") <= half).count()
     assert(n == lowRows)
   }
+
+  test("appendBatch: replayed batch ids commit nothing; marker survives compaction; independent streams don't interfere") {
+    val tbl = s"$base/orders-txn"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf)
+    val b0 = ord.filter(col("o_orderkey") % 2 === 0)
+    val b1 = ord.filter(col("o_orderkey") % 2 === 1)
+    assert(Manifest.appendBatch(spark, tbl, "s1", 0, b0.repartition(2)))
+    assert(Manifest.appendBatch(spark, tbl, "s1", 1, b1.repartition(2)))
+    val total = Manifest.read(spark, tbl).count()
+    assert(total == ord.count())
+    // replays of both batches are no-ops
+    assert(!Manifest.appendBatch(spark, tbl, "s1", 0, b0))
+    assert(!Manifest.appendBatch(spark, tbl, "s1", 1, b1))
+    assert(Manifest.read(spark, tbl).count() == total)
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s1") == 1)
+    // a DIFFERENT stream id has its own watermark
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s2") == -1)
+    assert(Manifest.appendBatch(spark, tbl, "s2", 0, b0.limit(5).repartition(1)))
+    assert(Manifest.read(spark, tbl).count() == total + 5)
+    // compaction rewrites data files but both watermarks survive
+    Manifest.compact(spark, tbl, targetFiles = 1)
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s1") == 1)
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s2") == 0)
+    assert(Manifest.read(spark, tbl).count() == total + 5)
+    // post-compaction appendBatch still idempotent
+    assert(!Manifest.appendBatch(spark, tbl, "s1", 1, b1))
+    assert(Manifest.appendBatch(spark, tbl, "s1", 2, b1.limit(3).repartition(1)))
+    assert(Manifest.read(spark, tbl).count() == total + 8)
+  }
 }
