@@ -135,11 +135,65 @@ object Graph {
       |FROM pairs JOIN per x ON x.p = ante JOIN per y ON y.p = cons, tot
       |ORDER BY lift DESC, ante, cons LIMIT 25""".stripMargin
 
+  /** Triangle counting over the co-order graph — the standard
+    * clustering-structure statistic, in the canonical ORIENTED form:
+    * every undirected edge is kept once as (a < b), and a triangle is
+    * counted exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c
+    * (two equi-joins on vertex keys; no edge is ever paired twice).
+    * Output is a one-row graph summary: vertices, oriented edges,
+    * triangles, and the global closure ratio 3·Δ/open-wedges as one
+    * exact-integer division.
+    *
+    * Scale: the oriented join's fan-out per vertex is its out-degree
+    * in the orientation — bounded by per-order co-occurrence like
+    * [[edges]]; wedge counts are exact integer aggregates. */
+  def grTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Scratch.persist(edges(spark, sfDir)
+      .filter(col("src") < col("dst")))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // open wedges at the center vertex: deg·(deg−1)/2 over UNDIRECTED
+    // degree (both orientations count toward the center)
+    val und = e.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(e.select(col("dst").as("v"), col("src").as("u")))
+    val wedges = und.groupBy("v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_vertices"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(broadcast(wedges)).crossJoin(broadcast(nEdges))
+      .withColumn("closure",
+        (col("n_triangles") * lit(3L)).cast("double") / col("n_wedges"))
+      .select("n_vertices", "n_edges", "n_triangles", "n_wedges", "closure")
+  }
+
+  private val grTrianglesSql: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT count(*)::BIGINT AS n_triangles
+      |  FROM raw e1 JOIN raw e2 ON e1.dst = e2.src
+      |    JOIN raw e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |und AS (SELECT src AS v FROM raw UNION ALL SELECT dst FROM raw),
+      |wd AS (SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges,
+      |         count(*)::BIGINT AS n_vertices
+      |       FROM (SELECT v, count(*)::BIGINT AS deg FROM und GROUP BY 1) d),
+      |ne AS (SELECT count(*)::BIGINT AS n_edges FROM raw)
+      |SELECT n_vertices, n_edges, n_triangles, n_wedges,
+      |  (n_triangles * 3)::DOUBLE / n_wedges AS closure
+      |FROM tri, wd, ne""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (grPagerank _),
-    "gr_assoc_rules" -> (grAssocRules _))
+    "gr_assoc_rules" -> (grAssocRules _),
+    "gr_triangles" -> (grTriangles _))
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
-    "gr_assoc_rules" -> grAssocRulesSql)
+    "gr_assoc_rules" -> grAssocRulesSql,
+    "gr_triangles" -> grTrianglesSql)
 }
