@@ -168,13 +168,51 @@ object Journeys {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** First-order MARKOV TRANSITION MATRIX over per-user event
+    * sequences: P(next = b | current = a) estimated from consecutive
+    * event pairs (lead over the (ts, event_id)-ordered per-user
+    * stream). Transition counts are exact integers; each probability
+    * is ONE division by the exact per-source total. The behavioral
+    * model funnel/retention queries summarize — emitted here as the
+    * full 5×5-ish matrix, ordered. One window pass + one (a, b)
+    * aggregation. */
+  def evMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("cur").agg(sum(col("n")).as("n_cur"))
+    pairs.join(totals, "cur")
+      .withColumn("p", col("n").cast("double") / col("n_cur"))
+      .select("cur", "nxt", "n", "n_cur", "p")
+      .orderBy("cur", "nxt")
+  }
+
+  private val evMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |pairs AS (
+      |  SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT cur, sum(n)::BIGINT AS n_cur FROM pairs GROUP BY 1)
+      |SELECT pairs.cur, nxt, n, n_cur, n::DOUBLE / n_cur AS p
+      |FROM pairs JOIN tot ON tot.cur = pairs.cur
+      |ORDER BY pairs.cur, nxt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov" -> (evMarkov _),
     "ev_funnel" -> (evFunnel _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "ev_markov" -> evMarkovSql,
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,
     "ev_attribution" -> evAttributionSql,

@@ -522,6 +522,43 @@ object Relational {
       |  FROM customer) t
       |WHERE rk <= 5 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** 2-D SKYLINE (pareto frontier): parts not dominated in (lower
+    * retail price, larger size). The naive formulation is an O(n²)
+    * θ-self-join; this is the single-pass form — aggregate sizes per
+    * distinct price, prefix-max over the price-sorted aggregate
+    * (rows-frame = strictly-lower prices), then one equi-join back on
+    * price. A part is dominated iff a strictly cheaper part has ≥ its
+    * size, or an equal-priced part has > its size. One small agg +
+    * one window + one join; no nested loop at any scale. */
+  def opSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    val perPrice = parts.groupBy("p_retailprice")
+      .agg(max(col("p_size")).as("price_max_size"))
+    val w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    val pfx = perPrice
+      .withColumn("cheaper_max_size", max(col("price_max_size")).over(w))
+    parts.join(pfx, "p_retailprice")
+      .filter((col("cheaper_max_size").isNull || col("cheaper_max_size") < col("p_size")) &&
+        col("price_max_size") === col("p_size"))
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  private val opSkylineSql: String =
+    """WITH pp AS (
+      |  SELECT p_retailprice, max(p_size) AS price_max_size
+      |  FROM part GROUP BY 1),
+      |pfx AS (
+      |  SELECT p_retailprice, price_max_size,
+      |    max(price_max_size) OVER (ORDER BY p_retailprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_max_size
+      |  FROM pp)
+      |SELECT p_partkey, p_name, p.p_retailprice, p_size
+      |FROM part p JOIN pfx ON pfx.p_retailprice = p.p_retailprice
+      |WHERE (cheaper_max_size IS NULL OR cheaper_max_size < p_size)
+      |  AND price_max_size = p_size
+      |ORDER BY p.p_retailprice, p_partkey""".stripMargin
+
   /** Running (cumulative) sum per customer over order history. Uses the
     * fixed-point trick so every prefix sum is exact in both engines. */
   def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1078,6 +1115,7 @@ object Relational {
     "op_window_rank" -> (opWindowRank _),
     "op_window_dist" -> (opWindowDist _),
     "op_string_agg" -> (opStringAgg _),
+    "op_skyline" -> (opSkyline _),
     "op_window_running" -> (opWindowRunning _),
     "op_union" -> (opUnion _),
     "op_intersect" -> (opIntersect _),
@@ -1122,6 +1160,7 @@ object Relational {
     "op_window_rank" -> opWindowRankSql,
     "op_window_dist" -> opWindowDistSql,
     "op_string_agg" -> opStringAggSql,
+    "op_skyline" -> opSkylineSql,
     "op_window_running" -> opWindowRunningSql,
     "op_union" -> opUnionSql,
     "op_intersect" -> opIntersectSql,

@@ -452,6 +452,47 @@ object TextAnalysis {
        |SELECT doc_id, tf1, tf2, tf3, dl, score FROM bm
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
+  /** TOKENIZER-VOCABULARY COVERAGE: the top-100 corpus tokens by
+    * frequency with each prefix's cumulative share of all token
+    * occurrences — the curve a tokenizer team reads to size a
+    * vocabulary ("how much of the stream do the first k entries
+    * cover"). Counts are exact integers; the running sum is an exact
+    * BIGINT window; each coverage value is ONE division of that exact
+    * prefix by the exact total. One explode + one token-keyed count +
+    * a top-k; the rank window runs over the bounded top-100 set. */
+  def taVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage", col("cum_n").cast("double") / col("total"))
+      .select("rank", "tok", "n", "cum_n", "coverage")
+      .orderBy("rank")
+  }
+
+  private val taVocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT tok, count(*)::BIGINT AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+      |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100)
+      |SELECT row_number() OVER w::BIGINT AS rank, tok, n,
+      |  sum(n) OVER (ORDER BY n DESC, tok
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+      |  (sum(n) OVER (ORDER BY n DESC, tok
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / total AS coverage
+      |FROM top, tot
+      |WINDOW w AS (ORDER BY n DESC, tok)
+      |ORDER BY rank""".stripMargin
+
   /** Corpus-bigram language-model FLUENCY scoring — the n-gram-LM
     * quality gate (the KenLM-perplexity filter of CCNet/Gopher in a
     * bit-portable form): train add-one-smoothed bigram conditionals
@@ -614,6 +655,7 @@ object TextAnalysis {
     "ta_tfidf" -> (taTfidf _),
     "ta_bm25" -> (taBm25 _),
     "ta_lm_fluency" -> (taLmFluency _),
+    "ta_vocab_coverage" -> (taVocabCoverage _),
     "ta_repetition" -> (taRepetition _),
     "ta_chunk" -> (taChunk _),
     "ta_pack_bins" -> (taPackBins _),
@@ -631,6 +673,7 @@ object TextAnalysis {
     "ta_tfidf" -> taTfidfSql,
     "ta_bm25" -> taBm25Sql,
     "ta_lm_fluency" -> taLmFluencySql,
+    "ta_vocab_coverage" -> taVocabCoverageSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_chunk" -> taChunkSql,
     "ta_pack_bins" -> taPackBinsSql,
