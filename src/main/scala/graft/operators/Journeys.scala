@@ -204,7 +204,51 @@ object Journeys {
       |FROM pairs JOIN tot ON tot.cur = pairs.cur
       |ORDER BY pairs.cur, nxt""".stripMargin
 
+  /** POINT-IN-TIME (temporal) join: each event is enriched with the
+    * customer attribute that was EFFECTIVE AT THE EVENT'S TIME,
+    * joining the [[opScd2]] type-2 history on the key plus the
+    * validity interval (effective_from ≤ ts < effective_to, open
+    * range for the current row) — the as-of dimension lookup every
+    * feature-store/backtest pipeline needs, and the join SCD2
+    * histories exist to serve. `user_id` aligns with `c_custkey` in
+    * the fixture (as in the stream-enrich op).
+    *
+    * Scale: an EQUI-join on the dimension key with the interval as a
+    * residual filter — never a θ-join; history rows per key are few
+    * (change points), so the per-key fan-out is bounded. */
+  def opPitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = opScd2(spark, sfDir)
+      .select(col("custkey"), col("priority"),
+        col("effective_from"), col("effective_to"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(hist, col("user_id") === col("custkey") &&
+        col("effective_from") <= col("ts") &&
+        (col("effective_to").isNull || col("ts") < col("effective_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("priority").as("priority_at_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opPitJoinSql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_priority
+      |  FROM orders),
+      |hist AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |    o_orderdate AS effective_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS effective_to
+      |  FROM chg WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority)
+      |SELECT event_id, user_id, ts, priority AS priority_at_ts
+      |FROM events e JOIN hist h ON e.user_id = h.custkey
+      |  AND h.effective_from <= e.ts
+      |  AND (h.effective_to IS NULL OR e.ts < h.effective_to)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_pit_join" -> (opPitJoin _),
     "ev_markov" -> (evMarkov _),
     "ev_funnel" -> (evFunnel _),
     "ev_retention" -> (evRetention _),
@@ -212,6 +256,7 @@ object Journeys {
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "op_pit_join" -> opPitJoinSql,
     "ev_markov" -> evMarkovSql,
     "ev_funnel" -> evFunnelSql,
     "ev_retention" -> evRetentionSql,

@@ -559,6 +559,35 @@ object Relational {
       |  AND price_max_size = p_size
       |ORDER BY p.p_retailprice, p_partkey""".stripMargin
 
+  /** Equi-width HISTOGRAM of order totals — the ANALYZE-style column
+    * histogram next to the existing table-stats op. Ten buckets over
+    * the data's [min, max] in integer cents: bucket = ((v−mn)·10) div
+    * (mx−mn+1) — pure BIGINT arithmetic on the 1-row min/max aggregate
+    * broadcast into the scan (scalar-subquery plan, whitelisted), so
+    * bucket boundaries are bit-identical in both engines and counts
+    * are exact. One scan + one 10-group aggregate. */
+  def opHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val stats = Tables.orders(spark, sfDir)
+      .agg(min(cents).as("mn"), max(cents).as("mx"))
+    Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr("((cast(round(o_totalprice * 100) as bigint) - mn) * 10) div (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  private val opHistogramSql: String =
+    """WITH s AS (
+      |  SELECT min(round(o_totalprice * 100)::BIGINT) AS mn,
+      |         max(round(o_totalprice * 100)::BIGINT) AS mx
+      |  FROM orders)
+      |SELECT ((round(o_totalprice * 100)::BIGINT - mn) * 10) // (mx - mn + 1) AS bucket,
+      |  count(*)::BIGINT AS n_rows
+      |FROM orders, s GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Running (cumulative) sum per customer over order history. Uses the
     * fixed-point trick so every prefix sum is exact in both engines. */
   def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1116,6 +1145,7 @@ object Relational {
     "op_window_dist" -> (opWindowDist _),
     "op_string_agg" -> (opStringAgg _),
     "op_skyline" -> (opSkyline _),
+    "op_histogram" -> (opHistogram _),
     "op_window_running" -> (opWindowRunning _),
     "op_union" -> (opUnion _),
     "op_intersect" -> (opIntersect _),
@@ -1161,6 +1191,7 @@ object Relational {
     "op_window_dist" -> opWindowDistSql,
     "op_string_agg" -> opStringAggSql,
     "op_skyline" -> opSkylineSql,
+    "op_histogram" -> opHistogramSql,
     "op_window_running" -> opWindowRunningSql,
     "op_union" -> opUnionSql,
     "op_intersect" -> opIntersectSql,

@@ -59,7 +59,8 @@ class PlanSpec extends SparkSpec {
       Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
         "q11_stock_value", "q22_idle_balance", "ta_tfidf", "ta_bm25", "ta_heavy_hitters",
         "ann_rrf_hybrid", "gr_assoc_rules", "ta_lm_fluency",
-        "dc_embed_contamination", "gr_triangles", "ta_vocab_coverage")
+        "dc_embed_contamination", "gr_triangles", "ta_vocab_coverage",
+        "op_histogram")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
