@@ -73,6 +73,50 @@ object Journeys {
       |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) f
       |ORDER BY step""".stripMargin
 
+  /** [[evFunnel]] with a CONVERSION WINDOW: step k counts only if it
+    * happens within 72 hours of the step-(k−1) conversion — the form
+    * product funnels actually use (an unbounded funnel overcounts
+    * stragglers). Same chained shape, one extra residual bound per
+    * stage; timestamp+interval arithmetic is exact integer microseconds
+    * in both engines. */
+  def evFunnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val stages = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val base = ev.filter(col("event_type") === step)
+        val qualified = prev match {
+          case None => base
+          case Some(p) => base.join(p, "user_id")
+            .filter(col("ts") > col(s"t$i") &&
+              col("ts") <= col(s"t$i") + expr("INTERVAL 72 HOURS"))
+        }
+        Some(qualified.groupBy("user_id").agg(min("ts").as(s"t${i + 1}")))
+    }.flatten
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((s, name), i) =>
+      s.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
+  private val evFunnelWindowedSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL '72 hours' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL '72 hours' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS step, 'view' AS step_name, count(*)::BIGINT AS users FROM s1
+      |  UNION ALL
+      |  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+      |  UNION ALL
+      |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) f
+      |ORDER BY step""".stripMargin
+
   /** Weekly cohort retention: users cohorted by the ISO week of their
     * first event; each cell counts distinct cohort members active in
     * week cohort+offset. Week arithmetic is done on epoch seconds of
@@ -251,6 +295,7 @@ object Journeys {
     "op_pit_join" -> (opPitJoin _),
     "ev_markov" -> (evMarkov _),
     "ev_funnel" -> (evFunnel _),
+    "ev_funnel_windowed" -> (evFunnelWindowed _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "op_scd2" -> (opScd2 _))
@@ -259,6 +304,7 @@ object Journeys {
     "op_pit_join" -> opPitJoinSql,
     "ev_markov" -> evMarkovSql,
     "ev_funnel" -> evFunnelSql,
+    "ev_funnel_windowed" -> evFunnelWindowedSql,
     "ev_retention" -> evRetentionSql,
     "ev_attribution" -> evAttributionSql,
     "op_scd2" -> opScd2Sql)
