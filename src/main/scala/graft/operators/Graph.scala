@@ -148,21 +148,39 @@ object Graph {
     * in the orientation — bounded by per-order co-occurrence like
     * [[edges]]; wedge counts are exact integer aggregates. */
   def grTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Scratch.persist(edges(spark, sfDir)
+    val canon = Scratch.persist(edges(spark, sfDir)
       .filter(col("src") < col("dst")))
+    // Degree stats once (also feeds the wedge count)
+    val und = canon.select(col("src").as("v"))
+      .unionAll(canon.select(col("dst").as("v")))
+    val degs = Scratch.persist(und.groupBy("v").agg(count(lit(1)).as("deg")))
+    // DEGREE-ORDERED orientation (the standard triangle optimization:
+    // orient every edge from its lower-(deg, id) endpoint, so each
+    // vertex's join fan-out is its degree toward HIGHER-degree
+    // vertices — O(m^{3/2}) total work instead of hub-degree² — while
+    // the triangle COUNT is invariant to which total vertex order
+    // orients the edges, which is why the id-ordered oracle matches).
+    val e = Scratch.persist(canon
+      .join(degs.select(col("v").as("src"), col("deg").as("dsrc")), "src")
+      .join(degs.select(col("v").as("dst"), col("deg").as("ddst")), "dst")
+      .select(
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")), col("src"))
+          .otherwise(col("dst")).as("lo"),
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")), col("dst"))
+          .otherwise(col("src")).as("hi")))
     val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
       .join(e.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
       .agg(count(lit(1)).as("n_triangles"))
     // open wedges at the center vertex: deg·(deg−1)/2 over UNDIRECTED
     // degree (both orientations count toward the center)
-    val und = e.select(col("src").as("v"), col("dst").as("u"))
-      .unionAll(e.select(col("dst").as("v"), col("src").as("u")))
-    val wedges = und.groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = degs
       .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
         count(lit(1)).as("n_vertices"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nEdges = canon.agg(count(lit(1)).as("n_edges"))
     tri.crossJoin(broadcast(wedges)).crossJoin(broadcast(nEdges))
       .withColumn("closure",
         (col("n_triangles") * lit(3L)).cast("double") / col("n_wedges"))

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop single-query timer: warm-up + 3 timed reps of one
+  * SparkEntry query under the bench's noop-write action, printing the
+  * samples — for A/B-ing a plan change without the full bench.
+  * Usage: TimeOne <sfDir> <queryName> */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = once() // warm-up
+    val reps = Seq.fill(3)(once())
+    // scalastyle:off println
+    println(f"$name warmup=$w%.3f reps=${reps.map(r => f"$r%.3f").mkString(",")}")
+    // scalastyle:on println
+    graft.operators.Scratch.release()
+    spark.stop()
+  }
+}
