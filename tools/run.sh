@@ -16,8 +16,12 @@ case "$CMD" in
   verify) $JAVA graft.Verify "$SF" "$OUT" ;;
   bench)  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" $JAVA graft.Bench ;;
   check)  shift 3 2>/dev/null || shift $#
-          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$SF" "$OUT"
+          FILTER=""
+          [ $# -gt 0 ] && FILTER=$(echo "$@" | tr ' ' ',')
+          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$SF" "$OUT" $FILTER
           python3 tools/check_oracle.py "$OUT" "$SF" "$@" ;;
+  time)   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+          $JAVA graft.tools.TimeOne "$SF" "${3:?usage: run.sh time <sfDir> <query>}" ;;
   pipeline) rm -rf target/pipe/main
           SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.streaming.PipelineMain "$SF" "$(pwd)/target/pipe/main" "${3:-4}" "${4:-2}" ;;
   *) echo "unknown cmd $CMD"; exit 2 ;;
