@@ -291,7 +291,76 @@ object Journeys {
       |  AND (h.effective_to IS NULL OR e.ts < h.effective_to)
       |ORDER BY event_id""".stripMargin
 
+  /** PATH MINING: the 20 most common 3-step event-type sequences
+    * across user streams (two leads over the per-user (ts, event_id)
+    * order, then one count) — the "what do users actually do"
+    * companion to [[evMarkov]]'s one-step matrix. Exact counts,
+    * deterministic tiebreaks, one window pass + one aggregation. */
+  def evPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("s2").as("step2"), col("s3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  private val evPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT step1, step2, step3, count(*)::BIGINT AS n
+      |FROM seq WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin
+
+  /** TIME-WEIGHTED AVERAGE value per user (TWAP): each observation
+    * weighted by how long it was current (seconds to the next event;
+    * the last observation carries no weight — standard left-closed
+    * TWAP). All accumulation is exact BIGINT (cent-value × duration
+    * seconds); the single final division happens on identical
+    * integers in both engines. One window pass + one aggregation. */
+  def opTwap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      // whole seconds via exact µs difference + floor division — NOT
+      // unix_timestamp (second-floor) vs DuckDB epoch()::BIGINT
+      // (round-half-even): the two disagree by ±1 on sub-second stamps
+      .withColumn("dt", expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000"))
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(sum(col("vc") * col("dt")).as("wsum"), sum(col("dt")).as("tsum"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("twap", col("wsum").cast("double") / (col("tsum") * lit(100L)))
+      .select("user_id", "n_obs", "tsum", "twap")
+      .orderBy("user_id")
+  }
+
+  private val opTwapSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, value, ts,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |    (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS dt,
+      |    round(value * 100)::BIGINT AS vc
+      |  FROM seq WHERE next_ts IS NOT NULL)
+      |SELECT user_id, count(*)::BIGINT AS n_obs, sum(dt)::BIGINT AS tsum,
+      |  sum(vc * dt)::BIGINT::DOUBLE / (sum(dt)::BIGINT * 100) AS twap
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_paths" -> (evPaths _),
+    "op_twap" -> (opTwap _),
     "op_pit_join" -> (opPitJoin _),
     "ev_markov" -> (evMarkov _),
     "ev_funnel" -> (evFunnel _),
@@ -301,6 +370,8 @@ object Journeys {
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "ev_paths" -> evPathsSql,
+    "op_twap" -> opTwapSql,
     "op_pit_join" -> opPitJoinSql,
     "ev_markov" -> evMarkovSql,
     "ev_funnel" -> evFunnelSql,
