@@ -205,13 +205,50 @@ object Graph {
       |  (n_triangles * 3)::DOUBLE / n_wedges AS closure
       |FROM tri, wd, ne""".stripMargin
 
+  /** LINK PREDICTION by common-neighbor count: the 20 highest-scoring
+    * NON-adjacent part pairs — candidate wedges (a–v–c through a shared
+    * neighbor, a < c) counted per endpoint pair, existing edges removed
+    * by anti-join. Exact integer scores; the wedge join's fan-out is
+    * the per-vertex degree pairing, bounded like [[grTriangles]].
+    * (Common-neighbors is the exact-arithmetic member of the link-
+    * prediction family — Adamic-Adar's 1/log(deg) weights are not
+    * bit-portable, same reason the text ops avoid libm.) */
+  def grLinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = Scratch.persist(edges(spark, sfDir)) // both directions
+    val wedge = und.as("e1").join(und.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common_neighbors"))
+    val canon = und.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("c"))
+    wedge.join(canon, Seq("a", "c"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("c"))
+      .limit(20)
+  }
+
+  private val grLinkPredictSql: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |wedge AS (
+      |  SELECT e1.src AS a, e2.dst AS c, count(*)::BIGINT AS common_neighbors
+      |  FROM raw e1 JOIN raw e2 ON e1.dst = e2.src AND e1.src < e2.dst
+      |  GROUP BY 1, 2),
+      |canon AS (SELECT src AS a, dst AS c FROM raw WHERE src < dst)
+      |SELECT w.a, w.c, common_neighbors
+      |FROM wedge w ANTI JOIN canon ON canon.a = w.a AND canon.c = w.c
+      |ORDER BY common_neighbors DESC, a, c LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (grPagerank _),
     "gr_assoc_rules" -> (grAssocRules _),
-    "gr_triangles" -> (grTriangles _))
+    "gr_triangles" -> (grTriangles _),
+    "gr_link_predict" -> (grLinkPredict _))
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_assoc_rules" -> grAssocRulesSql,
-    "gr_triangles" -> grTrianglesSql)
+    "gr_triangles" -> grTrianglesSql,
+    "gr_link_predict" -> grLinkPredictSql)
 }

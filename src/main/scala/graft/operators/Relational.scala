@@ -588,6 +588,28 @@ object Relational {
       |  count(*)::BIGINT AS n_rows
       |FROM orders, s GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** LATEST-BY-KEY deduplication — the batch "last write wins" that
+    * CDC consumers and mutable-entity snapshots run constantly: per
+    * user, the single most recent event (max ts, event_id tiebreak)
+    * via one ranked window. One exchange on the key, one in-partition
+    * sort, rank filter — the canonical form Catalyst rewrites to a
+    * TopK-per-key. */
+  def opLatestByKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val opLatestByKeySql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events) t
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** Running (cumulative) sum per customer over order history. Uses the
     * fixed-point trick so every prefix sum is exact in both engines. */
   def opWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1146,6 +1168,7 @@ object Relational {
     "op_string_agg" -> (opStringAgg _),
     "op_skyline" -> (opSkyline _),
     "op_histogram" -> (opHistogram _),
+    "op_latest_by_key" -> (opLatestByKey _),
     "op_window_running" -> (opWindowRunning _),
     "op_union" -> (opUnion _),
     "op_intersect" -> (opIntersect _),
@@ -1192,6 +1215,7 @@ object Relational {
     "op_string_agg" -> opStringAggSql,
     "op_skyline" -> opSkylineSql,
     "op_histogram" -> opHistogramSql,
+    "op_latest_by_key" -> opLatestByKeySql,
     "op_window_running" -> opWindowRunningSql,
     "op_union" -> opUnionSql,
     "op_intersect" -> opIntersectSql,
