@@ -87,6 +87,8 @@ object Prof {
     stats("op_scd2", graft.operators.Journeys.opScd2(spark, sf))
     stats("ann_rrf_hybrid", graft.operators.Similarity.annRrfHybrid(spark, sf))
     stats("gr_pagerank", graft.operators.Graph.grPagerank(spark, sf))
+    stats("gr_triangles", graft.operators.Graph.grTriangles(spark, sf))
+    stats("gr_link_predict", graft.operators.Graph.grLinkPredict(spark, sf))
     stats("dd_containment", graft.operators.Dedup.ddContainment(spark, sf))
     stats("cu_dsir_weights", graft.operators.Curation.cuDsirWeights(spark, sf))
     stats("ta_lm_fluency", graft.operators.TextAnalysis.taLmFluency(spark, sf))
