@@ -381,15 +381,6 @@ object Events {
        |       ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE) END AS value_interp
        |FROM w ORDER BY window_start, event_type""".stripMargin
 
-  /** Exponentially-weighted moving average (decay 1/2, depth 10) of each
-    * user's event values — the online-feature smoothing a training
-    * pipeline computes per entity. Cross-engine exactness by
-    * construction: values become integer cents, the weights are DYADIC
-    * (2^-i, exact in binary), so every term and the two partial sums are
-    * exact doubles in ANY summation order, and the closing num/den
-    * division is the single rounding both engines perform identically —
-    * no libm, no order sensitivity. The lag-chain form is one window
-    * pass per partition (user), shuffle on user_id only. */
   /** Z-SCORE OUTLIER DETECTION per event type — the standard
     * statistical anomaly gate. Exactness: per-type moments are exact
     * integer sums over 100-scaled values (sx, sxx — BIGINT, shuffle-
@@ -398,12 +389,19 @@ object Events {
     * ops — and IEEE-754 sqrt is correctly rounded, so it is as
     * bit-portable as +,−,×,÷. Emits the global top-20 by |z| — no
     * distributional threshold assumption. One 5-row stats aggregate
-    * broadcast back onto one scan, then TakeOrderedAndProject. */
+    * broadcast back onto one scan, then TakeOrderedAndProject.
+    * Zero-variance guard: a constant-valued event_type would divide by
+    * sqrt(0) — Spark (non-ANSI) yields NULL where DuckDB's IEEE ops
+    * yield ±Infinity, a latent oracle divergence — so groups with
+    * non-positive variance are filtered out IDENTICALLY on both sides
+    * (same expression, same op order) before z is computed. */
   def evAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val vc = round(col("value") * 100).cast("long")
     val stats = Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(vc).as("sx"), sum(vc * vc).as("sxx"))
+      .filter(col("sxx").cast("double") / col("n") -
+        (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")) > 0)
     val mean = col("sx").cast("double") / col("n")
     val z = (vc.cast("double") - mean) /
       sqrt(col("sxx").cast("double") / col("n") - mean * mean)
@@ -420,13 +418,25 @@ object Events {
       |  SELECT event_type, count(*)::BIGINT AS n,
       |    sum(round(value * 100)::BIGINT)::BIGINT AS sx,
       |    sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT AS sxx
-      |  FROM events GROUP BY 1)
+      |  FROM events GROUP BY 1
+      |  HAVING sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT::DOUBLE / count(*)
+      |    - (sum(round(value * 100)::BIGINT)::DOUBLE / count(*))
+      |      * (sum(round(value * 100)::BIGINT)::DOUBLE / count(*)) > 0)
       |SELECT event_id, e.event_type, value,
       |  (round(value * 100)::BIGINT::DOUBLE - sx::DOUBLE / n)
       |    / sqrt(sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)) AS z
       |FROM events e JOIN s ON s.event_type = e.event_type
       |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin
 
+  /** Exponentially-weighted moving average (decay 1/2, depth 10) of each
+    * user's event values — the online-feature smoothing a training
+    * pipeline computes per entity. Cross-engine exactness by
+    * construction: values become integer cents, the weights are DYADIC
+    * (2^-i, exact in binary), so every term and the two partial sums are
+    * exact doubles in ANY summation order, and the closing num/den
+    * division is the single rounding both engines perform identically —
+    * no libm, no order sensitivity. The lag-chain form is one window
+    * pass per partition (user), shuffle on user_id only. */
   def opEwma(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val weights = (0 until 10).map(i => math.pow(0.5, i)) // dyadic: exact

@@ -525,18 +525,44 @@ object Relational {
   /** 2-D SKYLINE (pareto frontier): parts not dominated in (lower
     * retail price, larger size). The naive formulation is an O(n²)
     * θ-self-join; this is the single-pass form — aggregate sizes per
-    * distinct price, prefix-max over the price-sorted aggregate
-    * (rows-frame = strictly-lower prices), then one equi-join back on
-    * price. A part is dominated iff a strictly cheaper part has ≥ its
-    * size, or an equal-priced part has > its size. One small agg +
-    * one window + one join; no nested loop at any scale. */
+    * distinct price, prefix-max over strictly-lower prices, then one
+    * equi-join back on price. A part is dominated iff a strictly
+    * cheaper part has ≥ its size, or an equal-priced part has > its
+    * size. The prefix-max is PARTITIONED (distinct-price cardinality
+    * grows with data, so a global orderBy window would funnel into one
+    * task at scale): prices range-bucket by a fixed width, the
+    * strictly-cheaper max decomposes into max(in-bucket prefix over
+    * strictly-lower prices, running max of strictly-lower BUCKETS).
+    * The bucket summary is bucket-count-sized — (price range / width)
+    * rows, metadata-scale like a manifest or a centroid set — so its
+    * running max is computed driver-side on the collected summary (the
+    * repo's whitelisted bounded-collect pattern) and broadcast back
+    * onto the per-price relation; the per-price window partitions by
+    * bucket. greatest() skips NULLs, so the first price of the first
+    * bucket correctly has no cheaper predecessor. Same answer, no
+    * global window, every data-sized stage partitioned. */
   def opSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val parts = Tables.part(spark, sfDir)
     val perPrice = parts.groupBy("p_retailprice")
       .agg(max(col("p_size")).as("price_max_size"))
-    val w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("bkt", floor(col("p_retailprice") / 100.0))
+    // bucket-count-sized summary (bounded by price range / 100)
+    val bktRows = perPrice.groupBy("bkt")
+      .agg(max(col("price_max_size")).cast("long").as("bkt_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prevBktMax(b) = max of bkt_max over buckets strictly below b
+    var run = Option.empty[Long]
+    val prevBktMax = bktRows.map { case (b, m) =>
+      val p = run; run = Some(run.fold(m)(math.max(_, m))); (b, p)
+    }.toSeq
+    val bktPfx = prevBktMax.toDF("bkt", "prev_bkt_max")
+    val wIn = Window.partitionBy("bkt").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val pfx = perPrice
-      .withColumn("cheaper_max_size", max(col("price_max_size")).over(w))
+      .withColumn("in_bkt_pfx", max(col("price_max_size")).over(wIn).cast("long"))
+      .join(broadcast(bktPfx), "bkt")
+      .withColumn("cheaper_max_size", greatest(col("in_bkt_pfx"), col("prev_bkt_max")))
     parts.join(pfx, "p_retailprice")
       .filter((col("cheaper_max_size").isNull || col("cheaper_max_size") < col("p_size")) &&
         col("price_max_size") === col("p_size"))
@@ -975,12 +1001,15 @@ object Relational {
     * cardinality estimate uses): deterministic per engine but not across
     * engines (different sketch layouts), so no DuckDB oracle — the
     * rows-only driver check applies, and ScalaTest pins the relative
-    * error against the exact count. */
+    * error against the exact count (PlanSpec computes the exact side
+    * itself). HLL-ONLY by design: bundling an exact countDistinct into
+    * this query would pay the expand+shuffle the sketch exists to
+    * avoid — the 100 TB point of approx_count_distinct is ONE
+    * constant-size sketch per group, partially aggregated map-side. */
   def opApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
   /** Catalog scan (S2, reference pipeline/data.py:56-60): register the

@@ -241,7 +241,10 @@ object Manifest {
 
   /** Per-part-file (min, max) of `statsCol` over a finished scratch
     * write, keyed by part file name — one metadata-sized aggregation
-    * job (file-count rows to the driver, like the manifest itself). */
+    * job (file-count rows to the driver, like the manifest itself).
+    * A file whose min/max comes back NULL (all-NULL column, or NULLs
+    * only) gets NO stats entry — it commits stats-less, which
+    * [[pruneFiles]] already treats conservatively (always kept). */
   private def partStats(spark: SparkSession, scratch: String,
                         statsCol: Option[String]): Map[String, (Long, Long)] =
     statsCol match {
@@ -252,6 +255,7 @@ object Manifest {
           .groupBy(input_file_name().as("f"))
           .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
           .collect()
+          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
           .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
             (r.getLong(1), r.getLong(2)))).toMap
     }
@@ -284,7 +288,11 @@ object Manifest {
     * Returns the committed version. Unlike [[compact]] there is no
     * input-liveness precondition: replace wins over concurrent appends
     * by design (last-writer-wins table semantics), which is the
-    * documented contract of an overwrite commit. */
+    * documented contract of an overwrite commit. Txn markers are NOT
+    * files and are NOT replaced: they ride through the rebase, so a
+    * streaming writer's batch watermark survives an overwrite and a
+    * replayed micro-batch (foreachBatch redelivery) still skips —
+    * replace overwrites the DATA, never the exactly-once ledger. */
   def replace(spark: SparkSession, table: String, df: DataFrame,
               statsCol: Option[String] = None): Long = {
     val scratch = s"$table/.replace_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -292,7 +300,7 @@ object Manifest {
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val stats = partStats(spark, scratch, statsCol)
     val mine = withStats(adoptParts(spark, table, scratch, "replace"), stats)
-    commitLoop(spark, table, "replace")((_, _) => mine)
+    commitLoop(spark, table, "replace")((_, latest) => latest.filter(isMarker) ++ mine)
   }
 
   /** Compact the CURRENT snapshot's files into `targetFiles`, committing

@@ -29,14 +29,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within the configured 2% rsd (10% hard bound)") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
     val rows = Relational.opApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the exact side lives HERE, not in the query: the operator must
+    // never pay the exact-distinct expand/shuffle it exists to avoid
+    val exactByFlag = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val approx = r.getLong(1); val exact = r.getLong(2)
+      val approx = r.getLong(1); val exact = exactByFlag(r.getString(0))
       assert(exact > 0)
       assert(math.abs(approx - exact).toDouble / exact <= 0.10,
         s"HLL estimate $approx too far from exact $exact for ${r.getString(0)}")
     }
+  }
+
+  test("op_approx_distinct plan is HLL-only: no exact-distinct expand/shuffle") {
+    val planStr = Relational.opApproxDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("Expand"), s"exact-distinct expand crept back in:\n$planStr")
+    assert(planStr.contains("approx_count_distinct"), planStr)
   }
 
   test("GLOBAL: no accidental nested-loop or cartesian join in ANY query plan") {

@@ -188,4 +188,38 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.appendBatch(spark, tbl, "s1", 2, b1.limit(3).repartition(1)))
     assert(Manifest.read(spark, tbl).count() == total + 8)
   }
+
+  test("replace preserves txn markers: a replayed micro-batch after an overwrite still skips") {
+    val tbl = s"$base/orders-replace-txn"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf)
+    val b0 = ord.filter(col("o_orderkey") % 2 === 0)
+    assert(Manifest.appendBatch(spark, tbl, "s1", 0, b0.repartition(2)))
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s1") == 0)
+    // overwrite the DATA: the exactly-once ledger must ride through
+    val replaced = ord.limit(10)
+    Manifest.replace(spark, tbl, replaced.repartition(1))
+    assert(Manifest.read(spark, tbl).count() == 10, "replace must swap the data set")
+    assert(Manifest.lastCommittedBatch(spark, tbl, "s1") == 0,
+      "replace dropped the txn marker — a foreachBatch redelivery would double-append")
+    // the redelivery: same (stream, batch) must be a no-op post-replace
+    assert(!Manifest.appendBatch(spark, tbl, "s1", 0, b0.repartition(2)))
+    assert(Manifest.read(spark, tbl).count() == 10)
+    // the stream continues past the overwrite with the next batch
+    assert(Manifest.appendBatch(spark, tbl, "s1", 1, ord.limit(3).repartition(1)))
+    assert(Manifest.read(spark, tbl).count() == 13)
+  }
+
+  test("append with an all-NULL stats column commits stats-less; pruning keeps the file conservatively") {
+    val tbl = s"$base/orders-null-stats"
+    Fs.deleteRec(spark, tbl)
+    val ord = Tables.orders(spark, sf).limit(100)
+      .withColumn("nullkey", lit(null).cast("long"))
+    // must not NPE at commit time (min/max of an all-NULL column is NULL)
+    Manifest.append(spark, tbl, ord.repartition(2), statsCol = Some("nullkey"))
+    val (kept, totalFiles) = Manifest.pruneFiles(spark, tbl, 0L, 1L)
+    assert(totalFiles == 2 && kept.size == 2,
+      s"stats-less files must always be kept: $kept of $totalFiles")
+    assert(Manifest.read(spark, tbl).count() == 100)
+  }
 }
