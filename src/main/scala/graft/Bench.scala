@@ -7,15 +7,27 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement protocol (round-2 verdict: single unrepeated runs made
   * regressions and speedups unfalsifiable — BASELINE.md documents 2-4×
-  * host swing between identical runs):
+  * host swing between identical runs; round-4 verdict: even
+  * median-of-3 samples swing 3-10× on this VM, so one full pass
+  * cannot distinguish a plan regression from host noise):
   *  - queries run in NAME ORDER (a HashMap's hash order differs across
   *    JVMs, which silently reshuffled cache attribution between rounds);
   *  - the shared dedup pair cache is materialized BEFORE any timing and
   *    reported as its own `cache_materialize` line, so no dd_* query's
   *    number absorbs the pipeline's most expensive stage;
-  *  - per query: one untimed warm-up execution, then median-of-3 timed
-  *    runs; all samples land in BENCH_FULL.json so a reader can judge
-  *    spread.
+  *  - TWO clean consecutive full passes over the whole suite; per query
+  *    per pass: one untimed warm-up execution, then median-of-3 timed
+  *    runs. The reported per-query number is the MIN of the two pass
+  *    medians (the better steady-state estimate under one-sided host
+  *    noise); pass medians, all 6 samples, and the cross-pass ratio
+  *    land in BENCH_FULL.json. Queries with a reported median ≥ 2 s
+  *    whose pass medians disagree by > 1.25× are flagged in the
+  *    stdout line's `noise` object with BOTH pass medians shown — a
+  *    reader can see exactly which lines are falsifiable and which
+  *    are host-noise. The pair cache is session-lived by design, so
+  *    both passes time dd_* queries under identical warm-cache
+  *    conditions; `cache_materialize` reports pass 1's (true) cost,
+  *    and pass 2's confirms the cache held (~0).
   *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
@@ -55,26 +67,29 @@ object Bench {
     // Session warmup: codegen compiler, shuffle machinery — so the first
     // query's warm-up run isn't charged ~5s of one-time JVM cost.
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // The shared LSH pair relation, timed as its own line (see scaladoc).
-    // Guarded like the per-query reps: if the pair pipeline throws, the
-    // bench must still emit its one JSON line (cache_materialize = -1;
-    // the dd_* consumers will then report failed individually too).
-    val cacheSec =
-      try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
-      catch { case _: Throwable => -1.0 }
     val Reps = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // timed reps are guarded too: a query that passes warm-up but
-      // throws on a later rep must report as failed, not abort the
-      // whole bench with no JSON line emitted
-      val samples = try {
-        run(fn(spark, sfDir)) // warm-up
-        Seq.fill(Reps)(time(run(fn(spark, sfDir))))
-      } catch { case _: Throwable => Seq.empty[Double] }
-      // drop this query's scratch-persisted relations so their blocks
-      // don't skew every later query's memory (outside the timing)
-      graft.operators.Scratch.release()
-      (name, samples, samples.nonEmpty)
+    val Passes = 2
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    // Two clean consecutive full passes (see scaladoc). Each pass:
+    // pair-cache materialize first (its own line), then every query in
+    // name order, warm-up + Reps timed runs, Scratch released between
+    // queries. Guarded throughout: a query that throws reports failed
+    // for that pass, never aborts the bench with no JSON line emitted.
+    val passes: Seq[(Double, Map[String, Seq[Double]])] = (1 to Passes).map { _ =>
+      val cacheSec =
+        try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
+        catch { case _: Throwable => -1.0 }
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val samples = try {
+          run(fn(spark, sfDir)) // warm-up
+          Seq.fill(Reps)(time(run(fn(spark, sfDir))))
+        } catch { case _: Throwable => Seq.empty[Double] }
+        // drop this query's scratch-persisted relations so their blocks
+        // don't skew every later query's memory (outside the timing)
+        graft.operators.Scratch.release()
+        (name, samples)
+      }
+      (cacheSec, rs.toMap)
     }
     // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
     // and corrupt the JSON line
@@ -83,33 +98,63 @@ object Bench {
     // NOT in the total) so a broken query can never read as a speedup
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
-    val medians = results.map { case (k, ss, _) => k -> median(ss) }
-    val samplesJson = results.map { case (k, ss, _) =>
-      s"\"$k\":" + ss.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = medians.collect { case (_, v) if v >= 0 => v }.sum + math.max(0.0, cacheSec)
-    // Complete record → file (medians, all samples, failures).
-    val allQs = (("cache_materialize" -> cacheSec) +: medians)
+    // per query: pass medians [m1, m2]; reported = min (steady state),
+    // failed in EITHER pass → -1 (a flaky query is a failed query)
+    val passMedians: Seq[(String, Seq[Double])] =
+      names.map(n => n -> passes.map { case (_, rs) => median(rs.getOrElse(n, Seq.empty)) })
+    val reported = passMedians.map { case (n, ms) =>
+      n -> (if (ms.exists(_ < 0)) -1.0 else ms.min)
+    }
+    def xrunRatio(ms: Seq[Double]): Double =
+      if (ms.exists(_ <= 0)) -1.0 else ms.max / ms.min
+    // host-noise flags: reported ≥ 2 s AND pass medians disagree > 1.25×
+    val noise = passMedians.filter { case (n, ms) =>
+      val rep = reported.toMap.apply(n)
+      rep >= 2.0 && xrunRatio(ms) > 1.25
+    }
+    val cacheSecs = passes.map(_._1)
+    val cacheSec = cacheSecs.head
+    val failed = reported.collect { case (k, v) if v < 0 => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = reported.collect { case (_, v) if v >= 0 => v }.sum + math.max(0.0, cacheSec)
+    // Complete record → file: reported medians, BOTH pass medians,
+    // cross-pass ratios, and all samples of both passes.
+    val allQs = (("cache_materialize" -> cacheSec) +: reported)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val runMediansJson = (("cache_materialize" -> cacheSecs) +: passMedians)
+      .map { case (k, ms) => s"\"$k\":" + ms.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val ratiosJson = passMedians
+      .map { case (k, ms) => s"\"$k\":${fmt(xrunRatio(ms))}" }.mkString("{", ",", "}")
+    val samplesJson = names.map { n =>
+      s"\"$n\":" + passes.map { case (_, rs) =>
+        rs.getOrElse(n, Seq.empty).map(fmt).mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullPath = "BENCH_FULL.json"
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"samples":$samplesJson,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write","protocol":"warmup+median-of-3"}"""
+    val protocol = s"${Passes}x(warmup+median-of-$Reps);reported=min-of-pass-medians"
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"xrun_ratios":$ratiosJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below is self-sufficient
     // Budgeted stdout line: aggregates + slowest-first medians until the
     // char budget (see scaladoc — the consumer tail is ~2000 chars; stay
     // well under it so the WHOLE line survives even with a trailing sbt
     // status line). Failed queries (-1) sort first so they are never
-    // silently omitted.
+    // silently omitted. The noise object (both pass medians for flagged
+    // lines, capped at the 20 slowest) rides in full — it is the
+    // falsifiability record.
     val budget = 1500
+    val noiseJson = noise.sortBy { case (n, _) => -reported.toMap.apply(n) }.take(20)
+      .map { case (k, ms) => s"\"$k\":" + ms.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val ranked = ("cache_materialize" -> cacheSec) +:
-      medians.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
+      reported.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
     val entries = ranked.map { case (k, v) => s"\"$k\":${fmt(v)}" }
     // n_queries + action give round-over-round totals their context:
-    // r1-r2 measured fewer queries under weaker actions; r3+ reports
-    // warm-up + median-of-3 (the first numbers stable round-over-round).
+    // r1-r2 measured fewer queries under weaker actions; r3 reported
+    // one-pass warm-up + median-of-3; r5+ reports min-of-two-pass
+    // medians, so totals are comparable to r4 only through run_medians.
     def line(qs: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"omitted":$omitted,"full":"$fullPath","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"action":"noop-write","protocol":"warmup+median-of-3"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"noise":$noiseJson,"omitted":$omitted,"full":"$fullPath","sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     var keep = entries.length
     while (keep > 1 && line(entries.take(keep), entries.length - keep).length > budget) keep -= 1
     println(line(entries.take(keep), entries.length - keep))
