@@ -19,6 +19,16 @@ object Prof {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     if (args.contains("plans")) { auditPlans(spark, sf); spark.stop(); return }
+    // `Prof <sf> plan <query>`: execute ONE SparkEntry query and print
+    // its AQE-finalized physical plan (the 100 TB plan audit, per query)
+    val planIx = args.indexOf("plan")
+    if (planIx >= 0 && args.length > planIx + 1) {
+      val name = args(planIx + 1)
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      df.write.mode("overwrite").format("noop").save()
+      println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+      spark.stop(); return
+    }
     spark.range(100).count()
     val sh = graft.functions.Text.shingled(spark, sf)
     t("shingled.count")(sh.count())

