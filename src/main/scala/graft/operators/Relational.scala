@@ -1092,7 +1092,7 @@ object Relational {
     * range-partition ids; raw interleave would let the wider dimension
     * monopolize every split), then bit-interleaved. Shared by the
     * query and the layout-clustering proof in ZorderSpec. */
-  private[operators] def withZval(orders: DataFrame): DataFrame = {
+  private[graft] def withZval(orders: DataFrame): DataFrame = {
     val r = orders.agg(
       min(col("o_custkey")).as("cl"), max(col("o_custkey")).as("ch"),
       min(datediff(col("o_orderdate"), lit("1970-01-01"))).as("dl"),

@@ -86,12 +86,15 @@ object Manifest {
       .map(f => new org.apache.hadoop.fs.Path(f._1).getName.drop(1).takeWhile(_.isDigit).toLong)
       .foldLeft(-1L)(math.max)
 
-  /** A manifest ENTRY is `path` or `path|min|max` — the optional
-    * per-file column-stats suffix ([[append]]'s `statsCol`) that
-    * [[pruneFiles]] skips files by, the manifest-level form of Delta/
-    * Iceberg data skipping. Entries are the commit-identity unit
-    * (rebase set-arithmetic runs on whole entries, so stats travel
-    * with their file through racing commits).
+  /** A manifest ENTRY is `path` or `path|min|max[|min2|max2|...]` —
+    * the optional per-file column-stats suffix ([[append]]'s
+    * `statsCols`, one (min,max) pair per column IN ORDER) that
+    * [[pruneFiles]]/[[pruneFilesND]] skip files by, the manifest-level
+    * form of Delta/Iceberg data skipping (multi-column stats are what
+    * OPTIMIZE ZORDER exists to make useful — see `pipe_zorder_prune`).
+    * Entries are the commit-identity unit (rebase set-arithmetic runs
+    * on whole entries, so stats travel with their file through racing
+    * commits).
     *
     * A line starting with `#txn|` is a TRANSACTION MARKER, not a file:
     * `#txn|<streamId>|<batchId>` records the highest micro-batch a
@@ -103,11 +106,12 @@ object Manifest {
 
   private def pathOf(entry: String): String = entry.takeWhile(_ != '|')
 
-  private def statsOf(entry: String): Option[(Long, Long)] =
-    entry.split('|') match {
-      case Array(_, mn, mx) => Some((mn.toLong, mx.toLong))
-      case _ => None
-    }
+  /** The (min, max) pairs of an entry's stats suffix, positional by
+    * stats column; empty for a stats-less entry. */
+  private def statsOf(entry: String): Seq[(Long, Long)] =
+    entry.split('|').drop(1).grouped(2).collect {
+      case Array(mn, mx) => (mn.toLong, mx.toLong)
+    }.toSeq
 
   /** Raw manifest entries (path + optional stats) of one version. */
   private[streaming] def entriesAt(spark: SparkSession, table: String, v: Long): Seq[String] = {
@@ -156,14 +160,21 @@ object Manifest {
     * after a crash/restart) is detected inside the commit loop against
     * the LATEST snapshot and skipped, so duplicate delivery cannot
     * double-append even when the replay races other writers. Returns
-    * true if this call committed the batch. */
+    * true if this call committed the batch.
+    *
+    * `beforeCommit` is a test seam between file adoption and the
+    * manifest publish — the crash window where a dead writer leaves
+    * adopted-but-uncommitted orphans that [[vacuum]]'s retention sweep
+    * reclaims (PipelineSpec's crash-injection E2E). */
   def appendBatch(spark: SparkSession, table: String, streamId: String,
-                  batchId: Long, df: DataFrame): Boolean = {
+                  batchId: Long, df: DataFrame,
+                  beforeCommit: () => Unit = () => ()): Boolean = {
     if (lastCommittedBatch(spark, table, streamId) >= batchId) return false
     val scratch = s"$table/.sbatch_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val mine = adoptParts(spark, table, scratch, f"b$batchId%06d").map(_._1)
+    beforeCommit()
     val marker = s"#txn|$streamId|$batchId"
     try {
       commitLoop(spark, table, "appendBatch") { (_, latest) =>
@@ -186,18 +197,37 @@ object Manifest {
   private final class AlreadyCommitted extends RuntimeException
 
   /** Data-skipping file selection: the latest snapshot's paths whose
-    * stats range intersects [lo, hi] — files WITHOUT stats are always
-    * kept (pruning is strictly conservative, so mixed stats/no-stats
-    * snapshots, e.g. after a compaction rewrote stats-carrying inputs,
-    * stay correct). Returns (kept paths, total file count). */
-  def pruneFiles(spark: SparkSession, table: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    * stats range intersects [lo, hi] on the FIRST stats column — files
+    * WITHOUT stats are always kept (pruning is strictly conservative,
+    * so mixed stats/no-stats snapshots, e.g. after a compaction rewrote
+    * stats-carrying inputs, stay correct). Returns (kept paths, total
+    * file count). */
+  def pruneFiles(spark: SparkSession, table: String, lo: Long, hi: Long): (Seq[String], Int) =
+    pruneFilesND(spark, table, Seq((lo, hi)))
+
+  /** Multi-dimensional data skipping: keep a file iff EVERY queried
+    * range intersects the file's (min, max) on the corresponding stats
+    * column ([[append]]'s `statsCols`, matched positionally). A file
+    * with no stats — or fewer stats columns than queried ranges — is
+    * kept conservatively. This is the scan-planning half of a 2-D
+    * layout: z-ordered files have tight bounding boxes in BOTH
+    * dimensions, so a 2-D range predicate prunes to the files whose
+    * box the query box intersects (Delta/Iceberg OPTIMIZE ZORDER +
+    * stats skipping). Returns (kept paths, total file count). */
+  def pruneFilesND(spark: SparkSession, table: String,
+                   ranges: Seq[(Long, Long)]): (Seq[String], Int) = {
     val (v, entries) = snapshot(spark, table)
     require(v >= 0, s"manifest table $table has no committed version")
     val dataEntries = entries.filterNot(isMarker)
-    val kept = dataEntries.filter(e => statsOf(e) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
-      case None => true
-    }).map(pathOf)
+    val kept = dataEntries.filter { e =>
+      val st = statsOf(e)
+      ranges.zipWithIndex.forall { case ((lo, hi), i) =>
+        st.lift(i) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }.map(pathOf)
     (kept, dataEntries.size)
   }
 
@@ -239,43 +269,52 @@ object Manifest {
     rel
   }
 
-  /** Per-part-file (min, max) of `statsCol` over a finished scratch
-    * write, keyed by part file name — one metadata-sized aggregation
-    * job (file-count rows to the driver, like the manifest itself).
-    * A file whose min/max comes back NULL (all-NULL column, or NULLs
-    * only) gets NO stats entry — it commits stats-less, which
-    * [[pruneFiles]] already treats conservatively (always kept). */
+  /** Per-part-file (min, max) of each of `statsCols` over a finished
+    * scratch write, keyed by part file name — one metadata-sized
+    * aggregation job (file-count rows to the driver, like the manifest
+    * itself). A file whose min/max comes back NULL on ANY stats column
+    * (all-NULL column) gets NO stats entry — stats pairs are
+    * positional, so a per-column gap can't be encoded; the file
+    * commits stats-less, which pruning already treats conservatively
+    * (always kept). */
   private def partStats(spark: SparkSession, scratch: String,
-                        statsCol: Option[String]): Map[String, (Long, Long)] =
-    statsCol match {
-      case None => Map.empty
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        spark.read.parquet(scratch)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
-          .collect()
-          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-          .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
-            (r.getLong(1), r.getLong(2)))).toMap
+                        statsCols: Seq[String]): Map[String, Seq[(Long, Long)]] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"mn$i"), max(col(c).cast("long")).as(s"mx$i"))
+      }
+      spark.read.parquet(scratch)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .filterNot(r => (1 to 2 * statsCols.size).exists(r.isNullAt))
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          statsCols.indices.map(i => (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))))
+        .toMap
     }
 
   private def withStats(adopted: Seq[(String, String)],
-                        stats: Map[String, (Long, Long)]): Seq[String] =
+                        stats: Map[String, Seq[(Long, Long)]]): Seq[String] =
     adopted.map { case (rel, srcName) =>
-      stats.get(srcName).map { case (mn, mx) => s"$rel|$mn|$mx" }.getOrElse(rel)
+      stats.get(srcName)
+        .map(ps => (rel +: ps.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) })
+          .mkString("|"))
+        .getOrElse(rel)
     }
 
   /** Append `df` as new data files + one manifest commit. Returns the
     * committed version. Safe under concurrent appends/compactions.
-    * `statsCol` (an integer column) records per-file min/max in the
-    * manifest entry for [[pruneFiles]] data skipping. */
+    * `statsCols` (integer columns) record per-file min/max pairs in the
+    * manifest entry, in order, for [[pruneFiles]]/[[pruneFilesND]] data
+    * skipping. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             statsCol: Option[String] = None): Long = {
+             statsCols: Seq[String] = Seq.empty): Long = {
     val scratch = s"$table/.append_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
-    val stats = partStats(spark, scratch, statsCol)
+    val stats = partStats(spark, scratch, statsCols)
     val mine = withStats(adoptParts(spark, table, scratch, "append"), stats)
     commitLoop(spark, table, "append")((_, existing) => existing ++ mine)
   }
@@ -294,11 +333,11 @@ object Manifest {
     * replayed micro-batch (foreachBatch redelivery) still skips —
     * replace overwrites the DATA, never the exactly-once ledger. */
   def replace(spark: SparkSession, table: String, df: DataFrame,
-              statsCol: Option[String] = None): Long = {
+              statsCols: Seq[String] = Seq.empty): Long = {
     val scratch = s"$table/.replace_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
-    val stats = partStats(spark, scratch, statsCol)
+    val stats = partStats(spark, scratch, statsCols)
     val mine = withStats(adoptParts(spark, table, scratch, "replace"), stats)
     commitLoop(spark, table, "replace")((_, latest) => latest.filter(isMarker) ++ mine)
   }

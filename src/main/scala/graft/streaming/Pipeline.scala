@@ -461,7 +461,7 @@ object Pipeline {
       .foreach { case (lo, hi) =>
         Manifest.append(spark, tbl,
           ord.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi).repartition(1),
-          statsCol = Some("o_orderkey"))
+          statsCols = Seq("o_orderkey"))
       }
     val (kept, total) = Manifest.pruneFiles(spark, tbl, q + 1, 2 * q)
     spark.read.parquet(kept.map(f => s"$tbl/$f"): _*)
@@ -477,6 +477,92 @@ object Pipeline {
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
        |  4::BIGINT AS n_files_total, 1::BIGINT AS n_files_scanned
        |FROM orders, m WHERE o_orderkey > q AND o_orderkey <= 2 * q""".stripMargin
+
+  /** Z-ORDER LAYOUT × MANIFEST STATS-PRUNING, composed (the two halves
+    * exist separately as `op_zorder_key` and `pipe_stats_prune`; this is
+    * what they are FOR): orders rows are laid out by fixed-width slabs
+    * of their 16-bit Morton key over (o_custkey, order date) —
+    * [[graft.operators.Relational.withZval]], the same bit math the
+    * oracle recomputes — one file per non-empty slab, each committed
+    * with per-file min/max stats on BOTH dimensions
+    * ([[Manifest.append]]'s multi-column `statsCols`). A 2-D range read
+    * (the middle half of each dimension) then plans its scan via
+    * [[Manifest.pruneFilesND]]: because z-ordering gives every slab a
+    * tight bounding box in both dimensions, the query box intersects
+    * only a fraction of the files — which the oracle DERIVES (not
+    * pins): DuckDB recomputes the z-key, the slab assignment, each
+    * slab's bounding box, and counts the intersecting slabs, so a
+    * layout or pruning bug shifts `n_files_scanned` and fails the hash.
+    *
+    * Scale: this is exactly Delta/Iceberg OPTIMIZE ZORDER + data
+    * skipping — at 100 TB the scan cost of a 2-D selective query drops
+    * to the intersected-slab fraction; the layout pass is one
+    * range-partitioned write, the planning is driver-side metadata. */
+  def pipeZorderPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/zprune_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val nSlabs = 8
+    // 16-bit z-key → 8 fixed-width slabs (deterministic, unlike
+    // repartitionByRange's sampled boundaries — the oracle must be able
+    // to recompute the exact file layout)
+    val z = graft.operators.Scratch.persist(
+      graft.operators.Relational.withZval(Tables.orders(spark, sfDir))
+        .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .withColumn("slab", expr(s"zval div ${65536 / nSlabs}"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "d", "slab"))
+    val present = z.select("slab").distinct().collect().map(_.getLong(0)).sorted
+    present.foreach { s =>
+      Manifest.append(spark, tbl,
+        z.filter(col("slab") === s).drop("slab").repartition(1),
+        statsCols = Seq("o_custkey", "d"))
+    }
+    val r = z.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("d")), max(col("d"))).first()
+    val (cl, ch, dl, dh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (ckLo, ckHi) = (cl + (ch - cl) / 4, cl + (ch - cl) * 3 / 4)
+    val (dLo, dHi) = (dl + (dh - dl) / 4, dl + (dh - dl) * 3 / 4)
+    val (kept, total) = Manifest.pruneFilesND(spark, tbl, Seq((ckLo, ckHi), (dLo, dHi)))
+    spark.read.parquet(kept.map(f => s"$tbl/$f"): _*)
+      .filter(col("o_custkey").between(ckLo, ckHi) && col("d").between(dLo, dHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(col("n_rows"), col("key_check"), col("price_check"),
+        lit(total.toLong).as("n_files_total"), lit(kept.size.toLong).as("n_files_scanned"))
+  }
+
+  /** DuckDB re-derives the whole composition: z-key → slab → per-slab
+    * bounding boxes → intersect count → box aggregate. */
+  private val pipeZorderPruneSql: String =
+    s"""WITH bounds AS (SELECT min(o_custkey) AS cl, max(o_custkey) AS ch,
+       |    min(o_orderdate::DATE - DATE '1970-01-01') AS dl,
+       |    max(o_orderdate::DATE - DATE '1970-01-01') AS dh
+       |  FROM orders),
+       |z AS (SELECT o_orderkey, o_custkey, o_totalprice,
+       |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS d,
+       |    (list_sum(list_transform(generate_series(0, 7), i ->
+       |      (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))))::BIGINT
+       |      // ${65536 / 8}) AS slab
+       |  FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+       |      ((o_custkey - bounds.cl) * 255) // greatest(1, bounds.ch - bounds.cl) AS a,
+       |      (((o_orderdate::DATE - DATE '1970-01-01') - bounds.dl) * 255)
+       |        // greatest(1, bounds.dh - bounds.dl) AS b
+       |    FROM orders CROSS JOIN bounds) t),
+       |box AS (SELECT cl + (ch - cl) // 4 AS ck_lo, cl + (ch - cl) * 3 // 4 AS ck_hi,
+       |    dl + (dh - dl) // 4 AS d_lo, dl + (dh - dl) * 3 // 4 AS d_hi FROM bounds),
+       |files AS (SELECT slab, min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+       |    min(d) AS mn_d, max(d) AS mx_d
+       |  FROM z GROUP BY slab)
+       |SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  (SELECT count(*) FROM files)::BIGINT AS n_files_total,
+       |  (SELECT count(*) FROM files, box
+       |    WHERE mx_ck >= ck_lo AND mn_ck <= ck_hi
+       |      AND mx_d >= d_lo AND mn_d <= d_hi)::BIGINT AS n_files_scanned
+       |FROM z, box
+       |WHERE o_custkey BETWEEN ck_lo AND ck_hi AND d BETWEEN d_lo AND d_hi""".stripMargin
 
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
@@ -506,6 +592,7 @@ object Pipeline {
     "pipe_cdc_diff" -> (pipeCdcDiff _),
     "pipe_stats_prune" -> (pipeStatsPrune _),
     "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
+    "pipe_zorder_prune" -> (pipeZorderPrune _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -517,5 +604,6 @@ object Pipeline {
     "pipe_cdc_diff" -> pipeCdcDiffSql,
     "pipe_stats_prune" -> pipeStatsPruneSql,
     "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
+    "pipe_zorder_prune" -> pipeZorderPruneSql,
     "op_synth_table" -> opSynthTableSql)
 }

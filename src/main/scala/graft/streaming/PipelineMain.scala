@@ -120,23 +120,59 @@ object PipelineMain {
     finishAndServe(spark, sfDir, workDir)
   }
 
+  /** Bounded exponential-backoff retry — the reference's Prefect task
+    * policy (retries with exponential backoff around every ingest task,
+    * reference pipeline/preprocess.py:22-27) as a plain combinator. A
+    * transient failure (FS hiccup, interrupted drain) heals without
+    * manual restart BECAUSE every retried unit is idempotent: staging
+    * re-writes the same content-addressed files, drains are
+    * exactly-once against their sink commit log, compaction re-checks
+    * its inputs — so a half-done attempt plus a full retry equals one
+    * clean run. After `maxAttempts` the last failure propagates
+    * (fail-loud, not spin-forever). `sleep` is a test seam. */
+  private[streaming] def withRetry[T](what: String, maxAttempts: Int = 10,
+                                      baseDelayMs: Long = 100L,
+                                      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
+          val delay = baseDelayMs << math.min(attempt - 1, 6)
+          println(s"[pipeline] $what failed (attempt $attempt/$maxAttempts): " +
+            s"${e.getMessage}; retrying in ${delay}ms")
+          sleep(delay)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Generate+drain the given batch slices, one lock-held cycle each.
     * Two overlapping invocations (same workDir, DISJOINT batch ids —
     * the reference's two schedulers generating distinct data) serialize
     * at cycle granularity: a drain never observes a half-staged batch
-    * or races a compaction for the shared checkpoints. */
+    * or races a compaction for the shared checkpoints. A failed cycle
+    * retries whole with backoff ([[withRetry]]) — the lock is released
+    * between attempts, so a competing healthy invocation is never
+    * starved by a sick one. `chaos` is a crash-injection test seam
+    * called between staging and drain. */
   def runCycles(spark: SparkSession, sfDir: String, workDir: String,
-                batchIds: Seq[Int], nBatches: Int, compactEvery: Int): Unit = {
+                batchIds: Seq[Int], nBatches: Int, compactEvery: Int,
+                chaos: Int => Unit = _ => ()): Unit = {
     val staging = s"$workDir/staging"
     val tables = s"$workDir/tables"
     val ckpt = s"$workDir/ckpt"
     PipelineLock.withLock(lockFile(workDir))(repair(spark, tables, ckpt))
     for (cycle <- batchIds) {
-      PipelineLock.withLock(lockFile(workDir)) {
-        Synthesize.cycle(spark, sfDir, staging, tables, batchId = cycle, nBatches = nBatches)
-        Ingest.drainAll(spark, staging, tables, ckpt, schemas)
-        if ((cycle + 1) % compactEvery == 0)
-          compact(spark, staging, tables, ckpt, Seq("customer"))
+      withRetry(s"cycle $cycle") {
+        PipelineLock.withLock(lockFile(workDir)) {
+          Synthesize.cycle(spark, sfDir, staging, tables, batchId = cycle, nBatches = nBatches)
+          chaos(cycle)
+          Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+          if ((cycle + 1) % compactEvery == 0)
+            compact(spark, staging, tables, ckpt, Seq("customer"))
+        }
       }
       println(s"[pipeline] cycle $cycle complete")
     }

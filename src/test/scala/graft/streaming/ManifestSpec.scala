@@ -137,9 +137,9 @@ class ManifestSpec extends SparkSpec {
     val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
     val half = maxK / 2
     Manifest.append(spark, tbl,
-      ord.filter(col("o_orderkey") <= half).repartition(1), statsCol = Some("o_orderkey"))
+      ord.filter(col("o_orderkey") <= half).repartition(1), statsCols = Seq("o_orderkey"))
     Manifest.append(spark, tbl,
-      ord.filter(col("o_orderkey") > half).repartition(1), statsCol = Some("o_orderkey"))
+      ord.filter(col("o_orderkey") > half).repartition(1), statsCols = Seq("o_orderkey"))
     // a low-range read touches exactly the low file
     val (kept, total) = Manifest.pruneFiles(spark, tbl, 1, half)
     assert(total == 2 && kept.size == 1, s"expected 1/2 files, got ${kept.size}/$total")
@@ -210,13 +210,56 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, tbl).count() == 13)
   }
 
+  test("2-D stats: z-ordered layout prunes a 2-D range read; an uncorrelated layout of the same data cannot") {
+    val ztbl = s"$base/orders-z"
+    val htbl = s"$base/orders-hash"
+    Fs.deleteRec(spark, ztbl)
+    Fs.deleteRec(spark, htbl)
+    val z = graft.operators.Relational.withZval(Tables.orders(spark, sf))
+      .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .withColumn("slab", expr("zval div 8192"))
+      .select("o_orderkey", "o_custkey", "d", "slab")
+    val slabs = z.select("slab").distinct().collect().map(_.getLong(0)).sorted
+    slabs.foreach { s =>
+      Manifest.append(spark, ztbl,
+        z.filter(col("slab") === s).drop("slab").repartition(1),
+        statsCols = Seq("o_custkey", "d"))
+    }
+    // same rows, same file count, laid out by orderkey hash — a key
+    // uncorrelated with either query dimension, so every file's
+    // bounding box spans both full ranges
+    slabs.indices.foreach { i =>
+      Manifest.append(spark, htbl,
+        z.filter(col("o_orderkey") % slabs.size === i).drop("slab").repartition(1),
+        statsCols = Seq("o_custkey", "d"))
+    }
+    val r = z.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("d")), max(col("d"))).first()
+    val (cl, ch, dl, dh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val box = Seq(
+      (cl + (ch - cl) / 4, cl + (ch - cl) * 3 / 4),
+      (dl + (dh - dl) / 4, dl + (dh - dl) * 3 / 4))
+    val (keptZ, totZ) = Manifest.pruneFilesND(spark, ztbl, box)
+    val (keptH, totH) = Manifest.pruneFilesND(spark, htbl, box)
+    assert(totZ == slabs.size && totH == slabs.size)
+    assert(keptH.size == totH,
+      s"uncorrelated layout should keep every file, kept ${keptH.size}/$totH")
+    assert(keptZ.size < totZ, s"z-order layout must prune, kept ${keptZ.size}/$totZ")
+    // the pruned read is still exact
+    val inBox = (df: org.apache.spark.sql.DataFrame) => df.filter(
+      col("o_custkey").between(box(0)._1, box(0)._2) &&
+        col("d").between(box(1)._1, box(1)._2))
+    assert(inBox(spark.read.parquet(keptZ.map(f => s"$ztbl/$f"): _*)).count() ==
+      inBox(z).count())
+  }
+
   test("append with an all-NULL stats column commits stats-less; pruning keeps the file conservatively") {
     val tbl = s"$base/orders-null-stats"
     Fs.deleteRec(spark, tbl)
     val ord = Tables.orders(spark, sf).limit(100)
       .withColumn("nullkey", lit(null).cast("long"))
     // must not NPE at commit time (min/max of an all-NULL column is NULL)
-    Manifest.append(spark, tbl, ord.repartition(2), statsCol = Some("nullkey"))
+    Manifest.append(spark, tbl, ord.repartition(2), statsCols = Seq("nullkey"))
     val (kept, totalFiles) = Manifest.pruneFiles(spark, tbl, 0L, 1L)
     assert(totalFiles == 2 && kept.size == 2,
       s"stats-less files must always be kept: $kept of $totalFiles")

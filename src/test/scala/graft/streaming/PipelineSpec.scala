@@ -136,6 +136,49 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("retry/backoff: an injected transient failure mid-cycle (staged, not drained) heals on retry without manual restart, exactly once") {
+    val root = s"$base/retry-heal"
+    wipe(root)
+    var failures = 0
+    PipelineMain.runCycles(spark, sf, root, batchIds = Seq(0, 1), nBatches = 2,
+      compactEvery = Int.MaxValue,
+      chaos = cycle =>
+        if (cycle == 1 && failures < 2) {
+          failures += 1
+          throw new RuntimeException(s"injected transient failure #$failures")
+        })
+    assert(failures == 2, "the injection must have fired twice before healing")
+    PipelineMain.finishAndServe(spark, sf, root)
+    // healed run == clean run: full fixture, nothing doubled by the
+    // re-staged attempts (staging is content-addressed, drain exactly-once)
+    assert(spark.read.parquet(s"$root/tables/orders").count() ==
+      Tables.orders(spark, sf).count(), "orders lost or doubled across retries")
+    assert(spark.read.parquet(s"$root/tables/lineitem").count() ==
+      Tables.lineitem(spark, sf).count(), "lineitem lost or doubled across retries")
+    assert(spark.read.parquet(s"$root/tables/orders")
+      .select("o_orderkey").distinct().count() ==
+      spark.read.parquet(s"$root/tables/orders").count(), "duplicate keys after retry")
+  }
+
+  test("withRetry: exponential backoff schedule, success stops retrying, exhaustion propagates the last failure") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val got = PipelineMain.withRetry("t", maxAttempts = 5, baseDelayMs = 100L,
+      sleep = sleeps += _) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException(s"boom $calls")
+      42
+    }
+    assert(got == 42 && calls == 4)
+    assert(sleeps.toSeq == Seq(100L, 200L, 400L), s"expected doubling backoff, got $sleeps")
+    val e = intercept[RuntimeException] {
+      PipelineMain.withRetry("t", maxAttempts = 3, baseDelayMs = 1L, sleep = _ => ()) {
+        throw new RuntimeException("always")
+      }
+    }
+    assert(e.getMessage == "always")
+  }
+
   test("pipeline lock excludes a separate JVM while held, and admits it after release") {
     val lock = s"$base/locks/.pipeline.lock"
     wipe(s"$base/locks")
@@ -216,6 +259,62 @@ class PipelineSpec extends SparkSpec {
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").foreach { seg =>
       assert(spark.read.parquet(s"$root/results/$seg").count() == 50)
     }
+  }
+
+  test("txn sink crash injection: process death between file adoption and manifest commit; same-checkpoint restart re-drains exactly once; vacuum reclaims the orphans") {
+    val b = s"$base/stxn-crash"
+    wipe(b)
+    val src = s"$b/src"
+    val tbl = s"$b/orders"
+    val ckpt = s"$b/ckpt"
+    val ord = Tables.orders(spark, sf)
+    val total = ord.count()
+    (0 until 4).foreach { i =>
+      ord.filter(col("o_orderkey") % 4 === i).coalesce(1).write.mode("append").parquet(src)
+    }
+    @volatile var crashed = false
+    def run(inject: Boolean): Unit = {
+      val q = spark.readStream.schema(Schemas.orders)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Manifest.appendBatch(spark, tbl, "ingest", id, batch,
+            beforeCommit = () =>
+              if (inject && id == 2 && !crashed) {
+                crashed = true
+                throw new RuntimeException("injected death between adoption and commit")
+              })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (!inject) throw e
+      }
+    }
+    run(inject = true)
+    assert(crashed, "the injected crash must have fired")
+    // the ledger shows exactly the two pre-crash batches; the dead
+    // writer's batch-2 files were adopted into data/ but belong to NO
+    // manifest — a reader still sees only the committed snapshot
+    assert(Manifest.lastCommittedBatch(spark, tbl, "ingest") == 1)
+    val committedAtCrash = Manifest.read(spark, tbl).count()
+    assert(committedAtCrash > 0 && committedAtCrash < total)
+    val orphans = Fs.listFiles(spark, s"$tbl/data", _.endsWith(".parquet")).size -
+      Manifest.snapshot(spark, tbl)._2.count(!_.startsWith("#txn|"))
+    assert(orphans >= 1, "the crashed batch must leave adopted-but-uncommitted files")
+    // restart from the SAME checkpoint — the real recovery path:
+    // foreachBatch redelivers the failed batch with its original id
+    run(inject = false)
+    assert(Manifest.lastCommittedBatch(spark, tbl, "ingest") == 3)
+    assert(Manifest.read(spark, tbl).count() == total, "rows lost or doubled across the crash")
+    assert(Manifest.read(spark, tbl).select("o_orderkey").distinct().count() == total)
+    // vacuum reclaims exactly the dead writer's orphans, nothing live
+    assert(Manifest.vacuum(spark, tbl, retentionMs = 0) == orphans)
+    assert(Manifest.read(spark, tbl).count() == total)
   }
 
   test("compaction crash window: a stranded sink log (checkpoint retired, swap not run) fails loud, and the startup repair recovers it") {
