@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-fixture generator for the measured scale proof (SCALE.md):
+  * replicates every fixture table `copies`× with DISJOINT key spaces —
+  * copy k remaps each entity key to `key + k·stride` where stride is
+  * the key's domain size — so the scaled corpus models "10× more
+  * customers/orders/documents behaving the same", not "the same keys
+  * 10× hotter". Foreign keys remap with the same stride as their
+  * referenced primary key, so join fan-outs and per-key group sizes are
+  * PRESERVED (the per-order co-part graph, per-document shingle sets,
+  * and per-key aggregates stay fixture-shaped; only their count grows).
+  *
+  * Content columns that drive similarity operators are deterministically
+  * perturbed per copy — otherwise every document/vector would acquire
+  * 9 artificial near-duplicates and candidate generation would grow
+  * quadratically in copies rather than linearly in corpus size:
+  *  - `documents.text`: copy k≥1 rewrites every 5th token (by position
+  *    mod 5 ≡ k mod 5) with a copy-salted suffix — shingle Jaccard
+  *    across copies collapses (nearly every 5-shingle touches a salted
+  *    token) while within-copy structure (the fixture's intrinsic
+  *    near-dup pairs) is untouched;
+  *  - `embeddings.embedding`: copy k≥1 adds a small deterministic
+  *    per-dimension offset, separating copies in cosine space.
+  * Copy 0 is the original fixture byte-for-byte.
+  *
+  * The tiny dims (region, nation) copy unscaled, like TPC-H itself.
+  *
+  * Usage: MakeScale <srcSfDir> <dstDir> [copies=10]
+  */
+object MakeScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  private val k = col("__k")
+
+  private def read(spark: SparkSession, src: String, name: String): DataFrame =
+    spark.read.schema(graft.Schemas.byName(name)).parquet(s"$src/$name.parquet")
+
+  private def stride(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head.getLong(0) + 1
+
+  /** Cross-join with the copy index: ONE scan of the source feeds all
+    * copies (a union of per-copy reads would scan `copies` times). */
+  private def withCopies(spark: SparkSession, df: DataFrame, copies: Int): DataFrame =
+    df.crossJoin(spark.range(copies).select(col("id").as("__k")))
+
+  private def write(df: DataFrame, dst: String, name: String, files: Int): Unit = {
+    df.drop("__k").repartition(files)
+      .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // scalastyle:off println
+    println(s"[scale] wrote $name")
+    // scalastyle:on println
+  }
+
+  def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val li = read(spark, src, "lineitem")
+    val ord = read(spark, src, "orders")
+    val cust = read(spark, src, "customer")
+    val part = read(spark, src, "part")
+    val sup = read(spark, src, "supplier")
+    val okS = stride(ord, "o_orderkey")
+    val ckS = stride(cust, "c_custkey")
+    val pkS = stride(part, "p_partkey")
+    val skS = stride(sup, "s_suppkey")
+
+    def remap(c: String, s: Long): Column = (col(c) + k * s).as(c)
+
+    write(withCopies(spark, li, copies).select(
+      remap("l_orderkey", okS), remap("l_partkey", pkS), remap("l_suppkey", skS),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate")), dst, "lineitem", 32)
+
+    write(withCopies(spark, ord, copies).select(
+      remap("o_orderkey", okS), remap("o_custkey", ckS), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      dst, "orders", 16)
+
+    write(withCopies(spark, cust, copies).select(
+      remap("c_custkey", ckS), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")), dst, "customer", 8)
+
+    write(withCopies(spark, part, copies).select(
+      remap("p_partkey", pkS), col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), col("p_retailprice")), dst, "part", 8)
+
+    write(withCopies(spark, sup, copies).select(
+      remap("s_suppkey", skS), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")), dst, "supplier", 4)
+
+    val ev = read(spark, src, "events")
+    val evS = stride(ev, "event_id")
+    val usS = stride(ev, "user_id")
+    write(withCopies(spark, ev, copies).select(
+      remap("event_id", evS), col("ts"), remap("user_id", usS),
+      col("event_type"), col("value"), col("props")), dst, "events", 16)
+
+    val docs = read(spark, src, "documents")
+    val docS = stride(docs, "doc_id")
+    val salted = expr(
+      """array_join(transform(split(text, ' '),
+        |  (t, i) -> if(i % 5 = __k % 5, concat(t, '_', __k), t)), ' ')""".stripMargin)
+    write(withCopies(spark, docs, copies).select(
+      remap("doc_id", docS),
+      when(k === 0, col("text")).otherwise(salted).as("text"),
+      col("lang"), col("source"),
+      when(k === 0, col("n_chars"))
+        .otherwise(length(salted).cast("long")).as("n_chars")),
+      dst, "documents", 8)
+
+    val emb = read(spark, src, "embeddings")
+    val vecS = stride(emb, "vec_id")
+    val shifted = expr(
+      "transform(embedding, (x, i) -> cast(x + 0.01d * ((__k * 31 + i) % 7 - 3) as float))")
+    write(withCopies(spark, emb, copies).select(
+      remap("vec_id", vecS),
+      when(k === 0, col("embedding")).otherwise(shifted).as("embedding"),
+      col("label")), dst, "embeddings", 8)
+
+    for (t <- Seq("region", "nation"))
+      write(read(spark, src, t).withColumn("__k", lit(0L)), dst, t, 1)
+  }
+}
