@@ -27,7 +27,7 @@ import graft.Schemas
   * the uuid keymap exists before it is consumed — O3,
   * reference pipeline/data.py:62).
   *
-  * Usage: PipelineMain <sfDir> <workDir> [nCycles] [compactEvery] [--live]
+  * Usage: PipelineMain <sfDir> <workDir> [nCycles] [compactEvery] [--live] [--serve]
   */
 object PipelineMain {
 
@@ -92,6 +92,15 @@ object PipelineMain {
         cadenceMs = 2000L, processingTimeMs = 500L)
     else
       runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
+    if (args.contains("--serve")) {
+      // resident serving layer over the reduce's results (reference
+      // dashboard deployment); health-checkable, hot-reloads republishes
+      val srv = Serve.start(spark, s"$workDir/results", Segments,
+        port = sys.env.getOrElse("GRAFT_SERVE_PORT", "8080").toInt)
+      println(s"[pipeline] serving results on port ${srv.port} (GET /health, " +
+        s"/segments, /results/<segment>); Ctrl-C to stop")
+      Thread.currentThread().join()
+    }
     spark.stop()
   }
 

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Resident SERVING layer over the pipeline's result directory — the
+  * engine-side equivalent of the reference's dashboard process
+  * (reference dashboard.py:1-50: waits for the per-segment result
+  * parquet, caches each segment's frame, re-reads on demand; its
+  * deployment wraps that in a health-checked service). Kept to what an
+  * ENGINE owes a dashboard, on JDK-only HTTP (no added dependencies):
+  *
+  *  - `GET /health` — readiness: 200 + `{"status":"ok"}` once every
+  *    expected segment's result exists (the reference's `files_exist`
+  *    wait loop), 503 `{"status":"waiting",...}` before — exactly what
+  *    a supervisor's health-check/redeploy probes;
+  *  - `GET /segments` — the servable segment list;
+  *  - `GET /results/<segment>?limit=k` — the segment's served rows as
+  *    JSON, newest RESULT GENERATION wins: the parquet under
+  *    `results/<segment>` is re-read when its directory mtime advances
+  *    (the reduce step overwrites it per cycle), else served from an
+  *    in-process cache — `@st.cache_data` + redeploy, without the
+  *    restart.
+  *
+  * Scale: results are top-k relations (driver-sized by construction —
+  * the reduce's `limit(50)`), so serving them from the driver is
+  * correct by design; the 100 TB data path never flows through here.
+  */
+final class Serve private (spark: SparkSession, resultsDir: String,
+                           segments: Seq[String], server: HttpServer) {
+
+  @volatile private var cache = Map.empty[String, (Long, String)]
+
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  private def segDir(seg: String) = s"$resultsDir/$seg"
+
+  private def ready: Seq[String] =
+    segments.filter(s => Fs.listFiles(spark, segDir(s), _.endsWith(".parquet")).nonEmpty)
+
+  /** Fingerprint of a segment's current result generation: the reduce
+    * overwrites with fresh UUID part names, so the (path, size) set
+    * changes on every republish. */
+  private def generation(seg: String): Long =
+    Fs.listFiles(spark, segDir(seg), _.endsWith(".parquet"))
+      .map { case (p, len) => p.hashCode.toLong ^ len }.sum
+
+  /** Rows of one segment as a JSON array string, cache keyed by the
+    * result generation. */
+  private def rowsJson(seg: String, limit: Int): String = {
+    val gen = generation(seg)
+    cache.get(seg) match {
+      case Some((g, json)) if g == gen && limit == 50 => json
+      case _ =>
+        val df: DataFrame = spark.read.parquet(segDir(seg)).limit(limit)
+        val json = df.toJSON.collect().mkString("[", ",", "]")
+        if (limit == 50) cache += seg -> (gen, json)
+        json
+    }
+  }
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, b.length.toLong)
+    x.getResponseBody.write(b)
+    x.close()
+  }
+
+  private def install(): Unit = {
+    server.createContext("/health", (x: HttpExchange) => {
+      val r = ready
+      if (r.size == segments.size)
+        respond(x, 200, s"""{"status":"ok","segments":${segments.size}}""")
+      else
+        respond(x, 503,
+          s"""{"status":"waiting","ready":${r.size},"expected":${segments.size}}""")
+    })
+    server.createContext("/segments", (x: HttpExchange) =>
+      respond(x, 200, segments.map(s => s""""$s"""").mkString("[", ",", "]")))
+    server.createContext("/results/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath.stripPrefix("/results/")
+      val limit = Option(x.getRequestURI.getQuery)
+        .flatMap(_.split('&').collectFirst {
+          case q if q.startsWith("limit=") => q.drop(6).toInt
+        }).getOrElse(50)
+      if (!segments.contains(path))
+        respond(x, 404, s"""{"error":"unknown segment","segment":"$path"}""")
+      else if (!ready.contains(path))
+        respond(x, 503, s"""{"status":"waiting","segment":"$path"}""")
+      else
+        try respond(x, 200, rowsJson(path, limit))
+        catch {
+          case e: Exception =>
+            respond(x, 500, s"""{"error":"${e.getMessage.take(100).replace('"', '\'')}"}""")
+        }
+    })
+  }
+}
+
+object Serve {
+
+  /** Start serving `resultsDir` on `port` (0 = ephemeral, for tests).
+    * Returns the running server; caller stops it. */
+  def start(spark: SparkSession, resultsDir: String, segments: Seq[String],
+            port: Int = 0): Serve = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val s = new Serve(spark, resultsDir, segments, server)
+    s.install()
+    server.start()
+    s
+  }
+}

@@ -136,6 +136,43 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("serve: health flips 503->200 when all segments land; results serve as JSON; republish is picked up without restart") {
+    val root = s"$base/serve"
+    wipe(root)
+    val results = s"$root/results"
+    val segs = Seq("AUTOMOBILE", "BUILDING")
+    val srv = Serve.start(spark, results, segs)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val r = http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.port}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // not ready: no results yet
+      assert(get("/health")._1 == 503)
+      assert(get("/results/AUTOMOBILE")._1 == 503)
+      // publish both segments (top-3 shaped like the reduce's output)
+      val ord = Tables.orders(spark, sf)
+      segs.foreach { s =>
+        ord.limit(3).coalesce(1).write.mode("overwrite").parquet(s"$results/$s")
+      }
+      val (hc, hb) = get("/health")
+      assert(hc == 200 && hb.contains("\"ok\""), s"health after publish: $hc $hb")
+      assert(get("/segments")._2 == """["AUTOMOBILE","BUILDING"]""")
+      val (rc, rb) = get("/results/AUTOMOBILE")
+      assert(rc == 200 && rb.startsWith("[") && rb.contains("o_orderkey"))
+      assert(get("/results/AUTOMOBILE?limit=1")._2.count(_ == '{') == 1)
+      assert(get("/results/NOPE")._1 == 404)
+      // republish with different content: served rows change, no restart
+      ord.limit(5).coalesce(1).write.mode("overwrite").parquet(s"$results/AUTOMOBILE")
+      assert(get("/results/AUTOMOBILE")._2.count(_ == '{') == 5,
+        "republished generation must be served (cache keyed by file set)")
+    } finally srv.stop()
+  }
+
   test("retry/backoff: an injected transient failure mid-cycle (staged, not drained) heals on retry without manual restart, exactly once") {
     val root = s"$base/retry-heal"
     wipe(root)
