@@ -564,6 +564,56 @@ object Pipeline {
        |FROM z, box
        |WHERE o_custkey BETWEEN ck_lo AND ck_hi AND d BETWEEN d_lo AND d_hi""".stripMargin
 
+  /** PUBLIC DELTA-LOG FORMAT ROUND-TRIP ([[DeltaLog]]): two appends
+    * build a table through real `_delta_log` JSON commits (v0 carries
+    * protocol + metaData, each commit its add actions); an overwrite
+    * (v2) retires every live file via remove actions and publishes a
+    * filtered copy. The query then reads the table TWICE through log
+    * replay — pinned at v1 (both appends visible, removes not yet
+    * applied: time travel) and at latest (post-overwrite) — plus the
+    * file-level log state (live file count, total commits). The oracle
+    * recomputes both snapshots from the fixture, so a replay bug
+    * (missed remove, wrong version order, schema not honored) shifts a
+    * checksum and fails the hash.
+    *
+    * Scale: identical division of labor to [[Manifest]] — the log is
+    * file-count metadata replayed driver-side; every data byte moves
+    * through executor parquet jobs. The format is the PUBLIC one, so
+    * engines with delta support read these tables directly. */
+  def pipeDeltaLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/delta_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    val v1 = DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    val v2 = DeltaLog.overwrite(spark, tbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    val (_, live, _) = DeltaLog.snapshot(spark, tbl)
+    def summary(v: Long): DataFrame =
+      DeltaLog.read(spark, tbl, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"o_orderkey % $P")).as("key_check"),
+          sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_check"), col("price_check"))
+    summary(v1).unionAll(summary(v2))
+      .withColumn("n_live_files", lit(live.size.toLong))
+      .orderBy("version")
+  }
+
+  private val pipeDeltaLogSql: String =
+    s"""SELECT 1::BIGINT AS version, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  2::BIGINT AS n_live_files
+       |FROM orders
+       |UNION ALL
+       |SELECT 2::BIGINT, count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT,
+       |  2::BIGINT
+       |FROM orders WHERE o_orderkey % 3 = 0
+       |ORDER BY version""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -593,6 +643,7 @@ object Pipeline {
     "pipe_stats_prune" -> (pipeStatsPrune _),
     "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
     "pipe_zorder_prune" -> (pipeZorderPrune _),
+    "pipe_delta_log" -> (pipeDeltaLog _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +656,6 @@ object Pipeline {
     "pipe_stats_prune" -> pipeStatsPruneSql,
     "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
     "pipe_zorder_prune" -> pipeZorderPruneSql,
+    "pipe_delta_log" -> pipeDeltaLogSql,
     "op_synth_table" -> opSynthTableSql)
 }

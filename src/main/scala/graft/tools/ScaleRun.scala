@@ -61,7 +61,7 @@ object ScaleRun {
           f""""med_a":${med(a)}%.3f,"med_b":${med(b)}%.3f,""" +
           f""""ratio":$r%.2f,"exponent":$exp%.3f}""")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           println(s"""{"query":"$name","error":"${e.getMessage.take(120).replace('"', '\'')}"}""")
       }
     }

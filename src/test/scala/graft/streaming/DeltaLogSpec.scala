@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[DeltaLog]] — the public `_delta_log` interchange format.
+  *
+  * The decisive test is the FOREIGN-LOG one: a minimal transaction log
+  * written here BY HAND, character-for-character in the documented
+  * protocol shape (delta-io/delta PROTOCOL.md) with none of our
+  * writer's conventions (different file names, multi-action ordering,
+  * fields we never emit like `tags` and `stats`), must replay to
+  * exactly the right live set. That proves the reader implements the
+  * format, not merely its own writer's dialect; the writer side is
+  * proven by the `pipe_delta_log` oracle entry plus the action-shape
+  * assertions below.
+  */
+class DeltaLogSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/root/repo/target/test-delta/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    Fs.deleteRec(spark, d)
+    Fs.mkdirs(spark, d)
+    d
+  }
+
+  private def writeParquetFile(dir: String, name: String, rows: Seq[(Long, String)]): Long = {
+    import spark.implicits._
+    val scratch = s"$dir/.mk_$name"
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).head
+    Fs.renameOrFail(spark, part._1, s"$dir/$name")
+    Fs.deleteRec(spark, scratch)
+    part._2
+  }
+
+  private def writeLogFile(table: String, v: Long, lines: Seq[String]): Unit = {
+    Fs.mkdirs(spark, s"$table/_delta_log")
+    val p = new org.apache.hadoop.fs.Path(f"$table/_delta_log/$v%020d.json")
+    val out = p.getFileSystem(Fs.conf(spark)).create(p, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private val handSchemaString =
+    """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
+  test("replays a hand-written foreign _delta_log (adds, removes, schema, versions)") {
+    val tbl = freshDir("foreign")
+    val s1 = writeParquetFile(tbl, "f1.snappy.parquet", Seq((1L, "a"), (2L, "b")))
+    val s2 = writeParquetFile(tbl, "f2.snappy.parquet", Seq((3L, "c")))
+    val s3 = writeParquetFile(tbl, "f3.snappy.parquet", Seq((4L, "d"), (5L, "e")))
+    // v0: protocol + metaData + two adds, with fields our writer never
+    // emits (commitInfo, tags, stats) that a reader must tolerate
+    writeLogFile(tbl, 0L, Seq(
+      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"$handSchemaString","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"f1.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":1700000000001,"dataChange":true,"stats":"{\\"numRecords\\":2}"}}""",
+      s"""{"add":{"path":"f2.snappy.parquet","partitionValues":{},"size":$s2,"modificationTime":1700000000002,"dataChange":true,"tags":{}}}"""))
+    // v1: retire f2, add f3
+    writeLogFile(tbl, 1L, Seq(
+      s"""{"remove":{"path":"f2.snappy.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
+      s"""{"add":{"path":"f3.snappy.parquet","partitionValues":{},"size":$s3,"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    val (v0, live0, schema0) = DeltaLog.snapshot(spark, tbl, 0L)
+    assert(v0 == 0L && live0.toSet == Set("f1.snappy.parquet", "f2.snappy.parquet"))
+    assert(schema0.fieldNames.toSeq == Seq("k", "v"))
+    val (v1, live1, _) = DeltaLog.snapshot(spark, tbl)
+    assert(v1 == 1L && live1.toSet == Set("f1.snappy.parquet", "f3.snappy.parquet"))
+
+    assert(DeltaLog.read(spark, tbl, 0L).select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    assert(DeltaLog.read(spark, tbl).select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 4L, 5L)))
+  }
+
+  test("writer emits protocol-complete actions a foreign reader needs") {
+    import spark.implicits._
+    val tbl = freshDir("emit")
+    DeltaLog.append(spark, tbl, Seq((1L, "x"), (2L, "y")).toDF("k", "v").repartition(2))
+    DeltaLog.overwrite(spark, tbl, Seq((9L, "z")).toDF("k", "v").coalesce(1))
+
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val p = new org.apache.hadoop.fs.Path(f"$tbl/_delta_log/$v%020d.json")
+      val in = p.getFileSystem(Fs.conf(spark)).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(m.readTree).toList
+      finally in.close()
+    }
+
+    val v0 = actions(0L)
+    val proto = v0.find(_.has("protocol")).get.get("protocol")
+    assert(proto.get("minReaderVersion").asInt == 1 && proto.get("minWriterVersion").asInt == 2)
+    val md = v0.find(_.has("metaData")).get.get("metaData")
+    assert(md.get("format").get("provider").asText == "parquet")
+    assert(md.has("id") && md.has("partitionColumns") && md.has("configuration"))
+    // schemaString must be Spark StructType JSON (Delta's serialization)
+    val parsed = org.apache.spark.sql.types.DataType.fromJson(md.get("schemaString").asText())
+    assert(parsed.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq == Seq("k", "v"))
+    val adds0 = v0.filter(_.has("add")).map(_.get("add"))
+    assert(adds0.size == 2)
+    adds0.foreach { a =>
+      assert(a.has("path") && a.has("partitionValues") && a.has("size") &&
+        a.has("modificationTime") && a.get("dataChange").asBoolean)
+      assert(Fs.exists(spark, s"$tbl/${a.get("path").asText}"))
+    }
+
+    val v1 = actions(1L)
+    assert(v1.count(_.has("remove")) == 2 && v1.count(_.has("add")) == 1)
+    v1.filter(_.has("remove")).foreach(r =>
+      assert(r.get("remove").has("deletionTimestamp") && r.get("remove").get("dataChange").asBoolean))
+
+    assert(DeltaLog.read(spark, tbl).collect().toSeq == Seq(Row(9L, "z")))
+  }
+
+  test("overwrite racing an append retires the raced files (rebase inside commit loop)") {
+    import spark.implicits._
+    val tbl = freshDir("race")
+    DeltaLog.append(spark, tbl, Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    DeltaLog.append(spark, tbl, Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    DeltaLog.overwrite(spark, tbl, Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    val (_, live, _) = DeltaLog.snapshot(spark, tbl)
+    assert(live.size == 1)
+    assert(DeltaLog.read(spark, tbl).collect().toSeq == Seq(Row(3L, "c")))
+    // every prior version stays readable (time travel over the log)
+    assert(DeltaLog.read(spark, tbl, 1L).select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+  }
+}
