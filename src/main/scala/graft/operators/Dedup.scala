@@ -19,10 +19,15 @@ import graft.sources.Tables
   *    band ≈ Σ_pairs J(a,b)^r, so non-duplicates almost never collide and
   *    the pairwise verification stage touches only real candidates.
   *    Nothing here is driver-side; every stage is a DataFrame op.
-  *  - The exact-Jaccard path builds an inverted index (explode shingles →
-  *    self-join on shingle → count per pair). Exact but quadratic in
-  *    per-shingle document frequency; kept as the verification oracle and
-  *    for corpora whose shingle DF is bounded. LSH is the scale path.
+  *  - The exact-Jaccard path ([[ddNgramJaccard]]) is PREFIX-FILTERED
+  *    (AllPairs/PPJoin, Bayardo et al. WWW'07): candidates come from a
+  *    join on only the first n−⌈t·n⌉+1 shingles of each document under
+  *    the global md5 order, with an AllPairs length filter and a
+  *    df-cap on corpus-hot prefix shingles — candidate volume is
+  *    linear in corpus size, NOT the naive inverted-index df² join
+  *    (which survives only as the DuckDB oracle text). Verification of
+  *    candidates is exact, so the result set is identical to the naive
+  *    form. [[ddContainment]] is the same machinery asymmetrized.
   *  - SimHash packs a document into one 60-bit int; near-dups differ in
   *    ≤ d bits. Signatures come from a native typed aggregate
   *    ([[graft.plans.SimhashAgg]]); candidate pairs from block-pair

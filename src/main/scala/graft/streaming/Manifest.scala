@@ -207,7 +207,18 @@ object Manifest {
 
   /** Multi-dimensional data skipping: keep a file iff EVERY queried
     * range intersects the file's (min, max) on the corresponding stats
-    * column ([[append]]'s `statsCols`, matched positionally). A file
+    * column ([[append]]'s `statsCols`, matched positionally).
+    *
+    * ORDERING CONTRACT (stats carry no column names in the entry
+    * format): `ranges(i)` is matched against the i-th (min, max) pair,
+    * which is the i-th column of the `statsCols` the file was APPENDED
+    * with. Callers must therefore query in the same column order every
+    * append used, and a table must use ONE consistent `statsCols`
+    * order across all its appends — a mixed-order table would prune
+    * against the wrong columns and silently drop live files from
+    * reads. (The manifest format would need per-entry column names to
+    * validate this at prune time; with positional stats the contract
+    * lives here.) A file
     * with no stats — or fewer stats columns than queried ranges — is
     * kept conservatively. This is the scan-planning half of a 2-D
     * layout: z-ordered files have tight bounding boxes in BOTH

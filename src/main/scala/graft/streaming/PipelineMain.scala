@@ -87,17 +87,24 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.contains("--live"))
-      runLive(spark, sfDir, workDir, nBatches = nCycles,
-        cadenceMs = 2000L, processingTimeMs = 500L)
-    else
-      runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
-    if (args.contains("--serve")) {
-      // resident serving layer over the reduce's results (reference
-      // dashboard deployment); health-checkable, hot-reloads republishes
-      val srv = Serve.start(spark, s"$workDir/results", Segments,
-        port = sys.env.getOrElse("GRAFT_SERVE_PORT", "8080").toInt)
-      println(s"[pipeline] serving results on port ${srv.port} (GET /health, " +
+    val servePort = sys.env.getOrElse("GRAFT_SERVE_PORT", "8080").toInt
+    val live = args.contains("--live")
+    val wantServe = args.contains("--serve")
+    val srv =
+      if (live)
+        // in live mode the service is up DURING ingestion, republishing
+        // every compactEvery batches — the resident deployment form
+        runLive(spark, sfDir, workDir, nBatches = nCycles,
+          cadenceMs = 2000L, processingTimeMs = 500L,
+          serve = wantServe, publishEvery = compactEvery, servePort = servePort)
+      else {
+        runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
+        if (wantServe)
+          Some(Serve.start(spark, s"$workDir/results", Segments, port = servePort))
+        else None
+      }
+    srv.foreach { s =>
+      println(s"[pipeline] serving results on port ${s.port} (GET /health, " +
         s"/segments, /results/<segment>); Ctrl-C to stop")
       Thread.currentThread().join()
     }
@@ -199,31 +206,48 @@ object PipelineMain {
       val staging = s"$workDir/staging"
       val tables = s"$workDir/tables"
       val ckpt = s"$workDir/ckpt"
-      val results = s"$workDir/results"
       compact(spark, staging, tables, ckpt, Seq("orders", "lineitem"))
-
-      // REDUCE + SERVE: the flagship per segment over the INGESTED tables
-      // (staged schema: uuid keys, *_time columns — the reference's
-      // reduce reads the same processed form, pipeline/reduce.py:43-74)
-      import org.apache.spark.sql.functions._
-      val li = spark.read.parquet(s"$tables/lineitem")
-      val ord = spark.read.parquet(s"$tables/orders")
-      val cust = spark.read.parquet(s"$tables/customer")
-      val cutoff = lit(Synthesize.OrdTgtHi).cast("timestamp")
-      for (seg <- Segments) {
-        val top = ord.filter(col("o_order_time") < cutoff)
-          .join(cust.filter(col("c_mktsegment") === seg), col("o_custkey") === col("c_custkey"))
-          .join(li.filter(col("l_ship_time") > cutoff), col("o_orderkey") === col("l_orderkey"))
-          .groupBy("l_orderkey", "o_order_time")
-          .agg(graft.functions.Exact.exactSum(
-            col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
-          .limit(50)
-        top.coalesce(1).write.mode("overwrite")
-          .option("compression", "snappy").parquet(s"$results/$seg")
-        println(s"[pipeline] served $seg: ${spark.read.parquet(s"$results/$seg").count()} rows")
-      }
+      publishResults(spark, workDir)
     }
+
+  /** REDUCE + PUBLISH: the flagship per segment over the INGESTED
+    * tables (staged schema: uuid keys, *_time columns — the
+    * reference's reduce reads the same processed form,
+    * pipeline/reduce.py:43-74). Each segment's top-50 is computed to a
+    * STAGING path first and only then swapped into the served location
+    * (retire + rename), so the window where a result directory holds a
+    * HALF-written generation never exists — a concurrently-running
+    * [[Serve]] sees the old committed generation, a beat of
+    * absent-directory (its cache covers that), then the new one:
+    * read-your-republish, never a torn read. Idempotent — a republish
+    * overwrites its own staging and swaps again. Caller holds the
+    * pipeline lock (or is [[runLive]]'s generator loop, which takes
+    * it). */
+  def publishResults(spark: SparkSession, workDir: String): Unit = {
+    val tables = s"$workDir/tables"
+    val results = s"$workDir/results"
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$tables/lineitem")
+    val ord = spark.read.parquet(s"$tables/orders")
+    val cust = spark.read.parquet(s"$tables/customer")
+    val cutoff = lit(Synthesize.OrdTgtHi).cast("timestamp")
+    for (seg <- Segments) {
+      val top = ord.filter(col("o_order_time") < cutoff)
+        .join(cust.filter(col("c_mktsegment") === seg), col("o_custkey") === col("c_custkey"))
+        .join(li.filter(col("l_ship_time") > cutoff), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_order_time")
+        .agg(graft.functions.Exact.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(50)
+      val stage = s"$results/.stage_$seg"
+      top.coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy").parquet(stage)
+      Fs.deleteRec(spark, s"$results/$seg")
+      Fs.renameOrFail(spark, stage, s"$results/$seg")
+      println(s"[pipeline] served $seg: ${spark.read.parquet(s"$results/$seg").count()} rows")
+    }
+  }
 
   /** Long-lived wall-clock mode (the deployment form of the reference's
     * 15-minute schedules): resident `Trigger.ProcessingTime` ingestion
@@ -233,9 +257,22 @@ object PipelineMain {
     * `AvailableNow` mop-up drain pins the deterministic end state
     * (everything staged is committed), then compact + reduce + serve.
     * Exactly-once holds throughout — the resident queries and the
-    * mop-up share the same checkpoints. */
+    * mop-up share the same checkpoints.
+    *
+    * `serve = true` starts the [[Serve]] HTTP layer BEFORE the loop
+    * (health answers "waiting" until the first publish) and returns it
+    * running — the resident deployment form: the service is up while
+    * ingestion streams and reduce republishes race underneath it, and
+    * its generation-keyed cache carries readers across each republish
+    * swap. `publishEvery = k` re-runs the reduce after every k-th
+    * staged batch (under the lock, against whatever the resident
+    * streams have committed so far — the reference's independent
+    * 15-min ingest / 24-h reduce schedules compressed onto one
+    * cadence). Caller stops the returned server. */
   def runLive(spark: SparkSession, sfDir: String, workDir: String,
-              nBatches: Int, cadenceMs: Long, processingTimeMs: Long): Unit = {
+              nBatches: Int, cadenceMs: Long, processingTimeMs: Long,
+              serve: Boolean = false, publishEvery: Int = 0,
+              servePort: Int = 0, onServe: Serve => Unit = _ => ()): Option[Serve] = {
     val staging = s"$workDir/staging"
     val tables = s"$workDir/tables"
     val ckpt = s"$workDir/ckpt"
@@ -243,6 +280,9 @@ object PipelineMain {
       repair(spark, tables, ckpt)
       schemas.keys.foreach(t => Fs.mkdirs(spark, s"$staging/$t"))
     }
+    val srv = if (serve) Some(Serve.start(spark, s"$workDir/results", Segments, servePort))
+              else None
+    srv.foreach(onServe) // hand the running server out BEFORE the loop (test seam / supervisor registration)
     val queries = schemas.map { case (t, s) =>
       Ingest.streamTable(spark, staging, tables, ckpt, t, s,
         Trigger.ProcessingTime(processingTimeMs))
@@ -254,6 +294,15 @@ object PipelineMain {
         }
         println(s"[pipeline] live: staged batch $b")
         Thread.sleep(cadenceMs)
+        if (publishEvery > 0 && (b + 1) % publishEvery == 0 &&
+            schemas.keys.forall(t => Fs.exists(spark, s"$tables/$t"))) {
+          // mid-run republish against the streams' committed state so
+          // far; the lock serializes it with the generator, and Serve's
+          // cache carries readers across the swap (skipped while the
+          // resident streams haven't committed all tables yet)
+          PipelineLock.withLock(lockFile(workDir))(publishResults(spark, workDir))
+          println(s"[pipeline] live: republished results after batch $b")
+        }
       }
     } finally {
       queries.foreach(_.stop())
@@ -266,5 +315,6 @@ object PipelineMain {
       Ingest.drainAll(spark, staging, tables, ckpt, schemas)
     }
     finishAndServe(spark, sfDir, workDir)
+    srv
   }
 }

@@ -3,6 +3,8 @@ package graft.streaming
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.util.control.NonFatal
+
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,10 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `GET /segments` — the servable segment list;
   *  - `GET /results/<segment>?limit=k` — the segment's served rows as
   *    JSON, newest RESULT GENERATION wins: the parquet under
-  *    `results/<segment>` is re-read when its directory mtime advances
-  *    (the reduce step overwrites it per cycle), else served from an
+  *    `results/<segment>` is re-read when its file set changes (the
+  *    reduce step republishes it per cycle), else served from an
   *    in-process cache — `@st.cache_data` + redeploy, without the
-  *    restart.
+  *    restart. DURING a republish (the window where the old files are
+  *    retired and the new generation is not yet committed) the cached
+  *    LAST generation keeps serving — read-your-republish: a client
+  *    never sees a torn result, only the old rows or the new rows.
+  *
+  * Concurrency: the cache is a [[java.util.concurrent.ConcurrentHashMap]]
+  * keyed per segment, so the read-check-update is safe even if the
+  * server is later given a multi-threaded executor (the default
+  * HttpServer dispatches on one thread; the cache no longer depends on
+  * that).
   *
   * Scale: results are top-k relations (driver-sized by construction —
   * the reduce's `limit(50)`), so serving them from the driver is
@@ -32,7 +43,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Serve private (spark: SparkSession, resultsDir: String,
                            segments: Seq[String], server: HttpServer) {
 
-  @volatile private var cache = Map.empty[String, (Long, String)]
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   def port: Int = server.getAddress.getPort
 
@@ -43,24 +54,46 @@ final class Serve private (spark: SparkSession, resultsDir: String,
   private def ready: Seq[String] =
     segments.filter(s => Fs.listFiles(spark, segDir(s), _.endsWith(".parquet")).nonEmpty)
 
+  /** JSON string-escape for request-derived text interpolated into
+    * response bodies (quotes/backslashes/control chars), so a segment
+    * like `x"}` can't produce malformed JSON. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Fingerprint of a segment's current result generation: the reduce
-    * overwrites with fresh UUID part names, so the (path, size) set
+    * republishes with fresh UUID part names, so the (path, size) set
     * changes on every republish. */
   private def generation(seg: String): Long =
     Fs.listFiles(spark, segDir(seg), _.endsWith(".parquet"))
       .map { case (p, len) => p.hashCode.toLong ^ len }.sum
 
   /** Rows of one segment as a JSON array string, cache keyed by the
-    * result generation. */
+    * result generation; mid-republish (no committed files, or a read
+    * that fails because the old generation just vanished) serves the
+    * cached last generation rather than a torn read. */
   private def rowsJson(seg: String, limit: Int): String = {
     val gen = generation(seg)
-    cache.get(seg) match {
+    val cached = Option(cache.get(seg))
+    cached match {
       case Some((g, json)) if g == gen && limit == 50 => json
       case _ =>
-        val df: DataFrame = spark.read.parquet(segDir(seg)).limit(limit)
-        val json = df.toJSON.collect().mkString("[", ",", "]")
-        if (limit == 50) cache += seg -> (gen, json)
-        json
+        try {
+          val df: DataFrame = spark.read.parquet(segDir(seg)).limit(limit)
+          val json = df.toJSON.collect().mkString("[", ",", "]")
+          if (limit == 50) cache.put(seg, (gen, json))
+          json
+        } catch {
+          case NonFatal(e) =>
+            cached match {
+              case Some((_, json)) => json // stale-while-republish
+              case None => throw e
+            }
+        }
     }
   }
 
@@ -82,22 +115,25 @@ final class Serve private (spark: SparkSession, resultsDir: String,
           s"""{"status":"waiting","ready":${r.size},"expected":${segments.size}}""")
     })
     server.createContext("/segments", (x: HttpExchange) =>
-      respond(x, 200, segments.map(s => s""""$s"""").mkString("[", ",", "]")))
+      respond(x, 200, segments.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")))
     server.createContext("/results/", (x: HttpExchange) => {
       val path = x.getRequestURI.getPath.stripPrefix("/results/")
+      // malformed limit falls back to the default instead of an
+      // unanswered exchange (the NumberFormatException used to escape
+      // the handler entirely)
       val limit = Option(x.getRequestURI.getQuery)
         .flatMap(_.split('&').collectFirst {
-          case q if q.startsWith("limit=") => q.drop(6).toInt
-        }).getOrElse(50)
+          case q if q.startsWith("limit=") => q.drop(6)
+        }).flatMap(_.toIntOption).filter(_ > 0).getOrElse(50)
       if (!segments.contains(path))
-        respond(x, 404, s"""{"error":"unknown segment","segment":"$path"}""")
-      else if (!ready.contains(path))
-        respond(x, 503, s"""{"status":"waiting","segment":"$path"}""")
+        respond(x, 404, s"""{"error":"unknown segment","segment":"${esc(path)}"}""")
+      else if (!ready.contains(path) && !cache.containsKey(path))
+        respond(x, 503, s"""{"status":"waiting","segment":"${esc(path)}"}""")
       else
         try respond(x, 200, rowsJson(path, limit))
         catch {
-          case e: Exception =>
-            respond(x, 500, s"""{"error":"${e.getMessage.take(100).replace('"', '\'')}"}""")
+          case NonFatal(e) =>
+            respond(x, 500, s"""{"error":"${esc(String.valueOf(e.getMessage).take(100))}"}""")
         }
     })
   }

@@ -29,6 +29,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a pair the exact join rejects")
   }
 
+  test("prefix-filtered ngram Jaccard is exact vs brute-force all-pairs, with prefix-bounded candidates") {
+    import graft.functions.Text
+    // 1) EXACTNESS: the AllPairs/PPJoin candidate pruning (prefix filter
+    // + length filter + df-cap) must not change the result — compare
+    // against a true all-pairs cross join at the same threshold.
+    val sh = Text.shingled(spark, sf)
+      .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs"))
+      .cache()
+    try {
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("inter"),
+          size(col("a.hs")).cast("long").as("na"), size(col("b.hs")).cast("long").as("nb"))
+        .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
+        .select("doc_a", "doc_b")
+      val pruned = Dedup.ddNgramJaccard(spark, sf).select("doc_a", "doc_b")
+      assert(pruned.exceptAll(brute).count() == 0, "pruned path emitted a non-pair")
+      assert(brute.exceptAll(pruned).count() == 0, "prefix/df-cap pruning LOST a true pair")
+      // 2) SCALE SHAPE: candidate generation explodes only the prefix —
+      // n − ⌈0.8n⌉ + 1 shingles per document — so the joined row volume
+      // is a ~(1−t) fraction of the full inverted index (the difference
+      // between a bounded join and a df²-shaped one at corpus scale).
+      val vols = sh.agg(
+        sum(size(col("hs"))).as("all"),
+        sum(expr("size(hs) - ((size(hs) * 4 + 4) div 5) + 1")).as("pfx")).head()
+      assert(vols.getLong(1) * 100 < vols.getLong(0) * 35,
+        s"prefix volume ${vols.getLong(1)} not bounded by ~(1-t) of ${vols.getLong(0)}")
+    } finally { sh.unpersist(); () }
+  }
+
   test("connected components: 30-node path graph converges with bounded plan depth; exhausting the cap fails loud") {
     import spark.implicits._
     // a single 30-node chain — worst-case diameter for label propagation,

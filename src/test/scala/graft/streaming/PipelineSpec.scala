@@ -298,6 +298,96 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("live + serve: service is up during ingestion, flips healthy on the mid-run republish, and serves the final generation without restart") {
+    val root = s"$base/live-serve"
+    wipe(root)
+    @volatile var srvOpt: Option[Serve] = None
+    @volatile var failure: Option[Throwable] = None
+    val runner = new Thread(() => {
+      try PipelineMain.runLive(spark, sf, root, nBatches = 2,
+        cadenceMs = 1500L, processingTimeMs = 300L, serve = true, publishEvery = 1,
+        onServe = s => srvOpt = Some(s))
+      catch { case e: Throwable => failure = Some(e) }
+    })
+    runner.start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(port: Int, path: String): (Int, String) = {
+      val r = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // the server hands itself out BEFORE the generator loop starts
+      val deadline = System.currentTimeMillis() + 60000
+      while (srvOpt.isEmpty && runner.isAlive && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val srv = srvOpt.getOrElse(fail("runLive(serve=true) never started the server"))
+      try {
+        // DURING the run: waiting before the first publish, healthy after
+        // the mid-run republish (publishEvery=1 → after batch 0), both
+        // observed while ingestion is still streaming
+        var sawWaiting = false
+        var healthyWhileRunning = false
+        while (runner.isAlive && !healthyWhileRunning) {
+          val c = get(srv.port, "/health")._1
+          if (c == 503) sawWaiting = true
+          if (c == 200) healthyWhileRunning = true
+          Thread.sleep(100)
+        }
+        assert(sawWaiting, "health never reported waiting before the first publish")
+        assert(healthyWhileRunning,
+          "health never flipped to ok while ingestion was still running — the mid-run republish did not happen")
+        runner.join(120000)
+        assert(!runner.isAlive, "runLive did not complete")
+        failure.foreach(throw _)
+        assert(get(srv.port, "/health")._1 == 200, "service not healthy after run")
+        val (rc, rb) = get(srv.port, "/results/AUTOMOBILE")
+        assert(rc == 200 && rb.count(_ == '{') == 50, "final generation not served")
+        // read-your-republish: the served rows are the FINAL reduce's rows
+        val expect = spark.read.parquet(s"$root/results/AUTOMOBILE").count()
+        assert(expect == 50 && rb.count(_ == '{') == expect.toInt)
+      } finally srv.stop()
+    } finally if (runner.isAlive) runner.join(120000)
+  }
+
+  test("serve: mid-republish window serves the cached last generation, never a torn read") {
+    val root = s"$base/serve-stale"
+    wipe(root)
+    val results = s"$root/results"
+    val srv = Serve.start(spark, results, Seq("AUTOMOBILE"))
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val r = http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.port}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      Tables.orders(spark, sf).limit(3).coalesce(1)
+        .write.mode("overwrite").parquet(s"$results/AUTOMOBILE")
+      val (c1, b1) = get("/results/AUTOMOBILE")
+      assert(c1 == 200 && b1.count(_ == '{') == 3)
+      // simulate the republish window: the old generation is retired,
+      // the new one not yet committed (publishResults' delete+rename gap)
+      Fs.deleteRec(spark, s"$results/AUTOMOBILE")
+      assert(get("/health")._1 == 503, "health must report the republish in flight")
+      val (c2, b2) = get("/results/AUTOMOBILE")
+      assert(c2 == 200 && b2 == b1, "mid-republish read must serve the cached generation")
+      // the new generation commits: served rows switch
+      Tables.orders(spark, sf).limit(5).coalesce(1)
+        .write.mode("overwrite").parquet(s"$results/AUTOMOBILE")
+      assert(get("/results/AUTOMOBILE")._2.count(_ == '{') == 5)
+      // malformed limit answers 200 with the default, not a dropped exchange
+      assert(get("/results/AUTOMOBILE?limit=abc")._1 == 200)
+      // reflected segment text is JSON-escaped
+      val (c4, b4) = get("/results/x%22y")
+      assert(c4 == 404 && b4.contains("x\\\"y"))
+    } finally srv.stop()
+  }
+
   test("txn sink crash injection: process death between file adoption and manifest commit; same-checkpoint restart re-drains exactly once; vacuum reclaims the orphans") {
     val b = s"$base/stxn-crash"
     wipe(b)
