@@ -21,10 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    medians (the better steady-state estimate under one-sided host
   *    noise); pass medians, all 6 samples, and the cross-pass ratio
   *    land in BENCH_FULL.json. Queries with a reported median ≥ 2 s
-  *    whose pass medians disagree by > 1.25× are flagged in the
-  *    stdout line's `noise` object with BOTH pass medians shown — a
-  *    reader can see exactly which lines are falsifiable and which
-  *    are host-noise. The pair cache is session-lived by design, so
+  *    whose two pass medians disagree by > 1.25× get an ADAPTIVE THIRD
+  *    measurement (one more warm-up + median-of-3, just for them); a
+  *    query stays in the stdout line's `noise` object only if no other
+  *    pass median confirms its min within 1.25× even then — every
+  *    remaining flag is a genuinely unpinnable line, with all its pass
+  *    medians shown. The pair cache is session-lived by design, so
   *    both passes time dd_* queries under identical warm-cache
   *    conditions; `cache_materialize` reports pass 1's (true) cost,
   *    and pass 2's confirms the cache held (~0).
@@ -69,7 +71,12 @@ object Bench {
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val Reps = 3
     val Passes = 2
+    // Optional dev-loop filter (unset in the driver's invocation): run
+    // only the named queries, e.g. SPARK_GRAFT_BENCH_FILTER=q1_pricing,op_topk
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => filter.forall(_.contains(n)))
     // Two clean consecutive full passes (see scaladoc). Each pass:
     // pair-cache materialize first (its own line), then every query in
     // name order, warm-up + Reps timed runs, Scratch released between
@@ -79,7 +86,8 @@ object Bench {
       val cacheSec =
         try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
         catch { case _: Throwable => -1.0 }
-      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val rs = names.map { name =>
+        val fn = SparkEntry.queries(name)
         val samples = try {
           run(fn(spark, sfDir)) // warm-up
           Seq.fill(Reps)(time(run(fn(spark, sfDir))))
@@ -100,17 +108,49 @@ object Bench {
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     // per query: pass medians [m1, m2]; reported = min (steady state),
     // failed in EITHER pass → -1 (a flaky query is a failed query)
-    val passMedians: Seq[(String, Seq[Double])] =
+    val basePassMedians: Seq[(String, Seq[Double])] =
       names.map(n => n -> passes.map { case (_, rs) => median(rs.getOrElse(n, Seq.empty)) })
+    // A flag means the min is UNCONFIRMED: no second pass median lands
+    // within 1.25× of the smallest (with two passes this is just
+    // max/min > 1.25; after the adaptive pass below, a third
+    // measurement can confirm the min and clear the flag).
+    def unconfirmed(ms: Seq[Double]): Boolean = {
+      val s = ms.sorted
+      s.size < 2 || s(1) / s(0) > 1.25
+    }
+    def flaggedIn(pm: Seq[(String, Seq[Double])]): Seq[String] =
+      pm.collect { case (n, ms) if !ms.exists(_ < 0) && ms.min >= 2.0 && unconfirmed(ms) => n }
+    // ADAPTIVE THIRD PASS (round-5 verdict item 5): queries whose two
+    // pass medians disagree get ONE more warm-up + median-of-3, so a
+    // single host-noise spike can't leave a ≥2 s line unfalsifiable.
+    // Caches are session-lived, so the extra pass runs under the same
+    // warm conditions as pass 2.
+    val flagged = flaggedIn(basePassMedians)
+    val thirdSamples: Map[String, Seq[Double]] = flagged.map { n =>
+      val fn = SparkEntry.queries(n)
+      val samples = try {
+        run(fn(spark, sfDir))
+        Seq.fill(Reps)(time(run(fn(spark, sfDir))))
+      } catch { case _: Throwable => Seq.empty[Double] }
+      graft.operators.Scratch.release()
+      n -> samples
+    }.toMap
+    val passMedians: Seq[(String, Seq[Double])] = basePassMedians.map { case (n, ms) =>
+      n -> (thirdSamples.get(n) match {
+        case Some(s) => ms :+ median(s)
+        case None => ms
+      })
+    }
     val reported = passMedians.map { case (n, ms) =>
       n -> (if (ms.exists(_ < 0)) -1.0 else ms.min)
     }
     def xrunRatio(ms: Seq[Double]): Double =
       if (ms.exists(_ <= 0)) -1.0 else ms.max / ms.min
-    // host-noise flags: reported ≥ 2 s AND pass medians disagree > 1.25×
+    // host-noise flags: ≥ 2 s lines whose min stayed unconfirmed even
+    // after the adaptive pass
     val noise = passMedians.filter { case (n, ms) =>
       val rep = reported.toMap.apply(n)
-      rep >= 2.0 && xrunRatio(ms) > 1.25
+      rep >= 2.0 && unconfirmed(ms.filter(_ >= 0))
     }
     val cacheSecs = passes.map(_._1)
     val cacheSec = cacheSecs.head
@@ -126,12 +166,14 @@ object Bench {
     val ratiosJson = passMedians
       .map { case (k, ms) => s"\"$k\":${fmt(xrunRatio(ms))}" }.mkString("{", ",", "}")
     val samplesJson = names.map { n =>
-      s"\"$n\":" + passes.map { case (_, rs) =>
+      val passArrays = passes.map { case (_, rs) =>
         rs.getOrElse(n, Seq.empty).map(fmt).mkString("[", ",", "]")
-      }.mkString("[", ",", "]")
+      } ++ thirdSamples.get(n).map(_.map(fmt).mkString("[", ",", "]"))
+      s"\"$n\":" + passArrays.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullPath = "BENCH_FULL.json"
-    val protocol = s"${Passes}x(warmup+median-of-$Reps);reported=min-of-pass-medians"
+    val protocol = s"${Passes}x(warmup+median-of-$Reps);reported=min-of-pass-medians;" +
+      s"adaptive-3rd-pass-for-unconfirmed(${flagged.size})"
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"xrun_ratios":$ratiosJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below is self-sufficient
