@@ -81,6 +81,24 @@ object DeltaLog {
       schema.getOrElse(throw new IllegalStateException(s"no metaData action in $table log")))
   }
 
+  /** The highest `version` a writer identity has committed via Delta's
+    * `txn` action (−1 if none) — the restart-recovery read for
+    * exactly-once streaming appends (Delta's txnAppId/txnVersion
+    * idempotence, the mechanism the reference's streaming writes rely
+    * on). Replays the whole log; like everything here, file-count-sized
+    * driver metadata. */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
+    val latest = latestVersion(spark, table)
+    if (latest < 0) return -1L
+    var v = -1L
+    for (i <- 0L to latest; line <- readCommit(spark, table, i)) {
+      val n = M.readTree(line)
+      if (n.has("txn") && n.get("txn").get("appId").asText() == appId)
+        v = math.max(v, n.get("txn").get("version").asLong())
+    }
+    v
+  }
+
   /** Read the table at `version` (latest when negative) — exactly the
     * replayed live file set, with the log's own schema (an empty live
     * set yields an empty frame, not a scan error). */
@@ -187,6 +205,49 @@ object DeltaLog {
     commit(spark, table, parent =>
       (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
         mine.map { case (path, size) => addJson(path, size) })
+  }
+
+  private def txnJson(appId: String, version: Long): String = {
+    val root: ObjectNode = M.createObjectNode()
+    val t = root.putObject("txn")
+    t.put("appId", appId)
+    t.put("version", version)
+    M.writeValueAsString(root)
+  }
+
+  private final class AlreadyCommitted extends RuntimeException
+
+  /** EXACTLY-ONCE streaming append in the PUBLIC format: commit `df`'s
+    * files and the `txn` {appId, version=batchId} action in one log
+    * commit — a replayed micro-batch (id ≤ the committed txn version;
+    * foreachBatch redelivery after crash/restart) is detected against
+    * the LATEST log inside the commit loop and skipped, so duplicate
+    * delivery cannot double-append even when the replay races other
+    * writers. Returns true iff this call committed the batch. The
+    * [[Manifest.appendBatch]] semantics, emitted as Delta's own
+    * idempotent-writer protocol so foreign readers see them too. */
+  def appendBatch(spark: SparkSession, table: String, appId: String,
+                  batchId: Long, df: DataFrame): Boolean = {
+    if (lastTxnVersion(spark, table, appId) >= batchId) return false
+    val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val schema = df.schema
+    val mine = adoptParts(spark, table, scratch)
+    try {
+      commit(spark, table, parent => {
+        if (lastTxnVersion(spark, table, appId) >= batchId)
+          throw new AlreadyCommitted // lost to a concurrent replay of the same batch
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
+          mine.map { case (path, size) => addJson(path, size) } :+ txnJson(appId, batchId)
+      })
+      true
+    } catch {
+      // our adopted files are orphans outside every commit; a vacuum
+      // equivalent (not emitted here) would reclaim them, exactly as
+      // Manifest's retention sweep does
+      case _: AlreadyCommitted => false
+    }
   }
 
   /** Overwrite: one commit that removes every currently-live file and

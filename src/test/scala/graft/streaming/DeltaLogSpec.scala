@@ -118,6 +118,22 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl).collect().toSeq == Seq(Row(9L, "z")))
   }
 
+  test("txn action gives exactly-once batch appends: replays skip, watermark survives overwrite-free history") {
+    import spark.implicits._
+    val tbl = freshDir("txn")
+    assert(DeltaLog.appendBatch(spark, tbl, "ingest", 0L, Seq((1L, "a")).toDF("k", "v").coalesce(1)))
+    assert(DeltaLog.appendBatch(spark, tbl, "ingest", 1L, Seq((2L, "b")).toDF("k", "v").coalesce(1)))
+    // full redelivery from a fresh checkpoint: every batch replays, none commits
+    assert(!DeltaLog.appendBatch(spark, tbl, "ingest", 0L, Seq((1L, "a")).toDF("k", "v").coalesce(1)))
+    assert(!DeltaLog.appendBatch(spark, tbl, "ingest", 1L, Seq((2L, "b")).toDF("k", "v").coalesce(1)))
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "ingest") == 1L)
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "other") == -1L)
+    assert(DeltaLog.read(spark, tbl).count() == 2, "replay double-appended")
+    // a different writer identity is independent
+    assert(DeltaLog.appendBatch(spark, tbl, "other", 0L, Seq((3L, "c")).toDF("k", "v").coalesce(1)))
+    assert(DeltaLog.read(spark, tbl).count() == 3)
+  }
+
   test("overwrite racing an append retires the raced files (rebase inside commit loop)") {
     import spark.implicits._
     val tbl = freshDir("race")
