@@ -63,15 +63,23 @@ object DeltaLog {
     * (version, live relative file paths in first-add order, schema). */
   def snapshot(spark: SparkSession, table: String,
                upTo: Long = -1L): (Long, Seq[String], StructType) = {
+    val (v, adds, schema) = liveAdds(spark, table, upTo)
+    (v, adds.map(_._1), schema)
+  }
+
+  /** Replay keeping each live file's full `add` node (stats travel with
+    * the file): (version, (path, add node) pairs, schema). */
+  def liveAdds(spark: SparkSession, table: String,
+               upTo: Long = -1L): (Long, Seq[(String, com.fasterxml.jackson.databind.JsonNode)], StructType) = {
     val latest = latestVersion(spark, table)
     require(latest >= 0, s"no Delta log at $table")
     val v = if (upTo < 0) latest else upTo
     require(v <= latest, s"version $v > latest $latest at $table")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, com.fasterxml.jackson.databind.JsonNode]
     var schema: Option[StructType] = None
     for (i <- 0L to v; line <- readCommit(spark, table, i)) {
       val n = M.readTree(line)
-      if (n.has("add")) live += n.get("add").get("path").asText()
+      if (n.has("add")) live += n.get("add").get("path").asText() -> n.get("add")
       if (n.has("remove")) live -= n.get("remove").get("path").asText()
       if (n.has("metaData"))
         schema = Some(DataType.fromJson(n.get("metaData").get("schemaString").asText())
@@ -79,6 +87,33 @@ object DeltaLog {
     }
     (v, live.toSeq,
       schema.getOrElse(throw new IllegalStateException(s"no metaData action in $table log")))
+  }
+
+  /** Delta data skipping over add-action `stats`: the latest live paths
+    * whose per-file [minValues, maxValues] intersect EVERY queried
+    * range, keyed BY COLUMN NAME (Delta's stats are named, so — unlike
+    * [[Manifest]]'s positional pairs — a caller cannot misalign query
+    * ranges with append-time column order). Files without stats, or
+    * missing a queried column, are kept conservatively. Returns
+    * (kept paths, total live file count). */
+  def pruneFiles(spark: SparkSession, table: String,
+                 ranges: Map[String, (Long, Long)]): (Seq[String], Int) = {
+    val (_, adds, _) = liveAdds(spark, table)
+    val kept = adds.filter { case (_, add) =>
+      if (!add.has("stats")) true
+      else {
+        val st = M.readTree(add.get("stats").asText())
+        ranges.forall { case (c, (lo, hi)) =>
+          val mn = Option(st.get("minValues")).flatMap(v => Option(v.get(c)))
+          val mx = Option(st.get("maxValues")).flatMap(v => Option(v.get(c)))
+          (mn, mx) match {
+            case (Some(a), Some(b)) => b.asLong() >= lo && a.asLong() <= hi
+            case _ => true
+          }
+        }
+      }
+    }.map(_._1)
+    (kept, adds.size)
   }
 
   /** The highest `version` a writer identity has committed via Delta's
@@ -125,7 +160,7 @@ object DeltaLog {
     M.writeValueAsString(md)
   }
 
-  private def addJson(path: String, size: Long): String = {
+  private def addJson(path: String, size: Long, stats: Option[String] = None): String = {
     val root: ObjectNode = M.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
@@ -133,8 +168,43 @@ object DeltaLog {
     a.put("size", size)
     a.put("modificationTime", System.currentTimeMillis())
     a.put("dataChange", true)
+    stats.foreach(a.put("stats", _)) // Delta stats ride as a JSON STRING
     M.writeValueAsString(root)
   }
+
+  /** Per-part-file Delta `stats` JSON (numRecords + named
+    * minValues/maxValues/nullCount over `statsCols`), keyed by source
+    * part file name — one metadata-sized aggregation job, file-count
+    * rows to the driver (the same division of labor as
+    * [[Manifest.append]]'s stats, but NAMED per column, which is what
+    * makes Delta skipping robust to query-order mistakes). */
+  private def partStats(spark: SparkSession, scratch: String,
+                        statsCols: Seq[String]): Map[String, String] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
+      val aggs = count(lit(1)).as("n") +: statsCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"mn$i"), max(col(c).cast("long")).as(s"mx$i"),
+          sum(col(c).isNull.cast("long")).as(s"nu$i"))
+      }
+      spark.read.parquet(scratch)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val st: ObjectNode = M.createObjectNode()
+          st.put("numRecords", r.getLong(1))
+          val mnO = st.putObject("minValues")
+          val mxO = st.putObject("maxValues")
+          val nuO = st.putObject("nullCount")
+          statsCols.zipWithIndex.foreach { case (c, i) =>
+            if (!r.isNullAt(2 + 3 * i)) mnO.put(c, r.getLong(2 + 3 * i))
+            if (!r.isNullAt(3 + 3 * i)) mxO.put(c, r.getLong(3 + 3 * i))
+            nuO.put(c, r.getLong(4 + 3 * i))
+          }
+          (new org.apache.hadoop.fs.Path(r.getString(0)).getName, M.writeValueAsString(st))
+        }.toMap
+    }
 
   private def removeJson(path: String): String = {
     val root: ObjectNode = M.createObjectNode()
@@ -147,16 +217,17 @@ object DeltaLog {
 
   /** Adopt the parts of a finished scratch write as root-level
     * `part-NNNNN-<uuid>.parquet` files (Delta's unpartitioned layout);
-    * returns (relative path, size) pairs. */
+    * returns (relative path, size, source part name) triples — the
+    * source name keys per-file stats computed before adoption. */
   private def adoptParts(spark: SparkSession, table: String,
-                         scratch: String): Seq[(String, Long)] = {
+                         scratch: String): Seq[(String, Long, String)] = {
     Fs.mkdirs(spark, table)
     val parts = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).sortBy(_._1)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val rel = parts.zipWithIndex.map { case ((src, len), i) =>
       val r = f"part-$i%05d-$uid.parquet"
       require(Fs.rename(spark, src, s"$table/$r"), s"adopting $src failed")
-      (r, len)
+      (r, len, new org.apache.hadoop.fs.Path(src).getName)
     }
     Fs.deleteRec(spark, scratch)
     rel
@@ -195,16 +266,20 @@ object DeltaLog {
   }
 
   /** Append `df` as a new Delta commit; version 0 also carries the
-    * protocol + metaData actions. Returns the committed version. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    * protocol + metaData actions. `statsCols` (integer columns) emit
+    * per-file Delta `stats` on each add action for [[pruneFiles]] data
+    * skipping. Returns the committed version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val schema = df.schema
+    val stats = partStats(spark, scratch, statsCols)
     val mine = adoptParts(spark, table, scratch)
     commit(spark, table, parent =>
       (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
-        mine.map { case (path, size) => addJson(path, size) })
+        mine.map { case (path, size, srcName) => addJson(path, size, stats.get(srcName)) })
   }
 
   private def txnJson(appId: String, version: Long): String = {
@@ -239,7 +314,7 @@ object DeltaLog {
         if (lastTxnVersion(spark, table, appId) >= batchId)
           throw new AlreadyCommitted // lost to a concurrent replay of the same batch
         (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
-          mine.map { case (path, size) => addJson(path, size) } :+ txnJson(appId, batchId)
+          mine.map { case (path, size, _) => addJson(path, size) } :+ txnJson(appId, batchId)
       })
       true
     } catch {
@@ -264,10 +339,10 @@ object DeltaLog {
     val mine = adoptParts(spark, table, scratch)
     commit(spark, table, parent =>
       if (parent < 0) Seq(protocolJson, metaDataJson(schema)) ++
-        mine.map { case (path, size) => addJson(path, size) }
+        mine.map { case (path, size, _) => addJson(path, size) }
       else {
         val (_, live, _) = snapshot(spark, table, parent)
-        live.map(removeJson) ++ mine.map { case (path, size) => addJson(path, size) }
+        live.map(removeJson) ++ mine.map { case (path, size, _) => addJson(path, size) }
       })
   }
 }

@@ -134,6 +134,37 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl).count() == 3)
   }
 
+  test("add-action stats drive named-column data skipping; stats-less and foreign files are kept conservatively") {
+    import spark.implicits._
+    val tbl = freshDir("stats")
+    // four range-disjoint appends, each one file with k-stats
+    Seq(0L to 9L, 10L to 19L, 20L to 29L, 30L to 39L).foreach { r =>
+      DeltaLog.append(spark, tbl, r.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+        statsCols = Seq("k"))
+    }
+    val (kept, total) = DeltaLog.pruneFiles(spark, tbl, Map("k" -> (12L, 17L)))
+    assert(total == 4 && kept.size == 1, s"expected 1/4 files, got ${kept.size}/$total")
+    // the pruned scan still answers the range correctly
+    val rows = spark.read.parquet(kept.map(f => s"$tbl/$f"): _*)
+      .filter($"k".between(12, 17)).count()
+    assert(rows == 6)
+    // a stats-less append (no statsCols) is always kept
+    DeltaLog.append(spark, tbl, Seq((100L, "x")).toDF("k", "v").coalesce(1))
+    val (kept2, total2) = DeltaLog.pruneFiles(spark, tbl, Map("k" -> (12L, 17L)))
+    assert(total2 == 5 && kept2.size == 2, "stats-less file must be kept conservatively")
+    // querying a column the stats never covered keeps everything
+    assert(DeltaLog.pruneFiles(spark, tbl, Map("zzz" -> (0L, 1L)))._1.size == 5)
+    // stats parse as Delta's documented shape (JSON string on the add)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (_, adds, _) = DeltaLog.liveAdds(spark, tbl)
+    val withStats = adds.flatMap { case (_, a) => Option(a.get("stats")) }
+    assert(withStats.size == 4)
+    val st = m.readTree(withStats.head.asText())
+    assert(st.get("numRecords").asLong == 10 &&
+      st.get("minValues").has("k") && st.get("maxValues").has("k") &&
+      st.get("nullCount").get("k").asLong == 0)
+  }
+
   test("overwrite racing an append retires the raced files (rebase inside commit loop)") {
     import spark.implicits._
     val tbl = freshDir("race")

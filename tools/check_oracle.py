@@ -26,9 +26,33 @@ def main():
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
+    # large scale fixtures need spill + an explicit cap (the container's
+    # cgroup limit confuses duckdb's autodetection into tiny allocations)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='24GB'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single-file tables; Spark-written fixtures
+        # (e.g. the MakeScale 10x corpus) are part-file directories
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        cols = "*"
+        if t == "events":
+            # testdata stores ts as parquet timestamp[ns]; Spark-written
+            # scale fixtures store the same nanos as raw INT64 (Spark has
+            # no ns timestamp writer; its reads treat both identically via
+            # nanosAsLong) — normalize the duckdb view to timestamp[ns]
+            (ts_type,) = [r[1] for r in con.sql(
+                f"DESCRIBE SELECT ts FROM '{src}'").fetchall()]
+            if ts_type == "BIGINT":
+                # make_timestamp takes MICROS; the engine side truncates
+                # ns->us identically (Schemas scaladoc), and every oracle
+                # funnels ts through epoch_us/date_trunc, so us precision
+                # is lossless for the compare
+                cols = ("event_id, make_timestamp(ts // 1000) AS ts, user_id, "
+                        "event_type, value, props")
+        con.sql(f"CREATE VIEW {t} AS SELECT {cols} FROM '{src}'")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
