@@ -130,6 +130,16 @@ object Dedup {
   def materializePairCache(spark: SparkSession, sfDir: String): Long =
     minhashPairs(spark, sfDir).count()
 
+  /** Drop every cached pair relation (unpersist + forget). The bench
+    * keeps the cache session-lived BY DESIGN (cache_materialize is its
+    * own line); the scale harness needs the opposite — each timed rep
+    * of the pair PIPELINE must pay the full shingle→minhash→band→verify
+    * cost, or the measured exponent is that of a cached read. */
+  def releasePairCache(): Unit = {
+    pairCache.values.foreach(_.unpersist())
+    pairCache.clear()
+  }
+
   /** MinHash+LSH near-duplicate detection, threshold 0.8 Jaccard.
     * shingle → per-(band,row) md5-minhash → band signature → equi-join
     * buckets → exact-Jaccard verification of candidates only. */

@@ -32,10 +32,24 @@ object ScaleRun {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(name: String, sfDir: String): Seq[Double] = {
-      val fn = graft.SparkEntry.queries(name)
+      // pseudo-query: the shared MinHash-LSH pair PIPELINE, cache
+      // dropped before every execution so each rep pays the full
+      // shingle→minhash→band→verify cost (the session-lived cache is
+      // right for the bench, wrong for an exponent measurement —
+      // dd_minhash_lsh's own line here measures the cached-read path)
+      val body: () => Unit =
+        if (name == "dd_pair_pipeline")
+          () => {
+            graft.operators.Dedup.releasePairCache()
+            graft.operators.Dedup.materializePairCache(spark, sfDir); ()
+          }
+        else {
+          val fn = graft.SparkEntry.queries(name)
+          () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        body()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up
