@@ -52,6 +52,20 @@ object LshParams {
   def dedupPlanes(nVecs: Long, occupancy: Int = 8): Int =
     math.max(4, math.ceil(math.log(nVecs.toDouble / occupancy) / math.log(2.0)).toInt)
 
+  /** Sub-cell refinement depth for corpus-partitioned in-cell
+    * quadratics (SemDeDup): split every coarse cell into 2^m
+    * hyperplane-sign sub-cells, with m growing as the corpus outgrows
+    * the `baseline` it was verified at, so per-cell occupancy — and
+    * with it the in-cell pair count per row — stays at the verified
+    * fixture's level. m = 0 at the baseline (no behavior change for
+    * the oracle gate); each corpus decade adds ~log2(10) ≈ 3.3 → 3-4
+    * planes. Measured consequence in SCALE.md: without this the
+    * second-decade exponent is ≈ 2 (in-cell pairs grow n²/k at fixed
+    * cell count); with it the pair count is linear in n. */
+  def semSubPlanes(nVecs: Long, baseline: Long = 500L): Int =
+    math.max(0, math.ceil(
+      math.log(nVecs.toDouble / baseline) / math.log(2.0)).toInt)
+
   /** Hyperplane LSH collision probability for a pair at angle theta
     * with `planes` planes and `tables` independent tables:
     * P = 1 − (1 − (1 − θ/π)^planes)^tables. */

@@ -137,6 +137,32 @@ object Similarity {
       s"(CASE WHEN ${dotD(emb, arrD(dplanes(t)(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
+  /** SemDeDup sub-cell refinement ([[LshParams.semSubPlanes]]): split
+    * each Lloyd cell into 2^m hyperplane-sign sub-cells, m growing with
+    * the corpus estimate so in-cell occupancy stays at the verified
+    * fixture's level. m = 0 at the default estimate — the refined cell
+    * IS the Lloyd cell for the oracle gate, and both sides below are
+    * generated from the same value so they refine in lockstep. */
+  private val SemSubPlanes = math.min(20, LshParams.semSubPlanes(EmbCorpus))
+  private lazy val splanes: Array[Array[Int]] =
+    Array.tabulate(math.max(SemSubPlanes, 1), Dim)((p, j) => sign(s"splane:$p:$j"))
+
+  /** Spark-SQL form: refine the (int) cell expression `inner` with
+    * [[SemSubPlanes]] sign bits of the `emb` column. */
+  private def semCellS(inner: String): String =
+    if (SemSubPlanes == 0) inner
+    else (0 until SemSubPlanes).map { p =>
+      s"(CASE WHEN ${dotS("emb", arrS(splanes(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(s"(($inner) * ${1 << SemSubPlanes} + ", " + ", ")")
+
+  /** DuckDB form: refine the `cell` column of `asg` with the same bits
+    * of its `embedding` column. */
+  private def semCellD: String =
+    if (SemSubPlanes == 0) "cell"
+    else (0 until SemSubPlanes).map { p =>
+      s"(CASE WHEN ${dotD("embedding", arrD(splanes(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(s"(cell * ${1 << SemSubPlanes} + ", " + ", ")")
+
   /** LSH-bucketed ANN (scale path): assign every vector to one of 2^6
     * hyperplane-sign buckets, then rerank only the probe's bucket-mates
     * by exact cosine — an equi-join, not a scan. */
@@ -513,18 +539,22 @@ object Similarity {
     * Scale shape: identical to every other candidate-generation path
     * in this repo — the quadratic comparison is confined to a cell,
     * pair generation is a bucketed equi-join on the cell id, and
-    * nothing corpus-sized is broadcast or collected. Honesty note on
-    * k: here it tracks the fixture's label count (the per-label init);
-    * a production deployment must grow k with corpus size so cells
-    * stay at bounded occupancy (the [[LshParams]] bucket-count
-    * derivation applies unchanged) — the Lloyd fit
-    * itself is k-agnostic. The oracle recomputes fit + assignment +
-    * in-cell pairing bit-identically. */
+    * nothing corpus-sized is broadcast or collected. Cell count scales
+    * with the corpus: the Lloyd cells track the fixture's label count
+    * (k-agnostic fit), and [[semCellS]] refines each into 2^m
+    * hyperplane sub-cells with m from the corpus-size estimate
+    * ([[LshParams.semSubPlanes]]) so occupancy — and the in-cell pair
+    * count per row — stays at the verified level (SCALE.md measures
+    * exponent ≈ 2 without this at the second decade, ≈ 1 with it).
+    * m = 0 at the default estimate, so the oracle gate exercises the
+    * unrefined form; the refinement expression itself is generated
+    * into BOTH sides from the same value. The oracle recomputes fit +
+    * assignment + in-cell pairing bit-identically. */
   def ddSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = ivfCentroids(spark, sfDir, 1)
     // query-scoped persist: both pair sides scan the assigned relation
     val e = Scratch.persist(embWithNorm(spark, sfDir)
-      .withColumn("cell", expr(argmaxCellExpr(cents)).cast("int")))
+      .withColumn("cell", expr(semCellS(argmaxCellExpr(cents))).cast("int")))
     val a = e.select(col("cell"), col("vec_id").as("va"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("cell"), col("vec_id").as("vb"),
@@ -544,9 +574,10 @@ object Similarity {
   private val ddSemdedupSql: String =
     s"""WITH $duckEmbCte,
        |${ivfSqlCtes(1)},
+       |sasg AS (SELECT vec_id, embedding, nrm, $semCellD AS cell FROM asg),
        |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, b.cell,
        |    ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  FROM sasg a JOIN sasg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
        |SELECT vb AS dropped, cell, min(va)::BIGINT AS min_neighbor,
        |  count(*)::BIGINT AS n_dups, max(cosine) AS max_cosine
        |FROM pr WHERE cosine >= $SemTheta

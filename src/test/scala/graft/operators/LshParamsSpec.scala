@@ -43,6 +43,24 @@ class LshParamsSpec extends AnyFunSuite {
     assert(LshParams.dedupPlanes(500) == 6) // the fixture default: 64 buckets
   }
 
+  test("semdedup sub-cell depth: occupancy pinned to the verified baseline at every corpus size, zero at the baseline itself") {
+    assert(LshParams.semSubPlanes(500) == 0)  // oracle gate runs unrefined
+    assert(LshParams.semSubPlanes(1) == 0)    // never negative below baseline
+    var prev = 0
+    for (n <- corpusSizes if n >= 500) {
+      val m = LshParams.semSubPlanes(n)
+      // enough sub-cells that per-cell occupancy is back at (or below)
+      // the level the fixture verified: n / 2^m <= baseline
+      assert(n / math.pow(2.0, m) <= 500.0 + 1e-9,
+        s"n=$n m=$m: sub-cells too coarse")
+      // and not overshooting by more than one doubling
+      assert(n / math.pow(2.0, m) > 250.0 - 1e-9 || m == 0,
+        s"n=$n m=$m: sub-cells overshoot")
+      assert(m >= prev, s"depth must be monotone in corpus size")
+      prev = m
+    }
+  }
+
   test("hyperplane multi-table recall: 4 tables recover what deeper buckets cost") {
     // a cosine-0.95 near-dup pair, 6 derived planes: single-table collision
     // is weak, the 4-table union must clear 90%
