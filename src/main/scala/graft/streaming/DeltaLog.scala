@@ -35,28 +35,116 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * new latest), and retries.
   *
   * Scale: like [[Manifest]], the log is file-count-sized metadata; data
-  * moves only through executor-side parquet jobs. Checkpoints
-  * (`_last_checkpoint` + parquet state snapshots, an optimization for
-  * long histories) are not emitted; readers that follow the protocol
-  * fall back to full JSON replay, which is exact.
+  * moves only through executor-side parquet jobs. CHECKPOINTS are
+  * emitted and consumed in the documented classic form — a single
+  * `<v>.checkpoint.parquet` holding the complete replayed state (one
+  * action per row, nullable top-level `txn`/`add`/`remove`/`metaData`/
+  * `protocol` struct columns) plus the `_last_checkpoint` hint file —
+  * so replay cost is O(commits since last checkpoint), not O(history).
+  * That is the difference between a streaming sink whose thousandth
+  * micro-batch pays a thousand JSON reads per commit and one that pays
+  * ten; [[appendBatch]] checkpoints every 10 commits by default,
+  * Delta's own writer cadence. [[cleanupLog]] is the protocol's log
+  * retention: pre-checkpoint JSON may be deleted and the table stays
+  * readable from checkpoint + tail.
   */
 object DeltaLog {
 
   private def logDir(table: String) = s"$table/_delta_log"
   private def versionName(v: Long) = f"$v%020d.json"
+  private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
 
   private val M = new ObjectMapper()
 
+  /** Highest version present in the log dir — JSON commits OR
+    * checkpoint files (a foreign table whose entire JSON history was
+    * retention-cleaned is still a valid table at its checkpoint). */
   def latestVersion(spark: SparkSession, table: String): Long =
-    Fs.listFiles(spark, logDir(table), n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
-      .map(f => new org.apache.hadoop.fs.Path(f._1).getName.dropRight(5).toLong)
-      .foldLeft(-1L)(math.max)
+    math.max(
+      Fs.listFiles(spark, logDir(table), n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+        .map(f => new org.apache.hadoop.fs.Path(f._1).getName.dropRight(5).toLong)
+        .foldLeft(-1L)(math.max),
+      checkpointVersions(spark, table).foldLeft(-1L)(math.max))
+
+  /** Versions with a classic single-file checkpoint, ascending. The
+    * LISTING is authoritative (the protocol lets `_last_checkpoint` be
+    * stale or missing); the hint file is emitted for foreign readers
+    * and consumed opportunistically. */
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] =
+    Fs.listFiles(spark, logDir(table),
+        n => n.endsWith(".checkpoint.parquet") &&
+          n.dropRight(".checkpoint.parquet".length).forall(_.isDigit))
+      .map(f => new org.apache.hadoop.fs.Path(f._1).getName
+        .dropRight(".checkpoint.parquet".length).toLong)
+      .sorted
 
   private def readCommit(spark: SparkSession, table: String, v: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"${logDir(table)}/${versionName(v)}")
-    val in = p.getFileSystem(Fs.conf(spark)).open(p)
+    val fs = p.getFileSystem(Fs.conf(spark))
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"commit $v missing from $table log — pre-checkpoint history was " +
+          "retention-cleaned ([[cleanupLog]]); versions below the oldest " +
+          "checkpoint are no longer reachable")
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Replayed log state at one version: live add actions in first-add
+    * order, the winning metaData, per-appId txn watermarks, and remove
+    * tombstones (files retired but possibly not yet vacuumed — carried
+    * through checkpoints exactly as the protocol requires). */
+  private final case class State(
+      version: Long,
+      live: scala.collection.mutable.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode],
+      var metaData: Option[com.fasterxml.jackson.databind.JsonNode],
+      txns: scala.collection.mutable.LinkedHashMap[String, Long],
+      tombstones: scala.collection.mutable.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode]) {
+    def schema: StructType =
+      DataType.fromJson(metaData.getOrElse(
+          throw new IllegalStateException("no metaData action in log"))
+        .get("schemaString").asText()).asInstanceOf[StructType]
+    def applyLine(line: String): Unit = {
+      val n = M.readTree(line)
+      if (n.has("add")) {
+        val p = n.get("add").get("path").asText()
+        live += p -> n.get("add"); tombstones -= p
+      }
+      if (n.has("remove")) {
+        val p = n.get("remove").get("path").asText()
+        live -= p; tombstones += p -> n.get("remove")
+      }
+      if (n.has("metaData")) metaData = Some(n.get("metaData"))
+      if (n.has("txn")) {
+        val t = n.get("txn")
+        val app = t.get("appId").asText()
+        txns += app -> math.max(t.get("version").asLong(), txns.getOrElse(app, -1L))
+      }
+    }
+  }
+
+  /** Core replay: seed from the newest checkpoint at or below the
+    * requested version (its parquet rows convert back to action lines
+    * via Spark's own row→JSON, nulls omitted — the exact inverse of how
+    * [[checkpoint]] wrote them), then apply the JSON commit tail. With
+    * no usable checkpoint the full JSON history replays — exact, just
+    * O(history). */
+  private def replay(spark: SparkSession, table: String, upTo: Long): State = {
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"no Delta log at $table")
+    val v = if (upTo < 0) latest else upTo
+    require(v <= latest, s"version $v > latest $latest at $table")
+    val ckpt = checkpointVersions(spark, table).filter(_ <= v).lastOption
+    val st = State(v, scala.collection.mutable.LinkedHashMap.empty, None,
+      scala.collection.mutable.LinkedHashMap.empty, scala.collection.mutable.LinkedHashMap.empty)
+    ckpt.foreach { cv =>
+      spark.read.parquet(s"${logDir(table)}/${checkpointName(cv)}")
+        .toJSON.collect().foreach(st.applyLine)
+    }
+    for (i <- (ckpt.map(_ + 1).getOrElse(0L)) to v; line <- readCommit(spark, table, i))
+      st.applyLine(line)
+    st
   }
 
   /** Replay the log through version `upTo` (latest when negative):
@@ -71,22 +159,8 @@ object DeltaLog {
     * the file): (version, (path, add node) pairs, schema). */
   def liveAdds(spark: SparkSession, table: String,
                upTo: Long = -1L): (Long, Seq[(String, com.fasterxml.jackson.databind.JsonNode)], StructType) = {
-    val latest = latestVersion(spark, table)
-    require(latest >= 0, s"no Delta log at $table")
-    val v = if (upTo < 0) latest else upTo
-    require(v <= latest, s"version $v > latest $latest at $table")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, com.fasterxml.jackson.databind.JsonNode]
-    var schema: Option[StructType] = None
-    for (i <- 0L to v; line <- readCommit(spark, table, i)) {
-      val n = M.readTree(line)
-      if (n.has("add")) live += n.get("add").get("path").asText() -> n.get("add")
-      if (n.has("remove")) live -= n.get("remove").get("path").asText()
-      if (n.has("metaData"))
-        schema = Some(DataType.fromJson(n.get("metaData").get("schemaString").asText())
-          .asInstanceOf[StructType])
-    }
-    (v, live.toSeq,
-      schema.getOrElse(throw new IllegalStateException(s"no metaData action in $table log")))
+    val st = replay(spark, table, upTo)
+    (st.version, st.live.toSeq, st.schema)
   }
 
   /** Delta data skipping over add-action `stats`: the latest live paths
@@ -120,18 +194,11 @@ object DeltaLog {
     * `txn` action (−1 if none) — the restart-recovery read for
     * exactly-once streaming appends (Delta's txnAppId/txnVersion
     * idempotence, the mechanism the reference's streaming writes rely
-    * on). Replays the whole log; like everything here, file-count-sized
-    * driver metadata. */
+    * on). Checkpoint-seeded replay — watermarks survive log cleanup
+    * because checkpoints carry the `txn` rows. */
   def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
-    val latest = latestVersion(spark, table)
-    if (latest < 0) return -1L
-    var v = -1L
-    for (i <- 0L to latest; line <- readCommit(spark, table, i)) {
-      val n = M.readTree(line)
-      if (n.has("txn") && n.get("txn").get("appId").asText() == appId)
-        v = math.max(v, n.get("txn").get("version").asLong())
-    }
-    v
+    if (latestVersion(spark, table) < 0) return -1L
+    replay(spark, table, -1L).txns.getOrElse(appId, -1L)
   }
 
   /** Read the table at `version` (latest when negative) — exactly the
@@ -290,6 +357,110 @@ object DeltaLog {
     M.writeValueAsString(root)
   }
 
+  /** The classic checkpoint schema (delta-io/delta PROTOCOL.md
+    * "Checkpoints"): one action per row, nullable top-level struct
+    * columns. Exactly the fields this writer round-trips; foreign
+    * extras (e.g. `add.tags`) are dropped on OUR checkpoint write but
+    * tolerated on read (unknown parquet columns never reach the
+    * replay, and unknown JSON keys inside known structs are ignored by
+    * the action parser). */
+  private def checkpointSchema: StructType = DataType.fromDDL(
+    """txn STRUCT<appId: STRING, version: BIGINT>,
+      |add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
+      |  size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
+      |  stats: STRING>,
+      |remove STRUCT<path: STRING, deletionTimestamp: BIGINT,
+      |  dataChange: BOOLEAN>,
+      |metaData STRUCT<id: STRING, name: STRING, description: STRING,
+      |  format: STRUCT<provider: STRING, options: MAP<STRING, STRING>>,
+      |  schemaString: STRING, partitionColumns: ARRAY<STRING>,
+      |  configuration: MAP<STRING, STRING>, createdTime: BIGINT>,
+      |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"""
+      .stripMargin).asInstanceOf[StructType]
+
+  private def wrapNode(key: String, n: com.fasterxml.jackson.databind.JsonNode): String = {
+    val root: ObjectNode = M.createObjectNode()
+    root.set[ObjectNode](key, n)
+    M.writeValueAsString(root)
+  }
+
+  /** Write a classic single-file parquet checkpoint of the CURRENT
+    * state — protocol, metaData, per-appId txn watermarks, remove
+    * tombstones, then every live add (stats included) in first-add
+    * order — as `_delta_log/<v>.checkpoint.parquet`, plus the
+    * `_last_checkpoint` hint {"version","size"}. Action lines are
+    * parsed through [[checkpointSchema]] into rows, the exact inverse
+    * of [[replay]]'s row→JSON seeding, so checkpoint round-trip
+    * equality with pure JSON replay is structural. One driver-side
+    * file-count-sized job; returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val st = replay(spark, table, -1L)
+    val lines: Seq[String] =
+      Seq(protocolJson) ++
+        st.metaData.map(wrapNode("metaData", _)).toSeq ++
+        st.txns.toSeq.map { case (app, ver) => txnJson(app, ver) } ++
+        st.tombstones.values.map(wrapNode("remove", _)).toSeq ++
+        st.live.values.map(wrapNode("add", _)).toSeq
+    import spark.implicits._
+    val df = spark.read.schema(checkpointSchema).json(spark.createDataset(lines))
+    val scratch = s"$table/.ckpt_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).head
+    Fs.renameOrFail(spark, part._1, s"${logDir(table)}/${checkpointName(st.version)}")
+    Fs.deleteRec(spark, scratch)
+    val lc = new org.apache.hadoop.fs.Path(s"${logDir(table)}/_last_checkpoint")
+    val out = lc.getFileSystem(Fs.conf(spark)).create(lc, true)
+    try out.write(s"""{"version":${st.version},"size":${lines.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    st.version
+  }
+
+  /** Checkpoint iff ≥ `every` commits accumulated past the newest
+    * checkpoint (Delta's default writer cadence is 10). Returns the
+    * new checkpoint version if one was written. */
+  def maybeCheckpoint(spark: SparkSession, table: String, every: Int = 10): Option[Long] = {
+    val latest = latestVersion(spark, table)
+    val last = checkpointVersions(spark, table).lastOption.getOrElse(-1L)
+    if (latest >= 0 && latest - last >= every) Some(checkpoint(spark, table)) else None
+  }
+
+  /** The `_last_checkpoint` hint as (version, action count), when
+    * present and parseable — exposed for foreign-reader assertions;
+    * [[replay]] itself trusts the listing, as the protocol requires
+    * readers to tolerate a stale or missing hint. */
+  def lastCheckpointHint(spark: SparkSession, table: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"${logDir(table)}/_last_checkpoint")
+    val fs = p.getFileSystem(Fs.conf(spark))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      scala.util.Try {
+        val n = M.readTree(txt)
+        (n.get("version").asLong(), n.get("size").asLong())
+      }.toOption
+    }
+  }
+
+  /** Log retention (the protocol's metadata cleanup): delete JSON
+    * commits and older checkpoints STRICTLY below the newest
+    * checkpoint version. The table remains readable at the checkpoint
+    * and every later version; time travel below it now fails with the
+    * [[readCommit]] explanation. Returns the number of files removed.
+    * No-op when no checkpoint exists — cleanup never strands a log. */
+  def cleanupLog(spark: SparkSession, table: String): Int =
+    checkpointVersions(spark, table).lastOption.map { cv =>
+      val stale = Fs.listFiles(spark, logDir(table), { n =>
+        (n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) &&
+          n.dropRight(5).toLong < cv) ||
+        (n.endsWith(".checkpoint.parquet") &&
+          n.dropRight(".checkpoint.parquet".length).forall(_.isDigit) &&
+          n.dropRight(".checkpoint.parquet".length).toLong < cv)
+      })
+      stale.foreach { case (f, _) => Fs.deleteIfExists(spark, f) }
+      stale.size
+    }.getOrElse(0)
+
   private final class AlreadyCommitted extends RuntimeException
 
   /** EXACTLY-ONCE streaming append in the PUBLIC format: commit `df`'s
@@ -300,9 +471,13 @@ object DeltaLog {
     * delivery cannot double-append even when the replay races other
     * writers. Returns true iff this call committed the batch. The
     * [[Manifest.appendBatch]] semantics, emitted as Delta's own
-    * idempotent-writer protocol so foreign readers see them too. */
+    * idempotent-writer protocol so foreign readers see them too.
+    * Every `checkpointEvery` commits the sink also writes a parquet
+    * checkpoint (Delta's default 10; 0 disables) — without it the Nth
+    * micro-batch's watermark read replays N JSON commits and the sink
+    * degrades quadratically over its own history. */
   def appendBatch(spark: SparkSession, table: String, appId: String,
-                  batchId: Long, df: DataFrame): Boolean = {
+                  batchId: Long, df: DataFrame, checkpointEvery: Int = 10): Boolean = {
     if (lastTxnVersion(spark, table, appId) >= batchId) return false
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
@@ -316,6 +491,7 @@ object DeltaLog {
         (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
           mine.map { case (path, size, _) => addJson(path, size) } :+ txnJson(appId, batchId)
       })
+      if (checkpointEvery > 0) maybeCheckpoint(spark, table, checkpointEvery)
       true
     } catch {
       // our adopted files are orphans outside every commit; a vacuum

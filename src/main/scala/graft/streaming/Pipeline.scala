@@ -614,6 +614,62 @@ object Pipeline {
        |FROM orders WHERE o_orderkey % 3 = 0
        |ORDER BY version""".stripMargin
 
+  /** DELTA CHECKPOINT LIFECYCLE ([[DeltaLog.checkpoint]]): a streaming
+    * sink commits 12 txn-marked micro-batches (one orders modulo-class
+    * each); on Delta's default cadence the 10th commit writes the
+    * classic parquet checkpoint (v9) + `_last_checkpoint`. A replayed
+    * pre-checkpoint batch must STILL skip (its watermark now lives in
+    * the checkpoint's txn rows), and after [[DeltaLog.cleanupLog]]
+    * retires the pre-checkpoint JSON the table reads BOTH at the
+    * checkpoint version (state reconstructed from parquet alone — no
+    * JSON below it exists) and at latest (checkpoint + 2-commit tail).
+    * The oracle recomputes the two snapshots from the fixture, so a
+    * checkpoint bug (lost add, stats/txn not carried, tail not
+    * composed, cleanup breaking replay) shifts a checksum.
+    *
+    * Scale: THE reason checkpoints exist — a long-lived sink's Nth
+    * commit otherwise replays N JSON files to read its own watermark
+    * (quadratic over history); checkpoint + tail makes every commit
+    * O(cadence), and cleanup keeps the log dir file count bounded. */
+  def pipeDeltaCheckpoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/delta_ckpt_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    (0 until 12).foreach { i =>
+      DeltaLog.appendBatch(spark, tbl, "ckpt-sink", i.toLong,
+        ord.filter(col("o_orderkey") % 12 === i).repartition(1))
+    }
+    val ckptV = DeltaLog.checkpointVersions(spark, tbl).last
+    val dupSkipped = !DeltaLog.appendBatch(spark, tbl, "ckpt-sink", 5L,
+      ord.filter(col("o_orderkey") % 12 === 5).repartition(1))
+    DeltaLog.cleanupLog(spark, tbl)
+    def summary(v: Long): DataFrame =
+      DeltaLog.read(spark, tbl, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"o_orderkey % $P")).as("key_check"),
+          sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_check"), col("price_check"))
+    summary(ckptV).unionAll(summary(DeltaLog.latestVersion(spark, tbl)))
+      .withColumn("ckpt_version", lit(ckptV))
+      .withColumn("dup_skipped", lit(if (dupSkipped) 1L else 0L))
+      .orderBy("version")
+  }
+
+  private val pipeDeltaCheckpointSql: String =
+    s"""SELECT 9::BIGINT AS version, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  9::BIGINT AS ckpt_version, 1::BIGINT AS dup_skipped
+       |FROM orders WHERE o_orderkey % 12 <= 9
+       |UNION ALL
+       |SELECT 11::BIGINT, count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT,
+       |  9::BIGINT, 1::BIGINT
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -644,6 +700,7 @@ object Pipeline {
     "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
+    "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +714,6 @@ object Pipeline {
     "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
+    "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
     "op_synth_table" -> opSynthTableSql)
 }

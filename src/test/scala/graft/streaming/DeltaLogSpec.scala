@@ -165,6 +165,121 @@ class DeltaLogSpec extends SparkSpec {
       st.get("nullCount").get("k").asLong == 0)
   }
 
+  test("checkpoint round-trip: checkpoint+tail replay equals pure JSON replay; cleanup keeps the table readable") {
+    import spark.implicits._
+    val tbl = freshDir("ckpt")
+    // history with every action kind: stats-bearing appends, a txn
+    // batch, an overwrite (removes -> tombstones in the checkpoint)
+    Seq(0L to 9L, 10L to 19L, 20L to 29L).foreach { r =>
+      DeltaLog.append(spark, tbl, r.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+        statsCols = Seq("k"))
+    }
+    assert(DeltaLog.appendBatch(spark, tbl, "ing", 7L,
+      Seq((100L, "x")).toDF("k", "v").coalesce(1), checkpointEvery = 0))
+    DeltaLog.overwrite(spark, tbl,
+      (0L to 14L).map(k => (k, s"w$k")).toDF("k", "v").repartition(2))
+    DeltaLog.append(spark, tbl, Seq((200L, "y")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    // pure-JSON state BEFORE any checkpoint exists
+    val (vJ, liveJ, schemaJ) = DeltaLog.snapshot(spark, tbl)
+    val dataJ = DeltaLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+
+    val cv = DeltaLog.checkpoint(spark, tbl)
+    assert(cv == vJ)
+    assert(DeltaLog.lastCheckpointHint(spark, tbl).exists(_._1 == cv))
+    // same state through checkpoint-seeded replay (checkpoint <= v, tail empty)
+    val (vC, liveC, schemaC) = DeltaLog.snapshot(spark, tbl)
+    assert(vC == vJ && liveC == liveJ && schemaC == schemaJ)
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "ing") == 7L)
+
+    // tail commits after the checkpoint compose with it
+    DeltaLog.append(spark, tbl, Seq((300L, "z")).toDF("k", "v").coalesce(1))
+    assert(DeltaLog.read(spark, tbl).count() == dataJ.length + 1)
+
+    // retention cleanup: pre-checkpoint JSON goes away, table unchanged
+    val removed = DeltaLog.cleanupLog(spark, tbl)
+    assert(removed == cv, s"expected $cv stale files removed, got $removed")
+    val dataAfter = DeltaLog.read(spark, tbl).filter($"k" < 300).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(dataAfter.sameElements(dataJ), "cleanup changed the replayed table")
+    // txn watermark survives cleanup (rides in the checkpoint's txn rows)
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "ing") == 7L)
+    // stats survive the checkpoint: a range disjoint from the one
+    // stats-bearing live file (the k=200 append) prunes exactly it,
+    // while stats-less files stay conservatively
+    val (kept, total) = DeltaLog.pruneFiles(spark, tbl, Map("k" -> (500L, 600L)))
+    assert(total == 4 && kept.size == 3, "add stats lost through the checkpoint")
+    // time travel below the checkpoint is now gone, with a clear error
+    val e = intercept[IllegalStateException](DeltaLog.read(spark, tbl, 1L))
+    assert(e.getMessage.contains("retention-cleaned"))
+  }
+
+  test("streaming sink checkpoints on Delta's cadence and stays exactly-once across cleanup") {
+    import spark.implicits._
+    val tbl = freshDir("ckpt-stream")
+    (0 until 12).foreach { i =>
+      assert(DeltaLog.appendBatch(spark, tbl, "s", i.toLong,
+        Seq((i.toLong, s"b$i")).toDF("k", "v").coalesce(1)))
+    }
+    // default cadence: first checkpoint once 10 commits accumulate (v9)
+    assert(DeltaLog.checkpointVersions(spark, tbl) == Seq(9L))
+    DeltaLog.cleanupLog(spark, tbl)
+    // a replayed pre-checkpoint batch is STILL skipped — its txn
+    // watermark lives in the checkpoint, not the deleted JSON
+    assert(!DeltaLog.appendBatch(spark, tbl, "s", 3L,
+      Seq((3L, "b3")).toDF("k", "v").coalesce(1)))
+    assert(DeltaLog.read(spark, tbl).count() == 12)
+  }
+
+  test("reads a hand-written foreign checkpoint with no pre-checkpoint JSON and foreign extras") {
+    import spark.implicits._
+    val tbl = freshDir("foreign-ckpt")
+    val s1 = writeParquetFile(tbl, "f1.snappy.parquet", Seq((1L, "a"), (2L, "b")))
+    val s2 = writeParquetFile(tbl, "f2.snappy.parquet", Seq((3L, "c")))
+    // checkpoint at v5 written by a FOREIGN engine: different column
+    // order, an `add.tags` field we never emit, a tombstone, a txn row;
+    // the v0..v4 JSON history was retention-cleaned by that engine
+    val foreignRows = Seq(
+      s"""{"metaData":{"id":"99999999-0000-0000-0000-000000000000","format":{"provider":"parquet","options":{}},"schemaString":"$handSchemaString","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"txn":{"appId":"foreign-writer","version":41,"lastUpdated":1700000000005}}""",
+      """{"remove":{"path":"old.parquet","deletionTimestamp":1700000000004,"dataChange":true}}""",
+      s"""{"add":{"path":"f1.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":1700000000001,"dataChange":true,"tags":{"INSERTION_TIME":"1"},"stats":"{\\"numRecords\\":2}"}}""")
+    val foreignSchema = org.apache.spark.sql.types.DataType.fromDDL(
+      """add STRUCT<path: STRING, dataChange: BOOLEAN, modificationTime: BIGINT,
+        |  partitionValues: MAP<STRING,STRING>, size: BIGINT,
+        |  stats: STRING, tags: MAP<STRING,STRING>>,
+        |metaData STRUCT<id: STRING, format: STRUCT<provider: STRING,
+        |  options: MAP<STRING,STRING>>, schemaString: STRING,
+        |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING,STRING>,
+        |  createdTime: BIGINT>,
+        |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>,
+        |remove STRUCT<path: STRING, deletionTimestamp: BIGINT, dataChange: BOOLEAN>,
+        |txn STRUCT<appId: STRING, version: BIGINT, lastUpdated: BIGINT>"""
+        .stripMargin).asInstanceOf[org.apache.spark.sql.types.StructType]
+    val scratch = s"$tbl/.mk_ckpt"
+    spark.read.schema(foreignSchema).json(spark.createDataset(foreignRows))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    Fs.mkdirs(spark, s"$tbl/_delta_log")
+    val part = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).head
+    Fs.renameOrFail(spark, part._1, f"$tbl/_delta_log/${5L}%020d.checkpoint.parquet")
+    Fs.deleteRec(spark, scratch)
+    // one tail commit after the foreign checkpoint
+    writeLogFile(tbl, 6L, Seq(
+      s"""{"add":{"path":"f2.snappy.parquet","partitionValues":{},"size":$s2,"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    val (v, live, schema) = DeltaLog.snapshot(spark, tbl)
+    assert(v == 6L && live == Seq("f1.snappy.parquet", "f2.snappy.parquet"))
+    assert(schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(DeltaLog.read(spark, tbl).select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    // foreign txn watermark and stats visible through the checkpoint
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "foreign-writer") == 41L)
+    assert(DeltaLog.pruneFiles(spark, tbl, Map("zzz" -> (0L, 1L)))._1.size == 2)
+    // with NO tail at all the checkpoint alone defines the table
+    assert(DeltaLog.read(spark, tbl, 5L).count() == 2)
+  }
+
   test("overwrite racing an append retires the raced files (rebase inside commit loop)") {
     import spark.implicits._
     val tbl = freshDir("race")
