@@ -227,14 +227,15 @@ object DeltaLog {
     M.writeValueAsString(md)
   }
 
-  private def addJson(path: String, size: Long, stats: Option[String] = None): String = {
+  private def addJson(path: String, size: Long, stats: Option[String] = None,
+                      dataChange: Boolean = true): String = {
     val root: ObjectNode = M.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
     a.putObject("partitionValues")
     a.put("size", size)
     a.put("modificationTime", System.currentTimeMillis())
-    a.put("dataChange", true)
+    a.put("dataChange", dataChange)
     stats.foreach(a.put("stats", _)) // Delta stats ride as a JSON STRING
     M.writeValueAsString(root)
   }
@@ -273,12 +274,12 @@ object DeltaLog {
         }.toMap
     }
 
-  private def removeJson(path: String): String = {
+  private def removeJson(path: String, dataChange: Boolean = true): String = {
     val root: ObjectNode = M.createObjectNode()
     val r = root.putObject("remove")
     r.put("path", path)
     r.put("deletionTimestamp", System.currentTimeMillis())
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     M.writeValueAsString(root)
   }
 
@@ -507,6 +508,81 @@ object DeltaLog {
     * an overwrite racing an append retires the raced files too (last-
     * writer-wins table semantics, same contract as [[Manifest.replace]]).
     * Returns the committed version. */
+  /** OPTIMIZE (bin-packing compaction): rewrite the current live files
+    * into `targetFiles` and commit remove+add with `dataChange=false` —
+    * the protocol's marker that the commit rearranges bytes without
+    * changing table content, which is what lets a downstream Delta
+    * stream skip it instead of re-emitting the whole table. A racing
+    * APPEND survives untouched (its files are not in our remove set and
+    * the commit-loop rebase publishes after it); a racing OVERWRITE or
+    * second optimize that retired one of our input files aborts this
+    * compaction cleanly (content wins over layout) and the whole
+    * operation retries against the new state. Returns
+    * (files before, files after). */
+  def optimize(spark: SparkSession, table: String, targetFiles: Int = 1): (Int, Int) = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (_, live, schema) = snapshot(spark, table)
+      if (live.size <= targetFiles) return (live.size, live.size)
+      val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.schema(schema).parquet(live.map(f => s"$table/$f"): _*)
+        .repartition(targetFiles).write.mode("overwrite").parquet(scratch)
+      Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+      val mine = adoptParts(spark, table, scratch)
+      try {
+        commit(spark, table, parent => {
+          val (_, nowLive, _) = snapshot(spark, table, parent)
+          if (!live.forall(nowLive.contains))
+            throw new CompactionRaced // an input file was retired under us
+          live.map(removeJson(_, dataChange = false)) ++
+            mine.map { case (path, size, _) => addJson(path, size, dataChange = false) }
+        })
+        return (live.size, mine.size)
+      } catch {
+        case _: CompactionRaced =>
+          // our rewritten files are unreferenced orphans; vacuum reclaims
+          if (attempts >= MaxStalledCommitAttempts)
+            throw new IllegalStateException(
+              s"optimize of $table lost to concurrent rewrites $attempts times; giving up")
+      }
+    }
+    (0, 0) // unreachable
+  }
+
+  private final class CompactionRaced extends RuntimeException
+
+  /** VACUUM: physically delete data files under the table root that the
+    * CURRENT version does not reference and that are older than
+    * `retentionMs` — tombstoned files age by their remove action's
+    * `deletionTimestamp`, never-committed orphans (crashed writers,
+    * lost compactions) by filesystem mtime. Time travel to versions
+    * whose files were vacuumed stops working, exactly as in Delta;
+    * readers of the current version are unaffected because live files
+    * are never candidates. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, table: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val st = replay(spark, table, -1L)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val victims = Fs.listFiles(spark, table, _.endsWith(".parquet"))
+      .map { case (full, _) => (full, new org.apache.hadoop.fs.Path(full).getName) }
+      .filter { case (full, name) =>
+        // listFiles walks recursively: keep only table-root data files
+        new org.apache.hadoop.fs.Path(full).getParent.getName != "_delta_log" &&
+          !full.substring(0, full.length - name.length).contains("/.") &&
+          !st.live.contains(name)
+      }
+      .filter { case (full, name) =>
+        st.tombstones.get(name) match {
+          case Some(r) => r.get("deletionTimestamp").asLong() <= cutoff
+          case None =>
+            val p = new org.apache.hadoop.fs.Path(full)
+            p.getFileSystem(Fs.conf(spark)).getFileStatus(p).getModificationTime <= cutoff
+        }
+      }
+    victims.foreach { case (full, _) => Fs.deleteIfExists(spark, full) }
+    victims.size
+  }
+
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
@@ -518,7 +594,7 @@ object DeltaLog {
         mine.map { case (path, size, _) => addJson(path, size) }
       else {
         val (_, live, _) = snapshot(spark, table, parent)
-        live.map(removeJson) ++ mine.map { case (path, size, _) => addJson(path, size) }
+        live.map(removeJson(_)) ++ mine.map { case (path, size, _) => addJson(path, size) }
       })
   }
 }

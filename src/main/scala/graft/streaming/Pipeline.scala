@@ -670,6 +670,52 @@ object Pipeline {
        |FROM orders
        |ORDER BY version""".stripMargin
 
+  /** DELTA MAINTENANCE LIFECYCLE ([[DeltaLog.optimize]] /
+    * [[DeltaLog.vacuum]]): the reference compacts and vacuums its Delta
+    * tables on every cycle (reference pipeline/preprocess.py:74-75);
+    * this is that cycle in the public format. Eight small appends
+    * fragment the table; OPTIMIZE bin-packs the 8 live files into 2
+    * with a dataChange=false commit (content provably unchanged — the
+    * oracle hashes it); VACUUM at zero retention physically reclaims
+    * the 8 tombstoned originals, leaving exactly the 2 optimized files
+    * on disk. The result exposes live-file AND disk-file counts, so a
+    * vacuum that deleted a live file (content loss) or kept tombstones
+    * (no reclamation) both fail the gate.
+    *
+    * Scale: compaction reads/writes data through executor parquet jobs
+    * sized by `targetFiles`; vacuum is a driver-side listing diff
+    * (file-count metadata), deleting without reading — same division
+    * of labor as [[Compact]]/[[Manifest]], emitted as public Delta. */
+  def pipeDeltaOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/delta_opt_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    (0 until 8).foreach { i =>
+      DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 8 === i).repartition(1))
+    }
+    val (nIn, nOut) = DeltaLog.optimize(spark, tbl, targetFiles = 2)
+    val nVacuumed = DeltaLog.vacuum(spark, tbl, retentionMs = 0L)
+    val nDisk = Fs.listFiles(spark, tbl, _.endsWith(".parquet"))
+      .count(f => new org.apache.hadoop.fs.Path(f._1).getParent.getName != "_delta_log")
+    DeltaLog.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .withColumn("files_before", lit(nIn.toLong))
+      .withColumn("files_after", lit(nOut.toLong))
+      .withColumn("files_vacuumed", lit(nVacuumed.toLong))
+      .withColumn("files_on_disk", lit(nDisk.toLong))
+  }
+
+  private val pipeDeltaOptimizeSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  8::BIGINT AS files_before, 2::BIGINT AS files_after,
+       |  8::BIGINT AS files_vacuumed, 2::BIGINT AS files_on_disk
+       |FROM orders""".stripMargin
+
   /** From-scratch generation (S1): 10k-row orders-shaped table from
     * `spark.range` + content-addressed exprs; DuckDB regenerates the
     * identical table from `generate_series` — the generator itself is
@@ -701,6 +747,7 @@ object Pipeline {
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
+    "pipe_delta_optimize" -> (pipeDeltaOptimize _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -715,5 +762,6 @@ object Pipeline {
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
+    "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
     "op_synth_table" -> opSynthTableSql)
 }

@@ -280,6 +280,70 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl, 5L).count() == 2)
   }
 
+  test("optimize bin-packs live files with dataChange=false; vacuum reclaims tombstones and orphans, never live files") {
+    import spark.implicits._
+    val tbl = freshDir("optimize")
+    (0 until 6).foreach { i =>
+      DeltaLog.append(spark, tbl, Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1))
+    }
+    val before = DeltaLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val (nIn, nOut) = DeltaLog.optimize(spark, tbl, targetFiles = 2)
+    assert(nIn == 6 && nOut == 2)
+    val (_, live, _) = DeltaLog.snapshot(spark, tbl)
+    assert(live.size == 2)
+    assert(DeltaLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(before), "optimize changed table content")
+    // the protocol marker: every action in the optimize commit says dataChange=false
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = DeltaLog.latestVersion(spark, tbl)
+    val p = new org.apache.hadoop.fs.Path(f"$tbl/_delta_log/$v%020d.json")
+    val in = p.getFileSystem(Fs.conf(spark)).open(p)
+    val acts = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(m.readTree).toList finally in.close()
+    assert(acts.size == 8 && acts.forall { n =>
+      val a = if (n.has("add")) n.get("add") else n.get("remove")
+      !a.get("dataChange").asBoolean
+    })
+    // optimize is idempotent at the target
+    assert(DeltaLog.optimize(spark, tbl, targetFiles = 2) == (2, 2))
+
+    // vacuum: 6 tombstoned originals + a crashed writer's orphan go;
+    // the 2 live files stay; time travel below the rewrite dies
+    writeParquetFile(tbl, "orphan-crashed-write.parquet", Seq((99L, "x")))
+    def diskDataFiles: Int = Fs.listFiles(spark, tbl, _.endsWith(".parquet"))
+      .count(f => new org.apache.hadoop.fs.Path(f._1).getParent.getName != "_delta_log")
+    assert(diskDataFiles == 9)
+    assert(DeltaLog.vacuum(spark, tbl, retentionMs = 600000L) == 0,
+      "retention must protect files younger than the window")
+    assert(DeltaLog.vacuum(spark, tbl, retentionMs = 0L) == 7)
+    assert(diskDataFiles == 2)
+    assert(DeltaLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(before), "vacuum touched a live file")
+    intercept[Exception](DeltaLog.read(spark, tbl, 2L).collect())
+  }
+
+  test("optimize racing an overwrite aborts cleanly: content wins over layout") {
+    import spark.implicits._
+    val tbl = freshDir("optimize-race")
+    (0 until 4).foreach { i =>
+      DeltaLog.append(spark, tbl, Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1))
+    }
+    // interleave an overwrite inside optimize's read->commit window by
+    // racing the two from separate threads until the overwrite lands
+    // between optimize's snapshot and its commit at least once; the
+    // table must end at the overwrite's content regardless of winner
+    val ow = new Thread(() => {
+      Thread.sleep(5)
+      DeltaLog.overwrite(spark, tbl, Seq((100L, "z")).toDF("k", "v").coalesce(1))
+    })
+    ow.start()
+    try DeltaLog.optimize(spark, tbl, targetFiles = 1)
+    catch { case e: IllegalStateException => assert(e.getMessage.contains("concurrent")) }
+    ow.join()
+    assert(DeltaLog.read(spark, tbl).collect().toSeq == Seq(Row(100L, "z")),
+      "optimize resurrected overwritten content")
+  }
+
   test("overwrite racing an append retires the raced files (rebase inside commit loop)") {
     import spark.implicits._
     val tbl = freshDir("race")
