@@ -192,17 +192,36 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val withSets = cand
+    verifyCandidates(cand, sh)
+  }
+
+  /** Exact-Jaccard verification of a candidate (doc_a, doc_b) relation
+    * against a shingle table — the shared final stage of every
+    * LSH-candidate path (batch [[minhashLshPlan]] and the streaming
+    * [[graft.streaming.StreamingOps]] near-dup twin): join both sides'
+    * shingle sets, keep pairs at Jaccard ≥ 0.8. Candidates-only cost —
+    * the join fans out by the candidate count, never the corpus. */
+  private[graft] def verifyCandidates(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
       .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-    withSets.filter(col("jacc") >= 0.8)
+      .filter(col("jacc") >= 0.8)
       .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** The (bands, rowsPerBand) the default LSH paths run at — shared
+    * with the streaming near-dup twin so both sides of that oracle
+    * derive from one value. */
+  private[graft] def banding: (Int, Int) = (Bands, RowsPerBand)
+
+  /** The default-banding LSH oracle SQL, shared by the streaming twin
+    * (same final relation by construction — see
+    * [[graft.streaming.StreamingOps]]). */
+  private[graft] def minhashLshOracle: String = minhashLshSql()
 
   private def minhashLshSql(bands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
     val bandRows = (0 until bands).map { b =>

@@ -328,7 +328,91 @@ object StreamingOps {
     spark.table("graft_stream_attr").orderBy("event_id")
   }
 
+  /** One (bucket, doc) row of the streaming LSH index; bucket =
+    * "band:signature", so a group IS one LSH bucket of one band. */
+  case class BandRow(bucket: String, doc_id: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+  case class BucketState(ids: List[Long])
+
+  /** STREAMING NEAR-DUPLICATE DETECTION — an incremental MinHash-LSH
+    * index via `flatMapGroupsWithState` keyed by LSH bucket. Each
+    * arriving document computes its band signatures STATELESSLY (the
+    * same salted-md5 minhash as batch [[graft.operators.Dedup]], as an
+    * `array_min(transform(...))` projection instead of the batch
+    * explode/groupBy — identical values, no shuffle), then probes and
+    * extends its buckets' state: per bucket the state is the doc-id
+    * list seen so far, and every (prior × new) ∪ (new × new) pair is a
+    * candidate BY CONSTRUCTION (bucket-mates share the band signature —
+    * the bucket key IS the collision proof). Pair emission is keyed by
+    * doc-id order, not arrival order, so the drained candidate set is
+    * micro-batch-split-INDEPENDENT; after the drain, the shared
+    * [[graft.operators.Dedup.verifyCandidates]] join keeps exact
+    * Jaccard ≥ 0.8. The final relation provably equals batch
+    * `dd_minhash_lsh` — the query runs against THAT oracle.
+    *
+    * Scale: state totals one long per (doc, band) distributed across
+    * state-store partitions by bucket — the same footprint as the
+    * batch band table, arriving incrementally. Per-batch work is
+    * new-docs × bucket occupancy, and occupancy is bounded by the
+    * [[graft.operators.LshParams]] banding contract (corpus-derived
+    * bands × rows), so the pair stream stays linear in arrivals — the
+    * online form of the same guarantee the batch plan measures in
+    * SCALE.md. A production pipeline verifies candidates per
+    * micro-batch inside `foreachBatch` (join against the growing
+    * corpus table) instead of once post-drain. */
+  /** The incremental candidate pipeline over ANY streaming (doc_id,
+    * text) frame — split out so the multi-batch spec can drive it with
+    * a MemoryStream and controlled batch boundaries. */
+  private[graft] def neardupCandidates(spark: SparkSession,
+      docs: DataFrame): org.apache.spark.sql.Dataset[CandPair] = {
+    import spark.implicits._
+    val (bands, rowsPerBand) = graft.operators.Dedup.banding
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map { r =>
+          array_min(transform(col("sh"), x => md5(concat(lit(s"mh$b:$r:"), x))))
+        }: _*).as("sig"))
+    }
+    val bandRows = docs
+      .select(col("doc_id"),
+        graft.plans.WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(concat(col("bs.band"), lit(":"), col("bs.sig")).as("bucket"),
+        col("doc_id"))
+      .as[BandRow]
+    val fn = (bucket: String, rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+      val prior = state.getOption.map(_.ids).getOrElse(Nil)
+      val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+        .filterNot(prior.contains) // at-least-once redelivery guard
+      val out = Seq.newBuilder[CandPair]
+      for (n <- fresh; p <- prior)
+        out += (if (p < n) CandPair(p, n) else CandPair(n, p))
+      for (i <- fresh.indices; j <- (i + 1) until fresh.length)
+        out += CandPair(fresh(i), fresh(j))
+      if (fresh.nonEmpty) state.update(BucketState(prior ++ fresh))
+      out.result().iterator
+    }
+    bandRows.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  def opStreamNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = neardupCandidates(spark, Tables.documentsStream(spark, sfDir))
+    spark.catalog.dropTempView("graft_stream_neardup")
+    val q = cand.toDF().writeStream
+      .format("memory").queryName("graft_stream_neardup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Dedup.verifyCandidates(
+      spark.table("graft_stream_neardup").distinct(),
+      graft.functions.Text.shingled(spark, sfDir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
     "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_join" -> (opStreamJoin _),
@@ -340,6 +424,7 @@ object StreamingOps {
     "op_stream_dedup" -> (opStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
     "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_join" -> opStreamJoinSql,

@@ -87,6 +87,47 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class NdDoc(doc_id: Long, text: String)
+
+  test("streaming near-dup: cross-batch candidates surface via bucket state, pairs are batch-split independent") {
+    import spark.implicits._
+    // 30-word base text; identical copies are near-dups (Jaccard 1.0)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val input = MemoryStream[NdDoc](spark)
+    val cand = StreamingOps.neardupCandidates(spark, input.toDF())
+    val name = "nd_cand"
+    spark.catalog.dropTempView(name)
+    val q = cand.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      def pairs: Set[(Long, Long)] = spark.table(name).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: two unrelated docs -> no candidates
+      input.addData(NdDoc(1L, base), NdDoc(2L, other))
+      q.processAllAvailable()
+      assert(pairs.isEmpty, "unrelated docs must not collide")
+      // batch 2: a near-dup of doc 1 arrives LATER -> the pair must
+      // come from bucket STATE (doc 1 is not in this micro-batch)
+      input.addData(NdDoc(3L, base))
+      q.processAllAvailable()
+      assert(pairs == Set((1L, 3L)), s"cross-batch candidate missing: $pairs")
+      // batch 3: another copy pairs with BOTH accumulated priors
+      input.addData(NdDoc(4L, base))
+      q.processAllAvailable()
+      assert(pairs == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+      // within-batch pairing: two fresh near-dups in ONE batch
+      input.addData(NdDoc(10L, other + " tail"), NdDoc(11L, other + " tail"))
+      q.processAllAvailable()
+      assert(pairs.contains((10L, 11L)), "within-batch candidate missing")
+      // redelivery of an already-indexed doc adds nothing new
+      input.addData(NdDoc(3L, base))
+      q.processAllAvailable()
+      assert(pairs.count(p => p._1 == 3L || p._2 == 3L) == 2,
+        "redelivered doc re-paired — state guard failed")
+    } finally q.stop()
+  }
+
   case class L(k: Long, lts: Timestamp)
   case class R(rk: Long, rts: Timestamp)
 
