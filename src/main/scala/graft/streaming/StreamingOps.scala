@@ -31,17 +31,42 @@ import graft.sources.Tables
   */
 object StreamingOps {
 
+  /** State-store partition count for the fixture drains. A stateful
+    * streaming operator creates (and commits, per micro-batch) one
+    * state-store instance PER shuffle partition — a stream-stream join
+    * creates four. The fixture's state is a few MB, so 32 partitions
+    * are pure fixed overhead: measured on op_stream_join at sf0.1,
+    * 8 partitions cut the drain ~2× with byte-identical output. This
+    * is the state-volume analog of every other corpus-derived knob —
+    * a 100 TB deployment sizes partitions to state volume / ~100 MB
+    * per store and sets the property (or leaves the cluster default);
+    * the semantics never depend on it. */
+  private val StreamPartitions =
+    sys.props.get("graft.stream.partitions").map(_.toInt).getOrElse(8)
+
+  /** Run `body` (which must START its streaming query inside — the
+    * partition count is captured into the query's offset log at start)
+    * with [[StreamPartitions]] shuffle partitions, restoring after. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamPartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming aggregation to the memory sink with AvailableNow,
     * block until drained, and return the collected table. */
   private def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     spark.catalog.dropTempView(name) // rerunnable: drop a previous run's sink table
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -85,12 +110,14 @@ object StreamingOps {
       .select(col("doc_id"), md5(col("text")).as("content_key"))
       .dropDuplicates("content_key")
     spark.catalog.dropTempView("graft_stream_dedup")
-    val q = dedup.writeStream
-      .format("memory").queryName("graft_stream_dedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = dedup.writeStream
+        .format("memory").queryName("graft_stream_dedup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("graft_stream_dedup").orderBy("doc_id")
   }
 
@@ -128,12 +155,14 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateFn)
     spark.catalog.dropTempView("graft_stream_stateful")
-    val q = totals.toDF().writeStream
-      .format("memory").queryName("graft_stream_stateful")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = totals.toDF().writeStream
+        .format("memory").queryName("graft_stream_stateful")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // one emission per (user, batch): keep each user's final state
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
@@ -175,12 +204,14 @@ object StreamingOps {
       .select(col("user_id"), col("err_id"), col("err_ts"),
         col("ctx_id"), col("ctx_type"), col("ctx_ts"))
     spark.catalog.dropTempView("graft_stream_join")
-    val q = joined.writeStream
-      .format("memory").queryName("graft_stream_join")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = joined.writeStream
+        .format("memory").queryName("graft_stream_join")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("graft_stream_join").orderBy("user_id", "err_id", "ctx_id")
   }
 
@@ -235,12 +266,14 @@ object StreamingOps {
         coalesce(col("ctx_type"), lit("none")).as("ctx_type"),
         col("ctx_ts").isNotNull.as("matched"))
     spark.catalog.dropTempView("graft_stream_outer")
-    val q = joined.writeStream
-      .format("memory").queryName("graft_stream_outer")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = joined.writeStream
+        .format("memory").queryName("graft_stream_outer")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("graft_stream_outer").orderBy("user_id", "err_id", "ctx_id")
   }
 
@@ -319,12 +352,14 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
     spark.catalog.dropTempView("graft_stream_attr")
-    val q = res.toDF().writeStream
-      .format("memory").queryName("graft_stream_attr")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = res.toDF().writeStream
+        .format("memory").queryName("graft_stream_attr")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("graft_stream_attr").orderBy("event_id")
   }
 
@@ -400,12 +435,14 @@ object StreamingOps {
   def opStreamNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = neardupCandidates(spark, Tables.documentsStream(spark, sfDir))
     spark.catalog.dropTempView("graft_stream_neardup")
-    val q = cand.toDF().writeStream
-      .format("memory").queryName("graft_stream_neardup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = cand.toDF().writeStream
+        .format("memory").queryName("graft_stream_neardup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     graft.operators.Dedup.verifyCandidates(
       spark.table("graft_stream_neardup").distinct(),
       graft.functions.Text.shingled(spark, sfDir))
