@@ -237,10 +237,130 @@ object MlScore {
   private lazy val xgbEntry: Option[(String, String)] =
     scala.util.Try(mlScoreXgbSql).toOption.map(("ml_score_xgb", _))
 
+  // ---------------------------------------------------------------
+  // §2.10 extension: distributed TRAINING (batch gradient descent)
+  // ---------------------------------------------------------------
+
+  /** GD hyper-parameters, shared by both engines. The link is the
+    * RATIONAL sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|) — same shape and
+    * gradient sign as the logistic link but built from +,−,×,÷,|·|
+    * only, so Spark and DuckDB produce BIT-IDENTICAL doubles per row
+    * (IEEE ops are exactly specified; `exp` is libm-dependent and is
+    * exactly what this avoids — the ta_lm_fluency / ivf centroid
+    * trick applied to a training loop). */
+  private val GdIters = 4
+  private val GdLr = "0.5"
+  private val GdScale = "1048576.0" // 2^20 fixed-point, the ivf convention
+  private val LenThreshold = 306 // fixture median text length — splits classes
+
+  /** Per-document features and label, as ONE dialect-neutral SQL
+    * fragment both engines evaluate over `documents`: token count,
+    * char count, type-token ratio — integer-derived rationals, exact
+    * in both engines. Label: "is this a longer-than-median document"
+    * (deterministic, learnable from x2 — the loop must actually
+    * descend, which the decreasing SSE column proves). */
+  private def gdFeatExprs(distinctFn: String, lenFn: String): Seq[String] = Seq(
+    s"cast($lenFn AS DOUBLE) / 100.0 AS x1",
+    "cast(length(text) AS DOUBLE) / 1000.0 AS x2",
+    s"cast($distinctFn AS DOUBLE) / cast($lenFn AS DOUBLE) AS x3",
+    s"(CASE WHEN length(text) > $LenThreshold THEN 1.0 ELSE 0.0 END) AS y")
+
+  /** z and σ̃ with FIXED parenthesization — both engines must execute
+    * the identical IEEE op sequence. `w*` are either decimal literals
+    * (Spark, weights known driver-side) or column refs (DuckDB CTE). */
+  private def gdZ(w0: String, w1: String, w2: String, w3: String): String =
+    s"((($w0 + ($w1 * x1)) + ($w2 * x2)) + ($w3 * x3))"
+  private def gdP(z: String): String =
+    s"(0.5 + (0.5 * ($z / (1.0 + abs($z)))))"
+
+  /** Distributed training: [[GdIters]] full-batch gradient-descent
+    * steps of a linear model with the rational link, over document
+    * quality features. Each step is ONE map-side-combinable aggregate
+    * — per row the executor computes e·x_j for the d+1 gradient
+    * components, rounds to 2^20 fixed point, and integer-sums; the
+    * driver receives d+1 longs, updates d+1 doubles, and broadcasts
+    * them into the next step as plain literals (shortest-round-trip
+    * `Double.toString`, which both engines parse back to the exact
+    * double). No parameter server, no shuffle beyond the partial-agg
+    * tree, N passes over the corpus — the canonical data-parallel GD
+    * shape at any scale. Output: the weight trajectory's final point
+    * plus the fixed-point SSE before and after (after < before is the
+    * "it actually learns" proof the oracle hash-pins). */
+  def mlTrainGd(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .selectExpr(gdFeatExprs("size(array_distinct(split(text, ' ')))",
+        "size(split(text, ' '))"): _*)
+    val f = Scratch.persist(feats) // N+2 passes over a projection-only frame
+    def sseExpr(w: Array[Double]): org.apache.spark.sql.Column = {
+      val p = gdP(gdZ(w(0).toString, w(1).toString, w(2).toString, w(3).toString))
+      sum(expr(s"cast(round((($p - y) * ($p - y)) * $GdScale) as bigint)"))
+    }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    val sse0 = f.agg(sseExpr(w)).head().getLong(0)
+    var n = 0L
+    for (_ <- 1 to GdIters) {
+      val p = gdP(gdZ(w(0).toString, w(1).toString, w(2).toString, w(3).toString))
+      val xs = Seq("1.0", "x1", "x2", "x3")
+      val aggs = count(lit(1)).as("n") +: xs.zipWithIndex.map { case (x, j) =>
+        sum(expr(s"cast(round((($p - y) * $x) * $GdScale) as bigint)")).as(s"g$j")
+      }
+      val r = f.agg(aggs.head, aggs.tail: _*).head()
+      n = r.getLong(0)
+      w = w.indices.map { j =>
+        w(j) - (0.5 * ((r.getLong(j + 1).toDouble / 1048576.0) / n))
+      }.toArray
+    }
+    val sseN = f.agg(sseExpr(w)).head().getLong(0)
+    import spark.implicits._
+    Seq((w(0), w(1), w(2), w(3), sse0, sseN, n, (sseN < sse0): Boolean))
+      .toDF("w0", "w1", "w2", "w3", "sse_before", "sse_after", "n_docs", "descended")
+  }
+
+  /** The identical computation as unrolled DuckDB CTEs: weights flow
+    * through the chain as single-row relations, each step CROSS JOINs
+    * the previous weights into the per-row expressions — the SQL form
+    * of broadcasting the parameter vector. */
+  private def mlTrainGdSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH feat AS (SELECT ${gdFeatExprs("len(list_distinct(string_split(text, ' ')))",
+        "len(string_split(text, ' '))").mkString(",\n    ")}
+         |  FROM documents),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin)
+    def p(pref: String) = gdP(gdZ(s"$pref.w0", s"$pref.w1", s"$pref.w2", s"$pref.w3"))
+    for (t <- 1 to GdIters) {
+      val xs = Seq("1.0", "x1", "x2", "x3")
+      val gs = xs.zipWithIndex.map { case (x, j) =>
+        s"sum(cast(round(((${p("w")} - y) * $x) * $GdScale) AS BIGINT)) AS g$j"
+      }.mkString(",\n    ")
+      sb.append(
+        s""",
+           |g$t AS (SELECT count(*) AS n,
+           |    $gs
+           |  FROM feat CROSS JOIN w${t - 1} w),
+           |w$t AS (SELECT ${(0 to 3).map(j =>
+          s"(w.w$j - (0.5 * ((g.g$j / $GdScale) / g.n))) AS w$j").mkString(", ")}
+           |  FROM w${t - 1} w CROSS JOIN g$t g)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |sse0 AS (SELECT cast(sum(cast(round(((${p("w")} - y) * (${p("w")} - y)) * $GdScale) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n FROM feat CROSS JOIN w0 w),
+         |sseN AS (SELECT cast(sum(cast(round(((${p("w")} - y) * (${p("w")} - y)) * $GdScale) AS BIGINT)) AS BIGINT) AS s
+         |  FROM feat CROSS JOIN w$GdIters w)
+         |SELECT w.w0, w.w1, w.w2, w.w3,
+         |  sse0.s AS sse_before, sseN.s AS sse_after,
+         |  sse0.n AS n_docs, (sseN.s < sse0.s) AS descended
+         |FROM w$GdIters w, sse0, sseN""".stripMargin)
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ml_score_gbt" -> (mlScoreGbt _)) ++
+    Map("ml_score_gbt" -> (mlScoreGbt _),
+      "ml_train_gd" -> (mlTrainGd _)) ++
       xgbEntry.map { case (k, _) => k -> (mlScoreXgb _) }
 
   def oracles: Map[String, String] =
-    Map("ml_score_gbt" -> mlScoreGbtSql) ++ xgbEntry
+    Map("ml_score_gbt" -> mlScoreGbtSql,
+      "ml_train_gd" -> mlTrainGdSql) ++ xgbEntry
 }
