@@ -175,6 +175,66 @@ object Events {
        |  FROM events) t
        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** The SAME as-of semantics through the native operator (builder
+    * preference (c)): [[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]],
+    * a custom Catalyst logical + physical operator registered via
+    * `SparkSessionExtensions`. Two genuinely separate relations
+    * (purchases, views) co-cluster on user_id, co-sort on (user_id, ts),
+    * and stream-merge with O(1) per-partition state — no union, no
+    * window carry. Standard ASOF backward semantics (`v.ts <= p.ts`, the
+    * most recent view at-or-before each purchase), which the oracle runs
+    * through DuckDB's own native `ASOF LEFT JOIN`. */
+  def opAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("asof_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofNativeSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, v.v_ts AS asof_view_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS v_user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.v_user_id AND v.v_ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Native as-of join with a lookback tolerance: matches farther than
+    * 1 hour back null out. Since the candidate is the GREATEST
+    * `v.ts <= p.ts`, "candidate out of tolerance" proves no in-tolerance
+    * match exists — the exec checks the bound on the single buffered
+    * candidate; the oracle post-filters DuckDB's ASOF result the same
+    * way. */
+  def opAsofNativeTol(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 60L * 60 * 1000000
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", toleranceUs = Some(tolUs))
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("asof_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofNativeTolSql: String =
+    s"""SELECT event_id, user_id, ts,
+       |  CASE WHEN epoch_us(ts) - epoch_us(asof_view_ts) <= ${60L * 60 * 1000000}
+       |       THEN asof_view_ts END AS asof_view_ts
+       |FROM (
+       |  SELECT p.event_id, p.user_id, p.ts, v.v_ts AS asof_view_ts
+       |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+       |  ASOF LEFT JOIN
+       |       (SELECT user_id AS v_user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+       |    ON p.user_id = v.v_user_id AND v.v_ts <= p.ts) t
+       |ORDER BY event_id""".stripMargin
+
   /** Range (interval) join, bin-bucketed for scale: for every `error`
     * event, count the same user's events in the following 10 minutes.
     * The naive form is a θ-join on `ts BETWEEN e.ts AND e.ts+10min` —
@@ -484,6 +544,8 @@ object Events {
     "op_events_session" -> (opEventsSession _),
     "op_asof_join" -> (opAsofJoin _),
     "op_asof_tolerance" -> (opAsofTolerance _),
+    "op_asof_native" -> (opAsofNative _),
+    "op_asof_native_tol" -> (opAsofNativeTol _),
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -499,5 +561,7 @@ object Events {
     "op_events_session" -> opEventsSessionSql,
     "op_asof_join" -> opAsofJoinSql,
     "op_asof_tolerance" -> opAsofToleranceSql,
+    "op_asof_native" -> opAsofNativeSql,
+    "op_asof_native_tol" -> opAsofNativeTolSql,
     "op_range_join" -> opRangeJoinSql)
 }

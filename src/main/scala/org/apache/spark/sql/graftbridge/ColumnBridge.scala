@@ -14,6 +14,34 @@ object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 }
 
+/** Logical-plan access for custom operators (builder preference (c)):
+  * constructing a DataFrame over a custom `LogicalPlan` needs the
+  * `private[sql]` `Dataset.ofRows`, and idempotent planner-strategy
+  * registration for caller-owned sessions needs the classic session's
+  * `experimental` hook. Same supported extension pattern as above. */
+object PlanBridge {
+  import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.SparkStrategy
+
+  def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Register a planner strategy if the session doesn't have it yet
+    * (sessions built with `spark.sql.extensions=graft.plans.GraftExtensions`
+    * already do; this covers caller-owned sessions). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[ClassicSession].experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
+}
+
 /** Function-registry access for imperative SQL-function registration
   * (`sessionState` is private[sql]; this is the same supported pattern
   * as ColumnBridge). Keep the builders in sync with

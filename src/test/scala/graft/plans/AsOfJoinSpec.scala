@@ -1,0 +1,114 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Events
+
+/** The native as-of join (custom LogicalPlan + Strategy + SparkPlan):
+  * exactness against a driver-side brute force, plan shape (the exec is
+  * planned, exactly two exchanges, sorts satisfied), tolerance and NULL
+  * semantics, and AQE compatibility (the suite session runs with
+  * defaults, AQE on).
+  */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  import spark.implicits._
+
+  /** Brute-force ASOF backward reference: for each left row the max
+    * right time <= left time (within tol), null otherwise. */
+  private def brute(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long)],
+                    tolUs: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (id, k, t) =>
+      val cands = right.filter { case (rk, rt) => rk == k && rt <= t &&
+        tolUs.forall(tol => t - rt <= tol) }
+      id -> (if (cands.isEmpty) None else Some(cands.map(_._2).max))
+    }.toMap
+
+  private def eventsBrute(tolUs: Option[Long]): Map[Long, Option[Long]] = {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    brute(
+      ev.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3)).toSeq,
+      ev.filter(_._4 == "view").map(r => (r._2, r._3)).toSeq,
+      tolUs)
+  }
+
+  private def resultMap(df: DataFrame): Map[Long, Option[Long]] =
+    df.select($"event_id", unix_micros($"asof_view_ts").as("us"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("native as-of join matches driver-side brute force (sf0.001)") {
+    assert(resultMap(Events.opAsofNative(spark, sf)) === eventsBrute(None))
+  }
+
+  test("tolerance nulls out matches older than the lookback") {
+    val tol = 60L * 60 * 1000000
+    val got = resultMap(Events.opAsofNativeTol(spark, sf))
+    val want = eventsBrute(Some(tol))
+    assert(got === want)
+    // the bound must actually bite on this fixture, or the test is vacuous
+    val unbounded = eventsBrute(None)
+    assert(want.count { case (k, v) => v.isEmpty && unbounded(k).nonEmpty } > 0)
+  }
+
+  test("plan: AsOfJoinExec with exactly two shuffles, left ordering preserved") {
+    val df = Events.opAsofNative(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan
+    val execs = collect(plan) { case e: AsOfJoinExec => e }
+    assert(execs.size === 1)
+    val shufflesBelow = collect(execs.head.asInstanceOf[SparkPlan]) {
+      case s: ShuffleExchangeExec => s }
+    assert(shufflesBelow.size === 2)
+    assert(execs.head.outputOrdering.nonEmpty)
+  }
+
+  test("NULL keys and NULL times never match") {
+    val left = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 100L), (2L, null, 100L), (3L, 10L, null), (4L, 11L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (10L, 50L, 7L), (null, 60L, 8L), (10L, null, 9L), (11L, 90L, 6L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"id", $"payload").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // id=1 (k=10,t=100): the null-keyed and null-timed right rows are
+    // invisible, so the rt=50 row wins; null left key (id=2) and null
+    // left time (id=3) never match; id=4 (k=11) matches rt=90.
+    assert(out === Map(1L -> Some(7L), 2L -> None, 3L -> None, 4L -> Some(6L)))
+  }
+
+  test("right-side ties and multi-row keys: greatest time wins, every left row emitted once") {
+    val left = Seq((1L, 5L, 30L), (2L, 5L, 10L), (3L, 5L, 30L)).toDF("id", "k", "t")
+    val right = Seq((5L, 10L, 1L), (5L, 20L, 2L), (5L, 30L, 3L), (5L, 40L, 4L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"id", $"payload").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("timestamp time columns work; strategy registration is idempotent") {
+    val left = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 42L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"payload").as[Long].collect()
+    assert(out.toSeq === Seq(42L))
+    // join() calls ensureStrategy each time — the caller-owned-session
+    // path must not stack duplicate strategies
+    import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+    val n = spark.asInstanceOf[ClassicSession].experimental.extraStrategies
+      .count(_ eq AsOfJoinStrategy)
+    assert(n <= 1)
+  }
+}
