@@ -456,7 +456,55 @@ object Curation {
        |  list_reduce(rs, (x, y) -> x * y) AS weight
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Shard/order assignment for the deterministic corpus shuffle:
+    * `shard = h('shard:'||doc_id) % nShards` and an independent 60-bit
+    * order key `ord = h('ord:'||doc_id)`. Both are pure functions of
+    * doc_id — the permutation is stable across runs, cluster sizes, and
+    * partition counts (unlike `rand()` or `repartition().mapPartitions`
+    * order, which change under retry/re-plan). The write path is
+    * `repartition(n, shard).sortWithinPartitions(shard, ord)` — ONE
+    * shuffle moves each document to its shard, and the within-file
+    * order IS the training read order (CurationSpec drives the actual
+    * parquet write and re-reads per-file). */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("shard", expr(
+        s"${Text.hash60SparkSql("concat('shard:', cast(doc_id as string))")} % $nShards"))
+      .withColumn("ord", expr(
+        Text.hash60SparkSql("concat('ord:', cast(doc_id as string))")))
+
+  private val ShuffleShards = 64
+
+  /** Deterministic global corpus shuffle + sharding — the final write
+    * step of a training-data pipeline (shuffle the corpus, emit N
+    * balanced shard files, stable order within each shard). The oracled
+    * query audits the assignment a 100 TB run would use: per-shard
+    * document counts and byte budgets (shard balance comes from hash
+    * uniformity — no size-skew pass needed), the order-key span, and a
+    * membership checksum proving the shards partition the corpus. */
+  def cuCorpusShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    shardAssign(Tables.documents(spark, sfDir), ShuffleShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        min("ord").as("ord_min"),
+        max("ord").as("ord_max"),
+        sum(expr("doc_id * 31 % 1000000007")).as("member_check"))
+      .orderBy("shard")
+
+  private val cuCorpusShuffleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |    ${Text.hash60DuckSql("'shard:' || doc_id::VARCHAR")} % $ShuffleShards AS shard,
+       |    ${Text.hash60DuckSql("'ord:' || doc_id::VARCHAR")} AS ord
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       |  min(ord) AS ord_min, max(ord) AS ord_max,
+       |  sum(doc_id * 31 % 1000000007)::BIGINT AS member_check
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_corpus_shuffle" -> (cuCorpusShuffle _),
     "cu_dedup_soft" -> (cuDedupSoft _),
     "cu_dsir_weights" -> (cuDsirWeights _),
     "dc_contamination" -> (dcContamination _),
@@ -468,6 +516,7 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_corpus_shuffle" -> cuCorpusShuffleSql,
     "cu_dedup_soft" -> cuDedupSoftSql,
     "cu_dsir_weights" -> cuDsirWeightsSql,
     "dc_contamination" -> dcContaminationSql,
