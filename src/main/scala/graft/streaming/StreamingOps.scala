@@ -317,6 +317,51 @@ object StreamingOps {
        |JOIN nation n ON n.n_nationkey = c.c_nationkey
        |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** Streaming as-of enrichment through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinExec]]): the purchases stream drains in
+    * micro-batches; each batch as-of joins against the static views
+    * relation via `foreachBatch` — the standard shape for enriching a
+    * stream against a large static (or slowly-republished) table with
+    * point-in-time semantics. Because the right side is static and ASOF
+    * is per-left-row, the union of per-batch results is EXACTLY the
+    * batch answer no matter how the stream is batched — so the same
+    * DuckDB `ASOF LEFT JOIN` oracle verifies this entry and
+    * `op_asof_native`. At scale each micro-batch pays one shuffle of
+    * ITS rows plus the views-side shuffle (or none, if the views table
+    * is bucket-laid-out on user_id). */
+  def opStreamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/pipe/stream_asof"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val views = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    val purchases = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    withStreamPartitions(spark) {
+      val q = purchases.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.plans.AsOfJoin.join(batch, views,
+              Seq("user_id"), Seq("v_user_id"), "ts", "v_ts")
+            .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("asof_view_ts"))
+            .write.mode("append").parquet(dir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(dir).orderBy("event_id")
+  }
+
+  private val opStreamAsofSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, v.v_ts AS asof_view_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS v_user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.v_user_id AND v.v_ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   case class AttrEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class AttrLast(ts: java.sql.Timestamp, typ: String)
   case class AttrOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
@@ -452,6 +497,7 @@ object StreamingOps {
     "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
     "op_stream_enrich" -> (opStreamEnrich _),
+    "op_stream_asof" -> (opStreamAsof _),
     "op_stream_join" -> (opStreamJoin _),
     "op_stream_outer" -> (opStreamOuter _),
     "op_stream_stateful" -> (opStreamStateful _),
@@ -464,6 +510,7 @@ object StreamingOps {
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
     "op_stream_enrich" -> opStreamEnrichSql,
+    "op_stream_asof" -> opStreamAsofSql,
     "op_stream_join" -> opStreamJoinSql,
     "op_stream_outer" -> opStreamOuterSql,
     "op_stream_stateful" -> opStreamStatefulSql,
