@@ -96,6 +96,17 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("self-join with shared attribute ids: right side re-aliased, greatest t<=t wins") {
+    val df = Seq((1L, 5L, 10L), (2L, 5L, 20L)).toDF("id", "k", "t")
+    // identical plan on both sides -> outputSet overlap -> the builder
+    // must re-alias the right side or the join's output attrs collide
+    val rows = AsOfJoin.join(df, df, Seq("k"), Seq("k"), "t", "t")
+      .collect().map(r => (0 until 6).map(i => r.getLong(i))).sortBy(_.head)
+    assert(rows === Seq(
+      Seq(1L, 5L, 10L, 1L, 5L, 10L),  // t=10: greatest right t<=10 is itself
+      Seq(2L, 5L, 20L, 2L, 5L, 20L)))
+  }
+
   test("timestamp time columns work; strategy registration is idempotent") {
     val left = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("id", "k", "t")
