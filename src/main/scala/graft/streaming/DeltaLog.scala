@@ -105,6 +105,11 @@ object DeltaLog {
       DataType.fromJson(metaData.getOrElse(
           throw new IllegalStateException("no metaData action in log"))
         .get("schemaString").asText()).asInstanceOf[StructType]
+    def partitionColumns: Seq[String] = metaData.toSeq.flatMap { m =>
+      Option(m.get("partitionColumns")).toSeq.flatMap { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+    }
     def applyLine(line: String): Unit = {
       val n = M.readTree(line)
       if (n.has("add")) {
@@ -205,15 +210,20 @@ object DeltaLog {
     * replayed live file set, with the log's own schema (an empty live
     * set yields an empty frame, not a scan error). */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
-    val (_, files, schema) = snapshot(spark, table, version)
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    val st = replay(spark, table, version)
+    val schema = st.schema
+    if (st.live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (st.partitionColumns.isEmpty)
+      spark.read.schema(schema).parquet(st.live.keys.map(f => s"$table/$f").toSeq: _*)
+    else readPartitioned(spark, table, st.live.toSeq, schema, st.partitionColumns)
   }
 
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataJson(schema: StructType): String = {
+  private def metaDataJson(schema: StructType,
+                           partitionCols: Seq[String] = Seq.empty): String = {
     val md: ObjectNode = M.createObjectNode()
     val m = md.putObject("metaData")
     m.put("id", java.util.UUID.randomUUID().toString)
@@ -221,23 +231,40 @@ object DeltaLog {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     m.put("schemaString", schema.json)
-    m.putArray("partitionColumns")
+    val pc = m.putArray("partitionColumns")
+    partitionCols.foreach(pc.add)
     m.putObject("configuration")
     m.put("createdTime", System.currentTimeMillis())
     M.writeValueAsString(md)
   }
 
   private def addJson(path: String, size: Long, stats: Option[String] = None,
-                      dataChange: Boolean = true): String = {
+                      dataChange: Boolean = true,
+                      partitionValues: Seq[(String, Option[String])] = Seq.empty): String = {
     val root: ObjectNode = M.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
-    a.putObject("partitionValues")
+    val pv = a.putObject("partitionValues")
+    partitionValues.foreach { case (c, v) =>
+      v.fold[Unit] { pv.putNull(c) } { s => pv.put(c, s); () }
+    }
     a.put("size", size)
     a.put("modificationTime", System.currentTimeMillis())
     a.put("dataChange", dataChange)
     stats.foreach(a.put("stats", _)) // Delta stats ride as a JSON STRING
     M.writeValueAsString(root)
+  }
+
+  /** Partition values of a live `add` node, in `partCols` order (None =
+    * JSON null = Delta's null partition value). Missing keys also read
+    * as null — Delta writes every partition column explicitly, but a
+    * foreign minimal log might not. */
+  def partitionValuesOf(add: com.fasterxml.jackson.databind.JsonNode,
+                        partCols: Seq[String]): Seq[(String, Option[String])] = {
+    val pv = Option(add.get("partitionValues"))
+    partCols.map { c =>
+      c -> pv.flatMap(n => Option(n.get(c))).filterNot(_.isNull).map(_.asText())
+    }
   }
 
   /** Per-part-file Delta `stats` JSON (numRecords + named
@@ -301,6 +328,55 @@ object DeltaLog {
     rel
   }
 
+  /** Spark/Hive percent-escape partition path decoding (the inverse of
+    * `escapePathName`): `%xx` byte sequences decode as UTF-8;
+    * `__HIVE_DEFAULT_PARTITION__` is the null sentinel. */
+  private def unescapePathName(s: String): Option[String] =
+    if (s == "__HIVE_DEFAULT_PARTITION__") None
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(s.substring(i, i + 1).getBytes("UTF-8")); i += 1 }
+      }
+      Some(new String(out.toByteArray, "UTF-8"))
+    }
+
+  /** Adopt a `partitionBy` scratch write preserving its Hive-style
+    * `col=value/` directory layout under the table root; each leaf
+    * file's partition values parse from its directory segments.
+    * Returns (relative path, size, partitionValues, source part name). */
+  private def adoptPartsHive(spark: SparkSession, table: String, scratch: String,
+                             partCols: Seq[String]): Seq[(String, Long, Seq[(String, Option[String])], String)] = {
+    Fs.mkdirs(spark, table)
+    val scratchUri = new org.apache.hadoop.fs.Path(scratch).toUri.getPath
+    val parts = Fs.listFiles(spark, scratch, _.endsWith(".parquet"))
+      .map { case (full, len) =>
+        val p = new org.apache.hadoop.fs.Path(full).toUri.getPath
+        (full, p.stripPrefix(scratchUri).stripPrefix("/"), len)
+      }.sortBy(_._2)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = parts.zipWithIndex.map { case ((src, relSrc, len), i) =>
+      val dirSegs = relSrc.split('/').dropRight(1)
+      require(dirSegs.length == partCols.length &&
+        dirSegs.zip(partCols).forall { case (d, c) => d.startsWith(c + "=") },
+        s"scratch layout $relSrc does not match partition columns $partCols")
+      val vals = dirSegs.zip(partCols).map { case (d, c) =>
+        c -> unescapePathName(d.drop(c.length + 1))
+      }
+      val dir = dirSegs.mkString("/")
+      Fs.mkdirs(spark, s"$table/$dir")
+      val r = s"$dir/" + f"part-$i%05d-$uid.parquet"
+      require(Fs.rename(spark, src, s"$table/$r"), s"adopting $src failed")
+      (r, len, vals.toSeq, new org.apache.hadoop.fs.Path(src).getName)
+    }
+    Fs.deleteRec(spark, scratch)
+    adopted
+  }
+
   /** Same stalled-commit guard as [[Manifest]]: a create-exclusive
     * failure with no competing commit advancing the version is an
     * environmental failure, not a race — abort instead of spinning. */
@@ -338,16 +414,93 @@ object DeltaLog {
     * per-file Delta `stats` on each add action for [[pruneFiles]] data
     * skipping. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             partitionBy: Seq[String] = Seq.empty): Long = {
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(scratch)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val schema = df.schema
     val stats = partStats(spark, scratch, statsCols)
-    val mine = adoptParts(spark, table, scratch)
-    commit(spark, table, parent =>
-      (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
-        mine.map { case (path, size, srcName) => addJson(path, size, stats.get(srcName)) })
+    if (partitionBy.isEmpty) {
+      val mine = adoptParts(spark, table, scratch)
+      commit(spark, table, parent => {
+        if (parent >= 0) {
+          val existing = replay(spark, table, parent).partitionColumns
+          require(existing.isEmpty,
+            s"unpartitioned append into a table partitioned by $existing")
+        }
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
+          mine.map { case (path, size, srcName) => addJson(path, size, stats.get(srcName)) }
+      })
+    } else {
+      val mine = adoptPartsHive(spark, table, scratch, partitionBy)
+      commit(spark, table, parent => {
+        if (parent >= 0) {
+          val existing = replay(spark, table, parent).partitionColumns
+          require(existing == partitionBy,
+            s"append partitioned by $partitionBy into a table partitioned by $existing")
+        }
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema, partitionBy)) else Seq.empty) ++
+          mine.map { case (path, size, vals, srcName) =>
+            addJson(path, size, stats.get(srcName), partitionValues = vals) }
+      })
+    }
+  }
+
+  /** Live files whose `partitionValues` match every entry of `want` —
+    * TRUE partition pruning at the metadata layer: the file list itself
+    * shrinks before any scan is planned, exactly how real engines read
+    * huge partitioned Delta tables. Returns (kept adds, total live). */
+  def prunePartitionFiles(spark: SparkSession, table: String, want: Map[String, String],
+                          upTo: Long = -1L): (Seq[(String, com.fasterxml.jackson.databind.JsonNode)], Int) = {
+    val st = replay(spark, table, upTo)
+    val pc = st.partitionColumns
+    require(pc.nonEmpty, s"$table is not partitioned")
+    val kept = st.live.toSeq.filter { case (_, add) =>
+      val vals = partitionValuesOf(add, pc).toMap
+      want.forall { case (c, v) => vals.get(c).flatten.contains(v) }
+    }
+    (kept, st.live.size)
+  }
+
+  /** Assemble a DataFrame from live adds of a PARTITIONED table,
+    * protocol-literally: partition column values come from the LOG's
+    * `partitionValues` (cast per the schema), never from file paths —
+    * so a foreign table whose files live flat at the root reads
+    * identically to our Hive-layout writes. One multi-file scan per
+    * live partition (the same per-partition scan granularity any
+    * Hive-style reader plans); at scale, reads go through
+    * [[prunePartitionFiles]]/[[readPartition]] first so only the
+    * queried partitions' scans exist at all. */
+  private def readPartitioned(spark: SparkSession, table: String,
+                              adds: Seq[(String, com.fasterxml.jackson.databind.JsonNode)],
+                              schema: StructType, partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val groups = adds
+      .groupBy { case (_, add) => partitionValuesOf(add, partCols) }
+      .toSeq.sortBy(_._1.map(_._2.getOrElse("")).mkString("/"))
+    groups.map { case (vals, files) =>
+      var df = spark.read.schema(dataSchema).parquet(files.map(f => s"$table/${f._1}"): _*)
+      vals.foreach { case (c, v) =>
+        val f = schema(c)
+        df = df.withColumn(c, lit(v.orNull).cast(f.dataType))
+      }
+      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Read only the partitions matching `want` (every queried column =
+    * the given string value, Delta's stringified partition encoding):
+    * log-level pruning, then the partition-group scans. */
+  def readPartition(spark: SparkSession, table: String,
+                    want: Map[String, String], upTo: Long = -1L): DataFrame = {
+    val st = replay(spark, table, upTo)
+    val (kept, _) = prunePartitionFiles(spark, table, want, upTo)
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    else readPartitioned(spark, table, kept, st.schema, st.partitionColumns)
   }
 
   private def txnJson(appId: String, version: Long): String = {
@@ -523,6 +676,8 @@ object DeltaLog {
     var attempts = 0
     while (true) {
       attempts += 1
+      require(replay(spark, table, -1L).partitionColumns.isEmpty,
+        s"optimize on partitioned table $table unsupported (adds would drop partitionValues)")
       val (_, live, schema) = snapshot(spark, table)
       if (live.size <= targetFiles) return (live.size, live.size)
       val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -584,6 +739,9 @@ object DeltaLog {
   }
 
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    require(latestVersion(spark, table) < 0 ||
+        replay(spark, table, -1L).partitionColumns.isEmpty,
+      s"overwrite on partitioned table $table unsupported (adds would drop partitionValues)")
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")

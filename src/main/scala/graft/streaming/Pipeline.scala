@@ -600,6 +600,45 @@ object Pipeline {
       .orderBy("version")
   }
 
+  /** PARTITIONED Delta table in the public log format: two appends of
+    * the events fixture `partitionBy("event_type")` (Hive `col=value/`
+    * layout on disk, stringified `partitionValues` on every add
+    * action), then the purchase partition reads back through LOG-level
+    * partition pruning ([[DeltaLog.prunePartitionFiles]] shrinks the
+    * file list before any scan is planned — the way every real engine
+    * reads a 100 TB date-partitioned Delta table) and aggregates. The
+    * oracle recomputes the same aggregate from the fixture's purchase
+    * rows, so a pruning bug in either direction (a dropped live
+    * purchase file, or a leaked foreign-partition file) shifts
+    * n_rows/checksums. The partition column itself comes back from the
+    * log's partitionValues, protocol-literally — data files do not
+    * contain it (DeltaLogSpec proves the flat-layout foreign case). */
+  def pipeDeltaPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/deltap_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/events"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    DeltaLog.append(spark, tbl, ev.filter(col("event_id") % 2 === 0).repartition(2),
+      partitionBy = Seq("event_type"))
+    DeltaLog.append(spark, tbl, ev.filter(col("event_id") % 2 === 1).repartition(2),
+      partitionBy = Seq("event_type"))
+    val purchases = DeltaLog.readPartition(spark, tbl, Map("event_type" -> "purchase"))
+    purchases
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"event_id % $P")).as("key_check"),
+        sum(expr(s"cast(round(value * 100) as bigint) % $P")).as("value_check"))
+      .orderBy("event_type")
+  }
+
+  private val pipeDeltaPartitionSql: String =
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  sum(event_id % $P)::BIGINT AS key_check,
+       |  sum(round(value * 100)::BIGINT % $P)::BIGINT AS value_check
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val pipeDeltaLogSql: String =
     s"""SELECT 1::BIGINT AS version, count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
@@ -746,6 +785,7 @@ object Pipeline {
     "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
+    "pipe_delta_partition" -> (pipeDeltaPartition _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
     "pipe_delta_optimize" -> (pipeDeltaOptimize _),
     "op_synth_table" -> (opSynthTable _))
@@ -761,6 +801,7 @@ object Pipeline {
     "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
+    "pipe_delta_partition" -> pipeDeltaPartitionSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
     "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
     "op_synth_table" -> opSynthTableSql)

@@ -357,4 +357,64 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl, 1L).select("k").collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 2L)))
   }
+
+  test("partitioned append: Hive layout on disk, partitionValues in the log, pruning shrinks the file list") {
+    import spark.implicits._
+    val tbl = freshDir("part") + "/t"
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "c", 40L))
+      .toDF("k", "p", "x")
+    DeltaLog.append(spark, tbl, df, partitionBy = Seq("p"))
+    DeltaLog.append(spark, tbl, Seq((5L, "a", 50L), (6L, "b", 60L)).toDF("k", "p", "x"),
+      partitionBy = Seq("p"))
+
+    // disk layout is Hive-style and the log paths point into it
+    val (_, adds, schema) = DeltaLog.liveAdds(spark, tbl)
+    assert(schema.fieldNames.toSeq == Seq("k", "p", "x"))
+    assert(adds.forall { case (path, add) =>
+      val v = add.get("partitionValues").get("p").asText()
+      path.startsWith(s"p=$v/")
+    })
+    // full read reconstructs the partition column (values from the LOG)
+    assert(DeltaLog.read(spark, tbl).select("k", "p", "x").collect().toSet ==
+      (df.collect().toSet ++ Set(Row(5L, "a", 50L), Row(6L, "b", 60L))))
+    // pruning: only partition-a files survive, strictly fewer than live
+    val (kept, total) = DeltaLog.prunePartitionFiles(spark, tbl, Map("p" -> "a"))
+    assert(kept.nonEmpty && kept.size < total)
+    assert(kept.forall(_._1.startsWith("p=a/")))
+    assert(DeltaLog.readPartition(spark, tbl, Map("p" -> "a"))
+      .select("k").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L, 5L)))
+    // appends with a different partitioning must refuse
+    intercept[IllegalArgumentException] {
+      DeltaLog.append(spark, tbl, Seq((7L, "z", 70L)).toDF("k", "p", "x"))
+    }
+    // rewrites that would drop partitionValues must refuse
+    intercept[IllegalArgumentException] { DeltaLog.optimize(spark, tbl) }
+    intercept[IllegalArgumentException] {
+      DeltaLog.overwrite(spark, tbl, Seq((8L, "a", 80L)).toDF("k", "p", "x"))
+    }
+  }
+
+  test("foreign partitioned log with FLAT file layout: partition values come from the log, not paths") {
+    val tbl = freshDir("partforeign")
+    // data files at the table ROOT (no col=val dirs), no partition
+    // column inside the parquet — the protocol-literal read must build
+    // `v` from each add's partitionValues, including the null one
+    val s1 = writeParquetFile(tbl, "d1.parquet", Seq((1L, "x1"), (2L, "x2")))
+    val s2 = writeParquetFile(tbl, "d2.parquet", Seq((3L, "x3")))
+    val partSchemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"part\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    writeLogFile(tbl, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"99999999-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"$partSchemaString","partitionColumns":["part"],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"d1.parquet","partitionValues":{"part":"7"},"size":$s1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"d2.parquet","partitionValues":{"part":null},"size":$s2,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaLog.read(spark, tbl)
+      .select("k", "part").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // the string "7" cast to the schema's LONG; JSON null -> SQL NULL
+    assert(got == Map(1L -> Some(7L), 2L -> Some(7L), 3L -> None))
+  }
 }
