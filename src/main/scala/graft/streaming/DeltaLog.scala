@@ -413,9 +413,41 @@ object DeltaLog {
     * protocol + metaData actions. `statsCols` (integer columns) emit
     * per-file Delta `stats` on each add action for [[pruneFiles]] data
     * skipping. Returns the committed version. */
+  /** Schema-evolution gate for an append at `parent`: identical
+    * schemas emit nothing; with `mergeSchema`, a widened schema (every
+    * existing field present with its exact type, new fields appended
+    * NULLABLE — Delta's additive mergeSchema rule) emits the updated
+    * metaData action; anything else refuses. Old files keep their
+    * narrow physical schema — the parquet reader fills absent columns
+    * with nulls against the log schema, which is exactly how Delta
+    * reads pre-evolution files. */
+  private def evolveActions(existing: StructType, incoming: StructType,
+                            partitionBy: Seq[String], mergeSchema: Boolean): Seq[String] = {
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(existing) == shape(incoming)) Seq.empty
+    else {
+      val byName = incoming.fields.map(f => f.name -> f).toMap
+      val widened = existing.fields.forall(e =>
+        byName.get(e.name).exists(_.dataType == e.dataType))
+      val added = incoming.fields.filterNot(f => existing.fieldNames.contains(f.name))
+      require(mergeSchema,
+        s"append schema ${incoming.simpleString} != table schema ${existing.simpleString} " +
+          "(pass mergeSchema = true for additive evolution)")
+      require(widened,
+        s"mergeSchema only widens: every existing column keeps its type; " +
+          s"got ${incoming.simpleString} over ${existing.simpleString}")
+      // existing columns keep their log nullability; new columns are
+      // force-nullable (pre-evolution files don't contain them and
+      // must read as NULL)
+      val merged = StructType(existing.fields ++ added.map(_.copy(nullable = true)))
+      Seq(metaDataJson(merged, partitionBy))
+    }
+  }
+
   def append(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Seq.empty,
-             partitionBy: Seq[String] = Seq.empty): Long = {
+             partitionBy: Seq[String] = Seq.empty,
+             mergeSchema: Boolean = false): Long = {
     val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(scratch)
@@ -425,23 +457,25 @@ object DeltaLog {
     if (partitionBy.isEmpty) {
       val mine = adoptParts(spark, table, scratch)
       commit(spark, table, parent => {
-        if (parent >= 0) {
-          val existing = replay(spark, table, parent).partitionColumns
-          require(existing.isEmpty,
-            s"unpartitioned append into a table partitioned by $existing")
+        val evolve = if (parent < 0) Seq.empty else {
+          val st = replay(spark, table, parent)
+          require(st.partitionColumns.isEmpty,
+            s"unpartitioned append into a table partitioned by ${st.partitionColumns}")
+          evolveActions(st.schema, schema, Seq.empty, mergeSchema)
         }
-        (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else evolve) ++
           mine.map { case (path, size, srcName) => addJson(path, size, stats.get(srcName)) }
       })
     } else {
       val mine = adoptPartsHive(spark, table, scratch, partitionBy)
       commit(spark, table, parent => {
-        if (parent >= 0) {
-          val existing = replay(spark, table, parent).partitionColumns
-          require(existing == partitionBy,
-            s"append partitioned by $partitionBy into a table partitioned by $existing")
+        val evolve = if (parent < 0) Seq.empty else {
+          val st = replay(spark, table, parent)
+          require(st.partitionColumns == partitionBy,
+            s"append partitioned by $partitionBy into a table partitioned by ${st.partitionColumns}")
+          evolveActions(st.schema, schema, partitionBy, mergeSchema)
         }
-        (if (parent < 0) Seq(protocolJson, metaDataJson(schema, partitionBy)) else Seq.empty) ++
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema, partitionBy)) else evolve) ++
           mine.map { case (path, size, vals, srcName) =>
             addJson(path, size, stats.get(srcName), partitionValues = vals) }
       })

@@ -632,6 +632,46 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Delta SCHEMA EVOLUTION (mergeSchema): v0 appends orders WITHOUT
+    * `priority_class`; v1 appends the other half WITH it (additive
+    * widening — the log's metaData updates in the same commit, Delta's
+    * mergeSchema rule). The latest-schema read then serves BOTH file
+    * generations: pre-evolution files surface NULL for the new column
+    * (the parquet reader fills absent columns against the log schema —
+    * no rewrite of old data, which is the property that matters when
+    * the old data is 100 TB). The oracle recomputes the same split from
+    * the fixture, so a dropped legacy row, a misfilled NULL, or a
+    * failed metaData update all shift the checksums. */
+  def pipeDeltaEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/deltaev_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    DeltaLog.append(spark, tbl,
+      ord.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"), col("o_totalprice")))
+    DeltaLog.append(spark, tbl,
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).as("priority_class")),
+      mergeSchema = true)
+    DeltaLog.read(spark, tbl)
+      .groupBy(coalesce(col("priority_class"), lit("legacy")).as("priority_class"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .orderBy("priority_class")
+  }
+
+  private val pipeDeltaEvolveSql: String =
+    s"""SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
+       |                     THEN substr(o_orderpriority, 1, 1) END,
+       |                'legacy') AS priority_class,
+       |  count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders
+       |GROUP BY priority_class ORDER BY priority_class""".stripMargin
+
   private val pipeDeltaPartitionSql: String =
     s"""SELECT event_type, count(*) AS n_rows,
        |  sum(event_id % $P)::BIGINT AS key_check,
@@ -786,6 +826,7 @@ object Pipeline {
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
     "pipe_delta_partition" -> (pipeDeltaPartition _),
+    "pipe_delta_evolve" -> (pipeDeltaEvolve _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
     "pipe_delta_optimize" -> (pipeDeltaOptimize _),
     "op_synth_table" -> (opSynthTable _))
@@ -802,6 +843,7 @@ object Pipeline {
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
     "pipe_delta_partition" -> pipeDeltaPartitionSql,
+    "pipe_delta_evolve" -> pipeDeltaEvolveSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
     "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
     "op_synth_table" -> opSynthTableSql)

@@ -394,6 +394,31 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: additive mergeSchema widens the log schema, old files read NULL; narrowing refuses") {
+    import spark.implicits._
+    val tbl = freshDir("evolve") + "/t"
+    DeltaLog.append(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // same shape (different nullability is not evolution) commits quietly
+    DeltaLog.append(spark, tbl, Seq((3L, "c")).toDF("k", "v"))
+    // a widened append without the flag must refuse...
+    intercept[IllegalArgumentException] {
+      DeltaLog.append(spark, tbl, Seq((4L, "d", 40L)).toDF("k", "v", "x"))
+    }
+    // ...and with it, the log schema updates and old files read NULL x
+    DeltaLog.append(spark, tbl, Seq((4L, "d", 40L)).toDF("k", "v", "x"), mergeSchema = true)
+    val got = DeltaLog.read(spark, tbl).select("k", "x").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some(40L)))
+    assert(DeltaLog.liveAdds(spark, tbl)._3.fieldNames.toSeq == Seq("k", "v", "x"))
+    // dropping or retyping an existing column is never mergeable
+    intercept[IllegalArgumentException] {
+      DeltaLog.append(spark, tbl, Seq(("5", "e", 50L)).toDF("k", "v", "x"), mergeSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.append(spark, tbl, Seq((6L, 60L)).toDF("k", "x"), mergeSchema = true)
+    }
+  }
+
   test("foreign partitioned log with FLAT file layout: partition values come from the log, not paths") {
     val tbl = freshDir("partforeign")
     // data files at the table ROOT (no col=val dirs), no partition
