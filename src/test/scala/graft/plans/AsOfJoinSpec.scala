@@ -52,11 +52,29 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("tolerance nulls out matches older than the lookback") {
     val tol = 60L * 60 * 1000000
     val got = resultMap(Events.opAsofNativeTol(spark, sf))
-    val want = eventsBrute(Some(tol))
-    assert(got === want)
-    // the bound must actually bite on this fixture, or the test is vacuous
+    assert(got === eventsBrute(Some(tol)))
+    // the bound must actually bite, or the test is vacuous. The fixture
+    // is regenerated per round, so the 1h production tolerance may stop
+    // excluding anything; derive a tolerance from the fixture's own gap
+    // distribution (half the widest matched gap) and re-check with it.
     val unbounded = eventsBrute(None)
-    assert(want.count { case (k, v) => v.isEmpty && unbounded(k).nonEmpty } > 0)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"ts".as("v_ts"))
+    val purchaseUs = purchases.select($"event_id", unix_micros($"ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxGap = unbounded.collect { case (id, Some(vUs)) => purchaseUs(id) - vUs }.max
+    assert(maxGap > 0)
+    val bitingTol = maxGap / 2
+    val gotBiting = resultMap(
+      AsOfJoin.join(purchases, views, Seq("user_id"), Seq("v_user_id"),
+          "ts", "v_ts", toleranceUs = Some(bitingTol))
+        .select($"event_id", $"user_id", $"ts", $"v_ts".as("asof_view_ts")))
+    val wantBiting = eventsBrute(Some(bitingTol))
+    assert(gotBiting === wantBiting)
+    assert(wantBiting.count { case (k, v) => v.isEmpty && unbounded(k).nonEmpty } > 0)
   }
 
   test("plan: AsOfJoinExec with exactly two shuffles, left ordering preserved") {
