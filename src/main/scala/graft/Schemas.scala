@@ -71,11 +71,27 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is written as parquet TIMESTAMP(NANOS), which Spark's µs
-    * TimestampType cannot read directly; it is read as raw INT64 nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and floor-divided to µs in
-    * [[graft.sources.Tables.events]] — the same truncation DuckDB applies
-    * when casting ns→µs, keeping oracle values identical. */
+  /** Events with `ts` as Spark's native µs TimestampType — the shape every
+    * operator consumes. Fixture generations have shipped `ts` as BOTH
+    * parquet TIMESTAMP(MICROS) and TIMESTAMP(NANOS); [[graft.sources.Tables.events]]
+    * probes the parquet footer's logical type (metadata-only) and picks the
+    * matching read path, refusing loudly on anything else — the reference
+    * gets unit-agnosticism for free from pyarrow (reference
+    * pipeline/preprocess.py:38), so we must NOT hard-code one unit. */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Legacy-unit twin of [[events]]: a TIMESTAMP(NANOS) (or raw INT64
+    * nanos) `ts` cannot be read as Spark's µs TimestampType directly; it is
+    * read as raw INT64 (spark.sql.legacy.parquet.nanosAsLong) and
+    * floor-divided to µs in [[graft.sources.Tables.events]] — the same
+    * truncation DuckDB applies casting ns→µs, keeping oracle values
+    * identical. Selected by the footer probe, never assumed. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -123,6 +139,6 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 }

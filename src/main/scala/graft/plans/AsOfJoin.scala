@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeSeq, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -98,8 +98,20 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Exact-hash requirement, NOT `ClusteredDistribution`: `doExecute`
+    * pairs child partitions positionally via `zipPartitions`, which is
+    * only sound when partition i on both sides covers the same key space.
+    * `ClusteredDistribution` is the weakest clustering contract — a child
+    * already hash-partitioned on a key SUBSET (or with a different
+    * partition count) satisfies it, and the zip would then silently pair
+    * rows from different key spaces. `StatefulOpClusteredDistribution` is
+    * Spark's contract for exactly this shape (its zip-style stateful
+    * joins): it is satisfied only by `HashPartitioning` over the FULL key
+    * list, in order, with the exact partition count — same scheme both
+    * sides — so any other incoming layout forces a correct re-exchange. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    StatefulOpClusteredDistribution(leftKeys, conf.numShufflePartitions) ::
+      StatefulOpClusteredDistribution(rightKeys, conf.numShufflePartitions) :: Nil
 
   private def ordering(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
     keys.map(SortOrder(_, Ascending)) :+ SortOrder(time, Ascending)

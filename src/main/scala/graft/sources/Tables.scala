@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 import graft.Schemas
 
@@ -20,7 +21,10 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   /** Load one fixture table. Schema is asserted (not inferred) so a
-    * drifting fixture fails loudly instead of silently changing types. */
+    * drifting fixture fails loudly instead of silently changing types.
+    * (Timestamp UNIT drift is the one class assertion can't catch — an
+    * INT64-backed timestamp column reads as an asserted LongType without
+    * complaint — so [[events]] probes the parquet footer instead.) */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(Schemas.byName(name)).parquet(path(sfDir, name))
 
@@ -31,38 +35,81 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos and
-    * floor-truncate to µs TimestampType (matches DuckDB's ns→µs cast). */
+  /** events.ts unit handling. Fixture generations have shipped `ts` as
+    * parquet TIMESTAMP(MICROS) (pandas/pyarrow/Spark default) AND
+    * TIMESTAMP(NANOS)/raw-INT64-nanos (polars, older generations), so the
+    * unit is probed from the parquet footer — a driver-side metadata read
+    * (`spark.read.parquet(...).schema` reads footers only, no row data) —
+    * instead of assumed. Silently mis-reading the other unit compresses or
+    * inflates every event time 1000×, which a LongType schema assertion
+    * does NOT catch (an INT64-backed timestamp column reads as LongType
+    * without complaint); this probe is the loud-failure tripwire that
+    * assertion promised. The reference is unit-agnostic for free via
+    * pyarrow (reference pipeline/preprocess.py:38).
+    *
+    * Probe result per distinct path is cached: one footer read per JVM. */
+  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  private def probeEventsTsType(spark: SparkSession, p: String): DataType =
+    tsTypeCache.computeIfAbsent(p, _ => {
+      val field = spark.read.parquet(p).schema.find(_.name == "ts").getOrElse(
+        throw new IllegalArgumentException(s"events fixture at $p has no `ts` column"))
+      field.dataType match {
+        case TimestampType | TimestampNTZType | LongType => field.dataType
+        case other => throw new IllegalArgumentException(
+          s"events.ts at $p has unsupported type $other: expected parquet " +
+            "TIMESTAMP(MICROS/MILLIS) (reads as TimestampType/NTZ) or " +
+            "TIMESTAMP(NANOS)/INT64 nanos (reads as LongType under " +
+            "nanosAsLong); refusing to guess a unit")
+      }
+    })
+
+  /** Raw ns → µs TimestampType. Integer `div`, not `/`: ns epoch values
+    * (~1.7e18) exceed double's 2^53 integer range, so float division would
+    * corrupt low bits. `div` truncates toward zero, which equals DuckDB's
+    * ns→µs cast for the post-1970 fixture epochs; pre-epoch (negative)
+    * values would need floor-division in both engines. */
+  private def nanosToTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Harness sessions (Verify/Bench/tests) set this at build time; the
     // runtime set here covers caller-owned sessions. It only changes how
-    // TIMESTAMP(NANOS) parquet columns read — no fixture has others.
+    // TIMESTAMP(NANOS) parquet columns read (as LongType instead of error).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer `div`, not `/`: ns epoch values (~1.7e18) exceed double's
-    // 2^53 integer range, so float division would corrupt low bits.
-    // `div` truncates toward zero, which equals DuckDB's ns→µs cast for
-    // the post-1970 fixture epochs; pre-epoch (negative) values would
-    // need floor-division in both engines.
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = path(sfDir, "events")
+    probeEventsTsType(spark, p) match {
+      // µs/ms logical type: read natively. The schema assertion uses
+      // TimestampType even over isAdjustedToUTC=false files — with the
+      // engine-wide UTC session timezone the stored micros are identical,
+      // and every downstream op + the Verify output stay one type.
+      case TimestampType | TimestampNTZType =>
+        spark.read.schema(Schemas.events).parquet(p)
+      case _ => nanosToTs(spark.read.schema(Schemas.eventsRaw).parquet(p))
+    }
   }
+
   /** Streaming twin of [[events]]: the same fixture read through the
-    * Structured Streaming file source (schema-asserted parquet scan +
-    * the identical ns→µs conversion), for the T6 streaming window ops in
+    * Structured Streaming file source (schema-asserted parquet scan, same
+    * footer-probed unit branch), for the T6 streaming window ops in
     * [[graft.streaming.StreamingOps]]. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     // The fixture is a single parquet FILE; FileStreamSource derives its
     // basePath from the input path and requires a directory — a literal
     // file path fails ("Option 'basePath' must be a directory"). A glob
     // that matches only this file makes the source treat the parent dir
     // as base, which is also the shape a real deployment uses
-    // (dir/*.parquet over an arriving-file directory).
-    spark.readStream.schema(Schemas.eventsRaw)
-      .parquet(s"$sfDir/events.parqu[e]t")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // (dir/*.parquet over an arriving-file directory). The unit probe
+    // runs on the resolved batch path (same footers).
+    val glob = s"$sfDir/events.parqu[e]t"
+    probeEventsTsType(spark, path(sfDir, "events")) match {
+      case TimestampType | TimestampNTZType =>
+        spark.readStream.schema(Schemas.events).parquet(glob)
+      case _ => nanosToTs(spark.readStream.schema(Schemas.eventsRaw).parquet(glob))
+    }
   }
 
   /** Streaming twin of [[documents]] (same single-file glob trick as

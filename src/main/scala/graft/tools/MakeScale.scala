@@ -106,7 +106,11 @@ object MakeScale {
       remap("s_suppkey", skS), col("s_name"), col("s_nationkey"),
       col("s_acctbal")), dst, "supplier", 4)
 
-    val ev = read(spark, src, "events")
+    // events goes through the unit-probing loader (the source fixture's ts
+    // may be µs- or ns-encoded); the scaled copy is always written as
+    // Spark's native TimestampType → parquet TIMESTAMP(MICROS), so scaled
+    // fixtures are uniformly µs regardless of the source generation.
+    val ev = graft.sources.Tables.events(spark, src)
     val evS = stride(ev, "event_id")
     val usS = stride(ev, "user_id")
     write(withCopies(spark, ev, copies).select(

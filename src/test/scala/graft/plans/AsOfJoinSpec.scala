@@ -65,7 +65,9 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select($"user_id".as("v_user_id"), $"ts".as("v_ts"))
     val purchaseUs = purchases.select($"event_id", unix_micros($"ts"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val maxGap = unbounded.collect { case (id, Some(vUs)) => purchaseUs(id) - vUs }.max
+    val gaps = unbounded.collect { case (id, Some(vUs)) => purchaseUs(id) - vUs }
+    assert(gaps.nonEmpty, "fixture has no purchase with an unbounded as-of match")
+    val maxGap = gaps.max
     assert(maxGap > 0)
     val bitingTol = maxGap / 2
     val gotBiting = resultMap(
@@ -123,6 +125,34 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows === Seq(
       Seq(1L, 5L, 10L, 1L, 5L, 10L),  // t=10: greatest right t<=10 is itself
       Seq(2L, 5L, 20L, 2L, 5L, 20L)))
+  }
+
+  test("pre-partitioned inputs (subset key / other key / other counts) re-exchange to the exact hash layout") {
+    // zipPartitions pairing is only sound under identical hash layouts.
+    // ClusteredDistribution would let a child already partitioned on a key
+    // SUBSET (or another column, or another count) pass through unshuffled
+    // and silently pair rows from different key spaces; the exec's
+    // StatefulOpClusteredDistribution must instead force a re-exchange.
+    // rt is globally unique so the expected payload is deterministic.
+    val leftRows = (1 to 200).map(i => (i.toLong, (i % 7).toLong, (i % 3).toLong, (i * 10).toLong))
+    val rightRows = (1 to 300).map(j => ((j % 7).toLong, (j % 3).toLong, j * 10L - 5L, j.toLong))
+    val expected = leftRows.map { case (id, k1, k2, t) =>
+      val cands = rightRows.filter { case (rk1, rk2, rt, _) => rk1 == k1 && rk2 == k2 && rt <= t }
+      id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._3)._4))
+    }.toMap
+    val left = leftRows.toDF("id", "k1", "k2", "t")
+    val right = rightRows.toDF("rk1", "rk2", "rt", "payload")
+    def run(l: DataFrame, r: DataFrame): Map[Long, Option[Long]] =
+      AsOfJoin.join(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt")
+        .select($"id", $"payload").collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(run(left, right) === expected, "cold inputs")
+    assert(run(left.repartition(3, $"k1"), right) === expected,
+      "left pre-partitioned on a key subset")
+    assert(run(left.repartition(5, $"t"), right.repartition(7, $"rk1", $"rk2")) === expected,
+      "left on a non-key column, right on full keys with another count")
+    assert(run(left.repartition(2, $"k1", $"k2"), right.repartition(9, $"rk2", $"rk1")) === expected,
+      "both on full keys but mismatched order/counts")
   }
 
   test("timestamp time columns work; strategy registration is idempotent") {

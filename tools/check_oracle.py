@@ -39,10 +39,10 @@ def main():
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         cols = "*"
         if t == "events":
-            # testdata stores ts as parquet timestamp[ns]; Spark-written
-            # scale fixtures store the same nanos as raw INT64 (Spark has
-            # no ns timestamp writer; its reads treat both identically via
-            # nanosAsLong) — normalize the duckdb view to timestamp[ns]
+            # ts unit varies by fixture generation (mirrors the engine's
+            # footer probe in Tables.events): timestamp[us] reads natively;
+            # timestamp[ns] truncates to us; raw INT64 is nanos (legacy
+            # Spark-written scale fixtures) -> make_timestamp(us).
             (ts_type,) = [r[1] for r in con.sql(
                 f"DESCRIBE SELECT ts FROM '{src}'").fetchall()]
             if ts_type == "BIGINT":
@@ -51,6 +51,10 @@ def main():
                 # funnels ts through epoch_us/date_trunc, so us precision
                 # is lossless for the compare
                 cols = ("event_id, make_timestamp(ts // 1000) AS ts, user_id, "
+                        "event_type, value, props")
+            elif ts_type == "TIMESTAMP_NS":
+                # duckdb's ns->us cast truncates like the engine's `div`
+                cols = ("event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
                         "event_type, value, props")
         con.sql(f"CREATE VIEW {t} AS SELECT {cols} FROM '{src}'")
     n_pass = n_fail = 0
