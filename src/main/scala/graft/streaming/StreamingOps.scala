@@ -46,13 +46,23 @@ object StreamingOps {
 
   /** Run `body` (which must START its streaming query inside — the
     * partition count is captured into the query's offset log at start)
-    * with [[StreamPartitions]] shuffle partitions, restoring after. */
-  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StreamPartitions.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+    * with [[StreamPartitions]] shuffle partitions, restoring after.
+    *
+    * The conf key is session-global and Spark offers no per-query
+    * override (state-store count is fixed from this key at query start),
+    * so the save/set/restore is serialized under a lock: overlapping
+    * drains would otherwise race the restore and leak the lowered count
+    * into the caller's session. Batch work on the same session during a
+    * drain still observes the lowered value — callers that interleave
+    * batch jobs with drains should use a sibling session (`newSession`). */
+  private val confLock = new Object
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T =
+    confLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, StreamPartitions.toString)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Run a streaming aggregation to the memory sink with AvailableNow,
     * block until drained, and return the collected table. */
