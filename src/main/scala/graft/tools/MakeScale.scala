@@ -42,6 +42,10 @@ object MakeScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scaled timestamps write as TIMESTAMP(MICROS), not the legacy INT96
+      // default, so downstream footer probes (Tables.events) and external
+      // readers see the same logical type the shipped fixtures use
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,7 +67,16 @@ object MakeScale {
     df.crossJoin(spark.range(copies).select(col("id").as("__k")))
 
   private def write(df: DataFrame, dst: String, name: String, files: Int): Unit = {
-    df.drop("__k").repartition(files)
+    // timestamps write NAIVE µs (timestamp_ntz -> isAdjustedToUTC=false),
+    // byte-matching the shipped pyarrow fixtures' logical type: DuckDB then
+    // reads the scaled fixture tz-naive exactly like /root/testdata, so
+    // oracle outputs keep the dtype Verify's NTZ-cast outputs compare
+    // against. (Values are identical under the engine-wide UTC session TZ.)
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name }
+    val ntz = tsCols.foldLeft(df.drop("__k"))(
+      (d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+    ntz.repartition(files)
       .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     // scalastyle:off println
     println(s"[scale] wrote $name")
