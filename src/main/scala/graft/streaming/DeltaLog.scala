@@ -78,7 +78,7 @@ object DeltaLog {
         .dropRight(".checkpoint.parquet".length).toLong)
       .sorted
 
-  private def readCommit(spark: SparkSession, table: String, v: Long): Seq[String] = {
+  private[streaming] def readCommit(spark: SparkSession, table: String, v: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"${logDir(table)}/${versionName(v)}")
     val fs = p.getFileSystem(Fs.conf(spark))
     if (!fs.exists(p))
@@ -205,6 +205,13 @@ object DeltaLog {
     if (latestVersion(spark, table) < 0) return -1L
     replay(spark, table, -1L).txns.getOrElse(appId, -1L)
   }
+
+  /** Log-declared partition columns at a version (empty when
+    * unpartitioned) — for readers that rebuild partition values from
+    * add actions ([[readPartitioned]], the streaming tail). */
+  private[streaming] def partitionColumnsAt(spark: SparkSession, table: String,
+                                            upTo: Long = -1L): Seq[String] =
+    replay(spark, table, upTo).partitionColumns
 
   /** Read the table at `version` (latest when negative) — exactly the
     * replayed live file set, with the log's own schema (an empty live
@@ -507,7 +514,7 @@ object DeltaLog {
     * Hive-style reader plans); at scale, reads go through
     * [[prunePartitionFiles]]/[[readPartition]] first so only the
     * queried partitions' scans exist at all. */
-  private def readPartitioned(spark: SparkSession, table: String,
+  private[streaming] def readPartitioned(spark: SparkSession, table: String,
                               adds: Seq[(String, com.fasterxml.jackson.databind.JsonNode)],
                               schema: StructType, partCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.lit

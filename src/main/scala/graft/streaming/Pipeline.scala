@@ -679,6 +679,56 @@ object Pipeline {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** STREAMING DELTA TAIL ([[DeltaStreamSource]]): two commits land
+    * BEFORE the stream exists, one AvailableNow drain delivers them as
+    * the initial snapshot; a third commit lands while the query is DOWN,
+    * a second drain from the same checkpoint delivers ONLY that version.
+    * The file sink appends, so any duplicate delivery (a re-emitted
+    * snapshot, a replayed version) doubles `n_rows` while
+    * `n_distinct_keys` stays fixed — the aggregate IS the exactly-once
+    * proof, and the oracle recomputes it from the fixture: streamed
+    * union ≡ the full orders relation. At scale each drain plans one
+    * multi-file scan over just the new files; the log replay per
+    * trigger is metadata-sized (checkpoint-bounded). */
+  def pipeDeltaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/dstream_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", tbl)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // initial snapshot: the two pre-stream commits
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 2).repartition(2))
+    drain() // tail from the checkpoint: ONLY version 2's files
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct_keys"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+  }
+
+  private val pipeDeltaStreamSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  count(DISTINCT o_orderkey) AS n_distinct_keys,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders""".stripMargin
+
   private val pipeDeltaLogSql: String =
     s"""SELECT 1::BIGINT AS version, count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
@@ -829,6 +879,7 @@ object Pipeline {
     "pipe_delta_evolve" -> (pipeDeltaEvolve _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
     "pipe_delta_optimize" -> (pipeDeltaOptimize _),
+    "pipe_delta_stream" -> (pipeDeltaStream _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -846,5 +897,6 @@ object Pipeline {
     "pipe_delta_evolve" -> pipeDeltaEvolveSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
     "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
+    "pipe_delta_stream" -> pipeDeltaStreamSql,
     "op_synth_table" -> opSynthTableSql)
 }

@@ -63,3 +63,32 @@ object FunctionBridge {
       graft.plans.CmsAgg(args.head).toAggregateExpression(), "scala_udf")
   }
 }
+
+/** Streaming-plan access for the custom V1 streaming source
+  * ([[graft.streaming.DeltaStream]]): `Source.getBatch` must return a
+  * DataFrame whose leaves are marked `isStreaming = true` (the contract
+  * Spark's own FileStreamSource satisfies via an isStreaming
+  * LogicalRelation) — a plain batch read fails MicroBatchExecution's
+  * streaming-plan check. Same supported extension pattern as above. */
+object StreamBridge {
+  import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  /** Re-root `df`'s relation leaves as streaming leaves. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    val plan = classic.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    ClassicDataset.ofRows(classic.sparkSession, plan)
+  }
+
+  /** Empty streaming-marked frame (the no-new-files micro-batch). */
+  def emptyStreaming(spark: org.apache.spark.sql.SparkSession,
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    classic.internalCreateDataFrame(
+      classic.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema,
+      isStreaming = true)
+  }
+}
