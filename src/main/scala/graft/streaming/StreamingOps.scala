@@ -134,6 +134,40 @@ object StreamingOps {
   private val opStreamDedupSql: String =
     """SELECT doc_id, md5(text) AS content_key FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`:
+    * the form a 100 TB deployment actually runs. Plain `dropDuplicates`
+    * ([[opStreamDedup]]) keys state forever (state grows with every key
+    * ever seen — fine for a bounded fixture, fatal for an unbounded
+    * stream); the watermarked form expires a key's state once the event
+    * time watermark passes it, so state is bounded by keys-per-watermark-
+    * window while still guaranteeing no duplicate emission for events
+    * within the delay of each other. Emission is immediate (append mode,
+    * first-seen wins), so one AvailableNow drain emits exactly the
+    * distinct key set — the same relation the batch oracle computes. The
+    * re-emission-after-expiry semantics (invisible at one batch) are
+    * pinned by the MemoryStream spec. */
+  def opStreamDedupWm(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = Tables.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    spark.catalog.dropTempView("graft_stream_dedup_wm")
+    withStreamPartitions(spark) {
+      val q = dedup.writeStream
+        .format("memory").queryName("graft_stream_dedup_wm")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_dedup_wm").orderBy("user_id", "event_type")
+  }
+
+  private val opStreamDedupWmSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Event row for the arbitrary-stateful path (fixed-point cents so the
     * per-group fold is order-insensitive and exact). */
   case class UserEvent(user_id: Long, cents: Long)
@@ -514,7 +548,8 @@ object StreamingOps {
     "op_stream_tumbling" -> (opStreamTumbling _),
     "op_stream_sliding" -> (opStreamSliding _),
     "op_stream_session" -> (opStreamSession _),
-    "op_stream_dedup" -> (opStreamDedup _))
+    "op_stream_dedup" -> (opStreamDedup _),
+    "op_stream_dedup_wm" -> (opStreamDedupWm _))
 
   val oracles: Map[String, String] = Map(
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
@@ -527,7 +562,8 @@ object StreamingOps {
     "op_stream_tumbling" -> Events.oracles("op_events_tumbling"),
     "op_stream_sliding" -> Events.oracles("op_events_sliding"),
     "op_stream_session" -> opStreamSessionSql,
-    "op_stream_dedup" -> opStreamDedupSql)
+    "op_stream_dedup" -> opStreamDedupSql,
+    "op_stream_dedup_wm" -> opStreamDedupWmSql)
 
   private lazy val opStreamSessionSql: String =
     s"""WITH marked AS (
