@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamBridge
@@ -44,7 +45,8 @@ import org.apache.spark.sql.types.StructType
 class DeltaStreamSource(
     spark: SparkSession,
     table: String,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source with SupportsTriggerAvailableNow {
 
   import DeltaStreamSource.M
 
@@ -55,10 +57,51 @@ class DeltaStreamSource(
     if (v < 0) None else Some(LongOffset(v))
   }
 
-  private def ver(o: V1Offset): Long = o match {
+  /** ADMISSION CONTROL — `maxVersionsPerTrigger`: a table with a deep
+    * backlog (or a brand-new stream over 100 TB of history) must not
+    * become one giant first batch. With the limit set, each micro-batch
+    * advances at most N versions; the very first batch is then the
+    * snapshot at version `min(latest, N-1)` and the backlog drains as a
+    * sequence of bounded batches (AvailableNow included — the engine's
+    * wrapper keeps triggering until the prepared target is reached).
+    * Versions, not files, are the granule because the offset is the
+    * version: the cap composes with restart/exactly-once for free. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Fixed at AvailableNow start (`prepareForTriggerAvailableNow`): the
+    * drain's target. Implementing `SupportsTriggerAvailableNow` OURSELVES
+    * (instead of the engine's generic wrapper) is what makes the rate
+    * limit effective under AvailableNow — the generic wrapper cannot
+    * split arbitrary offsets and jumps to the prepared end in one batch;
+    * a version offset splits exactly. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(DeltaLog.latestVersion(spark, table))
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val latest = availableNowTarget.getOrElse(DeltaLog.latestVersion(spark, table))
+    if (latest < 0) return null
+    val startV = Option(start).map(verAny).getOrElse(-1L)
+    val end = limit match {
+      case f: ReadMaxFiles => math.min(latest, startV + f.maxFiles())
+      case _ => latest
+    }
+    if (end <= startV) start else LongOffset(end)
+  }
+
+  override def reportLatestOffset(): V2Offset = {
+    val v = DeltaLog.latestVersion(spark, table)
+    if (v < 0) null else LongOffset(v)
+  }
+
+  private def verAny(o: V2Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
+
+  private def ver(o: V1Offset): Long = verAny(o)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = ver(end)
@@ -128,5 +171,6 @@ class DeltaStreamProvider extends StreamSourceProvider {
       ctx: SQLContext, metadataPath: String, userSchema: Option[StructType],
       providerName: String, params: Map[String, String]): Source =
     new DeltaStreamSource(ctx.sparkSession, table(params),
-      ignoreChanges = params.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = params.get("ignoreChanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = params.get("maxVersionsPerTrigger").map(_.toInt))
 }

@@ -97,6 +97,28 @@ class DeltaStreamSpec extends SparkSpec {
     assert(keys(out2) == Seq(9L), "fresh stream sees the post-overwrite snapshot")
   }
 
+  test("maxVersionsPerTrigger bounds each batch; the backlog drains in multiple exact batches") {
+    val base = freshDir("rate")
+    val tbl = s"$base/t"
+    for (i <- 1L to 5L) DeltaLog.append(spark, tbl, df(i -> s"v$i").repartition(1))
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val src = spark.readStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", tbl)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+    val q = src.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(keys(out) == Seq(1L, 2L, 3L, 4L, 5L), "rate limiting must not drop or dup rows")
+    // 5 versions at <=2 per trigger: at least 3 data batches ran
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected a split backlog, got $dataBatches data batches")
+  }
+
   test("partitioned table: tail rebuilds the partition column from the log") {
     val base = freshDir("part")
     val tbl = s"$base/t"
