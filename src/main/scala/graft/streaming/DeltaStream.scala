@@ -46,7 +46,8 @@ class DeltaStreamSource(
     spark: SparkSession,
     table: String,
     ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source with SupportsTriggerAvailableNow {
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Long] = None) extends Source with SupportsTriggerAvailableNow {
 
   import DeltaStreamSource.M
 
@@ -83,7 +84,8 @@ class DeltaStreamSource(
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val latest = availableNowTarget.getOrElse(DeltaLog.latestVersion(spark, table))
     if (latest < 0) return null
-    val startV = Option(start).map(verAny).getOrElse(-1L)
+    val startV = Option(start).map(verAny)
+      .orElse(startingVersion.map(_ - 1)).getOrElse(-1L)
     val end = limit match {
       case f: ReadMaxFiles => math.min(latest, startV + f.maxFiles())
       case _ => latest
@@ -106,39 +108,47 @@ class DeltaStreamSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = ver(end)
     start match {
-      case None =>
+      case None if startingVersion.isEmpty =>
         // initial snapshot: the replayed live set at endV
         StreamBridge.asStreaming(DeltaLog.read(spark, table, endV))
-      case Some(s) =>
-        val startV = ver(s)
-        val adds = Seq.newBuilder[(String, com.fasterxml.jackson.databind.JsonNode)]
-        for (v <- (startV + 1) to endV; line <- DeltaLog.readCommit(spark, table, v)) {
-          val n = M.readTree(line)
-          if (n.has("add")) {
-            val a = n.get("add")
-            if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
-              adds += a.get("path").asText() -> a
-          }
-          if (n.has("remove") && n.get("remove").path("dataChange").asBoolean(true) &&
-              !ignoreChanges)
-            throw new IllegalStateException(
-              s"version ${v} of $table removes data (overwrite/delete); a streaming " +
-                "tail cannot represent that as an append — set ignoreChanges=true " +
-                "to stream the rewritten files anyway")
-        }
-        val files = adds.result()
-        // schema/partition layout at endV (additive evolution is safe:
-        // new files carry the new schema, the scan asserts it)
-        val tailSchema = DeltaLog.snapshot(spark, table, endV)._3
-        val partCols = DeltaLog.partitionColumnsAt(spark, table, endV)
-        if (files.isEmpty) StreamBridge.emptyStreaming(spark, tailSchema)
-        else if (partCols.isEmpty)
-          StreamBridge.asStreaming(
-            spark.read.schema(tailSchema).parquet(files.map(f => s"$table/${f._1}"): _*))
-        else
-          StreamBridge.asStreaming(
-            DeltaLog.readPartitioned(spark, table, files, tailSchema, partCols))
+      case None =>
+        // startingVersion: no snapshot — tail from that version on (the
+        // public Delta source's time-travel streaming option; rows in
+        // later-removed files stream as they were appended, append-only)
+        tailBatch(startingVersion.get - 1, endV)
+      case Some(s) => tailBatch(ver(s), endV)
     }
+  }
+
+  /** Add-actions of versions (startV, endV] as one multi-file scan. */
+  private def tailBatch(startV: Long, endV: Long): DataFrame = {
+    val adds = Seq.newBuilder[(String, com.fasterxml.jackson.databind.JsonNode)]
+    for (v <- (startV + 1) to endV; line <- DeltaLog.readCommit(spark, table, v)) {
+      val n = M.readTree(line)
+      if (n.has("add")) {
+        val a = n.get("add")
+        if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+          adds += a.get("path").asText() -> a
+      }
+      if (n.has("remove") && n.get("remove").path("dataChange").asBoolean(true) &&
+          !ignoreChanges)
+        throw new IllegalStateException(
+          s"version ${v} of $table removes data (overwrite/delete); a streaming " +
+            "tail cannot represent that as an append — set ignoreChanges=true " +
+            "to stream the rewritten files anyway")
+    }
+    val files = adds.result()
+    // schema/partition layout at endV (additive evolution is safe:
+    // new files carry the new schema, the scan asserts it)
+    val tailSchema = DeltaLog.snapshot(spark, table, endV)._3
+    val partCols = DeltaLog.partitionColumnsAt(spark, table, endV)
+    if (files.isEmpty) StreamBridge.emptyStreaming(spark, tailSchema)
+    else if (partCols.isEmpty)
+      StreamBridge.asStreaming(
+        spark.read.schema(tailSchema).parquet(files.map(f => s"$table/${f._1}"): _*))
+    else
+      StreamBridge.asStreaming(
+        DeltaLog.readPartitioned(spark, table, files, tailSchema, partCols))
   }
 
   override def commit(end: V1Offset): Unit = ()
@@ -172,5 +182,6 @@ class DeltaStreamProvider extends StreamSourceProvider {
       providerName: String, params: Map[String, String]): Source =
     new DeltaStreamSource(ctx.sparkSession, table(params),
       ignoreChanges = params.get("ignoreChanges").exists(_.toBoolean),
-      maxVersionsPerTrigger = params.get("maxVersionsPerTrigger").map(_.toInt))
+      maxVersionsPerTrigger = params.get("maxVersionsPerTrigger").map(_.toInt),
+      startingVersion = params.get("startingVersion").map(_.toLong))
 }

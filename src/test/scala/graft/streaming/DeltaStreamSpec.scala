@@ -119,6 +119,21 @@ class DeltaStreamSpec extends SparkSpec {
     assert(dataBatches >= 3, s"expected a split backlog, got $dataBatches data batches")
   }
 
+  test("startingVersion tails from that version with no initial snapshot") {
+    val base = freshDir("sv")
+    val tbl = s"$base/t"
+    for (i <- 1L to 4L) DeltaLog.append(spark, tbl, df(i -> s"v$i").repartition(1))
+    // versions are 0-based: commits above are versions 0..3
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    drain(tbl, out, ckpt, Map("startingVersion" -> "2"))
+    assert(keys(out) == Seq(3L, 4L),
+      "only versions >= startingVersion stream; earlier history is skipped")
+    // the tail continues normally from the checkpoint
+    DeltaLog.append(spark, tbl, df(5L -> "v5").repartition(1))
+    drain(tbl, out, ckpt, Map("startingVersion" -> "2"))
+    assert(keys(out) == Seq(3L, 4L, 5L))
+  }
+
   test("partitioned table: tail rebuilds the partition column from the log") {
     val base = freshDir("part")
     val tbl = s"$base/t"
