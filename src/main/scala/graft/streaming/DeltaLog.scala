@@ -213,6 +213,54 @@ object DeltaLog {
                                             upTo: Long = -1L): Seq[String] =
     replay(spark, table, upTo).partitionColumns
 
+  /** Batch CHANGE-FEED read: rows appended in versions (since, upTo]
+    * (latest when `upTo` negative), each tagged `_commit_version` — the
+    * batch twin of [[DeltaStreamSource]]'s tail, for consumers that poll
+    * instead of stream (incremental ETL, audit, backfill windows).
+    * File-granular inserts only: OPTIMIZE rewrites (dataChange=false
+    * adds) are skipped, and a data-changing remove in the window REFUSES
+    * — this log records no row-level change files, so an overwrite is
+    * not representable as a feed (same contract as the streaming tail).
+    * One pruned scan per version in the window; CDC windows are short by
+    * construction (poll intervals), so the union stays version-bounded
+    * regardless of table size. */
+  def changesSince(spark: SparkSession, table: String,
+                   since: Long, upTo: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val endV = if (upTo < 0) latestVersion(spark, table) else upTo
+    require(endV >= since, s"changesSince($since) > latest $endV at $table")
+    val st = replay(spark, table, endV)
+    val schema = st.schema
+    val partCols = st.partitionColumns
+    val perVersion = for (v <- (since + 1) to endV) yield {
+      val files = readCommit(spark, table, v).flatMap { line =>
+        val n = M.readTree(line)
+        if (n.has("remove") && n.get("remove").path("dataChange").asBoolean(true))
+          throw new IllegalStateException(
+            s"version $v of $table removes data (overwrite/delete); a change feed " +
+              "over a log without row-level change files cannot represent it")
+        if (n.has("add") &&
+            (!n.get("add").has("dataChange") || n.get("add").get("dataChange").asBoolean(true)))
+          Some(n.get("add").get("path").asText() -> n.get("add"))
+        else None
+      }
+      if (files.isEmpty) None
+      else if (partCols.isEmpty)
+        Some(spark.read.schema(schema).parquet(files.map(f => s"$table/${f._1}"): _*)
+          .withColumn("_commit_version", lit(v)))
+      else
+        Some(readPartitioned(spark, table, files, schema, partCols)
+          .withColumn("_commit_version", lit(v)))
+    }
+    val parts = perVersion.flatten
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType, false)))
+    else parts.reduce(_ unionAll _)
+      .select((schema.fieldNames.map(col) :+ col("_commit_version")).toSeq: _*)
+  }
+
   /** Read the table at `version` (latest when negative) — exactly the
     * replayed live file set, with the log's own schema (an empty live
     * set yields an empty frame, not a scan error). */

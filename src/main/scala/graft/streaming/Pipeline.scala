@@ -722,6 +722,41 @@ object Pipeline {
         sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
   }
 
+  /** BATCH CHANGE FEED ([[DeltaLog.changesSince]]): orders land in three
+    * commits; the feed over (0, latest] returns exactly versions 1–2's
+    * rows, each tagged `_commit_version`. The per-version aggregate
+    * pins both the window's BOUNDS (version 0 excluded, nothing beyond
+    * latest) and the version TAGGING (a row attributed to the wrong
+    * commit shifts that version's checksums). Oracle recomputes the
+    * same split from the fixture. */
+  def pipeDeltaCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/dcdf_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === 2).repartition(2))
+    DeltaLog.changesSince(spark, tbl, since = 0L)
+      .groupBy(col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .orderBy("commit_version")
+  }
+
+  private val pipeDeltaCdfSql: String =
+    s"""SELECT 1::BIGINT AS commit_version, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE o_orderkey % 3 = 1
+       |UNION ALL
+       |SELECT 2::BIGINT, count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |FROM orders WHERE o_orderkey % 3 = 2
+       |ORDER BY commit_version""".stripMargin
+
   private val pipeDeltaStreamSql: String =
     s"""SELECT count(*) AS n_rows,
        |  count(DISTINCT o_orderkey) AS n_distinct_keys,
@@ -880,6 +915,7 @@ object Pipeline {
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
     "pipe_delta_optimize" -> (pipeDeltaOptimize _),
     "pipe_delta_stream" -> (pipeDeltaStream _),
+    "pipe_delta_cdf" -> (pipeDeltaCdf _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -898,5 +934,6 @@ object Pipeline {
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
     "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
     "pipe_delta_stream" -> pipeDeltaStreamSql,
+    "pipe_delta_cdf" -> pipeDeltaCdfSql,
     "op_synth_table" -> opSynthTableSql)
 }

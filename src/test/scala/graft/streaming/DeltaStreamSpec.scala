@@ -134,6 +134,33 @@ class DeltaStreamSpec extends SparkSpec {
     assert(keys(out) == Seq(3L, 4L, 5L))
   }
 
+  test("changesSince: version window, compaction skipped, overwrite refused, partition rebuild") {
+    import org.apache.spark.sql.functions.col
+    val base = freshDir("cdf")
+    val tbl = s"$base/t"
+    DeltaLog.append(spark, tbl, df(1L -> "a").repartition(1)) // v0
+    DeltaLog.append(spark, tbl, df(2L -> "b").repartition(1)) // v1
+    DeltaLog.optimize(spark, tbl)                             // v2, dataChange=false
+    DeltaLog.append(spark, tbl, df(3L -> "c").repartition(1)) // v3
+    val feed = DeltaLog.changesSince(spark, tbl, since = 0L)
+      .select("k", "_commit_version").as[(Long, Long)].collect().toSeq.sorted
+    assert(feed == Seq((2L, 1L), (3L, 3L)),
+      "window excludes v0, skips the compaction rewrite, tags versions")
+    DeltaLog.overwrite(spark, tbl, df(9L -> "z").repartition(1)) // v4: dataChange remove
+    val e = intercept[IllegalStateException](
+      DeltaLog.changesSince(spark, tbl, since = 0L).collect())
+    assert(e.getMessage.contains("change feed"))
+    // partitioned: feed rebuilds the partition column from the log
+    val ptbl = s"$base/p"
+    DeltaLog.append(spark, ptbl,
+      Seq((1L, "red")).toDF("k", "color").repartition(1), partitionBy = Seq("color")) // v0
+    DeltaLog.append(spark, ptbl,
+      Seq((2L, "blue")).toDF("k", "color").repartition(1), partitionBy = Seq("color")) // v1
+    val pf = DeltaLog.changesSince(spark, ptbl, since = 0L)
+      .select(col("k"), col("color"), col("_commit_version")).collect()
+    assert(pf.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == Seq((2L, "blue", 1L)))
+  }
+
   test("partitioned table: tail rebuilds the partition column from the log") {
     val base = freshDir("part")
     val tbl = s"$base/t"
