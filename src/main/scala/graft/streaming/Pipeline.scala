@@ -722,6 +722,62 @@ object Pipeline {
         sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
   }
 
+  /** DELTA→DELTA INCREMENTAL PIPELINE — the canonical lakehouse shape,
+    * end to end: a [[DeltaStreamSource]] tail of the source table feeds
+    * `foreachBatch`, each micro-batch transforms (project + filter, the
+    * pushdown-friendly kind) and lands in the SINK table through
+    * [[DeltaLog.appendBatch]]'s txn actions — exactly-once on BOTH ends
+    * (source offsets in the engine checkpoint; sink idempotence in the
+    * Delta txn watermark, so a replayed batch cannot double-append even
+    * across restarts). Drain, stop, commit more upstream, drain again:
+    * the sink must equal the batch transform of the whole source —
+    * which is exactly what the oracle recomputes from the fixture.
+    * At 100 TB each leg is one bounded scan/write per trigger; nothing
+    * is data-proportional to table HISTORY on either side. */
+  def pipeDeltaToDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/d2d_${sfName(sfDir)}"
+    wipe(spark, base)
+    val srcTbl = s"$base/src"
+    val dstTbl = s"$base/dst"
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    DeltaLog.append(spark, srcTbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    DeltaLog.append(spark, srcTbl, ord.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", srcTbl)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          DeltaLog.appendBatch(spark, dstTbl, "pipe_d2d", id,
+            batch.filter(col("o_orderstatus") === "O")
+              .select(col("o_orderkey"), col("o_totalprice")))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // snapshot of the two pre-stream commits
+    DeltaLog.append(spark, srcTbl, ord.filter(col("o_orderkey") % 3 === 2).repartition(2))
+    drain() // incremental: only version 2 flows
+    DeltaLog.read(spark, dstTbl)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct_keys"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+  }
+
+  private val pipeDeltaToDeltaSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  count(DISTINCT o_orderkey) AS n_distinct_keys,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
   /** BATCH CHANGE FEED ([[DeltaLog.changesSince]]): orders land in three
     * commits; the feed over (0, latest] returns exactly versions 1–2's
     * rows, each tagged `_commit_version`. The per-version aggregate
@@ -916,6 +972,7 @@ object Pipeline {
     "pipe_delta_optimize" -> (pipeDeltaOptimize _),
     "pipe_delta_stream" -> (pipeDeltaStream _),
     "pipe_delta_cdf" -> (pipeDeltaCdf _),
+    "pipe_delta_to_delta" -> (pipeDeltaToDelta _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -935,5 +992,6 @@ object Pipeline {
     "pipe_delta_optimize" -> pipeDeltaOptimizeSql,
     "pipe_delta_stream" -> pipeDeltaStreamSql,
     "pipe_delta_cdf" -> pipeDeltaCdfSql,
+    "pipe_delta_to_delta" -> pipeDeltaToDeltaSql,
     "op_synth_table" -> opSynthTableSql)
 }
