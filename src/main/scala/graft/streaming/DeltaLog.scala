@@ -2,7 +2,7 @@ package graft.streaming
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The PUBLIC Delta Lake transaction-log format, emitted and replayed
@@ -843,5 +843,131 @@ object DeltaLog {
         val (_, live, _) = snapshot(spark, table, parent)
         live.map(removeJson(_)) ++ mine.map { case (path, size, _) => addJson(path, size) }
       })
+  }
+
+  /** The live files whose rows intersect `hits` (a frame that still
+    * carries `_metadata.file_path`), as relative paths — the
+    * touched-file discovery shared by [[deleteWhere]] and [[merge]].
+    * The collect is FILE-COUNT-sized (paths, not rows). */
+  private def touchedFiles(spark: SparkSession, table: String,
+                           hits: DataFrame): Seq[String] = {
+    val absPrefix = new org.apache.hadoop.fs.Path(table).toUri.getPath
+    hits.select(org.apache.spark.sql.functions.col("_file")).distinct()
+      .collect().map(_.getString(0))
+      .map { abs =>
+        val p = new org.apache.hadoop.fs.Path(abs).toUri.getPath
+        require(p.startsWith(absPrefix + "/"), s"file $p outside table $table")
+        p.drop(absPrefix.length + 1)
+      }.toSeq
+  }
+
+  private def withFilePath(spark: SparkSession, table: String,
+                           files: Seq[String], schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("_file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+
+  /** Copy-on-write DELETE (Delta's `DELETE WHERE` for unpartitioned
+    * tables): ONLY the files containing matching rows are rewritten —
+    * discovery is one pushdown-friendly scan keeping `_metadata
+    * .file_path`, rewrite is one scan of just the touched files with the
+    * predicate negated, and the commit retires touched files and adds
+    * their survivors (`dataChange = true` on both, Delta's DELETE
+    * shape — the streaming tail / change feed correctly refuse across
+    * it). Untouched files — at 100 TB, almost all of them when the
+    * predicate is selective or stats-pruned — are never read twice,
+    * never rewritten. Returns (version, touched, rewrittenFiles);
+    * a no-match delete commits NOTHING and returns the current version.
+    * Partition-aligned deletes on partitioned tables go through the
+    * metadata-only [[deletePartitions]] instead. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: Column): (Long, Int, Int) = {
+    val st = replay(spark, table, -1L)
+    require(st.partitionColumns.isEmpty,
+      s"deleteWhere on partitioned $table unsupported — partition-aligned " +
+        "deletes are metadata-only via deletePartitions; row-level deletes " +
+        "inside partitions would need per-partition rewrite plumbing")
+    val schema = st.schema
+    val live = st.live.keys.toSeq
+    if (live.isEmpty) return (st.version, 0, 0)
+    val touched = touchedFiles(spark, table,
+      withFilePath(spark, table, live, schema).filter(predicate))
+    if (touched.isEmpty) return (st.version, 0, 0)
+    val survivors = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$table/$f"): _*)
+      .filter(!predicate)
+    val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val mine = adoptParts(spark, table, scratch)
+    val v = commit(spark, table, _ =>
+      touched.map(removeJson(_)) ++ mine.map { case (p, size, _) => addJson(p, size) })
+    (v, touched.size, mine.size)
+  }
+
+  /** METADATA-ONLY partition delete: dropping whole partitions (the
+    * retention sweep every 100 TB table runs nightly) is remove actions
+    * alone — no file is read, no byte rewritten. `want` uses Delta's
+    * stringified partition-value encoding, same as [[readPartition]].
+    * Returns (version, removedFiles); no matches commits nothing. */
+  def deletePartitions(spark: SparkSession, table: String,
+                       want: Map[String, String]): (Long, Int) = {
+    val st = replay(spark, table, -1L)
+    require(st.partitionColumns.nonEmpty, s"$table is not partitioned")
+    val (kept, _) = prunePartitionFiles(spark, table, want)
+    if (kept.isEmpty) return (st.version, 0)
+    val paths = kept.map(_._1)
+    val v = commit(spark, table, _ => paths.map(removeJson(_)))
+    (v, paths.size)
+  }
+
+  /** Copy-on-write MERGE (upsert): whole-row replace by key — target
+    * rows whose key appears in `source` are replaced, source rows with
+    * new keys are inserted (Delta's `MERGE ... WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *`). Only files CONTAINING a
+    * matched key are rewritten: discovery is a semi-join of the target
+    * scan (with `_metadata.file_path`) against the source keys —
+    * Catalyst broadcasts the key side when small, exactly the plan a
+    * dimension-sized upsert wants at 100 TB — then one commit retires
+    * touched files and adds (touched survivors ∪ source). Unmatched-
+    * key-only merges rewrite nothing and append exactly the inserts.
+    * Returns (version, touchedFiles, sourceRows is NOT returned — row
+    * counts are the caller's query, file counts are the operator's). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String]): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val exists = latestVersion(spark, table) >= 0
+    val (schema, live) =
+      if (!exists) (source.schema, Seq.empty[String]) // merge-into-missing = create
+      else {
+        val st = replay(spark, table, -1L)
+        require(st.partitionColumns.isEmpty,
+          s"merge on partitioned $table unsupported (same plumbing as deleteWhere)")
+        require(st.schema.fieldNames.sameElements(source.schema.fieldNames),
+          s"merge source columns ${source.schema.fieldNames.mkString(",")} != " +
+            s"table ${st.schema.fieldNames.mkString(",")} (whole-row upsert)")
+        (st.schema, st.live.keys.toSeq)
+      }
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched =
+      if (live.isEmpty) Seq.empty
+      else touchedFiles(spark, table,
+        withFilePath(spark, table, live, schema)
+          .join(srcKeys, keyCols, "left_semi"))
+    val survivors =
+      if (touched.isEmpty) source
+      else spark.read.schema(schema)
+        .parquet(touched.map(f => s"$table/$f"): _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .unionAll(source.select(schema.fieldNames.map(col).toSeq: _*))
+    val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors.write.mode("overwrite").parquet(scratch)
+    Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
+    val mine = adoptParts(spark, table, scratch)
+    val v = commit(spark, table, parent =>
+      (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
+        touched.map(removeJson(_)) ++ mine.map { case (p, size, _) => addJson(p, size) })
+    (v, touched.size)
   }
 }

@@ -722,6 +722,66 @@ object Pipeline {
         sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
   }
 
+  /** DELTA DML — DELETE ([[DeltaLog.deleteWhere]]): orders land in two
+    * commits, a copy-on-write delete retires the 'F'-status rows, the
+    * read-back aggregate must equal the fixture minus them. Only files
+    * CONTAINING matches are rewritten (DeltaDmlSpec pins that); the
+    * oracle pins the row-level result. */
+  def pipeDeltaDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/ddel_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    DeltaLog.deleteWhere(spark, tbl, col("o_orderstatus") === "F")
+    DeltaLog.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+  }
+
+  private val pipeDeltaDeleteSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin
+
+  /** DELTA DML — MERGE ([[DeltaLog.merge]]): the table holds the even
+    * orderkeys; the merge source UPDATES the multiples of 4 (price
+    * doubled) and INSERTS the odd keys. Whole-row upsert by key: the
+    * result must be evens-not-div-4 original ∪ div-4 doubled ∪ odds —
+    * exactly what the oracle recomputes. A key in the wrong branch, a
+    * lost insert, or a double-applied update all shift the checksums. */
+  def pipeDeltaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/dmrg_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    val updates = ord.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val inserts = ord.filter(col("o_orderkey") % 2 === 1)
+    DeltaLog.merge(spark, tbl, updates.unionAll(inserts), keyCols = Seq("o_orderkey"))
+    DeltaLog.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct_keys"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+  }
+
+  private val pipeDeltaMergeSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  count(DISTINCT o_orderkey) AS n_distinct_keys,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(adj * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM (SELECT o_orderkey,
+       |        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+       |             ELSE o_totalprice END AS adj
+       |      FROM orders) t""".stripMargin
+
   /** DELTA→DELTA INCREMENTAL PIPELINE — the canonical lakehouse shape,
     * end to end: a [[DeltaStreamSource]] tail of the source table feeds
     * `foreachBatch`, each micro-batch transforms (project + filter, the
@@ -973,6 +1033,8 @@ object Pipeline {
     "pipe_delta_stream" -> (pipeDeltaStream _),
     "pipe_delta_cdf" -> (pipeDeltaCdf _),
     "pipe_delta_to_delta" -> (pipeDeltaToDelta _),
+    "pipe_delta_delete" -> (pipeDeltaDelete _),
+    "pipe_delta_merge" -> (pipeDeltaMerge _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -993,5 +1055,7 @@ object Pipeline {
     "pipe_delta_stream" -> pipeDeltaStreamSql,
     "pipe_delta_cdf" -> pipeDeltaCdfSql,
     "pipe_delta_to_delta" -> pipeDeltaToDeltaSql,
+    "pipe_delta_delete" -> pipeDeltaDeleteSql,
+    "pipe_delta_merge" -> pipeDeltaMergeSql,
     "op_synth_table" -> opSynthTableSql)
 }
