@@ -204,6 +204,65 @@ object Events {
       |  ON p.user_id = v.v_user_id AND v.v_ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** FORWARD as-of through the native exec (pandas `merge_asof`
+    * direction="forward"): each purchase joins the EARLIEST view at or
+    * after it — "what did the user look at next". Same two-exchange
+    * two-sort plan; the forward candidate is the merge's unconsumed
+    * cursor row, still O(1) state. Oracle: correlated min-subquery
+    * (DuckDB's ASOF is backward-only, so the oracle states the
+    * definition directly). */
+  def opAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("next_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofFwdSql: String =
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT min(v.ts) FROM events v
+      |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts)
+      |    AS next_view_ts
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
+  /** NEAREST as-of (pandas direction="nearest"): the closer of the
+    * backward and forward candidates, ties to the earlier row. One
+    * pass, both candidates live in the same O(1) merge state (buffered
+    * backward row + unconsumed cursor). Oracle states the definition:
+    * backward = max(ts <= p.ts), forward = min(ts > p.ts), pick by
+    * distance with ties backward. */
+  def opAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("nearest_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofNearestSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN back IS NOT NULL AND (fwd IS NULL
+      |            OR epoch_us(ts) - epoch_us(back) <= epoch_us(fwd) - epoch_us(ts))
+      |       THEN back ELSE fwd END AS nearest_view_ts
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts,
+      |    (SELECT max(v.ts) FROM events v
+      |     WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts) AS back,
+      |    (SELECT min(v.ts) FROM events v
+      |     WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts > p.ts) AS fwd
+      |  FROM events p WHERE p.event_type = 'purchase') t
+      |ORDER BY event_id""".stripMargin
+
   /** Native as-of join with a lookback tolerance: matches farther than
     * 1 hour back null out. Since the candidate is the GREATEST
     * `v.ts <= p.ts`, "candidate out of tolerance" proves no in-tolerance
@@ -546,6 +605,8 @@ object Events {
     "op_asof_tolerance" -> (opAsofTolerance _),
     "op_asof_native" -> (opAsofNative _),
     "op_asof_native_tol" -> (opAsofNativeTol _),
+    "op_asof_fwd" -> (opAsofFwd _),
+    "op_asof_nearest" -> (opAsofNearest _),
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -563,5 +624,7 @@ object Events {
     "op_asof_tolerance" -> opAsofToleranceSql,
     "op_asof_native" -> opAsofNativeSql,
     "op_asof_native_tol" -> opAsofNativeTolSql,
+    "op_asof_fwd" -> opAsofFwdSql,
+    "op_asof_nearest" -> opAsofNearestSql,
     "op_range_join" -> opRangeJoinSql)
 }

@@ -42,7 +42,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long]) extends BinaryNode {
+    toleranceUs: Option[Long],
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -55,7 +56,8 @@ case class AsOfJoinPlan(
       (leftKeys ++ rightKeys :+ leftTime :+ rightTime).forall(_.resolved) &&
       leftKeys.length == rightKeys.length && leftKeys.nonEmpty &&
       leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType } &&
-      timeOk(leftTime) && timeOk(rightTime) && leftTime.dataType == rightTime.dataType
+      timeOk(leftTime) && timeOk(rightTime) && leftTime.dataType == rightTime.dataType &&
+      AsOfJoin.Directions.contains(direction)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -70,7 +72,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.toleranceUs,
-        planLater(j.left), planLater(j.right)) :: Nil
+        j.direction, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -92,6 +94,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -135,6 +138,7 @@ case class AsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val tol = toleranceUs
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -144,12 +148,19 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // forward keeps exact-time rows at the cursor (they're forward
+      // candidates); backward/nearest consume them as the backward cand
+      // (distance 0, so nearest's backward-on-tie picks them anyway)
+      val consumeExact = dir != "forward"
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var candRow: InternalRow = null
         private var candKey: UnsafeRow = null
         private var candTime: Long = 0L
+
+        private def advance(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -168,23 +179,51 @@ case class AsOfJoinExec(
               if (cmp < 0) {
                 // Keys ascend on both sides: this right key can never
                 // match the current or any later left row — discard.
-                rHead = if (rIter.hasNext) rIter.next() else null
+                advance()
               } else if (cmp == 0) {
                 val rt = rTimeEval.eval(rHead)
                 if (rt == null) { // NULL time never matches; nulls sort first
-                  rHead = if (rIter.hasNext) rIter.next() else null
-                } else if (rt.asInstanceOf[Long] <= ltime) {
+                  advance()
+                } else if (rt.asInstanceOf[Long] < ltime ||
+                    (consumeExact && rt.asInstanceOf[Long] == ltime)) {
+                  // left times ascend, so a row below the current left
+                  // time can never be a FORWARD candidate for any later
+                  // left row either — it is consumed as the running
+                  // backward candidate and the cursor moves on
                   candRow = rHead.copy()
                   candKey = rk.copy()
                   candTime = rt.asInstanceOf[Long]
-                  rHead = if (rIter.hasNext) rIter.next() else null
+                  advance()
                 } else done = true
               } else done = true
             }
-            val matched = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
+            // backward candidate: greatest rightTime <= leftTime, buffered
+            val backOk = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
               tol.forall(t => ltime - candTime <= t)
-            if (matched) resultProj(joined(l, candRow))
-            else resultProj(joined(l, nullRight))
+            // forward candidate: the cursor row itself, if it shares the
+            // key (first rightTime >= leftTime by the sort — NOT consumed,
+            // it may serve later left rows of this key too)
+            var fwdTime = 0L
+            val fwdOk = dir != "backward" && rHead != null && {
+              val rk = rKeyProj(rHead)
+              keyOrd.compare(rk, lk) == 0 && {
+                val rt = rTimeEval.eval(rHead)
+                rt != null && {
+                  fwdTime = rt.asInstanceOf[Long]
+                  tol.forall(t => fwdTime - ltime <= t)
+                }
+              }
+            }
+            val out = dir match {
+              case "forward" => if (fwdOk) joined(l, rHead) else joined(l, nullRight)
+              case "nearest" => // tie → backward (the earlier row)
+                if (backOk && (!fwdOk || ltime - candTime <= fwdTime - ltime))
+                  joined(l, candRow)
+                else if (fwdOk) joined(l, rHead)
+                else joined(l, nullRight)
+              case _ => if (backOk) joined(l, candRow) else joined(l, nullRight)
+            }
+            resultProj(out)
           }
         }
       }
@@ -199,8 +238,17 @@ case class AsOfJoinExec(
 /** DataFrame-level entry point for the native as-of join. */
 object AsOfJoin {
 
+  /** The pandas-`merge_asof` direction set: `backward` = greatest
+    * rightTime <= leftTime (the default, SQL ASOF); `forward` = smallest
+    * rightTime >= leftTime; `nearest` = the closer of the two, ties to
+    * the BACKWARD (earlier) row. All three run in the same single-pass
+    * streamed merge with O(1) state — the forward candidate is simply
+    * the unconsumed cursor row. */
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
   /** `left ASOF LEFT JOIN right ON keys AND rightTime <= leftTime`
-    * (most recent match; optionally within `toleranceUs` microseconds).
+    * (most recent match; optionally within `toleranceUs` microseconds;
+    * `direction` per [[Directions]]).
     * Output columns are `left.*` then `right.*` (right side nullable) —
     * give the right side disjoint column names. When the two plans
     * share attribute ids (self-derived sides), the right side is
@@ -209,7 +257,10 @@ object AsOfJoin {
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
-           toleranceUs: Option[Long] = None): DataFrame = {
+           toleranceUs: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
+    require(Directions.contains(direction),
+      s"asof direction must be one of ${Directions.mkString("/")}, got $direction")
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
@@ -224,6 +275,6 @@ object AsOfJoin {
     PlanBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, direction))
   }
 }

@@ -127,6 +127,51 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq(2L, 5L, 20L, 2L, 5L, 20L)))
   }
 
+  test("forward and nearest directions match driver-side brute force, incl. exact-time ties") {
+    // deliberately includes rt == lt rows (exact matches), duplicate left
+    // times, and equidistant back/forward pairs (tie → backward)
+    val left = Seq((1L, 5L, 30L), (2L, 5L, 10L), (3L, 5L, 30L), (4L, 6L, 50L),
+      (5L, 7L, 40L), (6L, 5L, 100L)).toDF("id", "k", "t")
+    val rightRows = Seq((5L, 10L, 1L), (5L, 20L, 2L), (5L, 30L, 3L), (5L, 40L, 4L),
+      (6L, 45L, 5L), (6L, 55L, 6L), (7L, 35L, 7L), (7L, 45L, 8L))
+    val right = rightRows.toDF("rk", "rt", "payload")
+    def brute(dir: String): Map[Long, Option[Long]] =
+      Seq((1L, 5L, 30L), (2L, 5L, 10L), (3L, 5L, 30L), (4L, 6L, 50L), (5L, 7L, 40L), (6L, 5L, 100L))
+        .map { case (id, k, t) =>
+          val back = rightRows.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+          val fwd = rightRows.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+          id -> (dir match {
+            case "forward" => fwd.map(_._3)
+            case "nearest" =>
+              // engine contract: backward consumes rt <= t, forward cursor
+              // holds rt > t; ties (equal distance) go backward
+              val fwdStrict = rightRows.filter(r => r._1 == k && r._2 > t).sortBy(_._2).headOption
+              (back, fwdStrict) match {
+                case (Some(b), Some(f)) =>
+                  Some(if (t - b._2 <= f._2 - t) b._3 else f._3)
+                case (Some(b), None) => Some(b._3)
+                case (None, Some(f)) => Some(f._3)
+                case _ => None
+              }
+          })
+        }.toMap
+    for (dir <- Seq("forward", "nearest")) {
+      val got = AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt", direction = dir)
+        .select($"id", $"payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got === brute(dir), s"direction=$dir")
+    }
+    // forward + tolerance: a match farther ahead than tol nulls out
+    val gotTol = AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        toleranceUs = Some(5L), direction = "forward")
+      .select($"id", $"payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(gotTol === Map(1L -> Some(3L), 2L -> Some(1L), 3L -> Some(3L),
+      4L -> Some(6L), 5L -> Some(8L), 6L -> None))
+    intercept[IllegalArgumentException](
+      AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt", direction = "sideways"))
+  }
+
   test("pre-partitioned inputs (subset key / other key / other counts) re-exchange to the exact hash layout") {
     // zipPartitions pairing is only sound under identical hash layouts.
     // ClusteredDistribution would let a child already partitioned on a key
