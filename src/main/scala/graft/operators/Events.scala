@@ -231,6 +231,31 @@ object Events {
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
 
+  /** STRICT backward as-of (pandas allow_exact_matches=False): the
+    * greatest view time STRICTLY before each purchase — the form that
+    * excludes simultaneous events (a view logged in the same microsecond
+    * as its purchase is effect, not cause). Same exec, strict candidate
+    * bound; exact-time rows are left at the cursor for later lefts. */
+  def opAsofStrict(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", allowExactMatches = false)
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts").as("prev_view_ts"))
+      .orderBy("event_id")
+  }
+
+  private val opAsofStrictSql: String =
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT max(v.ts) FROM events v
+      |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts < p.ts)
+      |    AS prev_view_ts
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   /** NEAREST as-of (pandas direction="nearest"): the closer of the
     * backward and forward candidates, ties to the earlier row. One
     * pass, both candidates live in the same O(1) merge state (buffered
@@ -607,6 +632,7 @@ object Events {
     "op_asof_native_tol" -> (opAsofNativeTol _),
     "op_asof_fwd" -> (opAsofFwd _),
     "op_asof_nearest" -> (opAsofNearest _),
+    "op_asof_strict" -> (opAsofStrict _),
     "op_range_join" -> (opRangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -626,5 +652,6 @@ object Events {
     "op_asof_native_tol" -> opAsofNativeTolSql,
     "op_asof_fwd" -> opAsofFwdSql,
     "op_asof_nearest" -> opAsofNearestSql,
+    "op_asof_strict" -> opAsofStrictSql,
     "op_range_join" -> opRangeJoinSql)
 }

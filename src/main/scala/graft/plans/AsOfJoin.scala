@@ -43,7 +43,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    allowExact: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,7 +58,8 @@ case class AsOfJoinPlan(
       leftKeys.length == rightKeys.length && leftKeys.nonEmpty &&
       leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType } &&
       timeOk(leftTime) && timeOk(rightTime) && leftTime.dataType == rightTime.dataType &&
-      AsOfJoin.Directions.contains(direction)
+      AsOfJoin.Directions.contains(direction) &&
+      (allowExact || direction != "nearest")
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -72,7 +74,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.toleranceUs,
-        j.direction, planLater(j.left), planLater(j.right)) :: Nil
+        j.direction, j.allowExact, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -95,6 +97,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     toleranceUs: Option[Long],
     direction: String,
+    allowExact: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -139,6 +142,7 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val tol = toleranceUs
     val dir = direction
+    val exact = allowExact
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -148,10 +152,18 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
-      // forward keeps exact-time rows at the cursor (they're forward
-      // candidates); backward/nearest consume them as the backward cand
-      // (distance 0, so nearest's backward-on-tie picks them anyway)
-      val consumeExact = dir != "forward"
+      // Who owns an exact-time (rt == lt) row decides where it is held.
+      // allowExact=true: forward keeps it at the cursor (it IS the
+      // forward candidate); backward/nearest consume it as the backward
+      // candidate (distance 0, so nearest's backward-on-tie picks it).
+      // allowExact=false (strict): forward consumes it (it can only be a
+      // BACKWARD candidate, and only for later lefts); backward leaves
+      // it at the cursor un-consumed (invalid now, but a later left with
+      // a greater time will consume it then) — both stay O(1).
+      // nearest+strict is refused at plan level: it would need the
+      // current left's forward candidate from BEHIND an unbounded run of
+      // equal-time rows.
+      val consumeExact = if (dir != "forward") exact else !exact
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
@@ -198,11 +210,15 @@ case class AsOfJoinExec(
               } else done = true
             }
             // backward candidate: greatest rightTime <= leftTime, buffered
+            // (strictly below it under strict matching — exact-time rows
+            // are only ever consumed by lefts with a GREATER time then)
             val backOk = candKey != null && keyOrd.compare(candKey, lk) == 0 &&
-              tol.forall(t => ltime - candTime <= t)
+              (exact || candTime < ltime) && tol.forall(t => ltime - candTime <= t)
             // forward candidate: the cursor row itself, if it shares the
             // key (first rightTime >= leftTime by the sort — NOT consumed,
-            // it may serve later left rows of this key too)
+            // it may serve later left rows of this key too). Under strict
+            // matching the cursor may hold an exact-time row in backward
+            // mode; the strict bound below rejects it as a candidate.
             var fwdTime = 0L
             val fwdOk = dir != "backward" && rHead != null && {
               val rk = rKeyProj(rHead)
@@ -210,7 +226,7 @@ case class AsOfJoinExec(
                 val rt = rTimeEval.eval(rHead)
                 rt != null && {
                   fwdTime = rt.asInstanceOf[Long]
-                  tol.forall(t => fwdTime - ltime <= t)
+                  (exact || fwdTime > ltime) && tol.forall(t => fwdTime - ltime <= t)
                 }
               }
             }
@@ -258,9 +274,14 @@ object AsOfJoin {
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            toleranceUs: Option[Long] = None,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           allowExactMatches: Boolean = true): DataFrame = {
     require(Directions.contains(direction),
       s"asof direction must be one of ${Directions.mkString("/")}, got $direction")
+    require(allowExactMatches || direction != "nearest",
+      "asof nearest with allowExactMatches=false is unsupported: the forward " +
+        "candidate would sit behind an unbounded run of equal-time rows, " +
+        "breaking the O(1) merge state")
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
@@ -275,6 +296,7 @@ object AsOfJoin {
     PlanBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, direction))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs, direction,
+      allowExactMatches))
   }
 }

@@ -172,6 +172,32 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt", direction = "sideways"))
   }
 
+  test("allowExactMatches=false: strict inequality for backward and forward; nearest refuses") {
+    // rows engineered so exact-time matches exist at every left time
+    val left = Seq((1L, 5L, 20L), (2L, 5L, 30L), (3L, 5L, 5L)).toDF("id", "k", "t")
+    val right = Seq((5L, 10L, 1L), (5L, 20L, 2L), (5L, 30L, 3L), (5L, 40L, 4L))
+      .toDF("rk", "rt", "payload")
+    def run(dir: String, exact: Boolean): Map[Long, Option[Long]] =
+      AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt",
+          direction = dir, allowExactMatches = exact)
+        .select($"id", $"payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // backward strict: greatest rt < t (the exact-time row is skipped)
+    assert(run("backward", exact = false) ===
+      Map(1L -> Some(1L), 2L -> Some(2L), 3L -> None))
+    // and the exact-time rows still serve LATER lefts as backward cands
+    assert(run("backward", exact = true) ===
+      Map(1L -> Some(2L), 2L -> Some(3L), 3L -> None))
+    // forward strict: smallest rt > t
+    assert(run("forward", exact = false) ===
+      Map(1L -> Some(3L), 2L -> Some(4L), 3L -> Some(1L)))
+    assert(run("forward", exact = true) ===
+      Map(1L -> Some(2L), 2L -> Some(3L), 3L -> Some(1L)))
+    intercept[IllegalArgumentException](
+      AsOfJoin.join(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "nearest", allowExactMatches = false))
+  }
+
   test("pre-partitioned inputs (subset key / other key / other counts) re-exchange to the exact hash layout") {
     // zipPartitions pairing is only sound under identical hash layouts.
     // ClusteredDistribution would let a child already partitioned on a key
