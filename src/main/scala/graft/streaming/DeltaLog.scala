@@ -51,6 +51,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaLog {
 
   private def logDir(table: String) = s"$table/_delta_log"
+
+  /** PROTOCOL.md: an add/remove `path` is relative to the table root OR
+    * an absolute URI/path (shallow clones and some foreign writers emit
+    * absolute paths). Every scan resolves through here. */
+  private[streaming] def resolvedPath(table: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$table/$p"
   private def versionName(v: Long) = f"$v%020d.json"
   private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
 
@@ -246,7 +252,7 @@ object DeltaLog {
       }
       if (files.isEmpty) None
       else if (partCols.isEmpty)
-        Some(spark.read.schema(schema).parquet(files.map(f => s"$table/${f._1}"): _*)
+        Some(spark.read.schema(schema).parquet(files.map(f => resolvedPath(table, f._1)): _*)
           .withColumn("_commit_version", lit(v)))
       else
         Some(readPartitioned(spark, table, files, schema, partCols)
@@ -270,7 +276,7 @@ object DeltaLog {
     if (st.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (st.partitionColumns.isEmpty)
-      spark.read.schema(schema).parquet(st.live.keys.map(f => s"$table/$f").toSeq: _*)
+      spark.read.schema(schema).parquet(st.live.keys.map(f => resolvedPath(table, f)).toSeq: _*)
     else readPartitioned(spark, table, st.live.toSeq, schema, st.partitionColumns)
   }
 
@@ -571,7 +577,7 @@ object DeltaLog {
       .groupBy { case (_, add) => partitionValuesOf(add, partCols) }
       .toSeq.sortBy(_._1.map(_._2.getOrElse("")).mkString("/"))
     groups.map { case (vals, files) =>
-      var df = spark.read.schema(dataSchema).parquet(files.map(f => s"$table/${f._1}"): _*)
+      var df = spark.read.schema(dataSchema).parquet(files.map(f => resolvedPath(table, f._1)): _*)
       vals.foreach { case (c, v) =>
         val f = schema(c)
         df = df.withColumn(c, lit(v.orNull).cast(f.dataType))
@@ -770,7 +776,7 @@ object DeltaLog {
       val (_, live, schema) = snapshot(spark, table)
       if (live.size <= targetFiles) return (live.size, live.size)
       val scratch = s"$table/.scratch_${java.util.UUID.randomUUID().toString.take(8)}"
-      spark.read.schema(schema).parquet(live.map(f => s"$table/$f"): _*)
+      spark.read.schema(schema).parquet(live.map(f => resolvedPath(table, f)): _*)
         .repartition(targetFiles).write.mode("overwrite").parquet(scratch)
       Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
       val mine = adoptParts(spark, table, scratch)
@@ -807,16 +813,25 @@ object DeltaLog {
   def vacuum(spark: SparkSession, table: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val st = replay(spark, table, -1L)
     val cutoff = System.currentTimeMillis() - retentionMs
+    val tableAbs = new org.apache.hadoop.fs.Path(table).toUri.getPath
+    // liveness/tombstone lookups key on the TABLE-ROOT-RELATIVE path —
+    // partitioned tables' add actions carry `dir=val/part-….parquet`, so
+    // a bare-filename compare would mark every live partitioned file as
+    // unreferenced and vacuum(0) would eat live data
     val victims = Fs.listFiles(spark, table, _.endsWith(".parquet"))
-      .map { case (full, _) => (full, new org.apache.hadoop.fs.Path(full).getName) }
-      .filter { case (full, name) =>
-        // listFiles walks recursively: keep only table-root data files
-        new org.apache.hadoop.fs.Path(full).getParent.getName != "_delta_log" &&
-          !full.substring(0, full.length - name.length).contains("/.") &&
-          !st.live.contains(name)
+      .map { case (full, _) =>
+        val p = new org.apache.hadoop.fs.Path(full).toUri.getPath
+        (full, p.stripPrefix(tableAbs).stripPrefix("/"))
       }
-      .filter { case (full, name) =>
-        st.tombstones.get(name) match {
+      .filter { case (_, rel) =>
+        // listFiles walks recursively: skip the log and in-flight
+        // scratch/checkpoint work dirs (active writers own those)
+        !rel.startsWith("_delta_log/") &&
+          !rel.split('/').exists(_.startsWith(".")) &&
+          !st.live.contains(rel)
+      }
+      .filter { case (full, rel) =>
+        st.tombstones.get(rel) match {
           case Some(r) => r.get("deletionTimestamp").asLong() <= cutoff
           case None =>
             val p = new org.apache.hadoop.fs.Path(full)
@@ -863,7 +878,7 @@ object DeltaLog {
 
   private def withFilePath(spark: SparkSession, table: String,
                            files: Seq[String], schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    spark.read.schema(schema).parquet(files.map(f => resolvedPath(table, f)): _*)
       .withColumn("_file", org.apache.spark.sql.functions.col("_metadata.file_path"))
 
   /** Copy-on-write DELETE (Delta's `DELETE WHERE` for unpartitioned
@@ -933,9 +948,16 @@ object DeltaLog {
     * Returns (version, touchedFiles, sourceRows is NOT returned — row
     * counts are the caller's query, file counts are the operator's). */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-            keyCols: Seq[String]): (Long, Int) = {
+            keyCols: Seq[String], txn: Option[(String, Long)] = None): (Long, Int) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    txn.foreach { case (appId, batchId) =>
+      // exactly-once streaming upsert (CDC apply via foreachBatch): a
+      // replayed micro-batch is detected against the txn watermark and
+      // skipped BEFORE any scan — same idempotence rule as appendBatch
+      if (lastTxnVersion(spark, table, appId) >= batchId)
+        return (latestVersion(spark, table), 0)
+    }
     val exists = latestVersion(spark, table) >= 0
     val (schema, live) =
       if (!exists) (source.schema, Seq.empty[String]) // merge-into-missing = create
@@ -965,9 +987,91 @@ object DeltaLog {
     survivors.write.mode("overwrite").parquet(scratch)
     Fs.deleteIfExists(spark, s"$scratch/_SUCCESS")
     val mine = adoptParts(spark, table, scratch)
-    val v = commit(spark, table, parent =>
-      (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
-        touched.map(removeJson(_)) ++ mine.map { case (p, size, _) => addJson(p, size) })
-    (v, touched.size)
+    try {
+      val v = commit(spark, table, parent => {
+        txn.foreach { case (appId, batchId) =>
+          if (lastTxnVersion(spark, table, appId) >= batchId)
+            throw new AlreadyCommitted // lost to a concurrent replay of the same batch
+        }
+        (if (parent < 0) Seq(protocolJson, metaDataJson(schema)) else Seq.empty) ++
+          touched.map(removeJson(_)) ++ mine.map { case (p, size, _) => addJson(p, size) } ++
+          txn.map { case (appId, batchId) => txnJson(appId, batchId) }.toSeq
+      })
+      (v, touched.size)
+    } catch {
+      case _: AlreadyCommitted => (latestVersion(spark, table), 0)
+    }
+  }
+
+  /** RESTORE to an earlier version (Delta's `RESTORE TABLE ... TO
+    * VERSION AS OF`): ONE metadata commit whose actions are exactly the
+    * file-level diff — re-`add` every file live at `toVersion` but not
+    * now (its original add node, stats and partitionValues intact,
+    * `dataChange=true` as the protocol's RESTORE emits), `remove` every
+    * file live now but absent then, and re-emit `toVersion`'s metaData
+    * when schema/partitioning evolved in between. No data file is read
+    * or written — at 100 TB a restore costs the same as at 100 MB.
+    * History is PRESERVED (restore is a new version on top; time travel
+    * between the two still works), and the streaming tail / change feed
+    * correctly refuse across it, since it removes data. Refuses loudly
+    * if a file to re-add was already vacuumed (same failure mode as
+    * Delta itself). Returns (newVersion, filesReAdded, filesRemoved). */
+  def restore(spark: SparkSession, table: String, toVersion: Long): (Long, Int, Int) = {
+    val target = replay(spark, table, toVersion)
+    target.live.keys.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(resolvedPath(table, p))
+      require(hp.getFileSystem(Fs.conf(spark)).exists(hp),
+        s"cannot restore $table to v$toVersion: data file $p was vacuumed")
+    }
+    var (readds, drops) = (0, 0)
+    val v = commit(spark, table, parent => {
+      val cur = replay(spark, table, parent)
+      val readd = target.live.toSeq.filterNot { case (p, _) => cur.live.contains(p) }
+      val drop = cur.live.keys.filterNot(target.live.contains).toSeq
+      readds = readd.size; drops = drop.size
+      val meta =
+        if (cur.metaData.map(_.get("schemaString").asText()) !=
+              target.metaData.map(_.get("schemaString").asText()) ||
+            cur.partitionColumns != target.partitionColumns)
+          target.metaData.map(wrapNode("metaData", _)).toSeq
+        else Seq.empty
+      meta ++ drop.map(removeJson(_)) ++ readd.map { case (_, add) =>
+        val n = add.deepCopy[ObjectNode]()
+        n.put("dataChange", true)
+        wrapNode("add", n)
+      }
+    })
+    (v, readds, drops)
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a
+    * brand-new table whose version-0 commit references the SOURCE's
+    * live data files by absolute path — protocol-legal (`add.path` may
+    * be absolute) and readable by [[read]]/[[readPartition]] through
+    * [[resolvedPath]]. Zero bytes of data move: cloning a 100 TB table
+    * is one metadata-sized commit. The clone is immutable-by-reference:
+    * later source commits don't affect it (its log pins the file list),
+    * source VACUUM is the one coupling (as in Delta, vacuuming the
+    * source can strand a shallow clone — the clone's own vacuum never
+    * touches absolute-path files because it only lists under its own
+    * root). Appends into the clone land normally under the clone's
+    * root; copy-on-write DML refuses on out-of-root files (materialize
+    * first), matching the guard in [[touchedFiles]]. Returns version 0
+    * of the clone. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+                   version: Long = -1L): Long = {
+    val st = replay(spark, src, version)
+    require(latestVersion(spark, dst) < 0, s"clone target $dst already has a Delta log")
+    val srcAbs = new org.apache.hadoop.fs.Path(src).toUri.getPath
+    val adds = st.live.values.toSeq.map { n =>
+      val c = n.deepCopy[ObjectNode]()
+      val p = c.get("path").asText()
+      if (!(p.startsWith("/") || p.contains("://"))) c.put("path", s"$srcAbs/$p")
+      wrapNode("add", c)
+    }
+    commit(spark, dst, parent => {
+      require(parent < 0, s"clone target $dst gained a log concurrently")
+      Seq(protocolJson) ++ st.metaData.map(wrapNode("metaData", _)).toSeq ++ adds
+    })
   }
 }

@@ -782,6 +782,155 @@ object Pipeline {
        |             ELSE o_totalprice END AS adj
        |      FROM orders) t""".stripMargin
 
+  /** DELTA RESTORE ([[DeltaLog.restore]]): orders land in two commits,
+    * a copy-on-write delete retires the 'F' rows (v2), then the table
+    * RESTORES to v0 — one metadata-only commit re-adding the delete's
+    * rewritten v0 files and removing v1's files plus the delete's
+    * survivors. The two-snapshot output pins both directions: the
+    * restored head must equal v0's content (even keys, 'F' rows BACK),
+    * and v2 must still read as the post-delete state — restore is a new
+    * version on top, never history rewrite. At 100 TB the restore
+    * commit costs file-count metadata, zero data movement. */
+  def pipeDeltaRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/drst_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2)) // v0
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2)) // v1
+    val (v2, _, _) = DeltaLog.deleteWhere(spark, tbl, col("o_orderstatus") === "F")
+    val (v3, _, _) = DeltaLog.restore(spark, tbl, 0L)
+    def summ(tag: String, v: Long): DataFrame =
+      DeltaLog.read(spark, tbl, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"o_orderkey % $P")).as("key_check"),
+          sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+        .select(lit(tag).as("snap"), col("n_rows"), col("key_check"), col("price_check"))
+    summ("postdelete", v2).unionAll(summ("restored", v3)).orderBy("snap")
+  }
+
+  private val pipeDeltaRestoreSql: String =
+    s"""SELECT 'postdelete' AS snap, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders WHERE o_orderstatus <> 'F'
+       |UNION ALL
+       |SELECT 'restored', count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |ORDER BY snap""".stripMargin
+
+  /** DELTA SHALLOW CLONE ([[DeltaLog.cloneShallow]]): the source takes
+    * two commits, the clone is created (one metadata commit, absolute-
+    * path adds, ZERO data files copied — `clone_local_files` pins
+    * that), then the source takes a THIRD commit. The clone must read
+    * the two-commit snapshot it pinned; the source reads all three —
+    * clone isolation in both directions. This is the 100 TB dev/test
+    * workflow: a full-size table copy for the cost of one commit. */
+  def pipeDeltaClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/dcln_${sfName(sfDir)}"
+    wipe(spark, base)
+    val src = s"$base/src"
+    val dst = s"$base/clone"
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLog.append(spark, src, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    DeltaLog.append(spark, src, ord.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    DeltaLog.cloneShallow(spark, src, dst)
+    DeltaLog.append(spark, src, ord.filter(col("o_orderkey") % 3 === 2).repartition(2))
+    val localFiles = Fs.listFiles(spark, dst, _.endsWith(".parquet"))
+      .count { case (full, _) =>
+        new org.apache.hadoop.fs.Path(full).getParent.getName != "_delta_log" }
+    def summ(tag: String, tbl: String): DataFrame =
+      DeltaLog.read(spark, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"o_orderkey % $P")).as("key_check"),
+          sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+        .select(lit(tag).as("side"), col("n_rows"), col("key_check"), col("price_check"),
+          lit(localFiles.toLong).as("clone_local_files"))
+    summ("clone", dst).unionAll(summ("source", src)).orderBy("side")
+  }
+
+  private val pipeDeltaCloneSql: String =
+    s"""SELECT 'clone' AS side, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  0::BIGINT AS clone_local_files
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       |UNION ALL
+       |SELECT 'source', count(*),
+       |  sum(o_orderkey % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT,
+       |  0::BIGINT
+       |FROM orders
+       |ORDER BY side""".stripMargin
+
+  /** STREAMING UPSERT SINK (CDC apply — the canonical "merge the change
+    * stream into the serving table" pipeline): a [[DeltaStreamSource]]
+    * tail of the source table feeds `foreachBatch`, and each micro-batch
+    * MERGES into the sink keyed by `o_orderkey` through [[DeltaLog
+    * .merge]]'s txn action — exactly-once on both ends (engine
+    * checkpoint upstream, Delta txn watermark downstream). Batch 0 is
+    * the initial snapshot (all orders); batch 1 carries re-priced rows
+    * for the mod-5 keys, which must UPDATE in place, not append. After
+    * the drains, batch 1 is deliberately REPLAYED with the same txn
+    * version — the merge must skip without touching a file
+    * (`replay_skipped` pins it; a double-applied update would also
+    * shift `price_check`, since the transform doubles). At 100 TB each
+    * batch's merge rewrites only files containing matched keys. */
+  def pipeStreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/sups_${sfName(sfDir)}"
+    wipe(spark, base)
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLog.append(spark, src, ord.repartition(2)) // v0: the initial snapshot
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", src)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          DeltaLog.merge(spark, dst, batch.select(col("o_orderkey"), col("o_totalprice")),
+            keyCols = Seq("o_orderkey"), txn = Some(("pipe_upsert", id)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // batch 0: snapshot → creates the sink
+    val repriced = ord.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    DeltaLog.append(spark, src, repriced.repartition(2)) // v1: the change batch
+    drain() // batch 1: upsert the re-priced rows
+    val vBefore = DeltaLog.latestVersion(spark, dst)
+    DeltaLog.merge(spark, dst, repriced, keyCols = Seq("o_orderkey"),
+      txn = Some(("pipe_upsert", 1L))) // replayed batch: must skip
+    val replaySkipped = DeltaLog.latestVersion(spark, dst) == vBefore
+    DeltaLog.read(spark, dst)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct_keys"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .withColumn("replay_skipped", lit(if (replaySkipped) 1L else 0L))
+  }
+
+  private val pipeStreamUpsertSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  count(DISTINCT o_orderkey) AS n_distinct_keys,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(adj * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  1::BIGINT AS replay_skipped
+       |FROM (SELECT o_orderkey,
+       |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+       |             ELSE o_totalprice END AS adj
+       |      FROM orders) t""".stripMargin
+
   /** DELTA→DELTA INCREMENTAL PIPELINE — the canonical lakehouse shape,
     * end to end: a [[DeltaStreamSource]] tail of the source table feeds
     * `foreachBatch`, each micro-batch transforms (project + filter, the
@@ -1035,6 +1184,9 @@ object Pipeline {
     "pipe_delta_to_delta" -> (pipeDeltaToDelta _),
     "pipe_delta_delete" -> (pipeDeltaDelete _),
     "pipe_delta_merge" -> (pipeDeltaMerge _),
+    "pipe_delta_restore" -> (pipeDeltaRestore _),
+    "pipe_delta_clone" -> (pipeDeltaClone _),
+    "pipe_stream_upsert" -> (pipeStreamUpsert _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -1057,5 +1209,8 @@ object Pipeline {
     "pipe_delta_to_delta" -> pipeDeltaToDeltaSql,
     "pipe_delta_delete" -> pipeDeltaDeleteSql,
     "pipe_delta_merge" -> pipeDeltaMergeSql,
+    "pipe_delta_restore" -> pipeDeltaRestoreSql,
+    "pipe_delta_clone" -> pipeDeltaCloneSql,
+    "pipe_stream_upsert" -> pipeStreamUpsertSql,
     "op_synth_table" -> opSynthTableSql)
 }

@@ -101,4 +101,96 @@ class DeltaDmlSpec extends SparkSpec {
       DeltaLog.changesSince(spark, tbl, since = -1L).collect())
     assert(e.getMessage.contains("change feed"))
   }
+
+  test("restore re-adds the old file set metadata-only; history above stays readable") {
+    val tbl = s"${freshDir("rst")}/t"
+    DeltaLog.append(spark, tbl, df(1L -> "a", 2L -> "b").repartition(1)) // v0
+    DeltaLog.append(spark, tbl, df(3L -> "c").repartition(1))            // v1
+    DeltaLog.deleteWhere(spark, tbl, col("k") === 2L)                    // v2 rewrites v0's file
+    val v0Live = DeltaLog.snapshot(spark, tbl, 0L)._2.toSet
+    val dataFilesBefore = Fs.listFiles(spark, tbl, _.endsWith(".parquet"))
+      .count(f => new org.apache.hadoop.fs.Path(f._1).getParent.getName != "_delta_log")
+    val (v3, readded, removed) = DeltaLog.restore(spark, tbl, 0L)
+    // metadata-only: not one data file written by the restore itself
+    val dataFilesAfter = Fs.listFiles(spark, tbl, _.endsWith(".parquet"))
+      .count(f => new org.apache.hadoop.fs.Path(f._1).getParent.getName != "_delta_log")
+    assert(dataFilesAfter == dataFilesBefore, "restore must not write data files")
+    assert(readded == 1 && removed == 2) // re-add v0's rewritten file; drop v1's + the survivor
+    assert(livePaths(tbl) == v0Live, "restored head must pin exactly v0's file set")
+    assert(DeltaLog.read(spark, tbl).select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // history preservation: v2 still reads as the post-delete state
+    assert(DeltaLog.read(spark, tbl, v3 - 1).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    // restoring to the CURRENT content diff-trivially commits an empty action set
+    val (v4, r4, d4) = DeltaLog.restore(spark, tbl, v3)
+    assert(r4 == 0 && d4 == 0 && v4 == v3 + 1)
+  }
+
+  test("restore refuses when a needed file was vacuumed") {
+    val tbl = s"${freshDir("rstvac")}/t"
+    DeltaLog.append(spark, tbl, df(1L -> "a").repartition(1))      // v0
+    DeltaLog.overwrite(spark, tbl, df(2L -> "b").repartition(1))   // v1 tombstones v0's file
+    assert(DeltaLog.vacuum(spark, tbl, retentionMs = 0L) == 1)
+    val e = intercept[IllegalArgumentException](DeltaLog.restore(spark, tbl, 0L))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("shallow clone copies zero data files, pins the source snapshot, and survives source growth") {
+    val base = freshDir("cln")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    DeltaLog.append(spark, src, df(1L -> "a", 2L -> "b").repartition(1))
+    DeltaLog.append(spark, src, df(3L -> "c").repartition(1))
+    DeltaLog.cloneShallow(spark, src, dst)
+    // metadata-only: the clone dir holds a log and nothing else
+    assert(Fs.listFiles(spark, dst, _.endsWith(".parquet"))
+      .forall(f => new org.apache.hadoop.fs.Path(f._1).getParent.getName == "_delta_log"))
+    assert(DeltaLog.read(spark, dst).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // isolation both ways: source growth invisible to the clone; clone
+    // appends invisible to the source
+    DeltaLog.append(spark, src, df(4L -> "d").repartition(1))
+    DeltaLog.append(spark, dst, df(9L -> "z").repartition(1))
+    assert(DeltaLog.read(spark, dst).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 9L))
+    assert(DeltaLog.read(spark, src).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // the clone's vacuum must never reach the source's files (it lists
+    // only under its own root); source still fully readable after
+    assert(DeltaLog.vacuum(spark, dst, retentionMs = 0L) == 0)
+    assert(DeltaLog.read(spark, src).count() == 4)
+    // clone-onto-existing refuses
+    val e = intercept[IllegalArgumentException](DeltaLog.cloneShallow(spark, src, dst))
+    assert(e.getMessage.contains("already has a Delta log"))
+  }
+
+  test("merge with a txn action: a replayed batch skips without touching a file") {
+    val tbl = s"${freshDir("mtxn")}/t"
+    DeltaLog.merge(spark, tbl, df(1L -> "a", 2L -> "b"), keyCols = Seq("k"),
+      txn = Some(("app", 0L)))
+    val (v1, touched1) = DeltaLog.merge(spark, tbl, df(2L -> "B2"), keyCols = Seq("k"),
+      txn = Some(("app", 1L)))
+    assert(touched1 == 1)
+    val filesAfter = livePaths(tbl)
+    // replay of batch 1: version unchanged, file set unchanged
+    val (v2, touched2) = DeltaLog.merge(spark, tbl, df(2L -> "WRONG"), keyCols = Seq("k"),
+      txn = Some(("app", 1L)))
+    assert(v2 == v1 && touched2 == 0 && livePaths(tbl) == filesAfter)
+    assert(DeltaLog.read(spark, tbl).as[(Long, String)].collect().sorted.toSeq
+      == Seq(1L -> "a", 2L -> "B2"))
+  }
+
+  test("vacuum(0) on a partitioned table never deletes live files (dir-prefixed add paths)") {
+    val tbl = s"${freshDir("vacp")}/t"
+    val d = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("k", "color")
+    DeltaLog.append(spark, tbl, d.repartition(1), partitionBy = Seq("color"))
+    // live partitioned adds are `color=x/part-….parquet`; a bare-filename
+    // liveness compare would mark them all unreferenced and eat the table
+    assert(DeltaLog.vacuum(spark, tbl, retentionMs = 0L) == 0)
+    assert(DeltaLog.read(spark, tbl).count() == 3)
+    // a real partition drop then leaves genuinely dead files for vacuum
+    DeltaLog.deletePartitions(spark, tbl, Map("color" -> "red"))
+    assert(DeltaLog.vacuum(spark, tbl, retentionMs = 0L) == 1)
+    assert(DeltaLog.read(spark, tbl).select("k").as[Long].collect().toSeq == Seq(2L))
+  }
 }
