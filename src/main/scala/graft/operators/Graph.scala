@@ -256,15 +256,83 @@ object Graph {
       |FROM wedge w ANTI JOIN canon ON canon.a = w.a AND canon.c = w.c
       |ORDER BY common_neighbors DESC, a, c LIMIT 20""".stripMargin
 
+  /** MULTI-SOURCE BFS shortest paths (unweighted hop distance) — the
+    * iterative frontier-expansion every distributed graph engine runs
+    * (Pregel's canonical example), as plain DataFrame iteration: seeds
+    * start at hop 0; each round joins the FRONTIER (only the newly
+    * reached vertices, not the whole visited set) to the edge list and
+    * anti-joins the visited set, so a vertex's first visit IS its
+    * shortest distance. Three fixed rounds; output is the per-hop
+    * reachability histogram with an exact key checksum.
+    *
+    * The graph is the support-≥2 co-order graph (same noise cut and
+    * degree bound as [[grLinkPredict]]); seeds are the mod-50 part
+    * keys present in it — a deterministic scattering, so the oracle (a
+    * DuckDB recursive CTE with UNION-dedup on (v, hop), min(hop) per
+    * vertex) recomputes the identical expansion.
+    *
+    * Scale: per round, ONE equi-join frontier⋈edges (fan-out = frontier
+    * out-degree) + one anti-join against visited — two int-key
+    * shuffles; frontier and visited are vertex-bounded, never
+    * path-bounded, and the loop is a fixed 3 steps (no lineage
+    * growth — each round's result is persisted via [[Scratch]]). */
+  def grShortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 9973L
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val e = Scratch.persist(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst"))
+    val seeds = e.select(col("src").as("v")).distinct()
+      .filter(col("v") % 50 === 0)
+    var visited = Scratch.persist(seeds.withColumn("hop", lit(0)))
+    var frontier = visited.select("v")
+    for (h <- 1 to 3) {
+      val next = Scratch.persist(
+        frontier.join(e, frontier("v") === e("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .withColumn("hop", lit(h)))
+      visited = Scratch.persist(visited.unionAll(next))
+      frontier = next.select("v")
+    }
+    visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("v") % P).as("key_check"))
+      .orderBy("hop")
+  }
+
+  private val grShortestPathsSql: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |bfs(v, d) AS (
+      |  SELECT DISTINCT src, 0 FROM raw WHERE src % 50 = 0
+      |  UNION
+      |  SELECT raw.dst, bfs.d + 1 FROM bfs JOIN raw ON raw.src = bfs.v
+      |  WHERE bfs.d < 3),
+      |dist AS (SELECT v, min(d) AS hop FROM bfs GROUP BY 1)
+      |SELECT hop::INT AS hop, count(*)::BIGINT AS n_vertices,
+      |  sum(v % 9973)::BIGINT AS key_check
+      |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (grPagerank _),
     "gr_assoc_rules" -> (grAssocRules _),
     "gr_triangles" -> (grTriangles _),
-    "gr_link_predict" -> (grLinkPredict _))
+    "gr_link_predict" -> (grLinkPredict _),
+    "gr_shortest_paths" -> (grShortestPaths _))
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_assoc_rules" -> grAssocRulesSql,
     "gr_triangles" -> grTrianglesSql,
-    "gr_link_predict" -> grLinkPredictSql)
+    "gr_link_predict" -> grLinkPredictSql,
+    "gr_shortest_paths" -> grShortestPathsSql)
 }

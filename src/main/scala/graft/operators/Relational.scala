@@ -1155,10 +1155,134 @@ object Relational {
       |  count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS nulls_returnflag
       |FROM lineitem""".stripMargin
 
+  /** COLUMN PROFILER — the every-column-at-once ANALYZE every ingestion
+    * pipeline runs on a new 100 TB drop: per column, null count, exact
+    * NDV, and min/max (rendered through engine-portable casts: ids as
+    * ints, price as cent-BIGINT, timestamp as date — Spark's and
+    * DuckDB's raw double/timestamp→string renderings differ). ONE scan:
+    * all 6×4 statistics aggregate in a single pass (the count-distincts
+    * expand to the standard multi-projection aggregate), then `stack`
+    * pivots the wide row into the per-column report — vs the naive
+    * per-column loop that scans the table six times. At extreme NDV,
+    * swap the exact distincts for approx_count_distinct (op_approx_
+    * distinct) — the plan shape is otherwise identical. */
+  def opProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    // (column, min-rendering, max-rendering) — each rendering must be
+    // reproduced verbatim by the oracle
+    val spec = Seq(
+      ("o_orderkey", "cast(min(o_orderkey) as string)", "cast(max(o_orderkey) as string)"),
+      ("o_custkey", "cast(min(o_custkey) as string)", "cast(max(o_custkey) as string)"),
+      ("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+      ("o_totalprice",
+        "cast(min(cast(round(o_totalprice * 100) as bigint)) as string)",
+        "cast(max(cast(round(o_totalprice * 100) as bigint)) as string)"),
+      ("o_orderdate",
+        "cast(cast(min(o_orderdate) as date) as string)",
+        "cast(cast(max(o_orderdate) as date) as string)"),
+      ("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+    val aggCols = spec.flatMap { case (c, mn, mx) => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"nulls_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      expr(mn).as(s"min_$c"),
+      expr(mx).as(s"max_$c"))
+    }
+    val stackArgs = spec.map { case (c, _, _) =>
+      s"'$c', nulls_$c, ndv_$c, min_$c, max_$c" }.mkString(", ")
+    ord.agg(count(lit(1)).as("n_rows"), aggCols: _*)
+      .selectExpr(
+        s"stack(${spec.size}, $stackArgs) as (column_name, n_nulls, ndv, min_val, max_val)",
+        "n_rows")
+      .select("column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
+  private val opProfileSql: String = {
+    val branches = Seq(
+      ("o_orderkey", "min(o_orderkey)::VARCHAR", "max(o_orderkey)::VARCHAR"),
+      ("o_custkey", "min(o_custkey)::VARCHAR", "max(o_custkey)::VARCHAR"),
+      ("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+      ("o_totalprice",
+        "min(round(o_totalprice * 100)::BIGINT)::VARCHAR",
+        "max(round(o_totalprice * 100)::BIGINT)::VARCHAR"),
+      ("o_orderdate",
+        "min(o_orderdate)::DATE::VARCHAR",
+        "max(o_orderdate)::DATE::VARCHAR"),
+      ("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+      .map { case (c, mn, mx) =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS ndv, $mn AS min_val, $mx AS max_val
+           |FROM orders""".stripMargin }
+    branches.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
+  /** DATA-QUALITY RULE SUITE (the Deequ/dbt-tests shape): a constraint
+    * set evaluated in ONE scan — each range/domain rule is a conditional
+    * count inside the same aggregate, pivoted to a per-rule report of
+    * (checked, violations, rate) — plus one referential rule
+    * (lineitem.l_orderkey ⊆ orders.o_orderkey) as a single anti-join
+    * count. The thresholds are tuned so some rules BITE on the fixture
+    * (nonzero violations) and some hold — an all-zeros report can't
+    * detect a broken counter. At 100 TB the scan-rule block stays one
+    * pass regardless of rule count; the referential rule is one
+    * shuffle (or broadcast, when the parent's keys fit). */
+  def opDqRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val scanRules = li.agg(
+        count(lit(1)).as("n_checked"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 45, lit(1))).as("v_qty"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.05, lit(1))).as("v_disc"),
+        count(when(col("l_extendedprice") <= 0, lit(1))).as("v_price"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), lit(1))).as("v_flag"))
+      .selectExpr(
+        """stack(4,
+          |  'discount_le_05', v_disc,
+          |  'extendedprice_positive', v_price,
+          |  'quantity_1_to_45', v_qty,
+          |  'returnflag_domain', v_flag) as (rule, n_violations)""".stripMargin,
+        "n_checked")
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked"))))
+      .select(lit("orderkey_in_orders").as("rule"), col("n_violations"), col("n_checked"))
+    scanRules.select("rule", "n_violations", "n_checked")
+      .unionAll(orphans)
+      .withColumn("violation_rate",
+        col("n_violations").cast("double") / col("n_checked"))
+      .orderBy("rule")
+  }
+
+  private val opDqRulesSql: String =
+    """WITH scan AS (
+      |  SELECT count(*) AS n_checked,
+      |    count(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 END) AS v_qty,
+      |    count(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 END) AS v_disc,
+      |    count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS v_price,
+      |    count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS v_flag
+      |  FROM lineitem),
+      |rules AS (
+      |  SELECT 'discount_le_05' AS rule, v_disc AS n_violations, n_checked FROM scan
+      |  UNION ALL SELECT 'extendedprice_positive', v_price, n_checked FROM scan
+      |  UNION ALL SELECT 'quantity_1_to_45', v_qty, n_checked FROM scan
+      |  UNION ALL SELECT 'returnflag_domain', v_flag, n_checked FROM scan
+      |  UNION ALL
+      |  SELECT 'orderkey_in_orders',
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |    (SELECT count(*) FROM lineitem))
+      |SELECT rule, n_violations, n_checked,
+      |  n_violations::DOUBLE / n_checked AS violation_rate
+      |FROM rules ORDER BY rule""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_table_stats" -> (opTableStats _),
+    "op_profile" -> (opProfile _),
+    "op_dq_rules" -> (opDqRules _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1209,6 +1333,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "op_table_stats" -> opTableStatsSql,
+    "op_profile" -> opProfileSql,
+    "op_dq_rules" -> opDqRulesSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

@@ -127,6 +127,59 @@ object TextAnalysis {
       |  FROM (SELECT string_split(text, ' ') w FROM documents) t WHERE len(w) >= 2) u
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
+  /** COLLOCATION MINING (the statistical-phrase detector feeding
+    * phrase-aware tokenizers and n-gram LMs): adjacent token pairs
+    * scored by LIFT over the bigram sample space —
+    * P(w1,w2) / (P(w1·)·P(·w2)) = n_pair·n_bigrams / (n_left·n_right)
+    * — the exact-arithmetic member of the PMI family (PMI is just its
+    * log, which would drag in libm and cost bit-portability; ranking
+    * is identical). Support floor 3, top 30 by lift.
+    *
+    * Scale: one explode + three bigram-keyed aggregations (pair/left/
+    * right marginals — each ONE shuffle with map-side partials), the
+    * scalar total broadcast into the support-filtered pair relation;
+    * the two marginal joins key on single words (vocabulary-sized,
+    * broadcastable). Nothing is ever all-pairs over the vocabulary. */
+  def taCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Scratch.persist(Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(element_at(toks, i + 1) as w1, element_at(toks, i + 2) as w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2")))
+    val pairCnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    val leftCnt = pairs.groupBy("w1").agg(count(lit(1)).as("n_left"))
+    val rightCnt = pairs.groupBy("w2").agg(count(lit(1)).as("n_right"))
+    val total = pairs.agg(count(lit(1)).as("n_bigrams"))
+    pairCnt
+      .join(leftCnt, "w1")
+      .join(rightCnt, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_pair") * col("n_bigrams")).cast("double") / (col("n_left") * col("n_right")))
+      .select("w1", "w2", "n_pair", "n_left", "n_right", "lift")
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val taCollocationsSql: String =
+    """WITH pr AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+      |  FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS bigram
+      |        FROM (SELECT string_split(text, ' ') w FROM documents) t WHERE len(w) >= 2) u),
+      |pc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pr GROUP BY 1, 2
+      |       HAVING count(*) >= 3),
+      |lc AS (SELECT w1, count(*)::BIGINT AS n_left FROM pr GROUP BY 1),
+      |rc AS (SELECT w2, count(*)::BIGINT AS n_right FROM pr GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n_bigrams FROM pr)
+      |SELECT pc.w1, pc.w2, n_pair, n_left, n_right,
+      |  (n_pair * n_bigrams)::DOUBLE / (n_left * n_right) AS lift
+      |FROM pc JOIN lc USING (w1) JOIN rc USING (w2), tot
+      |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
+
   /** Document fingerprinting: full md5, a 60-bit integer fingerprint, and
     * an order-insensitive bag-of-words fingerprint (rolling-hash family;
     * md5-based so both engines agree — SURVEY §7.5). */
@@ -664,6 +717,7 @@ object TextAnalysis {
     "ta_quality" -> (taQuality _),
     "ta_lang_id" -> (taLangId _),
     "ta_ngram_freq" -> (taNgramFreq _),
+    "ta_collocations" -> (taCollocations _),
     "ta_fingerprint" -> (taFingerprint _),
     "ta_bpe_tokens" -> (taBpeTokens _))
 
@@ -682,6 +736,7 @@ object TextAnalysis {
     "ta_quality" -> taQualitySql,
     "ta_lang_id" -> taLangIdSql,
     "ta_ngram_freq" -> taNgramFreqSql,
+    "ta_collocations" -> taCollocationsSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_bpe_tokens" -> taBpeTokensSql)
 }
