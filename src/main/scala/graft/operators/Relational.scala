@@ -1217,6 +1217,43 @@ object Relational {
     branches.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
 
+  /** JOIN-KEY SKEW DIAGNOSTICS — the profile run BEFORE a 100 TB join
+    * to decide between plain shuffle, salting ([[opSaltedJoin]]) and
+    * AQE skew splitting: per-key frequencies in one shuffle, then
+    * key-count, max/p99 frequency, the max/avg skew ratio (one exact
+    * integer product per IEEE division) and the count of heavy keys
+    * (frequency > 2× average, compared in exact integer cross-products
+    * so no rounding ambiguity). The frequency relation never leaves the
+    * executors; the stats row is aggregate-sized. */
+  def opSkewStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Scratch.persist(Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("freq")))
+    val tot = freq.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("freq")).as("n_rows"),
+      max(col("freq")).as("max_freq"),
+      (round(expr("percentile(freq, 0.99)") * 100).cast("long") / 100.0).as("p99_freq"))
+    val heavy = freq.crossJoin(broadcast(tot.select(col("n_keys"), col("n_rows"))))
+      .filter(col("freq") * col("n_keys") > lit(2) * col("n_rows"))
+      .agg(count(lit(1)).as("n_heavy_keys"))
+    tot.crossJoin(broadcast(heavy))
+      .withColumn("skew_ratio",
+        (col("max_freq") * col("n_keys")).cast("double") / col("n_rows"))
+      .select("n_keys", "n_rows", "max_freq", "p99_freq", "n_heavy_keys", "skew_ratio")
+  }
+
+  private val opSkewStatsSql: String =
+    """WITH freq AS (SELECT l_partkey, count(*)::BIGINT AS freq FROM lineitem GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n_keys, sum(freq)::BIGINT AS n_rows,
+      |    max(freq)::BIGINT AS max_freq,
+      |    round(quantile_cont(freq, 0.99) * 100)::BIGINT / 100.0 AS p99_freq
+      |  FROM freq),
+      |hv AS (SELECT count(*)::BIGINT AS n_heavy_keys
+      |  FROM freq, tot WHERE freq * n_keys > 2 * n_rows)
+      |SELECT n_keys, n_rows, max_freq, p99_freq, n_heavy_keys,
+      |  (max_freq * n_keys)::DOUBLE / n_rows AS skew_ratio
+      |FROM tot, hv""".stripMargin
+
   /** DATA-QUALITY RULE SUITE (the Deequ/dbt-tests shape): a constraint
     * set evaluated in ONE scan — each range/domain rule is a conditional
     * count inside the same aggregate, pivoted to a per-rule report of
@@ -1283,6 +1320,7 @@ object Relational {
     "op_table_stats" -> (opTableStats _),
     "op_profile" -> (opProfile _),
     "op_dq_rules" -> (opDqRules _),
+    "op_skew_stats" -> (opSkewStats _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1335,6 +1373,7 @@ object Relational {
     "op_table_stats" -> opTableStatsSql,
     "op_profile" -> opProfileSql,
     "op_dq_rules" -> opDqRulesSql,
+    "op_skew_stats" -> opSkewStatsSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

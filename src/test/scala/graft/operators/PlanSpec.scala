@@ -84,12 +84,15 @@ class PlanSpec extends SparkSpec {
     // ann_rrf_hybrid inherits ta_bm25's stats row AND broadcasts its
     // single probe embedding (1-row build side, scalar-subquery plan).
     // gr_assoc_rules broadcasts its 1-row order-count aggregate likewise.
+    // op_dq_rules / op_skew_stats / ta_collocations each broadcast a
+    // ONE-ROW total (referential-rule denominator / key-count totals /
+    // corpus bigram count) into their report row — same bounded shape.
     val allowNestedLoop =
       Set("ann_topk_exact", "ann_recall", "ann_ivf_recall", "ann_pq_recall", "ann_ivfpq_recall",
         "q11_stock_value", "q22_idle_balance", "ta_tfidf", "ta_bm25", "ta_heavy_hitters",
         "ann_rrf_hybrid", "gr_assoc_rules", "ta_lm_fluency",
         "dc_embed_contamination", "gr_triangles", "ta_vocab_coverage",
-        "op_histogram")
+        "op_histogram", "op_dq_rules", "op_skew_stats", "ta_collocations")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
