@@ -1036,7 +1036,7 @@ object Relational {
   def opMetaColumns(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val dateCols = li.columns.filter(_.contains("date")).sorted
-    li.select((Array("l_orderkey", "l_linenumber") ++ dateCols).map(col): _*)
+    li.select((Array("l_orderkey", "l_linenumber") ++ dateCols).toIndexedSeq.map(col): _*)
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -455,7 +455,7 @@ object Pipeline {
     wipe(spark, base)
     val tbl = s"$base/orders"
     val ord = Tables.orders(spark, sfDir)
-    val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    val maxK = ord.agg(max(col("o_orderkey"))).head().getLong(0)
     val q = maxK / 4
     Seq((Long.MinValue, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, Long.MaxValue))
       .foreach { case (lo, hi) =>

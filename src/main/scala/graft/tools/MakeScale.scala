@@ -59,7 +59,7 @@ object MakeScale {
     spark.read.schema(graft.Schemas.byName(name)).parquet(s"$src/$name.parquet")
 
   private def stride(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).head.getLong(0) + 1
+    df.agg(max(col(c))).head().getLong(0) + 1
 
   /** Cross-join with the copy index: ONE scan of the source feeds all
     * copies (a union of per-copy reads would scan `copies` times). */
