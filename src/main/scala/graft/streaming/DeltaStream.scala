@@ -145,7 +145,10 @@ class DeltaStreamSource(
     if (files.isEmpty) StreamBridge.emptyStreaming(spark, tailSchema)
     else if (partCols.isEmpty)
       StreamBridge.asStreaming(
-        spark.read.schema(tailSchema).parquet(files.map(f => s"$table/${f._1}"): _*))
+        // resolvedPath: adds may be absolute (a shallow clone's v0, a
+        // foreign writer) — same rule as every DeltaLog scan
+        spark.read.schema(tailSchema).parquet(
+          files.map(f => DeltaLog.resolvedPath(table, f._1)): _*))
     else
       StreamBridge.asStreaming(
         DeltaLog.readPartitioned(spark, table, files, tailSchema, partCols))

@@ -176,4 +176,29 @@ class DeltaStreamSpec extends SparkSpec {
     assert(got == Seq((1L, "red"), (2L, "blue"), (3L, "red")),
       "partition values come back from the log's partitionValues on both paths")
   }
+
+  test("tailing a shallow clone: absolute-path adds resolve on snapshot AND tail batches") {
+    val base = freshDir("clone")
+    val src = s"$base/src"
+    val cln = s"$base/cln"
+    DeltaLog.append(spark, src, df(1L -> "a", 2L -> "b").repartition(1))
+    DeltaLog.cloneShallow(spark, src, cln)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    // initial snapshot reads the clone's v0 — every add is an absolute
+    // path into the SOURCE's directory
+    drain(cln, out, ckpt)
+    assert(keys(out) == Seq(1L, 2L), "snapshot resolves absolute adds")
+    // a local append to the clone (relative adds) tails normally; the
+    // tail batch mixes nothing in from the source's later commits
+    DeltaLog.append(spark, src, df(8L -> "x").repartition(1))
+    DeltaLog.append(spark, cln, df(3L -> "c").repartition(1))
+    drain(cln, out, ckpt)
+    assert(keys(out) == Seq(1L, 2L, 3L),
+      "tail delivers the clone's own append only; source growth invisible")
+    // startingVersion=1 (skip the snapshot): the tail-batch path itself
+    // must also resolve relative adds after an absolute-add v0
+    val out2 = s"$base/out2"; val ckpt2 = s"$base/ckpt2"
+    drain(cln, out2, ckpt2, Map("startingVersion" -> "1"))
+    assert(keys(out2) == Seq(3L), "startingVersion tail over the clone works")
+  }
 }
