@@ -84,6 +84,145 @@ object Similarity {
        |  FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // SQ8 — scalar quantization (the third classic quantizer next to PQ
+  // and IVF): per-dimension min/max over the corpus maps each float to
+  // an 8-bit code, cutting vector memory 4x vs float32 — at 100 TB of
+  // embeddings that is the difference between in-memory and spilled
+  // search. Distances in code space are EXACT INTEGERS (sum of squared
+  // code deltas), so ranking is bit-portable with no double compares at
+  // all; the bounds themselves derive from two tiny aggregates. The
+  // Spark side collects the 64x2 bounds (centroid-sized, same budget
+  // rule as the PQ/IVF codebooks) and inlines them as literals; the
+  // oracle recomputes the identical bounds in SQL. Quantization math is
+  // mirrored operation-for-operation: ((x - lo) * 255.0) / (hi - lo),
+  // floored, clamped to [0, 255], degenerate hi = lo dims pinned to 0.
+
+  /** Per-dim (lo, hi) bounds, index order. */
+  private def sq8Bounds(e: DataFrame): Array[(Double, Double)] =
+    e.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("pos").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Spark: embeddings with an int8-code array column `qv` (as BIGINTs
+    * for exact integer distance arithmetic). */
+  private def embSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embWithNorm(spark, sfDir)
+    val b = sq8Bounds(e)
+    val loLit = b.map(_._1).mkString("array(", "D, ", "D)")
+    val hiLit = b.map(_._2).mkString("array(", "D, ", "D)")
+    e.withColumn("qv", expr(
+      s"""transform(emb, (x, i) ->
+         |  cast(case when element_at($hiLit, i + 1) = element_at($loLit, i + 1) then 0.0D
+         |    else least(255.0D, greatest(0.0D,
+         |      floor(((x - element_at($loLit, i + 1)) * 255.0D)
+         |            / (element_at($hiLit, i + 1) - element_at($loLit, i + 1)))))
+         |  end as bigint))""".stripMargin))
+      .select("vec_id", "emb", "qv")
+  }
+
+  /** Exact integer squared distance between two code arrays. */
+  private def qdistS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+
+  private val sq8QuantCte: String =
+    """b AS (
+      |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+      |  FROM (SELECT pos, min(v) AS lo, max(v) AS hi
+      |        FROM (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+      |                     unnest(embedding)::DOUBLE AS v
+      |              FROM embeddings)
+      |        GROUP BY pos)),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, len(embedding)), i ->
+      |      (CASE WHEN b.his[i] = b.los[i] THEN 0.0
+      |       ELSE least(255.0, greatest(0.0,
+      |         floor(((embedding[i]::DOUBLE - b.los[i]) * 255.0) / (b.his[i] - b.los[i]))))
+      |       END)::BIGINT) AS qv
+      |  FROM embeddings, b)""".stripMargin
+
+  private def qdistD(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** SQ8 top-10 per probe: quantize corpus + probes, rank by exact
+    * integer code distance (ties by neighbor id — NO doubles anywhere
+    * in the ranking). Probes broadcast; one corpus scan. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = embSq8(spark, sfDir).select("vec_id", "qv")
+    val probes = q.select(col("vec_id").as("probe_id"), col("qv").as("p_qv"))
+      .filter(col("probe_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("qdist"), col("neighbor_id"))
+    q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist", expr(qdistS("qv", "p_qv")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("qdist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val annSq8Sql: String =
+    s"""WITH $sq8QuantCte
+       |SELECT probe_id, neighbor_id, qdist, rank FROM (
+       |  SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+       |    ${qdistD("q.qv", "p.qv")} AS qdist,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${qdistD("q.qv", "p.qv")}, q.vec_id) AS rank
+       |  FROM q JOIN q p ON p.vec_id < 10 AND q.vec_id <> p.vec_id) t
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** SQ8 recall@10 vs the exact-L2 ground truth (the family's quality
+    * certificate, like ann_ivf_recall/ann_pq_recall): both top-10 lists
+    * per probe, overlap counted. Exact L2 is the same strict-order
+    * double fold as the cosine path. */
+  def annSq8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    def l2S(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+    val e = embSq8(spark, sfDir)
+    val probes = e.select(col("vec_id").as("probe_id"),
+        col("emb").as("p_emb"), col("qv").as("p_qv"))
+      .filter(col("probe_id") < 10)
+    val joined = Scratch.persist(e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qdist", expr(qdistS("qv", "p_qv")))
+      .withColumn("l2", expr(l2S("emb", "p_emb")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("qdist"), col("l2")))
+    val wq = Window.partitionBy("probe_id").orderBy(col("qdist"), col("neighbor_id"))
+    val we = Window.partitionBy("probe_id").orderBy(col("l2"), col("neighbor_id"))
+    val topQ = joined.withColumn("r", row_number().over(wq)).filter(col("r") <= 10)
+      .select("probe_id", "neighbor_id")
+    val topE = joined.withColumn("r", row_number().over(we)).filter(col("r") <= 10)
+      .select("probe_id", "neighbor_id")
+    topE.join(topQ, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("recall_at_10", col("n_overlap").cast("double") / 10.0)
+      .orderBy("probe_id")
+  }
+
+  private val annSq8RecallSql: String = {
+    val l2D = "list_reduce(list_transform(generate_series(1, len(e.embedding)), " +
+      "i -> (e.embedding[i]::DOUBLE - p.embedding[i]::DOUBLE) * (e.embedding[i]::DOUBLE - p.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    s"""WITH $sq8QuantCte,
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    ${qdistD("qe.qv", "qp.qv")} AS qdist, $l2D AS l2
+       |  FROM embeddings e JOIN embeddings p ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+       |  JOIN q qe ON qe.vec_id = e.vec_id JOIN q qp ON qp.vec_id = p.vec_id),
+       |topq AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qdist, neighbor_id) AS r
+       |  FROM pairs) t WHERE r <= 10),
+       |tope AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY l2, neighbor_id) AS r
+       |  FROM pairs) t WHERE r <= 10)
+       |SELECT probe_id, count(*)::BIGINT AS n_overlap,
+       |  count(*)::DOUBLE / 10.0 AS recall_at_10
+       |FROM tope SEMI JOIN topq USING (probe_id, neighbor_id)
+       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+  }
+
   /** Deterministic ±1 hyperplanes: sign p,j from md5 parity of a seed
     * string. Derived in Scala once and inlined as literals in BOTH the
     * Spark plan and the oracle SQL, so the bucketing is
@@ -706,6 +845,8 @@ object Similarity {
     "dc_embed_contamination" -> (dcEmbedContamination _),
     "ann_rrf_hybrid" -> (annRrfHybrid _),
     "ann_topk_exact" -> (annTopkExact _),
+    "ann_sq8" -> (annSq8 _),
+    "ann_sq8_recall" -> (annSq8Recall _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "ann_ivf" -> (annIvf _),
@@ -718,6 +859,8 @@ object Similarity {
     "dc_embed_contamination" -> dcEmbedContaminationSql,
     "ann_rrf_hybrid" -> annRrfHybridSql,
     "ann_topk_exact" -> annTopkExactSql,
+    "ann_sq8" -> annSq8Sql,
+    "ann_sq8_recall" -> annSq8RecallSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ann_ivf" -> annIvfSql,
