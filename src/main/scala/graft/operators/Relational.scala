@@ -1254,6 +1254,70 @@ object Relational {
       |  (max_freq * n_keys)::DOUBLE / n_rows AS skew_ratio
       |FROM tot, hv""".stripMargin
 
+  /** PAIRWISE CORRELATION MATRIX — the numeric-feature screening pass
+    * (feature selection, drift detection) as ONE scan: every Pearson
+    * moment (Σx, Σx², Σxy per pair) accumulates as an EXACT BIGINT sum
+    * over integer-scaled columns, so the shuffle is order-insensitive;
+    * the final correlation is one fixed double expression over those
+    * integers ((n·Σxy − ΣxΣy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) —
+    * mul/div/sqrt are all correctly-rounded IEEE ops, so both engines
+    * emit bit-identical doubles). Scales: quantity and the percent
+    * columns in their natural integer grids, price in whole units —
+    * chosen so Σx² stays within int64 beyond the 100× fixture. 15
+    * aggregates, one pass, one aggregate-sized result. */
+  def opCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq(
+      ("discount", "cast(round(l_discount * 100) as bigint)"),
+      ("extendedprice", "cast(round(l_extendedprice) as bigint)"),
+      ("quantity", "cast(l_quantity as bigint)"),
+      ("tax", "cast(round(l_tax * 100) as bigint)"))
+    val aggs =
+      cols.flatMap { case (n, e) =>
+        Seq(s"sum($e) as s_$n", s"sum(($e) * ($e)) as ss_$n") } ++
+      cols.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
+        s"sum(($ea) * ($eb)) as sp_${na}_$nb" }.toSeq
+    def corr(a: String, b: String): String =
+      s"""(cast(n as double) * cast(sp_${a}_$b as double)
+         |  - cast(s_$a as double) * cast(s_$b as double))
+         |/ sqrt((cast(n as double) * cast(ss_$a as double)
+         |          - cast(s_$a as double) * cast(s_$a as double))
+         |       * (cast(n as double) * cast(ss_$b as double)
+         |          - cast(s_$b as double) * cast(s_$b as double)))""".stripMargin
+    val stackArgs = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      s"'$a', '$b', ${corr(a, b)}" }.mkString(", ")
+    Tables.lineitem(spark, sfDir)
+      .agg(expr("count(1)").as("n"), aggs.map(expr): _*)
+      .selectExpr("n as n_rows",
+        s"stack(${cols.combinations(2).size}, $stackArgs) as (col_x, col_y, corr)")
+      .select("col_x", "col_y", "n_rows", "corr")
+      .orderBy("col_x", "col_y")
+  }
+
+  private val opCorrMatrixSql: String = {
+    val cols = Seq(
+      ("discount", "round(l_discount * 100)::BIGINT"),
+      ("extendedprice", "round(l_extendedprice)::BIGINT"),
+      ("quantity", "l_quantity::BIGINT"),
+      ("tax", "round(l_tax * 100)::BIGINT"))
+    def corr(a: String, b: String): String =
+      s"""(n::DOUBLE * sp_${a}_$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)
+         |/ sqrt((n::DOUBLE * ss_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE)
+         |       * (n::DOUBLE * ss_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE))""".stripMargin
+    val moments =
+      (cols.flatMap { case (n, e) =>
+        Seq(s"sum($e)::BIGINT AS s_$n", s"sum(($e) * ($e))::BIGINT AS ss_$n") } ++
+      cols.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
+        s"sum(($ea) * ($eb))::BIGINT AS sp_${na}_$nb" }).mkString(",\n    ")
+    val branches = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      s"SELECT '$a' AS col_x, '$b' AS col_y, n AS n_rows, ${corr(a, b)} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT count(*)::BIGINT AS n,
+       |    $moments
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** DATA-QUALITY RULE SUITE (the Deequ/dbt-tests shape): a constraint
     * set evaluated in ONE scan — each range/domain rule is a conditional
     * count inside the same aggregate, pivoted to a per-rule report of
@@ -1321,6 +1385,7 @@ object Relational {
     "op_profile" -> (opProfile _),
     "op_dq_rules" -> (opDqRules _),
     "op_skew_stats" -> (opSkewStats _),
+    "op_corr_matrix" -> (opCorrMatrix _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1374,6 +1439,7 @@ object Relational {
     "op_profile" -> opProfileSql,
     "op_dq_rules" -> opDqRulesSql,
     "op_skew_stats" -> opSkewStatsSql,
+    "op_corr_matrix" -> opCorrMatrixSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

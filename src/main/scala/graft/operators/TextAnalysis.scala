@@ -702,6 +702,76 @@ object TextAnalysis {
        |ORDER BY exact_cnt DESC, term""".stripMargin
   }
 
+  /** RAKE KEYPHRASE EXTRACTION (Rose et al.'s Rapid Automatic Keyword
+    * Extraction — the unsupervised keyphrase baseline every corpus
+    * summary starts from): candidate phrases are maximal stopword-free
+    * token runs; each word scores degree/frequency (degree = summed
+    * length of the phrases it appears in); a phrase scores the sum of
+    * its words' scores. The division is INTEGER floor division at 1e6
+    * scale (`(degree·1e6) div freq`), so word and phrase scores are
+    * exact integers and the ranking is bit-portable — the float-ratio
+    * form would make the cross-word sum order-sensitive.
+    *
+    * Scale: phrase splitting is per-row (codegen'd regex/array ops, no
+    * shuffle); word stats are one shuffle on the word key, phrase
+    * scores one shuffle on the phrase key, both with map-side partials;
+    * top-25 is TakeOrderedAndProject. */
+  def taKeyphrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val inStops = stopwords.map(s => s"'$s'").mkString(", ")
+    // one row per PHRASE OCCURRENCE
+    val ph = Scratch.persist(Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("marked", expr(
+        s"array_join(transform(toks, t -> case when t in ($inStops) then '|' else t end), ' ')"))
+      .select(explode(split(col("marked"), " *\\| *")).as("p"))
+      .withColumn("phrase", trim(col("p")))
+      .filter(col("phrase") =!= "")
+      .select("phrase"))
+    // word stats over all occurrences: freq + degree
+    val ws = ph
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("plen"))
+      .select(explode(split(col("phrase"), " ")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(expr("cast((sum(plen) * 1000000) div count(1) as bigint)").as("wscore"))
+    val occ = ph.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    // per-distinct-phrase word multiset (a repeated word counts twice,
+    // as in RAKE), scored by joining the word table
+    val score = occ.select("phrase")
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(ws, "word")
+      .groupBy("phrase").agg(sum(col("wscore")).as("score"))
+    score.join(occ, "phrase")
+      .withColumn("n_words", size(split(col("phrase"), " ")).cast("long"))
+      .select("phrase", "n_words", "n_occurrences", "score")
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(25)
+  }
+
+  private val taKeyphraseSql: String = {
+    val inStops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH ph AS (
+       |  SELECT trim(p) AS phrase FROM (
+       |    SELECT unnest(string_split_regex(array_to_string(
+       |      list_transform(string_split(text, ' '),
+       |        t -> CASE WHEN t IN ($inStops) THEN '|' ELSE t END), ' '),
+       |      ' *\\| *')) AS p
+       |    FROM documents) t
+       |  WHERE trim(p) <> ''),
+       |pw AS (SELECT unnest(string_split(phrase, ' ')) AS word,
+       |         len(string_split(phrase, ' ')) AS plen FROM ph),
+       |ws AS (SELECT word, ((sum(plen) * 1000000) // count(*))::BIGINT AS wscore
+       |       FROM pw GROUP BY 1),
+       |occ AS (SELECT phrase, count(*)::BIGINT AS n_occurrences FROM ph GROUP BY 1),
+       |ds AS (SELECT d.phrase, sum(ws.wscore)::BIGINT AS score FROM (
+       |    SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+       |    FROM (SELECT phrase FROM occ) u) d
+       |  JOIN ws USING (word) GROUP BY 1)
+       |SELECT ds.phrase, len(string_split(ds.phrase, ' '))::BIGINT AS n_words,
+       |  occ.n_occurrences, ds.score
+       |FROM ds JOIN occ USING (phrase)
+       |ORDER BY score DESC, phrase LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_diversity" -> (taDiversity _),
@@ -718,6 +788,7 @@ object TextAnalysis {
     "ta_lang_id" -> (taLangId _),
     "ta_ngram_freq" -> (taNgramFreq _),
     "ta_collocations" -> (taCollocations _),
+    "ta_keyphrase" -> (taKeyphrase _),
     "ta_fingerprint" -> (taFingerprint _),
     "ta_bpe_tokens" -> (taBpeTokens _))
 
@@ -737,6 +808,7 @@ object TextAnalysis {
     "ta_lang_id" -> taLangIdSql,
     "ta_ngram_freq" -> taNgramFreqSql,
     "ta_collocations" -> taCollocationsSql,
+    "ta_keyphrase" -> taKeyphraseSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_bpe_tokens" -> taBpeTokensSql)
 }
