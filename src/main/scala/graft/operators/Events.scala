@@ -355,6 +355,64 @@ object Events {
        |GROUP BY e.event_id, e.user_id
        |ORDER BY e.event_id""".stripMargin
 
+  /** INTERVAL-OVERLAP JOIN — both sides are true intervals (a 2-hour
+    * attention window around each view, a 1-hour window around each
+    * purchase), matched per user where the intervals INTERSECT — the
+    * genomics/session-overlap operator that [[opRangeJoin]]'s
+    * point-to-window form can't express. Bucketing: bin width = the
+    * longer side's length, each interval enumerated into its (≤ 2)
+    * touching bins — two overlapping intervals always share a bin, so
+    * the θ-predicate becomes an equi-join on (user, bin) + exact
+    * verify + pair-distinct (the candidate may appear in two shared
+    * bins). Output is the pair count, id checksums and exact integer
+    * overlap mass. The oracle runs the plain θ-join — identical result,
+    * quadratic shape; the bucketed plan is the one that survives
+    * 100 TB. */
+  def opIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 3600L * 1000000
+    val B = 2 * H // bin width = the longer (view) interval
+    val P = 9973L
+    val ev = Tables.events(spark, sfDir)
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        unix_micros(col("ts")).as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + 2 * H)
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id"),
+        unix_micros(col("ts")).as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + H)
+    val aB = a.withColumn("bin",
+      explode(array_distinct(array(expr(s"a_lo div $B"), expr(s"a_hi div $B")))))
+    val bB = b.withColumn("bin",
+      explode(array_distinct(array(expr(s"b_lo div $B"), expr(s"b_hi div $B")))))
+    aB.join(bB, Seq("user_id", "bin"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("user_id", "a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi")
+      .distinct()
+      .withColumn("ov",
+        least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_id") % P).as("a_check"),
+        sum(col("b_id") % P).as("b_check"),
+        sum(col("ov")).as("overlap_us_sum"),
+        max(col("ov")).as("max_overlap_us"))
+  }
+
+  private val opIntervalJoinSql: String = {
+    val h = 3600L * 1000000
+    s"""WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_lo,
+       |    epoch_us(ts) + ${2 * h} AS a_hi FROM events WHERE event_type = 'view'),
+       |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_lo,
+       |    epoch_us(ts) + $h AS b_hi FROM events WHERE event_type = 'purchase')
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |  sum(a_id % 9973)::BIGINT AS a_check,
+       |  sum(b_id % 9973)::BIGINT AS b_check,
+       |  sum(least(a_hi, b_hi) - greatest(a_lo, b_lo))::BIGINT AS overlap_us_sum,
+       |  max(least(a_hi, b_hi) - greatest(a_lo, b_lo))::BIGINT AS max_overlap_us
+       |FROM a JOIN b ON b.user_id = a.user_id
+       |  AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi""".stripMargin
+  }
+
   /** PIVOT: per-user event-type counts as columns (the long→wide
     * feature-izing step; Spark pivots with explicit values so the
     * output schema is static — required at scale and for the oracle). */
@@ -633,7 +691,8 @@ object Events {
     "op_asof_fwd" -> (opAsofFwd _),
     "op_asof_nearest" -> (opAsofNearest _),
     "op_asof_strict" -> (opAsofStrict _),
-    "op_range_join" -> (opRangeJoin _))
+    "op_range_join" -> (opRangeJoin _),
+    "op_interval_join" -> (opIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "op_ewma" -> opEwmaSql,
@@ -653,5 +712,6 @@ object Events {
     "op_asof_fwd" -> opAsofFwdSql,
     "op_asof_nearest" -> opAsofNearestSql,
     "op_asof_strict" -> opAsofStrictSql,
-    "op_range_join" -> opRangeJoinSql)
+    "op_range_join" -> opRangeJoinSql,
+    "op_interval_join" -> opIntervalJoinSql)
 }

@@ -656,6 +656,36 @@ object Relational {
       |    AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** TIME-RANGE window frame (`RANGE BETWEEN 30 PRECEDING`) — the
+    * value-based frame the row-based [[opWindowRunning]] can't express:
+    * each order's trailing-30-day spend per customer, where the frame
+    * is defined by ORDER-DATE DISTANCE, not row count — days with
+    * several orders enter/leave the frame together (RANGE semantics
+    * include peers, so the result is deterministic without a full tie-
+    * break). Day numbers are exact integers, spend sums fixed-point —
+    * one shuffle on the partition key, in-partition sort, single pass
+    * with a sliding frame. */
+  def opWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    Tables.orders(spark, sfDir)
+      .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .withColumn("trailing_30d_spend",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / lit(100.0))
+      .select("o_custkey", "o_orderkey", "d", "trailing_30d_spend")
+      .orderBy("o_custkey", "d", "o_orderkey")
+  }
+
+  private val opWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, d, trailing_30d_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS d,
+      |    sum(round(o_totalprice * 100)::BIGINT)
+      |      OVER (PARTITION BY o_custkey ORDER BY (o_orderdate::DATE - DATE '1970-01-01')::BIGINT
+      |            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::BIGINT / 100.0
+      |      AS trailing_30d_spend
+      |  FROM orders) t
+      |ORDER BY o_custkey, d, o_orderkey""".stripMargin
+
   /** UNION ALL with a provenance tag (SURVEY §2.8 — storage-level union
     * of micro-batches is the reference's only set op). */
   def opUnion(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1386,6 +1416,7 @@ object Relational {
     "op_dq_rules" -> (opDqRules _),
     "op_skew_stats" -> (opSkewStats _),
     "op_corr_matrix" -> (opCorrMatrix _),
+    "op_window_range" -> (opWindowRange _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1440,6 +1471,7 @@ object Relational {
     "op_dq_rules" -> opDqRulesSql,
     "op_skew_stats" -> opSkewStatsSql,
     "op_corr_matrix" -> opCorrMatrixSql,
+    "op_window_range" -> opWindowRangeSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,
