@@ -503,7 +503,64 @@ object Curation {
        |  sum(doc_id * 31 % 1000000007)::BIGINT AS member_check
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** SCORE-BASED QUALITY FILTERING with per-group retention quotas —
+    * the "keep the top half by model score, per language" step modern
+    * pretraining sets are built with (classifier-scored retention,
+    * FineWeb-Edu-style; here the score is [[TextAnalysis.taQuality]]'s
+    * oracle-verified composite). Rank within language (score desc,
+    * doc_id tie-break), keep rank ≤ ⌈n/2⌉ — the quota is an exact
+    * integer comparison, so the cut is bit-portable. Output is the
+    * per-language retention report with a kept-membership checksum.
+    *
+    * Scale: one scan computes scores map-side (codegen'd string ops),
+    * one shuffle on the language key ranks within groups; the quota is
+    * a windowed count, no second pass. Skewed language distributions
+    * are the norm (English-heavy web corpora) — the per-key sort is
+    * the operator's natural scale limit, and the fan-out per key is
+    * exactly the group size, never a pair explosion. */
+  def cuScoreFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($inStops)))").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 200.0) * (lit(1.0) - col("stop_ratio")))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    scored
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .withColumn("keep", col("r") <= expr("(n_lang + 1) div 2"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id") % 9973L)).as("kept_check"))
+      .orderBy("lang")
+  }
+
+  private val cuScoreFilterSql: String = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    least(1.0, len(w)::DOUBLE / 200.0) *
+       |      (1.0 - len(list_filter(w, t -> t IN ($inStops)))::DOUBLE / len(w)) AS q
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t),
+       |ranked AS (
+       |  SELECT doc_id, lang, q,
+       |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM scored)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN r <= (n_lang + 1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN r <= (n_lang + 1) // 2 THEN doc_id % 9973 END)::BIGINT AS kept_check
+       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_score_filter" -> (cuScoreFilter _),
     "cu_corpus_shuffle" -> (cuCorpusShuffle _),
     "cu_dedup_soft" -> (cuDedupSoft _),
     "cu_dsir_weights" -> (cuDsirWeights _),
@@ -524,6 +581,7 @@ object Curation {
     "pipe_mixture" -> pipeMixtureSql,
     "op_fuzzy_join" -> opFuzzyJoinSql,
     "cu_pii_scrub" -> cuPiiScrubSql,
+    "cu_score_filter" -> cuScoreFilterSql,
     "dd_span_dedup" -> ddSpanDedupSql,
     "op_upsert_merge" -> opUpsertMergeSql)
 }
