@@ -355,6 +355,73 @@ object Events {
        |GROUP BY e.event_id, e.user_id
        |ORDER BY e.event_id""".stripMargin
 
+  /** A/B EXPERIMENT ANALYSIS — deterministic hash-based variant
+    * assignment (md5 of the user id, the engine-portable form of every
+    * experimentation platform's bucketing hash) and the two-proportion
+    * conversion readout in ONE pass: per-user conversion flags reduce
+    * per variant, then rates, lift and the pooled z-score evaluate as
+    * one fixed IEEE expression over exact integer counts — bit-equal in
+    * both engines. One shuffle on user_id (the per-user reduce), then
+    * an aggregate-sized result; assignment is a map-side expression, so
+    * at 100 TB nothing experiment-related adds data movement. */
+  def opAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        // outcome = the user hit an error (the guardrail-metric read;
+        // purchase incidence saturates at 100% over a 30-day fixture,
+        // which would degenerate the pooled variance)
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("converted"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("cents"))
+      .withColumn("variant",
+        expr(s"${graft.functions.Text.hash60SparkSql("cast(user_id as string)")} % 2"))
+    u.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"),
+        sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("cents_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("z_score", expr(
+        """case when conv_a + conv_b = 0 or conv_a + conv_b = n_a + n_b then null
+          |else (cast(conv_a as double) / n_a - cast(conv_b as double) / n_b)
+          |  / sqrt((cast(conv_a + conv_b as double) / (n_a + n_b))
+          |         * (1.0 - cast(conv_a + conv_b as double) / (n_a + n_b))
+          |         * (1.0 / n_a + 1.0 / n_b)) end""".stripMargin))
+      .select("n_a", "n_b", "conv_a", "conv_b", "cents_a", "cents_b",
+        "rate_a", "rate_b", "z_score")
+  }
+
+  private val opAbTestSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS converted,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      THEN round(value * 100)::BIGINT END), 0)::BIGINT AS cents
+       |  FROM events GROUP BY 1),
+       |v AS (SELECT *, ${graft.functions.Text.hash60DuckSql("user_id::VARCHAR")} % 2 AS variant FROM u),
+       |agg AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+       |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b,
+       |    sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)::BIGINT AS cents_a,
+       |    sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)::BIGINT AS cents_b
+       |  FROM v)
+       |SELECT n_a, n_b, conv_a, conv_b, cents_a, cents_b,
+       |  conv_a::DOUBLE / n_a AS rate_a,
+       |  conv_b::DOUBLE / n_b AS rate_b,
+       |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+       |  ELSE (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+       |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+       |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+       |           * (1.0 / n_a + 1.0 / n_b)) END AS z_score
+       |FROM agg""".stripMargin
+
   /** INTERVAL-OVERLAP JOIN — both sides are true intervals (a 2-hour
     * attention window around each view, a 1-hour window around each
     * purchase), matched per user where the intervals INTERSECT — the
@@ -692,7 +759,8 @@ object Events {
     "op_asof_nearest" -> (opAsofNearest _),
     "op_asof_strict" -> (opAsofStrict _),
     "op_range_join" -> (opRangeJoin _),
-    "op_interval_join" -> (opIntervalJoin _))
+    "op_interval_join" -> (opIntervalJoin _),
+    "ev_ab_test" -> (opAbTest _))
 
   val oracles: Map[String, String] = Map(
     "op_ewma" -> opEwmaSql,
@@ -713,5 +781,6 @@ object Events {
     "op_asof_nearest" -> opAsofNearestSql,
     "op_asof_strict" -> opAsofStrictSql,
     "op_range_join" -> opRangeJoinSql,
-    "op_interval_join" -> opIntervalJoinSql)
+    "op_interval_join" -> opIntervalJoinSql,
+    "ev_ab_test" -> opAbTestSql)
 }

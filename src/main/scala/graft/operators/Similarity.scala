@@ -172,6 +172,47 @@ object Similarity {
        |  FROM q JOIN q p ON p.vec_id < 10 AND q.vec_id <> p.vec_id) t
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
+  /** FILTERED ANN (metadata-filtered vector search — the "top-k among
+    * documents matching a predicate" query every vector store fields):
+    * brute-force cosine top-5 per probe restricted to candidates whose
+    * `label` differs from the probe's (the cross-category
+    * recommendation shape). PRE-filtering: the predicate prunes the
+    * candidate side BEFORE any distance is computed — at 100 TB with a
+    * selective filter this beats post-filtering a k'-oversized
+    * unfiltered result, and composes with any bucketed index by
+    * intersecting the filter with the bucket scan. Probes broadcast
+    * with their labels; one filtered corpus scan. */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embWithNorm(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select("vec_id", "label"), "vec_id")
+    val probes = e.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("label").as("p_label"))
+      .filter(col("probe_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    e.join(broadcast(probes), col("label") =!= col("p_label"))
+      .withColumn("cosine", expr(s"${dotS("emb", "p_emb")}") / (col("nrm") * col("p_nrm")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val annFilteredSql: String =
+    s"""WITH $duckEmbCte
+       |SELECT probe_id, neighbor_id, neighbor_label, cosine, rank FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    el.label AS neighbor_label,
+       |    ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |               e.vec_id) AS rank
+       |  FROM e JOIN e p ON p.vec_id < 10
+       |  JOIN embeddings el ON el.vec_id = e.vec_id
+       |  JOIN embeddings pl ON pl.vec_id = p.vec_id
+       |  WHERE el.label <> pl.label) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   /** SQ8 recall@10 vs the exact-L2 ground truth (the family's quality
     * certificate, like ann_ivf_recall/ann_pq_recall): both top-10 lists
     * per probe, overlap counted. Exact L2 is the same strict-order
@@ -847,6 +888,7 @@ object Similarity {
     "ann_topk_exact" -> (annTopkExact _),
     "ann_sq8" -> (annSq8 _),
     "ann_sq8_recall" -> (annSq8Recall _),
+    "ann_filtered" -> (annFiltered _),
     "ann_lsh_bucketed" -> (annLshBucketed _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
     "ann_ivf" -> (annIvf _),
@@ -861,6 +903,7 @@ object Similarity {
     "ann_topk_exact" -> annTopkExactSql,
     "ann_sq8" -> annSq8Sql,
     "ann_sq8_recall" -> annSq8RecallSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_lsh_bucketed" -> annLshBucketedSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ann_ivf" -> annIvfSql,

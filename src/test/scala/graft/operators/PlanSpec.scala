@@ -92,7 +92,11 @@ class PlanSpec extends SparkSpec {
         "q11_stock_value", "q22_idle_balance", "ta_tfidf", "ta_bm25", "ta_heavy_hitters",
         "ann_rrf_hybrid", "gr_assoc_rules", "ta_lm_fluency",
         "dc_embed_contamination", "gr_triangles", "ta_vocab_coverage",
-        "op_histogram", "op_dq_rules", "op_skew_stats", "ta_collocations")
+        "op_histogram", "op_dq_rules", "op_skew_stats", "ta_collocations",
+        // ann_filtered / ann_sq8 / ann_sq8_recall: the same bounded
+        // 10-row probe broadcast as ann_topk_exact (inequality join
+        // against a fixed probe set, build side O(k))
+        "ann_filtered", "ann_sq8", "ann_sq8_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
