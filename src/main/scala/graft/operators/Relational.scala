@@ -656,6 +656,33 @@ object Relational {
       |    AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** NATIVE DECIMAL AGGREGATION — the money-type path: prices cast to
+    * DECIMAL(18,2) and summed/averaged IN the decimal domain (Spark's
+    * 128-bit decimal aggregate buffer, DuckDB's exact DECIMAL engine) —
+    * exact by TYPE rather than by the cent-BIGINT trick the rest of the
+    * surface uses, which is how a finance-grade schema would actually
+    * model the column. The average is re-rounded to 2 places with an
+    * explicit half-up cast so both engines' quotient rendering
+    * coincides. Same one-pass aggregate shape as [[opAggStats]]. */
+  def opDecimalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_dec")).as("total_price"),
+        min(col("price_dec")).as("min_price"),
+        max(col("price_dec")).as("max_price"),
+        expr("cast(avg(price_dec) as decimal(18,2))").as("avg_price"))
+      .orderBy("o_orderstatus")
+
+  private val opDecimalAggSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  sum(o_totalprice::DECIMAL(18,2)) AS total_price,
+      |  min(o_totalprice::DECIMAL(18,2)) AS min_price,
+      |  max(o_totalprice::DECIMAL(18,2)) AS max_price,
+      |  avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS avg_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** TIME-RANGE window frame (`RANGE BETWEEN 30 PRECEDING`) — the
     * value-based frame the row-based [[opWindowRunning]] can't express:
     * each order's trailing-30-day spend per customer, where the frame
@@ -1417,6 +1444,7 @@ object Relational {
     "op_skew_stats" -> (opSkewStats _),
     "op_corr_matrix" -> (opCorrMatrix _),
     "op_window_range" -> (opWindowRange _),
+    "op_decimal_agg" -> (opDecimalAgg _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1472,6 +1500,7 @@ object Relational {
     "op_skew_stats" -> opSkewStatsSql,
     "op_corr_matrix" -> opCorrMatrixSql,
     "op_window_range" -> opWindowRangeSql,
+    "op_decimal_agg" -> opDecimalAggSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

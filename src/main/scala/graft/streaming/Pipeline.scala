@@ -866,6 +866,57 @@ object Pipeline {
        |FROM orders
        |ORDER BY side""".stripMargin
 
+  /** IDEMPOTENT PARTITION BACKFILL — the daily-ops pattern every
+    * partitioned 100 TB table lives by: a partition found wrong (here
+    * the 'F' slice, "fixed" by re-deriving with doubled prices) is
+    * rebuilt as metadata-only partition DELETE + partition-scoped
+    * APPEND, recomputed FROM SOURCE so the operation is a pure function
+    * of upstream — run it twice and the second run rewrites the same
+    * content (the retry-safety that matters when schedulers re-fire).
+    * Untouched partitions must keep their ORIGINAL files through both
+    * runs (`untouched_parts_stable` pins the live-file set — a backfill
+    * that rewrites neighbors is how 100 TB turns into a full-table
+    * rewrite). Cost: one partition's write + two metadata commits per
+    * run, nothing proportional to the table. */
+  def pipeBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/bkfl_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    DeltaLog.append(spark, tbl, ord.repartition(2), partitionBy = Seq("o_orderstatus"))
+    def nonF(): Set[String] = DeltaLog.liveAdds(spark, tbl)._2
+      .filterNot(_._1.startsWith("o_orderstatus=F/")).map(_._1).toSet
+    val before = nonF()
+    def backfill(): Unit = {
+      DeltaLog.deletePartitions(spark, tbl, Map("o_orderstatus" -> "F"))
+      DeltaLog.append(spark, tbl,
+        ord.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"))
+          .repartition(1),
+        partitionBy = Seq("o_orderstatus"))
+    }
+    backfill()
+    backfill() // the retry: same content again, neighbors untouched
+    val stable = nonF() == before
+    DeltaLog.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .withColumn("untouched_parts_stable", lit(if (stable) 1L else 0L))
+  }
+
+  private val pipeBackfillSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(adj * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  1::BIGINT AS untouched_parts_stable
+       |FROM (SELECT o_orderkey,
+       |        CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+       |             ELSE o_totalprice END AS adj
+       |      FROM orders) t""".stripMargin
+
   /** STREAMING UPSERT SINK (CDC apply — the canonical "merge the change
     * stream into the serving table" pipeline): a [[DeltaStreamSource]]
     * tail of the source table feeds `foreachBatch`, and each micro-batch
@@ -1187,6 +1238,7 @@ object Pipeline {
     "pipe_delta_restore" -> (pipeDeltaRestore _),
     "pipe_delta_clone" -> (pipeDeltaClone _),
     "pipe_stream_upsert" -> (pipeStreamUpsert _),
+    "pipe_backfill" -> (pipeBackfill _),
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
@@ -1212,5 +1264,6 @@ object Pipeline {
     "pipe_delta_restore" -> pipeDeltaRestoreSql,
     "pipe_delta_clone" -> pipeDeltaCloneSql,
     "pipe_stream_upsert" -> pipeStreamUpsertSql,
+    "pipe_backfill" -> pipeBackfillSql,
     "op_synth_table" -> opSynthTableSql)
 }
