@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Graph, IvfPq, Journeys, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Curation, Dedup, Events, Graph, IvfPq, Journeys, MlPrep, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Tpch.queries ++ Events.queries ++ Journeys.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ Curation.queries ++
+      StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ MlPrep.queries ++ Curation.queries ++
       Pq.queries ++ IvfPq.queries ++ Graph.queries ++
       graft.sources.FormatRoundtrips.queries
 
@@ -33,7 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Tpch.oracles ++ Events.oracles ++ Journeys.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ Curation.oracles ++
+      StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ MlPrep.oracles ++ Curation.oracles ++
       Pq.oracles ++ IvfPq.oracles ++ Graph.oracles ++
       graft.sources.FormatRoundtrips.oracles
 }

@@ -559,7 +559,39 @@ object Curation {
        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** k-anonymity audit (k=5) over quasi-identifiers: documents group
+    * into equivalence classes on (lang, source, n_chars bucketed to
+    * 500) — the release-gate check privacy review runs before sharing
+    * a corpus: any class smaller than k re-identifies its members. Per
+    * language: class count, classes below k, rows at re-identification
+    * risk, smallest class. Two aggregations (rows→classes→languages),
+    * each strictly shrinking — one shuffle on the quasi-identifier,
+    * one aggregate-sized rollup; nothing data-sized leaves the
+    * executors at any corpus scale. */
+  def cuKAnon(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr("cast(n_chars div 500 as bigint)").as("chars_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L)).as("rows_at_risk"),
+        min("class_size").as("min_class_size"))
+      .orderBy("lang")
+
+  private val cuKAnonSql: String =
+    """WITH classes AS (
+      |  SELECT lang, source, n_chars // 500 AS chars_bucket, count(*)::BIGINT AS class_size
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, count(*)::BIGINT AS n_classes,
+      |  sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT AS classes_below_k,
+      |  sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT AS rows_at_risk,
+      |  min(class_size)::BIGINT AS min_class_size
+      |FROM classes GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_k_anon" -> (cuKAnon _),
     "cu_score_filter" -> (cuScoreFilter _),
     "cu_corpus_shuffle" -> (cuCorpusShuffle _),
     "cu_dedup_soft" -> (cuDedupSoft _),
@@ -573,6 +605,7 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_k_anon" -> cuKAnonSql,
     "cu_corpus_shuffle" -> cuCorpusShuffleSql,
     "cu_dedup_soft" -> cuDedupSoftSql,
     "cu_dsir_weights" -> cuDsirWeightsSql,

@@ -422,6 +422,101 @@ object Events {
        |           * (1.0 / n_a + 1.0 / n_b)) END AS z_score
        |FROM agg""".stripMargin
 
+  /** Sequence-pattern matching (the MATCH_RECOGNIZE capability as a
+    * DataFrame op): each user's events collapse to an ordered string of
+    * event-type initials (click/error/purchase/signup/view → c,e,p,s,v
+    * — distinct by fixture construction), and a regex counts behavior
+    * journeys over it — here `v[^p]*p`, "a view eventually followed by
+    * a purchase", non-overlapping (both engines' regex scans resume
+    * past each match, so counts agree). The per-user sequence is
+    * ONE aggregation (collect into a struct array, sort, join) — the
+    * same single shuffle on user_id every sessionize does; sequences
+    * are user-session-sized, never corpus-sized, so the state per key
+    * is bounded at any scale. Tie-break inside the sort is (ts,
+    * event_id) — total order, deterministic string. Top-20 readout by
+    * (journeys, events, user_id). */
+  def evPattern(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, substring(event_type, 1, 1) as c))), x -> x.c)"),
+          "").as("seq"))
+      .withColumn("n_journeys", expr("cast(regexp_count(seq, 'v[^p]*p') as bigint)"))
+      .select(col("user_id"), col("n_events"), col("n_journeys"),
+        md5(col("seq")).as("seq_md5"))
+      .orderBy(col("n_journeys").desc, col("n_events").desc, col("user_id"))
+      .limit(20)
+
+  private val evPatternSql: String =
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |  len(regexp_extract_all(
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+      |    'v[^p]*p'))::BIGINT AS n_journeys,
+      |  md5(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)) AS seq_md5
+      |FROM events GROUP BY user_id
+      |ORDER BY n_journeys DESC, n_events DESC, user_id LIMIT 20""".stripMargin
+
+  /** CUSUM change-point detection over event-rate series: hourly counts
+    * per event type, deviation from the type's mean hourly rate, and
+    * the cumulative sum of deviations in hour order — the hour where
+    * |CUSUM| peaks is the distribution-shift point (the monitoring
+    * primitive behind data-drift alerts). The CUSUM after k hours
+    * telescopes to `running_cnt − k·mean = (running_cnt·N − k·S)/N`
+    * (S, N = the type's total count and hour count), so it stays an
+    * EXACT integer numerator over a constant denominator until one
+    * final division — immune to windowed-sum float reassociation
+    * (DuckDB's segment-tree window sum reorders double additions; a
+    * naive running sum of `dev` doubles drifts ~1e-13 and
+    * hash-fails). The argmax also compares the integer numerator, so
+    * the picked hour is exact. Two
+    * aggregate-sized shuffles (hourly rollup, then per-type window);
+    * the series length is hours × types — metadata-sized at any data
+    * scale. */
+  def evCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAvg = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("num")).desc, col("hour"))
+    hourly
+      .withColumn("s_tot", sum("cnt").over(wAvg))
+      .withColumn("n_hours", count(lit(1)).over(wAvg))
+      .withColumn("run_cnt", sum("cnt").over(wCum))
+      .withColumn("k", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour")).cast("long"))
+      .withColumn("num", col("run_cnt") * col("n_hours") - col("k") * col("s_tot"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour").as("change_hour"),
+        (col("num").cast("double") / col("n_hours")).as("cusum"))
+      .orderBy("event_type")
+  }
+
+  private val evCusumSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT *,
+      |    sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS s_tot,
+      |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hour)::BIGINT AS k
+      |  FROM hourly),
+      |nm AS (SELECT *, run_cnt * n_hours - k * s_tot AS num FROM cs),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(num) DESC, hour) AS rn
+      |  FROM nm)
+      |SELECT event_type, hour AS change_hour, num::DOUBLE / n_hours AS cusum
+      |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** INTERVAL-OVERLAP JOIN — both sides are true intervals (a 2-hour
     * attention window around each view, a 1-hour window around each
     * purchase), matched per user where the intervals INTERSECT — the
@@ -760,7 +855,9 @@ object Events {
     "op_asof_strict" -> (opAsofStrict _),
     "op_range_join" -> (opRangeJoin _),
     "op_interval_join" -> (opIntervalJoin _),
-    "ev_ab_test" -> (opAbTest _))
+    "ev_ab_test" -> (opAbTest _),
+    "ev_pattern" -> (evPattern _),
+    "ev_cusum" -> (evCusum _))
 
   val oracles: Map[String, String] = Map(
     "op_ewma" -> opEwmaSql,
@@ -782,5 +879,7 @@ object Events {
     "op_asof_strict" -> opAsofStrictSql,
     "op_range_join" -> opRangeJoinSql,
     "op_interval_join" -> opIntervalJoinSql,
-    "ev_ab_test" -> opAbTestSql)
+    "ev_ab_test" -> opAbTestSql,
+    "ev_pattern" -> evPatternSql,
+    "ev_cusum" -> evCusumSql)
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** ML data-preparation operators — the feature-engineering steps a
+  * training pipeline runs between curation and the trainer (the
+  * reference stops at curated parquet; these are the canonical next
+  * stage every large-scale pipeline adds on top).
+  *
+  * All four are engine-portable by construction: hashing is the
+  * md5-derived 60-bit uniform ([[Text.hash60SparkSql]]), money math is
+  * exact integer cents until one final division, and bin assignment is
+  * rank-based with explicit tie-breaks — so DuckDB reproduces every
+  * value bit-for-bit and the driver gate hash-verifies them.
+  */
+object MlPrep {
+
+  /** Deterministic train/validation/test split (80/10/10): the
+    * assignment is a pure function of the row key (md5 bucket, not
+    * `rand()`), so it is stable under retries, repartitioning, cluster
+    * size and incremental reruns — the property that makes a 100 TB
+    * split reproducible without materializing membership lists. One
+    * map-side expression + one aggregate-sized shuffle for the
+    * readout; the split itself adds zero data movement. */
+  def mlSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("b",
+        expr(s"${Text.hash60SparkSql("concat('split:', cast(doc_id as string))")} % 10"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "validation").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("doc_id % 9973")).as("docid_check"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+      .orderBy("split")
+
+  private val mlSplitSql: String =
+    s"""SELECT split, count(*)::BIGINT AS n_docs,
+       |  sum(doc_id % 9973)::BIGINT AS docid_check,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+       |FROM (SELECT *,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation' ELSE 'test' END AS split
+       |  FROM (SELECT *, ${Text.hash60DuckSql("'split:' || doc_id::VARCHAR")} % 10 AS b
+       |        FROM documents))
+       |GROUP BY split ORDER BY split""".stripMargin
+
+  /** Feature hashing (the "hashing trick"): project an unbounded token
+    * vocabulary onto a fixed 64-bucket feature space with a content
+    * hash — no vocabulary build, no dictionary broadcast, the standard
+    * way to featurize text at corpus scale. The readout is the
+    * collision profile per bucket (total hits, distinct tokens mapped
+    * there), which is both the correctness surface and the audit a
+    * practitioner runs before trusting hashed features. Explode +
+    * one hash-keyed aggregation: a single shuffle on the 64 buckets
+    * (map-side combine shrinks it to 64 rows per task first). */
+  def mlFeatureHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", expr(s"${Text.hash60SparkSql("concat('fh:', tok)")} % 64"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("tok")).as("n_distinct_tokens"))
+      .orderBy("bucket")
+
+  private val mlFeatureHashSql: String =
+    s"""SELECT bucket, count(*)::BIGINT AS n_hits,
+       |  count(DISTINCT tok)::BIGINT AS n_distinct_tokens
+       |FROM (SELECT tok, ${Text.hash60DuckSql("'fh:' || tok")} % 64 AS bucket
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Smoothed target encoding: replace a categorical with the
+    * shrunk-toward-prior mean of the target (smoothing m=10), the
+    * standard high-cardinality categorical encoder. Money stays exact
+    * integer cents; the encoded value evaluates as ONE double division
+    * of exact int64 products — `(sum*N_g + m*S_g) / ((n+m)*N_g)` —
+    * so both engines produce the identical bit pattern. Group sums are
+    * one shuffle; the global prior is a one-row broadcast join (the
+    * scalar-subquery shape — nothing data-sized moves). */
+  def mlTargetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+    val global = cents.agg(sum("cents").as("g_sum"), count(lit(1)).as("g_n"))
+    cents.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .crossJoin(broadcast(global))
+      .withColumn("encoded_dollars",
+        expr("cast(sum_cents * g_n + 10 * g_sum as double) / (cast((n + 10) * g_n as double) * 100.0)"))
+      .select("o_orderpriority", "n", "sum_cents", "encoded_dollars")
+      .orderBy("o_orderpriority")
+  }
+
+  private val mlTargetEncodeSql: String =
+    """WITH c AS (SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+      |g AS (SELECT sum(cents)::BIGINT AS g_sum, count(*)::BIGINT AS g_n FROM c)
+      |SELECT o_orderpriority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
+      |  (sum(cents)::BIGINT * any_value(g_n) + 10 * any_value(g_sum))::DOUBLE
+      |    / (((count(*) + 10) * any_value(g_n))::DOUBLE * 100.0) AS encoded_dollars
+      |FROM c CROSS JOIN g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Equal-frequency discretization (quartile binning) of a continuous
+    * feature, per category: `ntile(4)` over (cents, key) — the
+    * explicit key tie-break makes rank assignment total, so the bin
+    * edges are deterministic in any engine. The window partitions on
+    * the category, so each group sorts independently in parallel (the
+    * global-ntile single-partition trap is avoided; a skewed category
+    * would call for the sampled-boundaries variant, which
+    * `op_quantiles` provides the sketch for). One shuffle + per-key
+    * sort, then an aggregate-sized readout. */
+  def mlDiscretize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("o_orderpriority", "bin")
+  }
+
+  private val mlDiscretizeSql: String =
+    """SELECT o_orderpriority, bin, count(*)::BIGINT AS n,
+      |  min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
+      |FROM (SELECT o_orderpriority, cents,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS bin
+      |  FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS cents FROM orders))
+      |GROUP BY o_orderpriority, bin ORDER BY o_orderpriority, bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_split" -> (mlSplit _),
+    "ml_feature_hash" -> (mlFeatureHash _),
+    "ml_target_encode" -> (mlTargetEncode _),
+    "ml_discretize" -> (mlDiscretize _))
+
+  val oracles: Map[String, String] = Map(
+    "ml_split" -> mlSplitSql,
+    "ml_feature_hash" -> mlFeatureHashSql,
+    "ml_target_encode" -> mlTargetEncodeSql,
+    "ml_discretize" -> mlDiscretizeSql)
+}

@@ -683,6 +683,77 @@ object Relational {
       |  avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS avg_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Production observability via `Dataset.observe` (the Spark API for
+    * in-flight pipeline metrics): named aggregates piggyback on the
+    * SAME pass that materializes the data — zero extra scans, metrics
+    * collected on the driver as an aggregate-sized side channel (this
+    * is how a 100 TB job reports row counts and value bounds without a
+    * second read; the streaming form attaches the identical call to a
+    * writeStream). The entry materializes a filtered year of lineitem
+    * to a noop sink and returns the observed metrics row; the oracle
+    * recomputes them as plain aggregates — proving observe() reads
+    * match a dedicated aggregation exactly. Money is exact cents. */
+  def opObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .withColumn("cents", expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .observe(obs, count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+      m("min_cents").asInstanceOf[Long], m("max_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_cents", "min_cents", "max_cents")
+  }
+
+  private val opObserveMetricsSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents,
+      |  min(round(l_extendedprice * 100)::BIGINT)::BIGINT AS min_cents,
+      |  max(round(l_extendedprice * 100)::BIGINT)::BIGINT AS max_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  /** Higher-order array functions over the embedding column — the
+    * codegen'd array algebra (`transform` / `filter` / `aggregate` /
+    * `zip_with` / `array_sort` / `slice`) that replaces per-element
+    * UDFs: every expression below runs inside WholeStageCodegen with
+    * zero serialization boundaries, the way vector features should be
+    * computed at scale. Folds are sequential left-to-right in BOTH
+    * engines (and the 0.0 seed is exact), so double results are
+    * bit-equal. Pure map-side over a pruned 2-column scan; the only
+    * shuffle is the final top-100 order. */
+  def opArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        expr("cast(size(filter(embedding, x -> x > 0)) as bigint)").as("n_pos"),
+        expr("aggregate(embedding, 0d, (acc, x) -> acc + abs(cast(x as double)))").as("l1"),
+        expr("""aggregate(
+            slice(reverse(array_sort(transform(embedding, x -> abs(cast(x as double))))), 1, 3),
+            0d, (acc, x) -> acc + x)""").as("top3_abs"),
+        expr("""aggregate(
+            zip_with(embedding, reverse(embedding), (x, y) -> cast(x as double) * cast(y as double)),
+            0d, (acc, v) -> acc + v)""").as("rev_dot"))
+      .orderBy("vec_id")
+
+  private val opArrayFuncsSql: String =
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+      |  list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+      |              (a, b) -> a + b) AS l1,
+      |  list_reduce(list_slice(list_reverse_sort(
+      |      list_transform(embedding, x -> abs(x::DOUBLE))), 1, 3),
+      |    (a, b) -> a + b) AS top3_abs,
+      |  list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE * embedding[len(embedding) + 1 - i]::DOUBLE),
+      |    (x, y) -> x + y) AS rev_dot
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
   /** TIME-RANGE window frame (`RANGE BETWEEN 30 PRECEDING`) — the
     * value-based frame the row-based [[opWindowRunning]] can't express:
     * each order's trailing-30-day spend per customer, where the frame
@@ -1445,6 +1516,8 @@ object Relational {
     "op_corr_matrix" -> (opCorrMatrix _),
     "op_window_range" -> (opWindowRange _),
     "op_decimal_agg" -> (opDecimalAgg _),
+    "op_observe_metrics" -> (opObserveMetrics _),
+    "op_array_funcs" -> (opArrayFuncs _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
     "op_bucketed_join" -> (opBucketedJoin _),
@@ -1501,6 +1574,8 @@ object Relational {
     "op_corr_matrix" -> opCorrMatrixSql,
     "op_window_range" -> opWindowRangeSql,
     "op_decimal_agg" -> opDecimalAggSql,
+    "op_observe_metrics" -> opObserveMetricsSql,
+    "op_array_funcs" -> opArrayFuncsSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,
     "op_bucketed_join" -> opBucketedJoinSql,

@@ -772,7 +772,39 @@ object TextAnalysis {
        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin
   }
 
+  /** One BPE merge-learning iteration: the corpus-wide adjacent
+    * character-pair frequency table that byte-pair-encoding training
+    * greedily merges from (the [[taBpeTokens]] twin APPLIES a
+    * vocabulary; this op shows how one is LEARNED). Words are the
+    * whitespace tokens lowercased and restricted to `[a-z]{2,20}` so
+    * character positions are engine-portable (no multi-byte
+    * disagreement); pairs enumerate as `substr(w, i, 2)` over a
+    * generated index range — a codegen'd higher-order transform, no
+    * UDF. Occurrence-weighted (real BPE counts every token instance).
+    * Explode + one 2-char-key aggregation with map-side combine: the
+    * shuffled keyspace is ≤ 26², constant in corpus size. */
+  def taBpeLearn(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,20}$"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(25)
+
+  private val taBpeLearnSql: String =
+    """SELECT pair, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |                               i -> substr(w, i, 2))) AS pair
+      |  FROM (SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents)
+      |  WHERE regexp_full_match(w, '[a-z]{2,20}'))
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_learn" -> (taBpeLearn _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_diversity" -> (taDiversity _),
     "ta_tfidf" -> (taTfidf _),
@@ -793,6 +825,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_bpe_learn" -> taBpeLearnSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_diversity" -> taDiversitySql,
     "ta_tfidf" -> taTfidfSql,

@@ -96,7 +96,11 @@ class PlanSpec extends SparkSpec {
         // ann_filtered / ann_sq8 / ann_sq8_recall: the same bounded
         // 10-row probe broadcast as ann_topk_exact (inequality join
         // against a fixed probe set, build side O(k))
-        "ann_filtered", "ann_sq8", "ann_sq8_recall")
+        "ann_filtered", "ann_sq8", "ann_sq8_recall",
+        // ml_target_encode broadcasts its ONE-ROW global prior
+        // (sum, count) into the per-category encode — the same
+        // bounded scalar-subquery shape as gr_assoc_rules
+        "ml_target_encode")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
