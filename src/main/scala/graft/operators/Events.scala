@@ -458,6 +458,71 @@ object Events {
       |FROM events GROUP BY user_id
       |ORDER BY n_journeys DESC, n_events DESC, user_id LIMIT 20""".stripMargin
 
+  /** Time-to-convert distribution: per user, first `view` → first
+    * LATER `purchase` latency, then the population stats every growth
+    * dashboard reads (count / min / p50 / max). Latencies are exact
+    * integer microseconds; the median follows [[Relational.opQuantiles]]'
+    * proven idiom (exact-percentile interpolation of exact ints,
+    * rounded to a whole µs before the compare). ONE shuffle on user_id
+    * for the per-user firsts (map-side min-combine), then an
+    * aggregate-sized readout — at 100 TB the heavy side never moves
+    * twice. */
+  def evTimeToConvert(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase_us"))
+      .filter(col("first_view_us").isNotNull &&
+        col("first_purchase_us") > col("first_view_us"))
+      .withColumn("delta_us", col("first_purchase_us") - col("first_view_us"))
+      .agg(count(lit(1)).as("n_users"),
+        min("delta_us").as("min_us"),
+        expr("cast(round(percentile(delta_us, 0.5)) as bigint)").as("p50_us"),
+        max("delta_us").as("max_us"))
+
+  private val evTimeToConvertSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT first_purchase_us - first_view_us AS delta_us FROM firsts
+      |  WHERE first_view_us IS NOT NULL AND first_purchase_us > first_view_us)
+      |SELECT count(*)::BIGINT AS n_users, min(delta_us)::BIGINT AS min_us,
+      |  round(quantile_cont(delta_us, 0.5))::BIGINT AS p50_us,
+      |  max(delta_us)::BIGINT AS max_us
+      |FROM d""".stripMargin
+
+  /** Day-of-week × hour-of-day seasonality profile — the temporal
+    * fingerprint behind traffic forecasting and anomaly baselines.
+    * Counts are exact; each cell's share of total traffic is ONE
+    * division against the window-summed total (the total is computed
+    * over the 168-row AGGREGATED frame, so the empty-partition window
+    * is grid-sized, never data-sized). Spark's `dayofweek` is
+    * 1=Sunday; the −1 shift matches DuckDB's 0=Sunday convention. */
+  def evSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables.events(spark, sfDir)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    cell
+      .withColumn("share",
+        col("n_events").cast("double") /
+          sum("n_events").over(Window.partitionBy()).cast("double"))
+      .orderBy("dow", "hod")
+  }
+
+  private val evSeasonalitySql: String =
+    """WITH cell AS (
+      |  SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod,
+      |    count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hod, n_events,
+      |  n_events::DOUBLE / sum(n_events) OVER ()::DOUBLE AS share
+      |FROM cell ORDER BY dow, hod""".stripMargin
+
   /** CUSUM change-point detection over event-rate series: hourly counts
     * per event type, deviation from the type's mean hourly rate, and
     * the cumulative sum of deviations in hour order — the hour where
@@ -857,7 +922,9 @@ object Events {
     "op_interval_join" -> (opIntervalJoin _),
     "ev_ab_test" -> (opAbTest _),
     "ev_pattern" -> (evPattern _),
-    "ev_cusum" -> (evCusum _))
+    "ev_cusum" -> (evCusum _),
+    "ev_time_to_convert" -> (evTimeToConvert _),
+    "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
     "op_ewma" -> opEwmaSql,
@@ -881,5 +948,7 @@ object Events {
     "op_interval_join" -> opIntervalJoinSql,
     "ev_ab_test" -> opAbTestSql,
     "ev_pattern" -> evPatternSql,
-    "ev_cusum" -> evCusumSql)
+    "ev_cusum" -> evCusumSql,
+    "ev_time_to_convert" -> evTimeToConvertSql,
+    "ev_seasonality" -> evSeasonalitySql)
 }

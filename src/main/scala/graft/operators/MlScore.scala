@@ -355,12 +355,45 @@ object MlScore {
     sb.toString
   }
 
+  /** Model evaluation: the confusion matrix of [[mlScoreGbt]]'s argmax
+    * against a content-addressed ground-truth label (md5 parity of the
+    * row key — deterministic in both engines, the stand-in for a
+    * labeled eval split). Scoring + labeling are ONE map-side
+    * projection; the confusion matrix is a single 25-key aggregation
+    * with map-side combine — at 100 TB the eval is scan-bound and the
+    * driver receives classes² rows. */
+  def mlEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val margins = (0 until Classes).map(c => expr(marginExpr(c)).as(s"m$c"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey") +: margins: _*)
+      .select(
+        expr(s"${graft.functions.Text.hash60SparkSql("concat('label:', cast(p_partkey as string))")} % ${Classes}")
+          .as("true_class"),
+        expr(argmaxExpr).cast("long").as("pred_class"))
+      .groupBy("true_class", "pred_class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_class", "pred_class")
+  }
+
+  private val mlEvalSql: String = {
+    val margins = (0 until Classes).map(c => s"${marginExpr(c)} AS m$c").mkString(",\n  ")
+    s"""WITH m AS (SELECT p_partkey, $margins FROM part),
+       |scored AS (SELECT
+       |    ${graft.functions.Text.hash60DuckSql("'label:' || p_partkey::VARCHAR")} % ${Classes} AS true_class,
+       |    ($argmaxExpr)::BIGINT AS pred_class
+       |  FROM m)
+       |SELECT true_class, pred_class, count(*)::BIGINT AS n
+       |FROM scored GROUP BY 1, 2 ORDER BY true_class, pred_class""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ml_score_gbt" -> (mlScoreGbt _),
+      "ml_eval" -> (mlEval _),
       "ml_train_gd" -> (mlTrainGd _)) ++
       xgbEntry.map { case (k, _) => k -> (mlScoreXgb _) }
 
   def oracles: Map[String, String] =
     Map("ml_score_gbt" -> mlScoreGbtSql,
+      "ml_eval" -> mlEvalSql,
       "ml_train_gd" -> mlTrainGdSql) ++ xgbEntry
 }

@@ -683,6 +683,43 @@ object Relational {
       |  avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS avg_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** FULL OUTER JOIN — the missing quadrant of the join matrix
+    * (inner/left/semi/anti live above): year-over-year customer
+    * activity where either side may be absent. Both inputs are
+    * pre-aggregated to one row per key BEFORE the join (the
+    * aggregate-then-join shape — at 100 TB the full-outer shuffle
+    * moves two deduplicated key sets, not two fact tables), then a
+    * sort-merge full outer on the coalesced key. Status classifies
+    * churned / new / retained from the null sides. */
+  def opJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    def yr(y: Int, out: String) =
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit(s"$y-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_custkey").agg(count(lit(1)).as(out))
+    yr(1997, "n_1997").join(yr(1998, "n_1998"), Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("n_1998").isNull, "churned")
+          .when(col("n_1997").isNull, "new")
+          .otherwise("retained"))
+      .orderBy("o_custkey")
+  }
+
+  private val opJoinFullSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS n_1997 FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+      |b AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS n_1998 FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' GROUP BY 1)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, n_1997, n_1998,
+      |  CASE WHEN n_1998 IS NULL THEN 'churned'
+      |       WHEN n_1997 IS NULL THEN 'new' ELSE 'retained' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** Production observability via `Dataset.observe` (the Spark API for
     * in-flight pipeline metrics): named aggregates piggyback on the
     * SAME pass that materializes the data — zero extra scans, metrics
@@ -1517,6 +1554,7 @@ object Relational {
     "op_window_range" -> (opWindowRange _),
     "op_decimal_agg" -> (opDecimalAgg _),
     "op_observe_metrics" -> (opObserveMetrics _),
+    "op_join_full" -> (opJoinFull _),
     "op_array_funcs" -> (opArrayFuncs _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
@@ -1575,6 +1613,7 @@ object Relational {
     "op_window_range" -> opWindowRangeSql,
     "op_decimal_agg" -> opDecimalAggSql,
     "op_observe_metrics" -> opObserveMetricsSql,
+    "op_join_full" -> opJoinFullSql,
     "op_array_funcs" -> opArrayFuncsSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,

@@ -803,7 +803,44 @@ object TextAnalysis {
       |  WHERE regexp_full_match(w, '[a-z]{2,20}'))
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 25""".stripMargin
 
+  /** Flesch-style readability scoring per language — the classic
+    * quality signal over (words, sentences, syllables). All three
+    * counts are whole-text regexes (`[^ ]+` tokens, `[.!?]` sentence
+    * ends floored at 1, `[aeiouy]+` vowel-group syllable proxy) so
+    * both engines count the identical spans; per-language sums stay
+    * exact BIGINT and the Flesch formula evaluates once per language
+    * as a fixed IEEE expression over those sums — bit-equal. Pure
+    * map-side regex counting + one language-keyed aggregate-sized
+    * shuffle; at corpus scale this is scan-bound. */
+  def taReadability(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        expr("cast(regexp_count(text, '[^ ]+') as bigint)").as("w"),
+        expr("cast(greatest(regexp_count(text, '[.!?]'), 1) as bigint)").as("s"),
+        expr("cast(regexp_count(lower(text), '[aeiouy]+') as bigint)").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("s").as("sentences"), sum("y").as("syllables"))
+      .withColumn("flesch", expr(
+        """206.835 - 1.015 * (cast(words as double) / cast(sentences as double))
+          |- 84.6 * (cast(syllables as double) / cast(words as double))""".stripMargin))
+      .orderBy("lang")
+
+  private val taReadabilitySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]')), 1)::BIGINT AS s,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS words,
+      |  sum(s)::BIGINT AS sentences, sum(y)::BIGINT AS syllables,
+      |  206.835 - 1.015 * (sum(w)::BIGINT::DOUBLE / sum(s)::BIGINT::DOUBLE)
+      |    - 84.6 * (sum(y)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE) AS flesch
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_readability" -> (taReadability _),
     "ta_bpe_learn" -> (taBpeLearn _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_diversity" -> (taDiversity _),
@@ -825,6 +862,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_readability" -> taReadabilitySql,
     "ta_bpe_learn" -> taBpeLearnSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_diversity" -> taDiversitySql,

@@ -452,6 +452,71 @@ object StreamingOps {
     spark.table("graft_stream_attr").orderBy("event_id")
   }
 
+  case class PatEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class PatState(armed: Boolean, nEvents: Long, nJourneys: Long)
+  case class PatOut(user_id: Long, n_events: Long, n_journeys: Long)
+
+  /** STREAMING SEQUENCE-PATTERN MATCHING — the continuous twin of
+    * [[graft.operators.Events.evPattern]]: the regex `v[^p]*p` ("a
+    * view eventually converts") compiled to its ONE-BIT automaton. A
+    * non-overlapping regex scan admits exactly this incremental form:
+    * `v` arms the match, the first `p` while armed completes it and
+    * re-scans from scratch — so per-user state is (armed, 2 counters),
+    * O(1) regardless of history length, where the batch form buffers
+    * the whole sequence. That is the difference between a stateful
+    * operator that runs forever at 100 TB/day and one whose state
+    * store grows without bound. Each batch emits the user's updated
+    * running totals; totals are monotonic, so the post-drain readout
+    * takes the per-user max (robust to multi-batch drains) and the
+    * batch query's oracle (minus the sequence digest, which O(1)
+    * state deliberately cannot produce) verifies the counts. */
+  def opStreamPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[PatEvent], state: GroupState[PatState]) => {
+      val sorted = rows.toSeq.sortWith((a, b) =>
+        a.ts.compareTo(b.ts) < 0 || (a.ts.compareTo(b.ts) == 0 && a.event_id < b.event_id))
+      var st = state.getOption.getOrElse(PatState(armed = false, 0L, 0L))
+      sorted.foreach { e =>
+        val armed =
+          if (e.event_type == "view") true
+          else if (e.event_type == "purchase" && st.armed) false
+          else st.armed
+        val journeys = st.nJourneys +
+          (if (e.event_type == "purchase" && st.armed) 1L else 0L)
+        st = PatState(armed, st.nEvents + 1, journeys)
+      }
+      state.update(st)
+      Iterator.single(PatOut(userId, st.nEvents, st.nJourneys))
+    }
+    val res = Tables.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[PatEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    spark.catalog.dropTempView("graft_stream_pattern")
+    withStreamPartitions(spark) {
+      val q = res.toDF().writeStream
+        .format("memory").queryName("graft_stream_pattern")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_pattern")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_journeys").as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val opStreamPatternSql: String =
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |  len(regexp_extract_all(
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+      |    'v[^p]*p'))::BIGINT AS n_journeys
+      |FROM events GROUP BY user_id
+      |ORDER BY n_journeys DESC, n_events DESC, user_id LIMIT 20""".stripMargin
+
   /** One (bucket, doc) row of the streaming LSH index; bucket =
     * "band:signature", so a group IS one LSH bucket of one band. */
   case class BandRow(bucket: String, doc_id: Long)
@@ -540,6 +605,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
+    "op_stream_pattern" -> (opStreamPattern _),
     "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_asof" -> (opStreamAsof _),
     "op_stream_join" -> (opStreamJoin _),
@@ -554,6 +620,7 @@ object StreamingOps {
   val oracles: Map[String, String] = Map(
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
+    "op_stream_pattern" -> opStreamPatternSql,
     "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_asof" -> opStreamAsofSql,
     "op_stream_join" -> opStreamJoinSql,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants the DuckDB oracle can't express: split assignment
+  * stability under physical layout changes, feature-hash bucket
+  * totality, and the streaming pattern automaton's equivalence to the
+  * regex it compiles (driven over adversarial synthetic sequences, not
+  * just the fixture). */
+class MlPrepSpec extends SparkSpec {
+
+  test("ml_split assignment is invariant under repartitioning and stable across runs") {
+    import spark.implicits._
+    val base = graft.sources.Tables.documents(spark, sf)
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("b", expr(
+        s"${graft.functions.Text.hash60SparkSql("concat('split:', cast(doc_id as string))")} % 10"))
+      .select($"doc_id", $"b").as[(Long, Long)].collect().toMap
+    val a = assign(base)
+    val b = assign(base.repartition(17, $"lang"))
+    val c = assign(base.repartition(3))
+    assert(a === b, "split assignment changed under repartition-by-lang")
+    assert(a === c, "split assignment changed under round-robin repartition")
+    // 80/10/10 within loose tolerance on the smoke fixture (50 docs):
+    // the md5 uniform should not collapse all mass into one split
+    val sizes = a.values.groupBy(v => if (v < 8) "train" else if (v == 8) "val" else "test")
+      .map { case (k, v) => k -> v.size }
+    assert(sizes.getOrElse("train", 0) > sizes.getOrElse("test", 0),
+      s"train split not dominant: $sizes")
+  }
+
+  test("ml_feature_hash buckets are total and within range") {
+    val rows = MlPrep.mlFeatureHash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket"))
+      assert(b >= 0 && b < 64, s"bucket $b out of range")
+      assert(r.getLong(r.fieldIndex("n_hits")) >= r.getLong(r.fieldIndex("n_distinct_tokens")))
+    }
+  }
+
+  test("streaming pattern automaton equals the regex on adversarial sequences") {
+    // the one-bit automaton in StreamingOps.opStreamPattern claims to
+    // compute len(regexp findAll 'v[^p]*p') — verify on sequences that
+    // stress every edge: leading p, trailing v, runs, interleavings
+    val cases = Seq("", "p", "v", "vp", "pv", "vvp", "vpp", "vpvp", "ppvvppvv",
+      "vcvcp", "pvcp", "vvvppp", "cecse", "vpvpvpv", "pppvvv", "vvpvv", "pvpvp")
+    cases.foreach { s =>
+      val regexCount = "v[^p]*p".r.findAllIn(s).length
+      var armed = false; var n = 0L
+      s.foreach { ch =>
+        if (ch == 'v') armed = true
+        else if (ch == 'p' && armed) { n += 1; armed = false }
+      }
+      assert(n === regexCount.toLong, s"automaton diverged from regex on '$s'")
+    }
+  }
+}
