@@ -882,7 +882,77 @@ object Similarity {
        |WHERE ${dotD("e.embedding", "b.embedding")} / (e.nrm * b.nrm) >= 0.3
        |ORDER BY bench_id, vec_id""".stripMargin
 
+  /** Content-addressed integer seed vector for the power iteration:
+    * v0[j] ∈ [-1000, 1000] from md5("pc0:j") — the same 60-bit-hex
+    * construction as [[graft.functions.Text.hash60SparkSql]], computed
+    * ONCE in Scala and inlined as literals into both engines' SQL. */
+  private def pcSeed(dim: Int): IndexedSeq[Long] = (0 until dim).map { j =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pc0:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.take(15), 16) % 2001 - 1000
+  }
+
+  /** DISTRIBUTED POWER ITERATION — one step of `v1 = Aᵀ(A·v0)` over the
+    * embedding matrix (the kernel inside PCA / spectral methods, run as
+    * two data-parallel passes with EXACT integer accumulation): scale
+    * every component to 2^20 fixed point, dot each row with the seed
+    * (integer zip-fold — associative, so Spark may combine partials in
+    * any order and still match DuckDB bit-for-bit, the property float
+    * accumulation fundamentally lacks), rescale by 2^10 to keep the
+    * second pass inside int64 headroom, then accumulate each output
+    * component as a sum of integer products. One map-side projection +
+    * one shuffle on the DIMENSION key (64 groups — constant in corpus
+    * size; map-side combine reduces each task to dim rows). The int64
+    * budget: |dot÷2^10| ≲ 6·10⁷, ×2^20-scaled component ≲ 6·10¹³,
+    * summed over ~10⁶ rows stays under 2^63; a larger corpus re-scales
+    * the divisor, never the algorithm. */
+  /** Embedding dimensionality — fixed by the fixture family (64) and
+    * overridable for other corpora; the static oracle SQL and the
+    * Spark plan must derive v0 from the SAME value, so it cannot be
+    * probed from the live data (LshParams scaladoc explains the
+    * static-oracle constraint). */
+  private[operators] val EmbDim: Int =
+    sys.props.get("graft.emb.dim").map(_.toInt).getOrElse(64)
+
+  def embPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+    val v0 = pcSeed(EmbDim)
+    val v0arr = v0.mkString("array(", "L, ", "L)")
+    val dotExpr =
+      s"""aggregate(zip_with(embedding, $v0arr,
+         |  (x, w) -> cast(round(cast(x as double) * 1048576.0) as bigint) * w),
+         |  0L, (a, b) -> a + b)""".stripMargin
+    base
+      .withColumn("dot_div", expr(s"($dotExpr) div 1024"))
+      .select(col("dot_div"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(expr(
+        "dot_div * cast(round(cast(x as double) * 1048576.0) as bigint)")).as("v1_scaled"))
+      .withColumn("v1", col("v1_scaled").cast("double") / (1048576.0 * 1048576.0 / 1024.0))
+      .orderBy("pos")
+  }
+
+  private def embPowerIterSql: String = {
+    val v0lit = pcSeed(EmbDim).mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT embedding,
+       |    list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> round(embedding[i]::DOUBLE * 1048576.0)::BIGINT * ($v0lit)[i]),
+       |      (a, b) -> a + b) // 1024 AS dot_div
+       |  FROM embeddings),
+       |terms AS (
+       |  SELECT dot_div, unnest(embedding) AS x,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM d)
+       |SELECT i - 1 AS pos,
+       |  sum(dot_div * round(x::DOUBLE * 1048576.0)::BIGINT)::BIGINT AS v1_scaled,
+       |  sum(dot_div * round(x::DOUBLE * 1048576.0)::BIGINT)::BIGINT::DOUBLE
+       |    / (1048576.0 * 1048576.0 / 1024.0) AS v1
+       |FROM terms GROUP BY i ORDER BY pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_power_iter" -> (embPowerIter _),
     "dc_embed_contamination" -> (dcEmbedContamination _),
     "ann_rrf_hybrid" -> (annRrfHybrid _),
     "ann_topk_exact" -> (annTopkExact _),
@@ -898,6 +968,7 @@ object Similarity {
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "emb_power_iter" -> embPowerIterSql,
     "dc_embed_contamination" -> dcEmbedContaminationSql,
     "ann_rrf_hybrid" -> annRrfHybridSql,
     "ann_topk_exact" -> annTopkExactSql,
