@@ -143,6 +143,52 @@ object Journeys {
       |FROM ev JOIN first ON ev.user_id = first.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Cohort LTV curve — [[evRetention]]'s revenue twin: per signup-week
+    * cohort and week age, active purchasers, exact purchase cents, and
+    * the RUNNING cumulative cents (lifetime value at that age — the
+    * payback-period readout). The cumulative sum is over exact BIGINTs
+    * ordered by age, so windowed-sum reassociation can't bite. Same
+    * single user-keyed shuffle as retention + one grid-sized window
+    * pass (cohorts × weeks — metadata-sized at any event volume). */
+  def evCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .join(cohort, "user_id")
+      .withColumn("week_age",
+        ((unix_timestamp(date_trunc("week", col("ts"))) -
+          unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
+      .groupBy("cohort_week", "week_age")
+      .agg(countDistinct(col("user_id")).as("n_buyers"), sum("cents").as("cents"))
+      .withColumn("cum_cents", sum("cents").over(cum))
+      .orderBy("cohort_week", "week_age")
+  }
+
+  private val evCohortLtvSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, cohort_week,
+      |    ((epoch(date_trunc('week', ts))::BIGINT - epoch(cohort_week)::BIGINT)
+      |      // 604800)::BIGINT AS week_age,
+      |    round(value * 100)::BIGINT AS cents
+      |  FROM events e JOIN cohort ON e.user_id = cohort.user_id
+      |  WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT cohort_week, week_age, count(DISTINCT user_id)::BIGINT AS n_buyers,
+      |    sum(cents)::BIGINT AS cents
+      |  FROM p GROUP BY 1, 2)
+      |SELECT cohort_week, week_age, n_buyers, cents,
+      |  sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
+      |FROM g ORDER BY cohort_week, week_age""".stripMargin
+
   /** SCD Type-2 dimension build: customer order-priority history derived
     * from the orders change stream. A history row opens at the first
     * order whose priority differs from the previous order's
@@ -366,6 +412,7 @@ object Journeys {
     "ev_funnel" -> (evFunnel _),
     "ev_funnel_windowed" -> (evFunnelWindowed _),
     "ev_retention" -> (evRetention _),
+    "ev_cohort_ltv" -> (evCohortLtv _),
     "ev_attribution" -> (evAttribution _),
     "op_scd2" -> (opScd2 _))
 
@@ -377,6 +424,7 @@ object Journeys {
     "ev_funnel" -> evFunnelSql,
     "ev_funnel_windowed" -> evFunnelWindowedSql,
     "ev_retention" -> evRetentionSql,
+    "ev_cohort_ltv" -> evCohortLtvSql,
     "ev_attribution" -> evAttributionSql,
     "op_scd2" -> opScd2Sql)
 }

@@ -386,14 +386,61 @@ object MlScore {
        |FROM scored GROUP BY 1, 2 ORDER BY true_class, pred_class""".stripMargin
   }
 
+  /** Calibration table: per predicted class, quintile bins of the
+    * winning margin (rank-based `ntile(5)` with a key tie-break —
+    * total order, deterministic bins in any engine) against the
+    * empirical accuracy in each bin — the monotone-accuracy check a
+    * scored 100 TB corpus is audited with before its scores gate
+    * anything. Counts exact; the rate is one division per bin. The
+    * ntile window partitions on pred_class, so bins compute in
+    * parallel per class. */
+  def mlCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val margins = (0 until Classes).map(c => expr(marginExpr(c)).as(s"m$c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pred_class").orderBy("pred_margin", "p_partkey")
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey") +: margins: _*)
+      .select(col("p_partkey"),
+        expr(s"${graft.functions.Text.hash60SparkSql("concat('label:', cast(p_partkey as string))")} % ${Classes}")
+          .as("true_class"),
+        expr(argmaxExpr).cast("long").as("pred_class"),
+        expr(greatestExpr).as("pred_margin"))
+      .withColumn("bin", ntile(5).over(w).cast("long"))
+      .groupBy("pred_class", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("true_class") === col("pred_class"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n"))
+      .orderBy("pred_class", "bin")
+  }
+
+  private val mlCalibrationSql: String = {
+    val margins = (0 until Classes).map(c => s"${marginExpr(c)} AS m$c").mkString(",\n  ")
+    s"""WITH m AS (SELECT p_partkey, $margins FROM part),
+       |scored AS (SELECT p_partkey,
+       |    ${graft.functions.Text.hash60DuckSql("'label:' || p_partkey::VARCHAR")} % ${Classes} AS true_class,
+       |    ($argmaxExpr)::BIGINT AS pred_class,
+       |    $greatestExpr AS pred_margin
+       |  FROM m),
+       |binned AS (SELECT *,
+       |    ntile(5) OVER (PARTITION BY pred_class
+       |      ORDER BY pred_margin, p_partkey)::BIGINT AS bin
+       |  FROM scored)
+       |SELECT pred_class, bin, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN true_class = pred_class THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |  sum(CASE WHEN true_class = pred_class THEN 1 ELSE 0 END)::DOUBLE / count(*) AS accuracy
+       |FROM binned GROUP BY 1, 2 ORDER BY pred_class, bin""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ml_score_gbt" -> (mlScoreGbt _),
       "ml_eval" -> (mlEval _),
+      "ml_calibration" -> (mlCalibration _),
       "ml_train_gd" -> (mlTrainGd _)) ++
       xgbEntry.map { case (k, _) => k -> (mlScoreXgb _) }
 
   def oracles: Map[String, String] =
     Map("ml_score_gbt" -> mlScoreGbtSql,
       "ml_eval" -> mlEvalSql,
+      "ml_calibration" -> mlCalibrationSql,
       "ml_train_gd" -> mlTrainGdSql) ++ xgbEntry
 }

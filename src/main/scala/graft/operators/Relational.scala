@@ -683,6 +683,63 @@ object Relational {
       |  avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS avg_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** MOVING MEDIAN — an exact order statistic over a sliding window
+    * frame (`percentile(…) OVER (ROWS 5 PRECEDING)`), the robust
+    * alternative to the moving average every monitoring pipeline wants
+    * and most engines only approximate. Money is exact integer cents;
+    * the only float op is the even-count midpoint interpolation
+    * (mean of two exact ints — one IEEE op, identical in DuckDB's
+    * `quantile_cont`). Partitioned by customer: per-key frames
+    * parallelize across the cluster; the frame buffer is 6 rows —
+    * constant state per row at any scale. */
+  def opWindowMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-5, 0)
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("percentile(cents, 0.5)").over(w).as("med_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private val opWindowMedianSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  quantile_cont(cents, 0.5) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS med_cents
+      |FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** `max_by` / `min_by` (argmax/argmin aggregates — DuckDB's
+    * arg_max/arg_min): WHICH row holds the extreme, not just the
+    * extreme value, in one aggregation pass with O(1) state per group
+    * (vs the rank-window form's full sort). Both engines leave ties
+    * implementation-defined, so the ordinal is made TOTAL before the
+    * aggregate sees it — exact cents · 10⁸ + event_id is unique and
+    * order-preserving — which is the same discipline every
+    * deterministic argmax at scale needs. */
+  def opArgminmax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      .withColumn("ord", expr("cents * 100000000L + event_id"))
+      .groupBy("event_type")
+      .agg(expr("max_by(user_id, ord)").as("max_value_user"),
+        max("cents").as("max_cents"),
+        expr("min_by(user_id, ord)").as("min_value_user"),
+        min("cents").as("min_cents"))
+      .orderBy("event_type")
+
+  private val opArgminmaxSql: String =
+    """SELECT event_type,
+      |  arg_max(user_id, ord)::BIGINT AS max_value_user,
+      |  max(cents)::BIGINT AS max_cents,
+      |  arg_min(user_id, ord)::BIGINT AS min_value_user,
+      |  min(cents)::BIGINT AS min_cents
+      |FROM (SELECT *, round(value * 100)::BIGINT AS cents,
+      |        round(value * 100)::BIGINT * 100000000 + event_id AS ord
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** FULL OUTER JOIN — the missing quadrant of the join matrix
     * (inner/left/semi/anti live above): year-over-year customer
     * activity where either side may be absent. Both inputs are
@@ -1555,6 +1612,8 @@ object Relational {
     "op_decimal_agg" -> (opDecimalAgg _),
     "op_observe_metrics" -> (opObserveMetrics _),
     "op_join_full" -> (opJoinFull _),
+    "op_window_median" -> (opWindowMedian _),
+    "op_argminmax" -> (opArgminmax _),
     "op_array_funcs" -> (opArrayFuncs _),
     "op_zorder_key" -> (opZorderKey _),
     "op_join_strkey" -> (opJoinStrkey _),
@@ -1614,6 +1673,8 @@ object Relational {
     "op_decimal_agg" -> opDecimalAggSql,
     "op_observe_metrics" -> opObserveMetricsSql,
     "op_join_full" -> opJoinFullSql,
+    "op_window_median" -> opWindowMedianSql,
+    "op_argminmax" -> opArgminmaxSql,
     "op_array_funcs" -> opArrayFuncsSql,
     "op_zorder_key" -> opZorderKeySql,
     "op_join_strkey" -> opJoinStrkeySql,

@@ -108,6 +108,32 @@ object StreamingOps {
       "graft_stream_session")
       .orderBy("user_id", "session_start")
 
+  /** STREAMING TOP-K — a continuously-maintained leaderboard: per-user
+    * aggregation with the sort + limit INSIDE the streaming query
+    * (complete output mode is the one mode Structured Streaming allows
+    * sorting in, precisely because the full aggregate is re-emitted per
+    * trigger). Each micro-batch re-ranks incrementally-maintained
+    * per-user totals and the sink holds exactly the current top-20 —
+    * the pattern a live dashboard consumes. State is the user-keyed
+    * aggregation (bounded by distinct users); the sort touches the
+    * AGGREGATED relation, never raw events. */
+  def opStreamTopk(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      Tables.eventsStream(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Exact.exactSum(col("value"), 2).as("total_value"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20),
+      "graft_stream_topk")
+      .orderBy(col("n_events").desc, col("user_id"))
+
+  private val opStreamTopkSql: String =
+    s"""SELECT user_id, count(*)::BIGINT AS n_events,
+       |  ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM events GROUP BY user_id
+       |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
+
   /** Stateful streaming exact dedup: `dropDuplicates` on the content
     * hash over the documents stream — first occurrence wins, state keyed
     * by md5. Append mode: each distinct content emits exactly once. (The
@@ -606,6 +632,7 @@ object StreamingOps {
     "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
     "op_stream_pattern" -> (opStreamPattern _),
+    "op_stream_topk" -> (opStreamTopk _),
     "op_stream_enrich" -> (opStreamEnrich _),
     "op_stream_asof" -> (opStreamAsof _),
     "op_stream_join" -> (opStreamJoin _),
@@ -621,6 +648,7 @@ object StreamingOps {
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
     "op_stream_pattern" -> opStreamPatternSql,
+    "op_stream_topk" -> opStreamTopkSql,
     "op_stream_enrich" -> opStreamEnrichSql,
     "op_stream_asof" -> opStreamAsofSql,
     "op_stream_join" -> opStreamJoinSql,
