@@ -523,6 +523,46 @@ object Events {
       |  n_events::DOUBLE / sum(n_events) OVER ()::DOUBLE AS share
       |FROM cell ORDER BY dow, hod""".stripMargin
 
+  /** DAU / trailing-30-day-MAU stickiness — the engagement ratio, and
+    * with it the RANGE-WINDOWED COUNT DISTINCT problem: a sliding
+    * distinct cannot be window-aggregated directly (distinct doesn't
+    * decompose over frames), so the corpus first reduces to distinct
+    * (user, day) pairs — ONE shuffle, the big win: every later step
+    * works on user-days, not events — and each pair then contributes
+    * itself to the 30 forward days it keeps a user "monthly-active"
+    * for (a bounded 30× explode of the REDUCED relation), giving MAU
+    * as a plain per-day distinct. At extreme user counts the explode
+    * swaps for per-day HLL sketch unions (`op_approx_distinct` is the
+    * measured path) — same shape, approximate counts. Output days are
+    * restricted to the observed grid; ratio is one division over
+    * exact counts. */
+  def evStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val mau = userDays
+      .select(col("user_id"),
+        explode(expr("transform(sequence(0, 29), i -> day + make_interval(0, 0, 0, i))"))
+          .as("target_day"))
+      .groupBy("target_day").agg(countDistinct(col("user_id")).as("mau_30d"))
+    dau.join(mau, dau("day") === mau("target_day"))
+      .select(col("day"), col("dau"), col("mau_30d"),
+        (col("dau").cast("double") / col("mau_30d")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val evStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM ud GROUP BY 1),
+      |mau AS (
+      |  SELECT target_day, count(DISTINCT user_id)::BIGINT AS mau_30d
+      |  FROM (SELECT user_id, day + i * INTERVAL '1 day' AS target_day
+      |        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS i) ii)
+      |  GROUP BY 1)
+      |SELECT day, dau, mau_30d, dau::DOUBLE / mau_30d AS stickiness
+      |FROM dau JOIN mau ON day = target_day ORDER BY day""".stripMargin
+
   /** CUSUM change-point detection over event-rate series: hourly counts
     * per event type, deviation from the type's mean hourly rate, and
     * the cumulative sum of deviations in hour order — the hour where
@@ -924,6 +964,7 @@ object Events {
     "ev_pattern" -> (evPattern _),
     "ev_cusum" -> (evCusum _),
     "ev_time_to_convert" -> (evTimeToConvert _),
+    "ev_stickiness" -> (evStickiness _),
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
@@ -950,5 +991,6 @@ object Events {
     "ev_pattern" -> evPatternSql,
     "ev_cusum" -> evCusumSql,
     "ev_time_to_convert" -> evTimeToConvertSql,
+    "ev_stickiness" -> evStickinessSql,
     "ev_seasonality" -> evSeasonalitySql)
 }

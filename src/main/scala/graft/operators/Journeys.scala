@@ -189,6 +189,51 @@ object Journeys {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents
       |FROM g ORDER BY cohort_week, week_age""".stripMargin
 
+  /** RFM segmentation — the classic customer-value grid: per user,
+    * Recency (last event), Frequency (event count), Monetary (exact
+    * purchase cents), each cut into terciles by rank (`ntile(3)` with
+    * user_id tie-breaks — total order, engine-identical), then the
+    * segment census. The terciles window over the USER-level aggregate
+    * (one row per user — already reduced by the single user-keyed
+    * shuffle), not raw events; at extreme user counts the
+    * rank-based cut swaps for sampled boundaries (`op_quantiles` is
+    * the sketch for that), which changes the cut, not the shape.
+    * Output: one row per (r, f, m) cell with its population and
+    * aggregate money — the marketing activation table. */
+  def evRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("cents"))
+    def cut(c: String, name: String) =
+      ntile(3).over(Window.orderBy(col(c), col("user_id"))).cast("long").as(name)
+    users
+      .select(col("user_id"), col("n_events"), col("cents"),
+        cut("last_us", "r"), cut("n_events", "f"), cut("cents", "m"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"),
+        sum("n_events").as("n_events"))
+      .orderBy("r", "f", "m")
+  }
+
+  private val evRfmSql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*)::BIGINT AS n_events,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN round(value * 100)::BIGINT END), 0)::BIGINT AS cents
+      |  FROM events GROUP BY 1),
+      |cuts AS (
+      |  SELECT user_id, n_events, cents,
+      |    ntile(3) OVER (ORDER BY last_us, user_id)::BIGINT AS r,
+      |    ntile(3) OVER (ORDER BY n_events, user_id)::BIGINT AS f,
+      |    ntile(3) OVER (ORDER BY cents, user_id)::BIGINT AS m
+      |  FROM u)
+      |SELECT r, f, m, count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS cents,
+      |  sum(n_events)::BIGINT AS n_events
+      |FROM cuts GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
   /** SCD Type-2 dimension build: customer order-priority history derived
     * from the orders change stream. A history row opens at the first
     * order whose priority differs from the previous order's
@@ -413,6 +458,7 @@ object Journeys {
     "ev_funnel_windowed" -> (evFunnelWindowed _),
     "ev_retention" -> (evRetention _),
     "ev_cohort_ltv" -> (evCohortLtv _),
+    "ev_rfm" -> (evRfm _),
     "ev_attribution" -> (evAttribution _),
     "op_scd2" -> (opScd2 _))
 
@@ -425,6 +471,7 @@ object Journeys {
     "ev_funnel_windowed" -> evFunnelWindowedSql,
     "ev_retention" -> evRetentionSql,
     "ev_cohort_ltv" -> evCohortLtvSql,
+    "ev_rfm" -> evRfmSql,
     "ev_attribution" -> evAttributionSql,
     "op_scd2" -> opScd2Sql)
 }
