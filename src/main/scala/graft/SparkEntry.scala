@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Graph, IvfPq, Journeys, MlPrep, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Analytics, Curation, Dedup, Events, Graph, IvfPq, Journeys, MlPrep, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ Tpch.queries ++ Events.queries ++ Journeys.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ MlPrep.queries ++ Curation.queries ++
-      Pq.queries ++ IvfPq.queries ++ Graph.queries ++
+      Pq.queries ++ IvfPq.queries ++ Graph.queries ++ Analytics.queries ++
       graft.sources.FormatRoundtrips.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
     Relational.oracles ++ Tpch.oracles ++ Events.oracles ++ Journeys.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ MlPrep.oracles ++ Curation.oracles ++
-      Pq.oracles ++ IvfPq.oracles ++ Graph.oracles ++
+      Pq.oracles ++ IvfPq.oracles ++ Graph.oracles ++ Analytics.oracles ++
       graft.sources.FormatRoundtrips.oracles
 }

@@ -1,0 +1,556 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-7 analytics-breadth surface: the relational and analytical
+  * operators a user of the reference's toolchain reaches for next once
+  * the core query capabilities (reference pipeline/reduce.py:24-78) are
+  * covered — exact-distinct sketching, deterministic mode, grid
+  * cross joins, gaps-and-islands continuity analysis, lateral explode,
+  * per-group linear trend, l-diversity release audit, lexicon polarity
+  * scoring, and the co-occurrence degree distribution.
+  *
+  * House rules applied throughout (see [[Relational]] scaladoc): filters
+  * and projections reach the scan, small sides broadcast, aggregates are
+  * partial/final map-side-combinable, money/score arithmetic is exact
+  * int64 with ONE final double division, and every query ends in a
+  * deterministic total order so the driver's hash compare is stable at
+  * any parallelism.
+  */
+object Analytics {
+
+  // ------------------------------------------------------------------
+  // Exact distinct counting via bitmap sketches
+
+  /** Exact COUNT DISTINCT as a MERGEABLE bitmap aggregate
+    * (`bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_or_agg` — Spark's RoaringBitmap-
+    * style exact-distinct kernel). Why not plain `count(distinct)`:
+    * at 100 TB Catalyst plans distinct-aggregates as an EXPAND (one
+    * extra shuffle of the fact table per distinct column); the bitmap
+    * form partial-aggregates per (group, 32k-bucket) map-side, ships
+    * fixed-size bitmaps, and OR-merges them associatively — the same
+    * two-level shape the exact engine behind every "exact uniques"
+    * dashboard uses. The oracle proves the sketch IS exact by
+    * comparing against `count(DISTINCT ...)`. */
+  def opBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val perBucket = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    val perType = perBucket.groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    val total = perBucket.groupBy("bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users_total"))
+    perType.crossJoin(total)
+      .withColumn("share", col("n_users").cast("double") / col("n_users_total"))
+      .orderBy("event_type")
+  }
+
+  private val opBitmapDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+      |  (SELECT count(DISTINCT user_id)::BIGINT FROM events) AS n_users_total,
+      |  count(DISTINCT user_id)::DOUBLE /
+      |    (SELECT count(DISTINCT user_id) FROM events) AS share
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic mode aggregate
+
+  /** MODE (most frequent value) per group. Spark and DuckDB both ship a
+    * `mode()` aggregate but both leave ties implementation-defined, so
+    * the deterministic form is count-then-argmax with a TOTAL order
+    * (count desc, value asc) — the same tie-totalization discipline as
+    * [[Relational.opArgminmax]]. Two map-side-combinable aggregates,
+    * no row-level sort: the rank window runs over the tiny
+    * (group × distinct-value) relation, not the fact table. */
+  def opModeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_modes", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_cnt"), col("n_modes"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val opModeAggSql: String =
+    """WITH counts AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY cnt DESC, o_orderpriority ASC) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderstatus)::BIGINT AS n_modes
+      |  FROM counts)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt, n_modes
+      |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Gaps and islands
+
+  /** GAPS-AND-ISLANDS: per-user runs of consecutive active days (the
+    * classic continuity/streak analysis behind retention dashboards).
+    * Reduce-first shape: the fact table collapses to distinct
+    * (user, day) BEFORE any window — the window then runs over at most
+    * users × days rows. Island key is the constant-under-consecutive
+    * `day_index - row_number()` difference; island stats and the
+    * longest-streak argmax (tie → earliest start) are two further
+    * map-combinable aggregates. Day grid survives any scale: state per
+    * user is bounded by the calendar, not the event volume. */
+  def opGapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("idx", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("idx")
+    val islands = days
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("start_d"), count(lit(1)).as("len"))
+    val wU = Window.partitionBy("user_id")
+    islands
+      .withColumn("longest", max(col("len")).over(wU))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        date_format(min(when(col("len") === col("longest"), col("start_d"))),
+          "yyyy-MM-dd").as("longest_start"))
+      .orderBy("user_id")
+  }
+
+  private val opGapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      |idx AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '1970-01-01', d)::BIGINT AS idx
+      |  FROM days),
+      |islands AS (
+      |  SELECT user_id, grp, min(d) AS start_d, count(*)::BIGINT AS len
+      |  FROM (SELECT *, idx - row_number() OVER (
+      |          PARTITION BY user_id ORDER BY idx) AS grp FROM idx)
+      |  GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT *, max(len) OVER (PARTITION BY user_id) AS longest FROM islands)
+      |SELECT user_id, count(*)::BIGINT AS n_streaks,
+      |  sum(len)::BIGINT AS n_active_days,
+      |  max(len)::BIGINT AS longest_streak,
+      |  strftime(min(CASE WHEN len = longest THEN start_d END), '%Y-%m-%d')
+      |    AS longest_start
+      |FROM lg GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Lateral explode
+
+  /** LATERAL EXPLODE with ordinality (`posexplode` — DuckDB's zipped
+    * `unnest ... generate_subscripts`): one row per (document, token
+    * position) for the leading tokens. The generator runs INSIDE the
+    * projection (WholeStageCodegen `Generate`), so no join and no
+    * shuffle — row expansion is pipelined with the scan; the slice
+    * bounds the fan-out per row, which is what keeps an explode
+    * predictable when a 100 TB corpus has pathological documents. */
+  def opExplodeLateral(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr("slice(split(text, ' '), 1, 4)")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
+  private val opExplodeLateralSql: String =
+    """SELECT doc_id, pos::BIGINT AS pos, tok FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, least(4, len(toks))),
+      |      i -> {'pos': i, 'tok': toks[i]}), recursive := true)
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Grid cross join
+
+  /** CROSS JOIN for grid completion: the complete nation × order-status
+    * matrix, zero-filled where no orders exist (the "dense report"
+    * shape — pivot tables and resample grids need every cell present).
+    * Both grid sides are dimension-sized so the cross join is a
+    * broadcast nested loop over ~tens of rows; the FACT table is
+    * aggregated to (nation, status) FIRST and joined to the grid
+    * broadcast-side — the fact table itself never participates in a
+    * cross join at any scale. */
+  def opJoinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val statuses = Tables.orders(spark, sfDir).select("o_orderstatus").distinct()
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val grid = nations.crossJoin(statuses)
+    val actual = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"))
+    grid.join(actual,
+        grid("n_nationkey") === actual("c_nationkey") &&
+          grid("o_orderstatus") === actual("st"), "left")
+      .select(col("n_name"), col("o_orderstatus"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("n_name", "o_orderstatus")
+  }
+
+  private val opJoinCrossSql: String =
+    """WITH grid AS (
+      |  SELECT n_nationkey, n_name, o_orderstatus
+      |  FROM nation CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)),
+      |actual AS (
+      |  SELECT c_nationkey, o_orderstatus AS st, count(*)::BIGINT AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+      |SELECT n_name, o_orderstatus, coalesce(cnt, 0)::BIGINT AS n_orders
+      |FROM grid LEFT JOIN actual
+      |  ON grid.n_nationkey = actual.c_nationkey AND grid.o_orderstatus = actual.st
+      |ORDER BY n_name, o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Per-group linear trend
+
+  /** PER-GROUP OLS TREND over the daily activity series: slope and
+    * intercept from the closed-form normal equations evaluated on
+    * EXACT int64 sums (x = epoch day, y = daily count — both integers),
+    * with one double division per statistic. Float-reassociation-proof
+    * by construction: partial aggregation order cannot change an
+    * integer sum, so both engines divide the same numerator by the
+    * same denominator (the [[graft.functions.Exact]] discipline applied
+    * to regression). Headroom: sx·sxy ≈ 7e15 at this fixture's scale,
+    * ~7e17 at 100×, inside int64. One shuffle on (event_type, day),
+    * one on event_type — both map-side combined. */
+  def evTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))).as("intercept"))
+      .orderBy("event_type")
+
+  private val evTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      |  FROM (SELECT *, date_diff('day', DATE '1970-01-01', d)::BIGINT AS x
+      |        FROM daily)
+      |  GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  (n_days * sxy - sx * sy)::DOUBLE / (n_days * sxx - sx * sx) AS slope,
+      |  (sy * sxx - sx * sxy)::DOUBLE / (n_days * sxx - sx * sx) AS intercept
+      |FROM sums ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // l-diversity release audit
+
+  /** l-DIVERSITY audit — the companion to [[Curation.cuKAnon]]'s
+    * k-anonymity: a quasi-identifier equivalence class is safe only if
+    * the SENSITIVE attribute takes ≥ l distinct values inside it
+    * (k-anonymous classes can still leak via a homogeneous sensitive
+    * column). QI = (lang, length bucket), sensitive = source. Two
+    * aggregates: per-class distinct-sensitive counts, then the per-lang
+    * release report. Same reduce-first scale shape as cu_k_anon. */
+  def cuLDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), expr("cast(n_chars div 500 as bigint)").as("chars_bucket"))
+      .agg(countDistinct(col("source")).as("n_sens"), count(lit(1)).as("class_size"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("n_sens")).as("min_l"),
+        sum(when(col("n_sens") < 3, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("n_sens") < 3, col("class_size")).otherwise(0L)).as("rows_at_risk"))
+      .orderBy("lang")
+
+  private val cuLDiversitySql: String =
+    """WITH classes AS (
+      |  SELECT lang, n_chars // 500 AS chars_bucket,
+      |    count(DISTINCT source)::BIGINT AS n_sens, count(*)::BIGINT AS class_size
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, count(*)::BIGINT AS n_classes,
+      |  min(n_sens)::BIGINT AS min_l,
+      |  sum(CASE WHEN n_sens < 3 THEN 1 ELSE 0 END)::BIGINT AS classes_below_l,
+      |  sum(CASE WHEN n_sens < 3 THEN class_size ELSE 0 END)::BIGINT AS rows_at_risk
+      |FROM classes GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Lexicon polarity scoring
+
+  /** LEXICON POLARITY — dictionary-based sentiment scoring, the
+    * classic pre-model text-quality signal (and the shape of every
+    * wordlist-driven scorer: toxicity lists, domain vocabularies).
+    * Token membership runs in a codegen'd `filter` higher-order
+    * function over the split array — no UDF, no join for a
+    * literal-sized lexicon (a large lexicon would broadcast-join the
+    * exploded tokens instead). Score = (pos − neg) / tokens, exact
+    * integers, one double division. Lexicon drawn from the fixture's
+    * synthetic vocabulary (fast/big vs slow/small). */
+  def taPolarity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"),
+        expr("cast(size(filter(split(text, ' '), t -> t = 'fast' OR t = 'big')) as bigint)")
+          .as("n_pos"),
+        expr("cast(size(filter(split(text, ' '), t -> t = 'slow' OR t = 'small')) as bigint)")
+          .as("n_neg"))
+      .withColumn("polarity",
+        (col("n_pos") - col("n_neg")).cast("double") / col("n_tok"))
+      .orderBy("doc_id")
+
+  private val taPolaritySql: String =
+    """SELECT doc_id, lang,
+      |  len(str_split(text, ' '))::BIGINT AS n_tok,
+      |  len(list_filter(str_split(text, ' '),
+      |      t -> t = 'fast' OR t = 'big'))::BIGINT AS n_pos,
+      |  len(list_filter(str_split(text, ' '),
+      |      t -> t = 'slow' OR t = 'small'))::BIGINT AS n_neg,
+      |  (len(list_filter(str_split(text, ' '), t -> t = 'fast' OR t = 'big')) -
+      |   len(list_filter(str_split(text, ' '), t -> t = 'slow' OR t = 'small')))::DOUBLE
+      |    / len(str_split(text, ' ')) AS polarity
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Degree distribution
+
+  /** DEGREE DISTRIBUTION of the part co-occurrence graph (same edge
+    * derivation as [[Graph]]: parts sharing an order) — the first graph
+    * statistic any 100 TB graph job computes, and the input to
+    * power-law/skew planning for everything downstream. Shape: one
+    * self-equi-join on the order key (bounded fan-out per order), two
+    * reduce-first aggregates (distinct neighbor count per node, then
+    * node count per degree). No all-pairs anywhere. */
+  def grDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+      .groupBy("u").agg(count(lit(1)).as("degree"))
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val grDegreeDistSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT u, count(*)::BIGINT AS degree FROM edges GROUP BY u)
+      |SELECT degree, count(*)::BIGINT AS n_nodes
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom-filter pre-filtered join (runtime-filter idiom, verifiable)
+
+  /** BLOOM-PREFILTERED SEMI JOIN — the sideways-information-passing
+    * idiom behind Spark's own runtime filters, made explicit and
+    * verifiable: build a Bloom filter over the FILTERED dimension's
+    * keys (`bloom_filter_agg`; the collect is sketch-sized — ~100 KB —
+    * never data-sized), push `might_contain` into the fact scan as a
+    * cheap pre-filter, then let the exact semi join remove the false
+    * positives. At 100 TB the bloom drops non-matching fact rows
+    * BEFORE the shuffle, which is the whole game for a selective
+    * dim-fact join; correctness is independent of the bloom's FP rate
+    * because the semi join is still exact — which is precisely what
+    * the oracle (plain semi join) proves. `bloom_filter_agg` /
+    * `might_contain` live in Catalyst's internal registry (they back
+    * the optimizer's InjectRuntimeFilter), so the expressions are
+    * constructed natively via the ColumnBridge (same supported
+    * pattern as the custom-operator tier). */
+  def opBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val bloomAgg = ColumnBridge.toColumn(
+      new BloomFilterAggregate(ColumnBridge.toExpr(col("o_orderkey")), 100000L)
+        .toAggregateExpression())
+    val blob = dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.toColumn(BloomFilterMightContain(
+      ColumnBridge.toExpr(lit(blob)), ColumnBridge.toExpr(col("l_orderkey"))))
+    Tables.lineitem(spark, sfDir)
+      .filter(mightContain)
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val opBloomJoinSql: String =
+    s"""SELECT l_returnflag, count(*)::BIGINT AS n_items,
+       |  ${graft.functions.Exact.sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'
+       |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact AUC
+
+  /** EXACT ROC-AUC by rank statistic (Mann–Whitney U): completes the
+    * model-evaluation tier next to [[MlScore]]'s confusion matrix and
+    * calibration table. Score = the embedding's exact fixed-point
+    * component sum (×2²⁰ — a power of two, so the scaling multiply is
+    * an exponent shift and every per-row score is an EXACT int64);
+    * label = class ≥ 5. AUC = Σ_pos (2·negBelow + negTied) /
+    * (2·nPos·nNeg) — every term an integer, ONE double division at the
+    * end, so the statistic is bit-identical at any parallelism. The
+    * rank accumulation runs over the DISTINCT-SCORE relation (bounded
+    * by score cardinality, not row count); ties are handled by the
+    * ½-credit term, not by fragile average-rank floats. */
+  def mlAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val per = scored.groupBy("s")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("cnb", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") / (lit(2L) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
+  private val mlAucSql: String =
+    """WITH scored AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+      |  FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT *, coalesce(sum(nn) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cnb
+      |  FROM per)
+      |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+      |  sum(np * (2 * cnb + nn))::DOUBLE / (2 * sum(np) * sum(nn)) AS auc
+      |FROM cum""".stripMargin
+
+  // ------------------------------------------------------------------
+  // K-means (one Lloyd iteration)
+
+  /** K-MEANS, ONE LLOYD ITERATION — the canonical distributed
+    * clustering step next to [[graft.operators]]' power iteration:
+    * k content-seeded centroids (the lowest vec_ids — deterministic),
+    * assignment by EXACT fixed-point squared distance (coordinates
+    * ×2²⁰ as int64; zip-fold of integer squares is associative, so
+    * partial order cannot change any distance), ties to the lower
+    * centroid id via a total `min_by` key, then the centroid update as
+    * a posexplode + per-(cluster, dim) exact integer sum with one
+    * double division. Shapes that survive 100×: centroids broadcast
+    * (k·d doubles), assignment is a map-side scan, the update is one
+    * shuffle on (cluster, dim) with map-side combine — the textbook
+    * data-parallel Lloyd round. Headroom: (2·2²⁰)² × 64 dims ≈ 2.8e14
+    * per distance, ~1e17 per-cell sums at 100×, inside int64. */
+  def mlKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint))")
+          .as("p"))
+    val cents = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("p").as("c"))
+    val assign = pts.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("aggregate(zip_with(p, c, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(struct(cid, p), struct(d2, cid))").as("a"))
+      .select(col("a.cid").as("cid"), col("a.p").as("p"))
+    assign
+      .select(col("cid"), posexplode(expr("slice(p, 1, 8)")).as(Seq("pos0", "v")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_points"),
+        ((sum(col("v")).cast("double") / lit(1048576L)) / count(lit(1)))
+          .as("mean_val"))
+      .orderBy("cid", "dim")
+  }
+
+  private val mlKmeansSql: String =
+    """WITH pts AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> round(x::DOUBLE * 1048576)::BIGINT) AS p
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, p AS c FROM pts WHERE vec_id < 8),
+      |d AS (
+      |  SELECT vec_id, cid, p,
+      |    list_sum(list_transform(generate_series(1, len(p)),
+      |      i -> (p[i] - c[i]) * (p[i] - c[i])))::BIGINT AS d2
+      |  FROM pts CROSS JOIN cents),
+      |a AS (
+      |  SELECT vec_id, cid, p,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d),
+      |ex AS (
+      |  SELECT cid, dim, v FROM (
+      |    SELECT cid, unnest(list_transform(generate_series(1, 8),
+      |      i -> {'dim': i, 'v': p[i]}), recursive := true)
+      |    FROM a WHERE rn = 1))
+      |SELECT cid, dim::BIGINT AS dim, count(*)::BIGINT AS n_points,
+      |  (sum(v)::DOUBLE / 1048576) / count(*) AS mean_val
+      |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_bitmap_distinct" -> (opBitmapDistinct _),
+    "op_mode_agg" -> (opModeAgg _),
+    "op_gaps_islands" -> (opGapsIslands _),
+    "op_explode_lateral" -> (opExplodeLateral _),
+    "op_join_cross" -> (opJoinCross _),
+    "ev_trend" -> (evTrend _),
+    "cu_l_diversity" -> (cuLDiversity _),
+    "ta_polarity" -> (taPolarity _),
+    "gr_degree_dist" -> (grDegreeDist _),
+    "op_bloom_join" -> (opBloomJoin _),
+    "ml_auc" -> (mlAuc _),
+    "ml_kmeans" -> (mlKmeans _))
+
+  val oracles: Map[String, String] = Map(
+    "op_bitmap_distinct" -> opBitmapDistinctSql,
+    "op_mode_agg" -> opModeAggSql,
+    "op_gaps_islands" -> opGapsIslandsSql,
+    "op_explode_lateral" -> opExplodeLateralSql,
+    "op_join_cross" -> opJoinCrossSql,
+    "ev_trend" -> evTrendSql,
+    "cu_l_diversity" -> cuLDiversitySql,
+    "ta_polarity" -> taPolaritySql,
+    "gr_degree_dist" -> grDegreeDistSql,
+    "op_bloom_join" -> opBloomJoinSql,
+    "ml_auc" -> mlAucSql,
+    "ml_kmeans" -> mlKmeansSql)
+}

@@ -628,7 +628,101 @@ object StreamingOps {
       graft.functions.Text.shingled(spark, sfDir))
   }
 
+  case class CusumEvent(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class CusumState(curHourUs: Long, cnt: Long, run: Long, minr: Long,
+      maxS: Long, peakUs: Long)
+  case class CusumOut(event_type: String, max_cusum: Long,
+      peak_hour: java.sql.Timestamp)
+
+  /** STREAMING CUSUM DRIFT DETECTION — the continuous twin of
+    * [[graft.operators.Events.evCusum]], as the classic ONLINE form
+    * S_t = max(0, S_{t-1} + x_t − μ₀) over the per-type hourly counts
+    * (μ₀ = 3, the fixture's nominal hourly rate). O(1) state per key:
+    * the identity S_t = run_t − min_{j≤t}(run_j, 0) means the state is
+    * just (open hour, its count, running sum, running min, running max
+    * S, its argmax hour) — six longs, forever, at any event volume;
+    * the batch twin needs the whole hourly series. Hours close when a
+    * later event's hour arrives (event-time-sorted within the batch);
+    * the still-open hour is folded in PROVISIONALLY at emission so a
+    * single-drain readout matches the batch oracle exactly, while the
+    * durable state stays cross-batch correct. max S is monotone under
+    * suffix extension and the earliest-argmax can't be displaced by
+    * later data, so the multi-batch readout is the per-key struct max. */
+  def opStreamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val Mu = 3L
+    val HourUs = 3600L * 1000000L
+    def hourUs(ts: java.sql.Timestamp): Long = {
+      val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      us - math.floorMod(us, HourUs)
+    }
+    val fn = (typ: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+      val sorted = rows.toSeq.sortWith((a, b) =>
+        a.ts.compareTo(b.ts) < 0 || (a.ts.compareTo(b.ts) == 0 && a.event_id < b.event_id))
+      var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L, 0L, -1L, Long.MinValue))
+      def close(s: CusumState): CusumState = {
+        val run = s.run + s.cnt - Mu
+        val minr = math.min(s.minr, run)
+        val sv = run - minr
+        if (sv > s.maxS) CusumState(s.curHourUs, 0L, run, minr, sv, s.curHourUs)
+        else CusumState(s.curHourUs, 0L, run, minr, s.maxS, s.peakUs)
+      }
+      sorted.foreach { e =>
+        val h = hourUs(e.ts)
+        if (st.curHourUs != Long.MinValue && h != st.curHourUs)
+          st = close(st)
+        st = st.copy(curHourUs = h, cnt = st.cnt + 1)
+      }
+      state.update(st)
+      // provisional: fold the open hour in for this batch's emission
+      val p = if (st.curHourUs == Long.MinValue) st else close(st)
+      Iterator.single(CusumOut(typ, p.maxS,
+        new java.sql.Timestamp(p.peakUs / 1000L)))
+    }
+    val res = Tables.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .as[CusumEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    spark.catalog.dropTempView("graft_stream_cusum")
+    withStreamPartitions(spark) {
+      val q = res.toDF().writeStream
+        .format("memory").queryName("graft_stream_cusum")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_cusum")
+      .groupBy("event_type")
+      .agg(max(struct(col("max_cusum"), col("peak_hour"))).as("m"))
+      .select(col("event_type"), col("m.max_cusum").as("max_cusum"),
+        col("m.peak_hour").as("peak_hour"))
+      .orderBy("event_type")
+  }
+
+  private val opStreamCusumSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, sum(x - 3) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run
+      |  FROM hourly),
+      |m AS (
+      |  SELECT *, least(min(run) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::BIGINT AS minr
+      |  FROM r),
+      |s AS (SELECT event_type, h, run - minr AS cusum FROM m),
+      |p AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cusum DESC, h) AS rn
+      |  FROM s)
+      |SELECT event_type, cusum::BIGINT AS max_cusum, h AS peak_hour
+      |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_cusum" -> (opStreamCusum _),
     "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
     "op_stream_pattern" -> (opStreamPattern _),
@@ -645,6 +739,7 @@ object StreamingOps {
     "op_stream_dedup_wm" -> (opStreamDedupWm _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_cusum" -> opStreamCusumSql,
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
     "op_stream_pattern" -> opStreamPatternSql,

@@ -100,7 +100,17 @@ class PlanSpec extends SparkSpec {
         // ml_target_encode broadcasts its ONE-ROW global prior
         // (sum, count) into the per-category encode — the same
         // bounded scalar-subquery shape as gr_assoc_rules
-        "ml_target_encode")
+        "ml_target_encode",
+        // op_join_cross: grid completion — both cross sides are
+        // dimension-sized (nation × 3 distinct statuses) and the fact
+        // table is aggregated BEFORE joining the grid; the cross join
+        // is the point of the entry
+        "op_join_cross",
+        // op_bitmap_distinct broadcasts its ONE-ROW or-merged total
+        // bitmap count (scalar-subquery shape); ml_kmeans broadcasts
+        // the k-row centroid batch into the assignment scan — the
+        // canonical Lloyd shape, build side O(k·d)
+        "op_bitmap_distinct", "ml_kmeans")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
