@@ -525,6 +525,133 @@ object Analytics {
       |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
 
   // ------------------------------------------------------------------
+  // HITS (one iteration, exact)
+
+  /** HITS HUB/AUTHORITY SCORES, one iteration over the bipartite
+    * order–part graph (orders are hubs, parts authorities; uniform
+    * init): hub(o) = Σ auth₀ = the order's distinct-part degree,
+    * auth₁(p) = Σ_{orders containing p} hub(o). All INTEGER counts —
+    * the iteration is two reduce-first aggregates and one equi-join,
+    * exact at any parallelism (the same associative-integer discipline
+    * as the power iteration). Top 20 authorities with a total
+    * tie-break; `orderBy.limit` fuses to TakeOrderedAndProject. */
+  def grHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val hub = li.groupBy("l_orderkey").agg(count(lit(1)).as("hub"))
+    li.join(hub, "l_orderkey")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("hub")).as("authority"), count(lit(1)).as("n_orders"))
+      .orderBy(col("authority").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  private val grHitsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |hub AS (SELECT l_orderkey, count(*)::BIGINT AS hub FROM li GROUP BY 1)
+      |SELECT l_partkey, sum(hub)::BIGINT AS authority, count(*)::BIGINT AS n_orders
+      |FROM li JOIN hub USING (l_orderkey)
+      |GROUP BY l_partkey ORDER BY authority DESC, l_partkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Histogram-based best-split finding
+
+  /** HISTOGRAM BEST-SPLIT FINDING — the kernel inside every
+    * distributed gradient-boosting trainer (XGBoost/LightGBM's
+    * `hist` method), next to [[MlScore]]'s scorers and ml_train_gd:
+    * bucket the feature (p_retailprice, 5-unit bins — the fixture spans 900..1000, giving ~20 bins), accumulate
+    * per-bin (count, Σtarget) — ONE map-side-combinable aggregate over
+    * the data, the only pass that touches rows — then scan the
+    * bin-boundary candidates with prefix sums and score variance
+    * reduction gain = ΣL²/nL + ΣR²/nR. Sums are exact int64, so both
+    * engines perform the identical two divisions and one add per
+    * candidate; the argmax is rank-totalized (gain desc, bin asc).
+    * The candidate scan runs over the BIN relation (constant-sized),
+    * not the data — the property that makes the method scale. */
+  def mlBestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.part(spark, sfDir)
+      .groupBy(expr("cast(floor(p_retailprice / 5) as bigint)").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("sy"))
+    val wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cand = bins
+      .withColumn("nl", sum(col("n")).over(wc))
+      .withColumn("syl", sum(col("sy")).over(wc))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("syt", sum(col("sy")).over(wAll))
+      .filter(col("nl") < col("nt"))
+      .withColumn("gain",
+        (col("syl") * col("syl")).cast("double") / col("nl") +
+          ((col("syt") - col("syl")) * (col("syt") - col("syl"))).cast("double") /
+            (col("nt") - col("nl")))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gain").desc, col("bin").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("bin").as("split_bin"), col("nl").as("n_left"),
+        (col("nt") - col("nl")).as("n_right"), col("gain"))
+      .orderBy("rank")
+  }
+
+  private val mlBestSplitSql: String =
+    """WITH bins AS (
+      |  SELECT floor(p_retailprice / 5)::BIGINT AS bin, count(*)::BIGINT AS n,
+      |    sum(p_size)::BIGINT AS sy
+      |  FROM part GROUP BY 1),
+      |cum AS (
+      |  SELECT *,
+      |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW)::BIGINT AS nl,
+      |    sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW)::BIGINT AS syl,
+      |    sum(n) OVER ()::BIGINT AS nt, sum(sy) OVER ()::BIGINT AS syt
+      |  FROM bins),
+      |cand AS (
+      |  SELECT *,
+      |    (syl * syl)::DOUBLE / nl +
+      |      ((syt - syl) * (syt - syl))::DOUBLE / (nt - nl) AS gain
+      |  FROM cum WHERE nl < nt),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY gain DESC, bin ASC)::BIGINT AS rank
+      |  FROM cand)
+      |SELECT rank, bin AS split_bin, nl AS n_left, nt - nl AS n_right, gain
+      |FROM ranked WHERE rank <= 3 ORDER BY rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Map higher-order functions
+
+  /** MAP ALGEBRA — the MapType half of the complex-type surface next
+    * to op_array_funcs' arrays: build a token→length map per document
+    * (`map_from_arrays` over the deduped leading tokens),
+    * `transform_values` (double each length), `map_filter` (keep
+    * entries over the threshold), then `map_entries` exploded back to
+    * rows. Everything is codegen'd expression work inside the
+    * projection — no shuffle, no UDF; the oracle derives the same
+    * relation relationally (distinct tokens + filter), proving the map
+    * pipeline is just algebra over the entries. */
+  def opMapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ks", expr("array_distinct(slice(split(text, ' '), 1, 5))"))
+      .withColumn("m", expr(
+        """map_filter(
+          |  transform_values(
+          |    map_from_arrays(ks, transform(ks, t -> length(t))),
+          |    (k, v) -> v * 2),
+          |  (k, v) -> v > 6)""".stripMargin))
+      .select(col("doc_id"), explode(expr("map_entries(m)")).as("e"))
+      .select(col("doc_id"), col("e.key").as("tok"),
+        col("e.value").cast("long").as("len2"))
+      .orderBy("doc_id", "tok")
+
+  private val opMapFuncsSql: String =
+    """SELECT DISTINCT doc_id, tok, (len(tok) * 2)::BIGINT AS len2
+      |FROM (
+      |  SELECT doc_id, unnest(str_split(text, ' ')[1:5]) AS tok
+      |  FROM documents)
+      |WHERE len(tok) * 2 > 6
+      |ORDER BY doc_id, tok""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -538,7 +665,10 @@ object Analytics {
     "gr_degree_dist" -> (grDegreeDist _),
     "op_bloom_join" -> (opBloomJoin _),
     "ml_auc" -> (mlAuc _),
-    "ml_kmeans" -> (mlKmeans _))
+    "ml_kmeans" -> (mlKmeans _),
+    "gr_hits" -> (grHits _),
+    "ml_best_split" -> (mlBestSplit _),
+    "op_map_funcs" -> (opMapFuncs _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -552,5 +682,8 @@ object Analytics {
     "gr_degree_dist" -> grDegreeDistSql,
     "op_bloom_join" -> opBloomJoinSql,
     "ml_auc" -> mlAucSql,
-    "ml_kmeans" -> mlKmeansSql)
+    "ml_kmeans" -> mlKmeansSql,
+    "gr_hits" -> grHitsSql,
+    "ml_best_split" -> mlBestSplitSql,
+    "op_map_funcs" -> opMapFuncsSql)
 }

@@ -84,6 +84,39 @@ object DeltaLog {
         .dropRight(".checkpoint.parquet".length).toLong)
       .sorted
 
+  /** DESCRIBE HISTORY — the per-version audit every lakehouse exposes:
+    * add/remove action counts, rows added (summed from add-action
+    * `stats` numRecords where present; 0 when the writer attached no
+    * stats), and whether the commit changed data (any action with
+    * dataChange=true — OPTIMIZE rewrites are all-false). Metadata-sized:
+    * reads only the commit JSONs, never data files; spans the JSON
+    * history still on disk (pre-checkpoint versions retired by
+    * [[cleanupLog]] simply don't appear, same as any history listing). */
+  def history(spark: SparkSession, table: String): Seq[(Long, Long, Long, Long, Boolean)] = {
+    val versions = Fs.listFiles(spark, logDir(table),
+        n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+      .map(f => new org.apache.hadoop.fs.Path(f._1).getName.dropRight(5).toLong)
+      .sorted
+    versions.map { v =>
+      var adds = 0L; var removes = 0L; var rows = 0L; var dataChange = false
+      readCommit(spark, table, v).foreach { line =>
+        val n = M.readTree(line)
+        if (n.has("add")) {
+          adds += 1
+          val a = n.get("add")
+          if (!a.has("dataChange") || a.get("dataChange").asBoolean(true)) dataChange = true
+          if (a.has("stats"))
+            rows += M.readTree(a.get("stats").asText()).path("numRecords").asLong(0L)
+        }
+        if (n.has("remove")) {
+          removes += 1
+          if (n.get("remove").path("dataChange").asBoolean(true)) dataChange = true
+        }
+      }
+      (v, adds, removes, rows, dataChange)
+    }
+  }
+
   private[streaming] def readCommit(spark: SparkSession, table: String, v: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"${logDir(table)}/${versionName(v)}")
     val fs = p.getFileSystem(Fs.conf(spark))

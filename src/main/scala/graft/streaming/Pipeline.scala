@@ -600,6 +600,34 @@ object Pipeline {
       .orderBy("version")
   }
 
+  /** DESCRIBE HISTORY over the public Delta log ([[DeltaLog.history]]):
+    * a 4-commit table — two stats-bearing appends (even / odd order
+    * keys), an overwrite (retires all four live files), a third append
+    * — then the per-version audit straight from the commit JSONs.
+    * rows_added is summed from add-action `stats` numRecords, so the
+    * oracle recomputing each commit's row count from the fixture
+    * catches a stats mis-sum, a dropped add, or a phantom remove; the
+    * overwrite's row carries rows_added 0 because [[DeltaLog.overwrite]]
+    * attaches no stats (the audit reports what the log says, not what
+    * a data scan would find — history never touches data files). */
+  def pipeDeltaHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"$scratchBase/deltah_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir)
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 0).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 2 === 1).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    DeltaLog.overwrite(spark, tbl, ord.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 5 === 0).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    DeltaLog.history(spark, tbl)
+      .toDF("version", "n_adds", "n_removes", "rows_added", "data_change")
+      .orderBy("version")
+  }
+
   /** PARTITIONED Delta table in the public log format: two appends of
     * the events fixture `partitionBy("event_type")` (Hive `col=value/`
     * layout on disk, stringified `partitionValues` on every add
@@ -1094,6 +1122,17 @@ object Pipeline {
        |FROM orders WHERE o_orderkey % 3 = 0
        |ORDER BY version""".stripMargin
 
+  private val pipeDeltaHistorySql: String =
+    """SELECT 0::BIGINT AS version, 2::BIGINT AS n_adds, 0::BIGINT AS n_removes,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT AS rows_added,
+      |  true AS data_change
+      |UNION ALL SELECT 1, 2, 0,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1), true
+      |UNION ALL SELECT 2, 2, 4, 0, true
+      |UNION ALL SELECT 3, 2, 0,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0), true
+      |ORDER BY version""".stripMargin
+
   /** DELTA CHECKPOINT LIFECYCLE ([[DeltaLog.checkpoint]]): a streaming
     * sink commits 12 txn-marked micro-batches (one orders modulo-class
     * each); on Delta's default cadence the 10th commit writes the
@@ -1226,6 +1265,7 @@ object Pipeline {
     "pipe_stream_txn_sink" -> (pipeStreamTxnSink _),
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
+    "pipe_delta_history" -> (pipeDeltaHistory _),
     "pipe_delta_partition" -> (pipeDeltaPartition _),
     "pipe_delta_evolve" -> (pipeDeltaEvolve _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
@@ -1252,6 +1292,7 @@ object Pipeline {
     "pipe_stream_txn_sink" -> pipeStreamTxnSinkSql,
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
+    "pipe_delta_history" -> pipeDeltaHistorySql,
     "pipe_delta_partition" -> pipeDeltaPartitionSql,
     "pipe_delta_evolve" -> pipeDeltaEvolveSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,

@@ -721,7 +721,67 @@ object StreamingOps {
       |SELECT event_type, cusum::BIGINT AS max_cusum, h AS peak_hour
       |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  case class EwmaEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value: Double, cents: Long)
+  case class EwmaBuf(recent: List[Long])
+  case class EwmaOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value: Double, ewma: Double)
+
+  /** STREAMING EWMA — the continuous twin of
+    * [[graft.operators.Events.opEwma]]'s 10-term dyadic-weight moving
+    * average: per-user state is the last 9 cent values (a bounded
+    * ring, O(1) per key forever), each arriving event emits its
+    * smoothed value immediately. Bit-exactness discipline: the cents
+    * are computed by the SAME codegen'd `round(value*100)` expression
+    * as the batch form BEFORE entering the typed function (JVM-side
+    * re-rounding of doubles is where cross-engine drift creeps in),
+    * and the weighted sum folds in the same ascending-lag order with
+    * dyadic weights (0.5ⁱ — exact binary), so every emitted double is
+    * bit-identical to the batch window query and the SAME oracle
+    * verifies both. */
+  def opStreamEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weights = (0 until 10).map(i => math.pow(0.5, i))
+    val fn = (userId: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaBuf]) => {
+      val sorted = rows.toSeq.sortWith((a, b) =>
+        a.ts.compareTo(b.ts) < 0 || (a.ts.compareTo(b.ts) == 0 && a.event_id < b.event_id))
+      var recent = state.getOption.map(_.recent).getOrElse(Nil)
+      val out = Seq.newBuilder[EwmaOut]
+      sorted.foreach { e =>
+        val vals = (e.cents :: recent).toIndexedSeq
+        var num = 0.0
+        var den = 0.0
+        weights.zipWithIndex.foreach { case (wt, i) =>
+          // mirrors the batch form's coalesce(lag*w, 0.0) ascending fold
+          num += (if (i < vals.length) vals(i) * wt else 0.0)
+          den += (if (i < vals.length) wt else 0.0)
+        }
+        out += EwmaOut(e.event_id, userId, e.ts, e.value, (num / den) / 100.0)
+        recent = (e.cents :: recent).take(9)
+      }
+      state.update(EwmaBuf(recent))
+      out.result().iterator
+    }
+    val res = Tables.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    spark.catalog.dropTempView("graft_stream_ewma")
+    withStreamPartitions(spark) {
+      val q = res.toDF().writeStream
+        .format("memory").queryName("graft_stream_ewma")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_ewma").orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_ewma" -> (opStreamEwma _),
     "op_stream_cusum" -> (opStreamCusum _),
     "op_stream_neardup" -> (opStreamNeardup _),
     "op_stream_attribution" -> (opStreamAttribution _),
@@ -739,6 +799,7 @@ object StreamingOps {
     "op_stream_dedup_wm" -> (opStreamDedupWm _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_ewma" -> Events.oracles("op_ewma"),
     "op_stream_cusum" -> opStreamCusumSql,
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,
     "op_stream_attribution" -> graft.operators.Journeys.oracles("ev_attribution"),
