@@ -652,6 +652,180 @@ object Analytics {
       |ORDER BY doc_id, tok""".stripMargin
 
   // ------------------------------------------------------------------
+  // Seasonal forecast backtest
+
+  /** DOW-PROFILE FORECAST BACKTEST — the evaluation loop every
+    * metrics-forecasting pipeline runs: train a day-of-week seasonal
+    * profile on the first three weeks (mean daily count per
+    * (event_type, dow)), score the remaining days, report MAE per
+    * profile cell. Exactness: the mean is the rational s/n, so
+    * |y − s/n| is computed as |y·n − s| / n — integer numerators
+    * summed exactly, ONE double division per output row (the
+    * [[graft.functions.Exact]] discipline extended to error metrics;
+    * a naive float MAE would sum order-dependently). dow is epoch-day
+    * mod 7 — identical arithmetic in both engines, no calendar-API
+    * disagreement. Two reduce-first aggregates and one dow-key join of
+    * profile-sized relations. */
+  def evForecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("idx", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("dow", col("idx") % 7)
+    val split = lit("2024-01-22").cast("date")
+    val profile = daily.filter(col("d") < split)
+      .groupBy(col("event_type").as("p_type"), col("dow").as("p_dow"))
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("s_train"))
+    daily.filter(col("d") >= split)
+      .join(profile,
+        col("event_type") === col("p_type") && col("dow") === col("p_dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(max(col("n_train")).as("n_train_days"),
+        count(lit(1)).as("n_test_days"),
+        (sum(abs(col("y") * col("n_train") - col("s_train"))).cast("double") /
+          (max(col("n_train")) * count(lit(1)))).as("mae"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val evForecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS y,
+      |    date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT % 7 AS dow
+      |  FROM events GROUP BY 1, 2),
+      |profile AS (
+      |  SELECT event_type AS p_type, dow AS p_dow,
+      |    count(*)::BIGINT AS n_train, sum(y)::BIGINT AS s_train
+      |  FROM daily WHERE d < DATE '2024-01-22' GROUP BY 1, 2)
+      |SELECT event_type, dow,
+      |  max(n_train)::BIGINT AS n_train_days,
+      |  count(*)::BIGINT AS n_test_days,
+      |  sum(abs(y * n_train - s_train))::DOUBLE /
+      |    (max(n_train) * count(*)) AS mae
+      |FROM daily JOIN profile
+      |  ON event_type = p_type AND dow = p_dow
+      |WHERE d >= DATE '2024-01-22'
+      |GROUP BY event_type, dow ORDER BY event_type, dow""".stripMargin
+
+  // ------------------------------------------------------------------
+  // k-core peel
+
+  /** K-CORE PEEL (one round): drop every node of the part
+    * co-occurrence graph with degree < 25, recount degrees among the
+    * SURVIVING edges, return the after-peel degree histogram — the
+    * first step of the iterative k-core decomposition used to find
+    * dense subgraphs (and, at corpus scale, spam/bot cliques). Each
+    * round is degree aggregate → semi-join edge filter → degree
+    * aggregate: all hash-partitioned on node keys, no all-pairs work;
+    * iterating to a fixpoint repeats the same bounded shape. */
+  def grKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+    val keep = edges.groupBy("u").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 25).select(col("u").as("node"))
+    edges
+      .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val grKcorePeelSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |keep AS (
+      |  SELECT u AS node FROM edges GROUP BY u HAVING count(*) >= 25),
+      |kept AS (
+      |  SELECT u, v FROM edges
+      |  WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)),
+      |deg AS (SELECT u, count(*)::BIGINT AS degree FROM kept GROUP BY u)
+      |SELECT degree, count(*)::BIGINT AS n_nodes
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Inter-arrival distribution
+
+  /** INTER-ARRIVAL TIME DISTRIBUTION — the per-user gap histogram
+    * behind session-timeout tuning and arrival-process modeling: lag
+    * each user's event stream, bucket the gap into 10-minute bins
+    * (capped at 24 = "4h+"), report count and share per bucket. The
+    * window runs per user (parallel across the cluster), gaps are
+    * integer microseconds, the share is one double division against
+    * the one-row total (broadcast scalar shape). */
+  def evInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket", expr("least(gap_us div 600000000, 24L)"))
+    val total = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(total)
+      .withColumn("share", col("n_gaps").cast("double") / col("n_total"))
+      .select(col("bucket"), col("n_gaps"), col("share"))
+      .orderBy("bucket")
+  }
+
+  private val evInterarrivalSql: String =
+    """WITH gaps AS (
+      |  SELECT least(gap_us // 600000000, 24)::BIGINT AS bucket
+      |  FROM (
+      |    SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |    FROM events)
+      |  WHERE gap_us IS NOT NULL)
+      |SELECT bucket, count(*)::BIGINT AS n_gaps,
+      |  count(*)::DOUBLE / (SELECT count(*) FROM gaps) AS share
+      |FROM gaps GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Canonical selection after near-dup clustering
+
+  /** CANONICAL DOCUMENT SELECTION — the step a dedup pipeline runs
+    * AFTER clustering ([[Dedup.ddCluster]]'s connected components over
+    * the MinHash-LSH graph): keep the BEST document per cluster
+    * (longest, tie → lowest doc_id — a quality-ranked argmax with a
+    * totalized key), not an arbitrary representative. One
+    * broadcastable join of the component labels against the document
+    * metadata and one `min_by` aggregate per cluster; the recursive
+    * oracle CTE is shared with dd_cluster so both engines agree on the
+    * exact same components. */
+  def cuCanonicalSelect(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ddCluster(spark, sfDir)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(expr("min_by(doc_id, struct(-n_chars, doc_id))").as("best_doc"),
+        max(col("n_chars")).as("best_chars"),
+        max(col("cluster_size")).as("cluster_size"))
+      .orderBy("cluster_rep")
+
+  private val cuCanonicalSelectSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |sz AS (SELECT cluster_rep AS cr, count(*)::BIGINT AS cluster_size
+       |       FROM comp GROUP BY cluster_rep),
+       |ranked AS (
+       |  SELECT comp.cluster_rep, comp.doc_id, n_chars, cluster_size,
+       |    row_number() OVER (PARTITION BY comp.cluster_rep
+       |      ORDER BY n_chars DESC, comp.doc_id) AS rn
+       |  FROM comp
+       |  JOIN documents d ON d.doc_id = comp.doc_id
+       |  JOIN sz ON sz.cr = comp.cluster_rep)
+       |SELECT cluster_rep, doc_id::BIGINT AS best_doc,
+       |  n_chars::BIGINT AS best_chars, cluster_size
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -668,7 +842,11 @@ object Analytics {
     "ml_kmeans" -> (mlKmeans _),
     "gr_hits" -> (grHits _),
     "ml_best_split" -> (mlBestSplit _),
-    "op_map_funcs" -> (opMapFuncs _))
+    "op_map_funcs" -> (opMapFuncs _),
+    "ev_forecast_backtest" -> (evForecastBacktest _),
+    "gr_kcore_peel" -> (grKcorePeel _),
+    "ev_interarrival" -> (evInterarrival _),
+    "cu_canonical_select" -> (cuCanonicalSelect _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -685,5 +863,9 @@ object Analytics {
     "ml_kmeans" -> mlKmeansSql,
     "gr_hits" -> grHitsSql,
     "ml_best_split" -> mlBestSplitSql,
-    "op_map_funcs" -> opMapFuncsSql)
+    "op_map_funcs" -> opMapFuncsSql,
+    "ev_forecast_backtest" -> evForecastBacktestSql,
+    "gr_kcore_peel" -> grKcorePeelSql,
+    "ev_interarrival" -> evInterarrivalSql,
+    "cu_canonical_select" -> cuCanonicalSelectSql)
 }

@@ -57,6 +57,22 @@ object FormatRoundtrips {
     summarize(spark.read.schema(graft.Schemas.orders).orc(dir), "orc")
   }
 
+  /** JSON-lines roundtrip — the reference's own interchange format
+    * (reference pipeline/data.py:118 serializes ISO timestamps to
+    * JSON-lines; [[graft.streaming.Ingest]] reads them streaming, this
+    * entry proves the BATCH write+read round trip): explicit timestamp
+    * format on both sides, schema-asserted read so no inference pass
+    * touches the files, checksummed against the parquet fixture. */
+  def opJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "json")
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .option("timestampFormat", TsFmt)
+      .json(dir)
+    summarize(spark.read.schema(graft.Schemas.orders)
+      .option("timestampFormat", TsFmt)
+      .json(dir), "json")
+  }
+
   /** Hive-style partitioned layout + partition pruning: write orders
     * partitioned by order year, then read back with a partition
     * predicate — the scan must touch ONLY that year's directory
@@ -133,11 +149,13 @@ object FormatRoundtrips {
     "op_schema_merge" -> (opSchemaMerge _),
     "op_csv_roundtrip" -> (opCsvRoundtrip _),
     "op_orc_roundtrip" -> (opOrcRoundtrip _),
+    "op_json_roundtrip" -> (opJsonRoundtrip _),
     "op_partitioned_write" -> (opPartitionedWrite _))
 
   val oracles: Map[String, String] = Map(
     "op_schema_merge" -> opSchemaMergeSql,
     "op_csv_roundtrip" -> oracleFor("csv"),
     "op_orc_roundtrip" -> oracleFor("orc"),
+    "op_json_roundtrip" -> oracleFor("json"),
     "op_partitioned_write" -> opPartitionedWriteSql)
 }
