@@ -826,6 +826,197 @@ object Analytics {
        |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
 
   // ------------------------------------------------------------------
+  // NDCG ranking metric
+
+  /** NDCG@10 RANKING QUALITY — the retrieval metric next to
+    * [[mlAuc]]'s classification AUC: rank each probe's neighbors by
+    * exact cosine, score binary relevance (same label) under a
+    * HARMONIC discount 1/(rank+1) scaled by 27720 = lcm(2..11) so
+    * every discounted gain is an EXACT integer (the standard log2
+    * discount is not portable across libm implementations; the
+    * harmonic variant is order-equivalent and bit-exact), and
+    * normalize by the ideal ordering's scaled DCG — one double
+    * division per probe. The candidate scan is the same bounded
+    * probe-broadcast as ann_topk_exact. */
+  def mlNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dotS = "aggregate(zip_with(emb, p_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    // scaled harmonic discounts 27720/(r+1) for r = 1..10, and their prefix
+    // sums (the ideal DCG for m relevant docs is the m-th prefix)
+    val disc = (1 to 10).map(r => 27720L / (r + 1))
+    val idcg = disc.scanLeft(0L)(_ + _).tail
+    val ranked = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr(dotS) / (col("nrm") * col("p_nrm")))
+      .withColumn("rel", (col("label") === col("p_label")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val topk = ranked.filter(col("rank") <= 10)
+      .withColumn("gain", element_at(
+        lit(disc.toArray), col("rank").cast("int")) * col("rel"))
+      .groupBy("probe_id")
+      .agg(sum(col("rel")).as("n_rel_topk"), sum(col("gain")).as("dcg_scaled"))
+    val nrel = ranked.groupBy("probe_id")
+      .agg(least(sum(col("rel")), lit(10L)).as("m"))
+    topk.join(nrel, "probe_id")
+      .withColumn("idcg_scaled", element_at(lit(idcg.toArray), col("m").cast("int")))
+      .select(col("probe_id"), col("n_rel_topk"), col("dcg_scaled"),
+        (col("dcg_scaled").cast("double") / col("idcg_scaled")).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
+  private val mlNdcgSql: String = {
+    val disc = (1 to 10).map(r => 27720L / (r + 1))
+    val idcg = disc.scanLeft(0L)(_ + _).tail
+    val dotD = "list_reduce(list_transform(generate_series(1, len(e.embedding)), " +
+      "i -> e.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE), (x, y) -> x + y)"
+    val nrmD = (a: String) => "sqrt(list_reduce(list_transform(generate_series(1, " +
+      s"len($a.embedding)), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE), (x, y) -> x + y))"
+    s"""WITH ranked AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id,
+       |    (e.label = p.label)::BIGINT AS rel,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $dotD / (${nrmD("e")} * ${nrmD("p")}) DESC, e.vec_id)::BIGINT AS rank
+       |  FROM embeddings e JOIN embeddings p
+       |    ON p.vec_id < 10 AND e.vec_id <> p.vec_id),
+       |topk AS (
+       |  SELECT probe_id, sum(rel)::BIGINT AS n_rel_topk,
+       |    sum(([${disc.mkString(", ")}])[rank] * rel)::BIGINT AS dcg_scaled
+       |  FROM ranked WHERE rank <= 10 GROUP BY probe_id),
+       |nr AS (
+       |  SELECT probe_id, least(sum(rel), 10)::BIGINT AS m
+       |  FROM ranked GROUP BY probe_id)
+       |SELECT probe_id, n_rel_topk, dcg_scaled,
+       |  dcg_scaled::DOUBLE / ([${idcg.mkString(", ")}])[m] AS ndcg
+       |FROM topk JOIN nr USING (probe_id) ORDER BY probe_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Date dimension generator
+
+  /** DATE-DIMENSION GENERATION — `sequence` + `explode`, the
+    * synthesize-a-calendar op every warehouse needs for grid joins and
+    * fiscal rollups. Attributes are PORTABLE integer arithmetic on the
+    * epoch-day index (dow = idx mod 7 with 0 = Thursday; weeks aligned
+    * to Monday) rather than locale/ISO calendar APIs, which engines
+    * disagree on. Generation is a single projection — rows are born
+    * distributed, no driver loop, no shuffle. */
+  def opDateDim(spark: SparkSession, sfDir: String): DataFrame =
+    spark.range(1)
+      .select(explode(expr(
+        "sequence(to_date('2024-01-01'), to_date('2024-03-31'), interval 1 day)")).as("d"))
+      .withColumn("idx", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("dow", col("idx") % 7)
+      .withColumn("week_idx", expr("(idx + 3) div 7"))
+      .withColumn("is_weekend", col("dow").isin(2L, 3L))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("idx"), col("dow"), col("week_idx"), col("is_weekend"),
+        date_format(col("d"), "yyyy-MM").as("month"))
+      .orderBy("d")
+
+  private val opDateDimSql: String =
+    """SELECT strftime(d, '%Y-%m-%d') AS d,
+      |  idx, idx % 7 AS dow, (idx + 3) // 7 AS week_idx,
+      |  idx % 7 IN (2, 3) AS is_weekend,
+      |  strftime(d, '%Y-%m') AS month
+      |FROM (
+      |  SELECT d::DATE AS d,
+      |    date_diff('day', DATE '1970-01-01', d::DATE)::BIGINT AS idx
+      |  FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+      |          DATE '2024-03-31', INTERVAL 1 DAY)) AS d))
+      |ORDER BY d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Time-hierarchy rollup
+
+  /** TIME-HIERARCHY ROLLUP — revenue at day→month→year→grand-total in
+    * ONE aggregation pass (`rollup` compiles to a single Expand +
+    * hash aggregate: at 100 TB that is one fact-table scan for every
+    * level of the report, not one per level). Keys are formatted
+    * strings (portable), NULL grouping levels coalesce to 'ALL', money
+    * is exact cents. */
+  def opTimeRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .withColumn("y", date_format(col("o_orderdate"), "yyyy"))
+      .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      .rollup("y", "m")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .select(coalesce(col("y"), lit("ALL")).as("y"),
+        coalesce(col("m"), lit("ALL")).as("m"),
+        col("n_orders"), col("revenue"))
+      .orderBy("y", "m")
+
+  private val opTimeRollupSql: String =
+    s"""SELECT coalesce(y, 'ALL') AS y, coalesce(m, 'ALL') AS m,
+       |  count(*)::BIGINT AS n_orders,
+       |  ${graft.functions.Exact.sqlSum("o_totalprice", 2)} AS revenue
+       |FROM (
+       |  SELECT strftime(o_orderdate, '%Y') AS y,
+       |    strftime(o_orderdate, '%Y-%m') AS m, o_totalprice
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+       |GROUP BY ROLLUP (y, m) ORDER BY y, m""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Distribution drift (chi-square contributions)
+
+  /** DISTRIBUTION DRIFT by per-bin chi-square contribution — the
+    * score/feature drift monitor between two time windows (first vs
+    * second half of the month, per event type): counts per 50-unit
+    * value bin in each window, contribution
+    * (o1·n2 − o2·n1)² / (n1·n2·(o1+o2)). Every numerator term is an
+    * exact int64 (o·n ≈ 2e6 here, squared 4e12; ~1e16 at 100× — in
+    * headroom), ONE double division per row; contributions are emitted
+    * per bin rather than summed because a cross-bin float sum would be
+    * order-dependent (the monitor thresholds per-bin anyway — that is
+    * where the actionable signal lives). PSI's log term is not
+    * libm-portable; chi-square is, exactly. */
+  def mlDriftBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("half",
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1L).otherwise(2L))
+      .withColumn("bin", expr("cast(round(value * 100) as bigint) div 5000"))
+    val counts = ev.groupBy("event_type", "bin")
+      .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("half") === 2L, 1L).otherwise(0L)).as("o2"))
+    val wT = Window.partitionBy("event_type")
+    counts
+      .withColumn("n1", sum(col("o1")).over(wT))
+      .withColumn("n2", sum(col("o2")).over(wT))
+      .withColumn("chi2_contrib",
+        ((col("o1") * col("n2") - col("o2") * col("n1")) *
+          (col("o1") * col("n2") - col("o2") * col("n1"))).cast("double") /
+          (col("n1") * col("n2") * (col("o1") + col("o2"))))
+      .select(col("event_type"), col("bin"), col("o1"), col("o2"), col("chi2_contrib"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val mlDriftBinsSql: String =
+    """WITH counts AS (
+      |  SELECT event_type, round(value * 100)::BIGINT // 5000 AS bin,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS o1,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS o2
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT *,
+      |    sum(o1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+      |    sum(o2) OVER (PARTITION BY event_type)::BIGINT AS n2
+      |  FROM counts)
+      |SELECT event_type, bin, o1, o2,
+      |  ((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1))::DOUBLE /
+      |    (n1 * n2 * (o1 + o2)) AS chi2_contrib
+      |FROM tot ORDER BY event_type, bin""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -846,7 +1037,11 @@ object Analytics {
     "ev_forecast_backtest" -> (evForecastBacktest _),
     "gr_kcore_peel" -> (grKcorePeel _),
     "ev_interarrival" -> (evInterarrival _),
-    "cu_canonical_select" -> (cuCanonicalSelect _))
+    "cu_canonical_select" -> (cuCanonicalSelect _),
+    "ml_ndcg" -> (mlNdcg _),
+    "op_date_dim" -> (opDateDim _),
+    "op_time_rollup" -> (opTimeRollup _),
+    "ml_drift_bins" -> (mlDriftBins _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -867,5 +1062,9 @@ object Analytics {
     "ev_forecast_backtest" -> evForecastBacktestSql,
     "gr_kcore_peel" -> grKcorePeelSql,
     "ev_interarrival" -> evInterarrivalSql,
-    "cu_canonical_select" -> cuCanonicalSelectSql)
+    "cu_canonical_select" -> cuCanonicalSelectSql,
+    "ml_ndcg" -> mlNdcgSql,
+    "op_date_dim" -> opDateDimSql,
+    "op_time_rollup" -> opTimeRollupSql,
+    "ml_drift_bins" -> mlDriftBinsSql)
 }

@@ -628,6 +628,46 @@ object Pipeline {
       .orderBy("version")
   }
 
+  /** WRITE-AUDIT-PUBLISH over the Delta log — the staging pattern every
+    * production lakehouse ingest runs: each batch lands in a STAGING
+    * table first, a data-quality audit reads the staged files (row
+    * count > 0, no null keys, prices in range), and only a passing
+    * batch is published into the main table via the txn-marked
+    * [[DeltaLog.appendBatch]] (exactly-once: a replayed publish of the
+    * same batch id is a no-op). The poisoned middle batch (nulled
+    * custkeys) FAILS its audit and never reaches main — the oracle's
+    * checksums cover exactly batches 1 and 3, so a leaked bad batch or
+    * a dropped good one shifts every column. Audit cost is one scan of
+    * the STAGED batch (small), never of main. */
+  def pipeDeltaWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/wap_${sfName(sfDir)}"
+    wipe(spark, base)
+    val stage = s"$base/stage"
+    val main = s"$base/main"
+    val ord = Tables.orders(spark, sfDir)
+    val batches = Seq(
+      1L -> ord.filter(col("o_orderkey") % 3 === 0),
+      2L -> ord.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey"))),
+      3L -> ord.filter(col("o_orderkey") % 3 === 2))
+    var published = 0L
+    batches.foreach { case (id, df) =>
+      DeltaLog.overwrite(spark, stage, df.repartition(2))
+      val staged = DeltaLog.read(spark, stage)
+      val audit = staged.agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_prices")).head()
+      val pass = audit.getLong(0) > 0 && audit.getLong(1) == 0 && audit.getLong(2) == 0
+      if (pass && DeltaLog.appendBatch(spark, main, "wap", id, staged)) published += 1
+    }
+    DeltaLog.read(spark, main)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .withColumn("n_published", lit(published))
+  }
+
   /** PARTITIONED Delta table in the public log format: two appends of
     * the events fixture `partitionBy("event_type")` (Hive `col=value/`
     * layout on disk, stringified `partitionValues` on every add
@@ -1122,6 +1162,13 @@ object Pipeline {
        |FROM orders WHERE o_orderkey % 3 = 0
        |ORDER BY version""".stripMargin
 
+  private val pipeDeltaWapSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  2::BIGINT AS n_published
+       |FROM orders WHERE o_orderkey % 3 IN (0, 2)""".stripMargin
+
   private val pipeDeltaHistorySql: String =
     """SELECT 0::BIGINT AS version, 2::BIGINT AS n_adds, 0::BIGINT AS n_removes,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT AS rows_added,
@@ -1266,6 +1313,7 @@ object Pipeline {
     "pipe_zorder_prune" -> (pipeZorderPrune _),
     "pipe_delta_log" -> (pipeDeltaLog _),
     "pipe_delta_history" -> (pipeDeltaHistory _),
+    "pipe_delta_wap" -> (pipeDeltaWap _),
     "pipe_delta_partition" -> (pipeDeltaPartition _),
     "pipe_delta_evolve" -> (pipeDeltaEvolve _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
@@ -1293,6 +1341,7 @@ object Pipeline {
     "pipe_zorder_prune" -> pipeZorderPruneSql,
     "pipe_delta_log" -> pipeDeltaLogSql,
     "pipe_delta_history" -> pipeDeltaHistorySql,
+    "pipe_delta_wap" -> pipeDeltaWapSql,
     "pipe_delta_partition" -> pipeDeltaPartitionSql,
     "pipe_delta_evolve" -> pipeDeltaEvolveSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,

@@ -110,7 +110,13 @@ class PlanSpec extends SparkSpec {
         // bitmap count (scalar-subquery shape); ml_kmeans broadcasts
         // the k-row centroid batch into the assignment scan — the
         // canonical Lloyd shape, build side O(k·d)
-        "op_bitmap_distinct", "ml_kmeans")
+        "op_bitmap_distinct", "ml_kmeans",
+        // ev_interarrival broadcasts its ONE-ROW gap total into the
+        // share column — the same bounded scalar-subquery shape
+        "ev_interarrival",
+        // ml_ndcg: the same bounded 10-row probe broadcast as
+        // ann_topk_exact (inequality join against a fixed probe set)
+        "ml_ndcg")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
