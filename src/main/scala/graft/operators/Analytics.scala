@@ -1017,6 +1017,135 @@ object Analytics {
       |FROM tot ORDER BY event_type, bin""".stripMargin
 
   // ------------------------------------------------------------------
+  // Growth accounting
+
+  /** GROWTH ACCOUNTING — the user-lifecycle state classification every
+    * growth team runs daily: each active (user, day) is `new` (first
+    * ever), `retained` (also active yesterday), `returning` (gap
+    * 2–7 days) or `resurrected` (gap > 7), with per-day counts by
+    * state. Reduce-first: the fact table collapses to distinct
+    * user-days before the one per-user lag window; the classification
+    * is pure integer gap arithmetic on epoch-day indexes. */
+  def evGrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("idx", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("idx")
+    days
+      .withColumn("gap", col("idx") - lag(col("idx"), 1).over(w))
+      .withColumn("state",
+        when(col("gap").isNull, "new")
+          .when(col("gap") === 1, "retained")
+          .when(col("gap") <= 7, "returning")
+          .otherwise("resurrected"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("d"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("d", "state")
+  }
+
+  private val evGrowthAccountingSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      |idx AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '1970-01-01', d)::BIGINT AS idx
+      |  FROM days),
+      |lagged AS (
+      |  SELECT *, idx - lag(idx) OVER (
+      |    PARTITION BY user_id ORDER BY idx) AS gap
+      |  FROM idx)
+      |SELECT strftime(d, '%Y-%m-%d') AS d,
+      |  CASE WHEN gap IS NULL THEN 'new'
+      |       WHEN gap = 1 THEN 'retained'
+      |       WHEN gap <= 7 THEN 'returning'
+      |       ELSE 'resurrected' END AS state,
+      |  count(*)::BIGINT AS n_users
+      |FROM lagged GROUP BY 1, 2 ORDER BY d, state""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Iterative k-means (3 Lloyd rounds, fully declarative)
+
+  /** K-MEANS TO 3 LLOYD ROUNDS with NO driver-side collect — the
+    * iterative-training loop expressed as a declarative plan chain
+    * (each round: broadcast the k-row centroid relation into the
+    * assignment scan, one shuffle on (cluster, dim) for the update,
+    * rebuild the centroid arrays with an order-pinned collect_list).
+    * Determinism: round-0 centroids are the ×2²⁰ fixed-point integer
+    * coordinates; every later centroid coordinate is ONE exact-integer
+    * division (Σscaled / n) so both engines hold bit-identical double
+    * centroids, and every distance is the same left-to-right 64-term
+    * fold — identical IEEE ops, identical argmin, at any parallelism.
+    * The oracle unrolls the identical three rounds as CTEs. At 100 TB:
+    * per round, one broadcast + one map-side scan + one (k·d)-key
+    * shuffle — the canonical distributed Lloyd schedule; rounds chain
+    * lazily and Catalyst pipelines the whole lineage. */
+  def mlKmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint))")
+          .as("p"))
+    def assign(cents: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(p, c, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), 0D, (s, v) -> s + v)"))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(cid, p), struct(d2, cid))").as("a"))
+        .select(col("a.cid").as("cid"), col("a.p").as("p"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("p")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("v")).cast("double") / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, m))), s -> s.m)").as("c"))
+    val c0 = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        expr("transform(p, v -> cast(v as double))").as("c"))
+    val c1 = update(assign(c0))
+    val c2 = update(assign(c1))
+    assign(c2)
+      .groupBy("cid").agg(count(lit(1)).as("n_points"))
+      .join(c2.select(col("cid"),
+        (element_at(col("c"), 1) / 1048576d).as("c1"),
+        (element_at(col("c"), 2) / 1048576d).as("c2")), Seq("cid"))
+      .orderBy("cid")
+  }
+
+  private val mlKmeansIterSql: String = {
+    val d2 = "list_reduce(list_transform(generate_series(1, len(p)), " +
+      "i -> (p[i]::DOUBLE - c[i]) * (p[i]::DOUBLE - c[i])), (x, y) -> x + y)"
+    def round(cIn: String, aOut: String, cOut: String): String =
+      s"""$aOut AS (
+         |  SELECT vec_id, cid, p FROM (
+         |    SELECT pts.vec_id, cid, p, $d2 AS d2,
+         |      row_number() OVER (PARTITION BY pts.vec_id
+         |        ORDER BY $d2, cid) AS rn
+         |    FROM pts CROSS JOIN $cIn) t WHERE rn = 1),
+         |${cOut}_cell AS (
+         |  SELECT cid, dim, sum(v)::BIGINT::DOUBLE / count(*) AS m FROM (
+         |    SELECT cid, unnest(generate_series(1, len(p))) AS dim,
+         |      unnest(p) AS v
+         |    FROM $aOut) GROUP BY cid, dim),
+         |$cOut AS (
+         |  SELECT cid, list(m ORDER BY dim) AS c
+         |  FROM ${cOut}_cell GROUP BY cid)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> round(x::DOUBLE * 1048576)::BIGINT) AS p
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, list_transform(p, v -> v::DOUBLE) AS c
+       |  FROM pts WHERE vec_id < 8),
+       |${round("c0", "a1", "cc1")},
+       |${round("cc1", "a2", "cc2")},
+       |${round("cc2", "a3", "cc3")}
+       |SELECT cid, count(*)::BIGINT AS n_points,
+       |  (SELECT c[1] / 1048576 FROM cc2 x WHERE x.cid = a3.cid) AS c1,
+       |  (SELECT c[2] / 1048576 FROM cc2 x WHERE x.cid = a3.cid) AS c2
+       |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -1041,7 +1170,9 @@ object Analytics {
     "ml_ndcg" -> (mlNdcg _),
     "op_date_dim" -> (opDateDim _),
     "op_time_rollup" -> (opTimeRollup _),
-    "ml_drift_bins" -> (mlDriftBins _))
+    "ml_drift_bins" -> (mlDriftBins _),
+    "ev_growth_accounting" -> (evGrowthAccounting _),
+    "ml_kmeans_iter" -> (mlKmeansIter _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -1066,5 +1197,7 @@ object Analytics {
     "ml_ndcg" -> mlNdcgSql,
     "op_date_dim" -> opDateDimSql,
     "op_time_rollup" -> opTimeRollupSql,
-    "ml_drift_bins" -> mlDriftBinsSql)
+    "ml_drift_bins" -> mlDriftBinsSql,
+    "ev_growth_accounting" -> evGrowthAccountingSql,
+    "ml_kmeans_iter" -> mlKmeansIterSql)
 }

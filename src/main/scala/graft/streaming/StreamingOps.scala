@@ -780,7 +780,33 @@ object StreamingOps {
     spark.table("graft_stream_ewma").orderBy("user_id", "ts", "event_id")
   }
 
+  /** STREAMING WINDOWED DISTINCT COUNT — hourly unique users per event
+    * type, continuously. Distinct aggregates aren't available inside a
+    * streaming aggregation, so this is the canonical two-operator
+    * decomposition: a stateful `dropDuplicates` on (type, hour, user)
+    * reduces the stream to first-seen rows, then a plain windowed count
+    * — the same reduce-to-distinct-first shape as the batch
+    * ev_stickiness. Dedup state is bounded by distinct keys per window
+    * (the watermarked twin `op_stream_dedup_wm` shows the expiring
+    * form); the count aggregate's state is one long per (hour, type). */
+  def opStreamDistinctW(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      Tables.eventsStream(spark, sfDir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .select("event_type", "hour", "user_id")
+        .dropDuplicates("event_type", "hour", "user_id")
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n_users")),
+      "graft_stream_distinct")
+      .orderBy("hour", "event_type")
+
+  private val opStreamDistinctWSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_stream_distinct" -> (opStreamDistinctW _),
     "op_stream_ewma" -> (opStreamEwma _),
     "op_stream_cusum" -> (opStreamCusum _),
     "op_stream_neardup" -> (opStreamNeardup _),
@@ -799,6 +825,7 @@ object StreamingOps {
     "op_stream_dedup_wm" -> (opStreamDedupWm _))
 
   val oracles: Map[String, String] = Map(
+    "op_stream_distinct" -> opStreamDistinctWSql,
     "op_stream_ewma" -> Events.oracles("op_ewma"),
     "op_stream_cusum" -> opStreamCusumSql,
     "op_stream_neardup" -> graft.operators.Dedup.minhashLshOracle,

@@ -116,7 +116,10 @@ class PlanSpec extends SparkSpec {
         "ev_interarrival",
         // ml_ndcg: the same bounded 10-row probe broadcast as
         // ann_topk_exact (inequality join against a fixed probe set)
-        "ml_ndcg")
+        "ml_ndcg",
+        // ml_kmeans_iter: three k-row centroid broadcasts (one per
+        // Lloyd round), same bounded build side as ml_kmeans
+        "ml_kmeans_iter")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
