@@ -1146,6 +1146,144 @@ object Analytics {
   }
 
   // ------------------------------------------------------------------
+  // One-hot encoding
+
+  /** ONE-HOT ENCODING — the categorical expansion between
+    * [[MlPrep]]'s hashing/target encoders and a dense trainer: one
+    * 0/1 indicator column per category of o_orderpriority, as plain
+    * codegen'd `when` projections (a literal-sized vocabulary needs no
+    * join; a large one would pivot against a broadcast vocabulary).
+    * Restricted to a key slice so the entry's output is row-level
+    * (the full-table form is the same projection). */
+  def mlOneHot(spark: SparkSession, sfDir: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = pris.zipWithIndex.map { case (p, i) =>
+      when(col("o_orderpriority") === p, 1L).otherwise(0L).as(s"pri_${i + 1}")
+    }
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey") +: col("o_orderpriority") +: cols: _*)
+      .orderBy("o_orderkey")
+  }
+
+  private val mlOneHotSql: String = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = pris.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END)::BIGINT AS pri_${i + 1}"
+    }.mkString(",\n  ")
+    s"""SELECT o_orderkey, o_orderpriority,
+       |  $cols
+       |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Standard scaling
+
+  /** STANDARD (z-score) SCALING — the feature normalization pass
+    * before any distance- or gradient-based trainer: mean and std from
+    * EXACT integer cent sums (the variance numerator n·Σx² − (Σx)² is
+    * computed in DECIMAL(38,0) — at 100 TB row counts the int64 product
+    * overflows, and decimal is the exact wide type both engines share),
+    * then one identical (x − μ)/σ per row. μ and σ are single
+    * divisions/sqrts of exact integers, so every z-score is
+    * bit-identical at any parallelism. The two-pass shape (aggregate →
+    * broadcast the 1-row params → project) is the canonical scaler. */
+  def mlStandardScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("cast(round(p_retailprice * 100) as bigint)")
+    val params = Tables.part(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sum(cents).as("sx"),
+        sum(cents * cents).as("sxx"))
+      .select(col("n"),
+        (col("sx").cast("double") / col("n")).as("mean_c"),
+        (sqrt((col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)") -
+          col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("double")) / col("n")).as("std_c"))
+    Tables.part(spark, sfDir)
+      .filter(col("p_partkey") <= 20)
+      .crossJoin(params)
+      .select(col("p_partkey"), col("p_retailprice"),
+        ((cents.cast("double") - col("mean_c")) / col("std_c")).as("z"))
+      .orderBy("p_partkey")
+  }
+
+  private val mlStandardScaleSql: String =
+    """WITH params AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(c)::BIGINT::DOUBLE / count(*) AS mean_c,
+      |    sqrt((count(*)::DECIMAL(38,0) * sum(c * c)::DECIMAL(38,0) -
+      |          sum(c)::DECIMAL(38,0) * sum(c)::DECIMAL(38,0))::DOUBLE)
+      |      / count(*) AS std_c
+      |  FROM (SELECT round(p_retailprice * 100)::BIGINT AS c FROM part))
+      |SELECT p_partkey, p_retailprice,
+      |  (round(p_retailprice * 100)::BIGINT::DOUBLE - mean_c) / std_c AS z
+      |FROM part CROSS JOIN params
+      |WHERE p_partkey <= 20 ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic Poisson-bootstrap confidence interval
+
+  /** BOOTSTRAP CONFIDENCE INTERVAL via the DETERMINISTIC Poisson
+    * bootstrap — the distributed resampling scheme (each row's weight
+    * in replicate b is an independent Poisson(1) draw, so no global
+    * shuffle or sampling pass is needed; this is how engines bootstrap
+    * a 100 TB mean in one scan): the draw is a pure function of
+    * (row key, replicate) through the portable md5-based 60-bit
+    * uniform, quantized through the Poisson(1) CDF ×10000 — both
+    * engines derive the identical weight. Each replicate mean is
+    * exact-integer Σw·cents / Σw (one division), and the interval is
+    * the exact-percentile idiom over the 50 replicate means. */
+  def mlBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 50
+    val u = graft.functions.Text.hash60SparkSql(
+      "concat('boot:', cast(o_orderkey as string), ':', cast(b as string))") + " % 10000"
+    val reps = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .select(col("o_orderkey"), col("cents"),
+        explode(expr(s"sequence(1, $B)")).as("b"))
+      .withColumn("w", expr(
+        s"""CASE WHEN $u < 3679 THEN 0L WHEN $u < 7358 THEN 1L
+           |WHEN $u < 9197 THEN 2L WHEN $u < 9810 THEN 3L
+           |WHEN $u < 9963 THEN 4L WHEN $u < 9994 THEN 5L ELSE 6L END""".stripMargin))
+      .groupBy("b")
+      .agg((sum(col("w") * col("cents")).cast("double") / sum(col("w")) / 100.0)
+        .as("m"))
+    val point = Tables.orders(spark, sfDir)
+      .agg((sum(expr("cast(round(o_totalprice * 100) as bigint)")).cast("double") /
+        count(lit(1)) / 100.0).as("point_mean"))
+    reps.agg(count(lit(1)).as("n_replicates"),
+        expr("percentile(m, 0.025)").as("ci_lo"),
+        expr("percentile(m, 0.5)").as("ci_med"),
+        expr("percentile(m, 0.975)").as("ci_hi"))
+      .crossJoin(point)
+      .select(col("n_replicates"), col("point_mean"),
+        col("ci_lo"), col("ci_med"), col("ci_hi"))
+  }
+
+  private val mlBootstrapCiSql: String = {
+    val u = graft.functions.Text.hash60DuckSql(
+      "'boot:' || o_orderkey::VARCHAR || ':' || b::VARCHAR") + " % 10000"
+    s"""WITH reps AS (
+       |  SELECT b,
+       |    sum(w * cents)::BIGINT::DOUBLE / sum(w) / 100.0 AS m
+       |  FROM (
+       |    SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
+       |      unnest(generate_series(1, 50)) AS b
+       |    FROM orders),
+       |  LATERAL (SELECT CASE WHEN $u < 3679 THEN 0 WHEN $u < 7358 THEN 1
+       |    WHEN $u < 9197 THEN 2 WHEN $u < 9810 THEN 3
+       |    WHEN $u < 9963 THEN 4 WHEN $u < 9994 THEN 5 ELSE 6 END::BIGINT AS w)
+       |  GROUP BY b)
+       |SELECT (SELECT count(*) FROM reps)::BIGINT AS n_replicates,
+       |  (SELECT sum(round(o_totalprice * 100)::BIGINT)::BIGINT::DOUBLE
+       |     / count(*) / 100.0 FROM orders) AS point_mean,
+       |  quantile_cont(m, 0.025) AS ci_lo,
+       |  quantile_cont(m, 0.5) AS ci_med,
+       |  quantile_cont(m, 0.975) AS ci_hi
+       |FROM reps""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -1172,7 +1310,10 @@ object Analytics {
     "op_time_rollup" -> (opTimeRollup _),
     "ml_drift_bins" -> (mlDriftBins _),
     "ev_growth_accounting" -> (evGrowthAccounting _),
-    "ml_kmeans_iter" -> (mlKmeansIter _))
+    "ml_kmeans_iter" -> (mlKmeansIter _),
+    "ml_one_hot" -> (mlOneHot _),
+    "ml_standard_scale" -> (mlStandardScale _),
+    "ml_bootstrap_ci" -> (mlBootstrapCi _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -1199,5 +1340,8 @@ object Analytics {
     "op_time_rollup" -> opTimeRollupSql,
     "ml_drift_bins" -> mlDriftBinsSql,
     "ev_growth_accounting" -> evGrowthAccountingSql,
-    "ml_kmeans_iter" -> mlKmeansIterSql)
+    "ml_kmeans_iter" -> mlKmeansIterSql,
+    "ml_one_hot" -> mlOneHotSql,
+    "ml_standard_scale" -> mlStandardScaleSql,
+    "ml_bootstrap_ci" -> mlBootstrapCiSql)
 }

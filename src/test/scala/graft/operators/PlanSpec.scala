@@ -119,7 +119,11 @@ class PlanSpec extends SparkSpec {
         "ml_ndcg",
         // ml_kmeans_iter: three k-row centroid broadcasts (one per
         // Lloyd round), same bounded build side as ml_kmeans
-        "ml_kmeans_iter")
+        "ml_kmeans_iter",
+        // ml_standard_scale / ml_bootstrap_ci broadcast their ONE-ROW
+        // parameter aggregates (mean/std; point estimate) — the same
+        // bounded scalar-subquery shape
+        "ml_standard_scale", "ml_bootstrap_ci")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
