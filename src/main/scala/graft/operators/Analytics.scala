@@ -1284,6 +1284,207 @@ object Analytics {
   }
 
   // ------------------------------------------------------------------
+  // Per-node clustering coefficient
+
+  /** LOCAL CLUSTERING COEFFICIENT — 2·tri(v) / (deg(v)·(deg(v)−1))
+    * per node of the part co-occurrence graph: how clique-like each
+    * node's neighborhood is (the community-structure signal next to
+    * [[Graph]]'s global triangle count). Triangles are enumerated once
+    * with the same DEGREE-ORDERED orientation as gr_triangles
+    * (O(m^{3/2}) total work, hub-safe), each triangle credits its
+    * three corners, and the coefficient is ONE double division of
+    * exact integer counts per node. Per-node counts are orientation-
+    * invariant, which is why the id-ordered oracle matches. Top 20 by
+    * (coefficient, degree, id) — a totalized order. */
+  def grClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val canon = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
+    val und = canon.select(col("src").as("v"))
+      .unionAll(canon.select(col("dst").as("v")))
+    val degs = und.groupBy("v").agg(count(lit(1)).as("deg"))
+    val e = canon
+      .join(degs.select(col("v").as("src"), col("deg").as("dsrc")), "src")
+      .join(degs.select(col("v").as("dst"), col("deg").as("ddst")), "dst")
+      .select(
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")), col("src"))
+          .otherwise(col("dst")).as("lo"),
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")), col("dst"))
+          .otherwise(col("src")).as("hi"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(e.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    degs.filter(col("deg") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coef",
+        (lit(2L) * col("n_tri")).cast("double") / (col("deg") * (col("deg") - 1)))
+      .select(col("v").as("l_partkey"), col("deg"), col("n_tri"), col("coef"))
+      .orderBy(col("coef").desc, col("deg").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  private val grClusteringCoefSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |canon AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |degs AS (
+      |  SELECT v, count(*)::BIGINT AS deg FROM (
+      |    SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon)
+      |  GROUP BY v),
+      |tri AS (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+      |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |per_node AS (
+      |  SELECT v, count(*)::BIGINT AS n_tri FROM (
+      |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY v)
+      |SELECT v AS l_partkey, deg, coalesce(n_tri, 0)::BIGINT AS n_tri,
+      |  (2 * coalesce(n_tri, 0))::DOUBLE / (deg * (deg - 1)) AS coef
+      |FROM degs LEFT JOIN per_node USING (v)
+      |WHERE deg >= 2
+      |ORDER BY coef DESC, deg DESC, l_partkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Modularity of a labeled partition
+
+  /** MODULARITY of the brand partition over the part co-occurrence
+    * graph — "do parts of the same brand co-occur more than chance?",
+    * the assortativity question every community detector optimizes.
+    * Newman's Q = Σ_c (e_c/m − (d_c/2m)²) is evaluated as the EXACT
+    * integer Σ_c (4m·e_c − d_c²) over the common denominator 4m² —
+    * one double division at the end (the rational-telescoping
+    * discipline applied to graph statistics; a float Σ of per-community
+    * terms would be order-dependent). Edge labeling is two broadcast
+    * joins against the part dimension. */
+  def grModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val canon = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
+    val brands = broadcast(Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")))
+    val labeled = canon
+      .join(brands.select(col("p_partkey").as("src"), col("p_brand").as("b_src")), "src")
+      .join(brands.select(col("p_partkey").as("dst"), col("p_brand").as("b_dst")), "dst")
+    val m = labeled.agg(count(lit(1)).as("m"))
+    val eIn = labeled.filter(col("b_src") === col("b_dst"))
+      .groupBy(col("b_src").as("brand")).agg(count(lit(1)).as("e_in"))
+    val dTot = labeled.select(col("b_src").as("brand"))
+      .unionAll(labeled.select(col("b_dst").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("d_tot"))
+    dTot.join(eIn, Seq("brand"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(m)
+      .agg(max(col("m")).as("m_edges"), count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("m") * col("e_in") - col("d_tot") * col("d_tot"))
+          .as("q_scaled"))
+      .withColumn("q", col("q_scaled").cast("double") /
+        (lit(4L) * col("m_edges") * col("m_edges")))
+      .select(col("m_edges"), col("n_communities"), col("q_scaled"), col("q"))
+  }
+
+  private val grModularitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |canon AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |labeled AS (
+      |  SELECT src, dst, ps.p_brand AS b_src, pd.p_brand AS b_dst
+      |  FROM canon
+      |  JOIN part ps ON ps.p_partkey = src
+      |  JOIN part pd ON pd.p_partkey = dst),
+      |m AS (SELECT count(*)::BIGINT AS m FROM labeled),
+      |e_in AS (
+      |  SELECT b_src AS brand, count(*)::BIGINT AS e_in
+      |  FROM labeled WHERE b_src = b_dst GROUP BY 1),
+      |d_tot AS (
+      |  SELECT brand, count(*)::BIGINT AS d_tot FROM (
+      |    SELECT b_src AS brand FROM labeled
+      |    UNION ALL SELECT b_dst FROM labeled)
+      |  GROUP BY brand)
+      |SELECT max(m)::BIGINT AS m_edges, count(*)::BIGINT AS n_communities,
+      |  sum(4 * m * coalesce(e_in, 0) - d_tot * d_tot)::BIGINT AS q_scaled,
+      |  sum(4 * m * coalesce(e_in, 0) - d_tot * d_tot)::BIGINT::DOUBLE /
+      |    (4 * max(m) * max(m)) AS q
+      |FROM d_tot LEFT JOIN e_in USING (brand) CROSS JOIN m""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Linear multi-touch attribution
+
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — the credit-splitting twin of
+    * the last-touch model ([[Journeys]]): every touch between a user's
+    * previous purchase and the next purchase shares that purchase's
+    * credit equally. The touch→purchase assignment is pure window
+    * arithmetic (purchases-seen-so-far + 1 indexes the crediting
+    * purchase — no self-join over history), per-type credit is the
+    * exact rational n_type/n_total with ONE double division per output
+    * row (a float Σ of 1/n terms would be order-dependent). */
+  def evAttributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("p_before", coalesce(sum(
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        (col("p_before") + 1).as("p_idx"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        (col("p_before") + 1).as("t_idx"))
+    touches.join(purchases,
+        col("user_id") === col("p_user") && col("t_idx") === col("p_idx"))
+      .groupBy("purchase_id", "touch_type")
+      .agg(count(lit(1)).as("n_type"))
+      .withColumn("n_total",
+        sum(col("n_type")).over(Window.partitionBy("purchase_id")))
+      .withColumn("credit", col("n_type").cast("double") / col("n_total"))
+      .orderBy("purchase_id", "touch_type")
+  }
+
+  private val evAttributionLinearSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS p_before
+      |  FROM events),
+      |purchases AS (
+      |  SELECT user_id AS p_user, event_id AS purchase_id,
+      |    p_before + 1 AS p_idx
+      |  FROM ev WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, event_type AS touch_type, p_before + 1 AS t_idx
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |joined AS (
+      |  SELECT purchase_id, touch_type, count(*)::BIGINT AS n_type
+      |  FROM touches JOIN purchases
+      |    ON user_id = p_user AND t_idx = p_idx
+      |  GROUP BY 1, 2)
+      |SELECT purchase_id, touch_type, n_type,
+      |  sum(n_type) OVER (PARTITION BY purchase_id)::BIGINT AS n_total,
+      |  n_type::DOUBLE / sum(n_type) OVER (PARTITION BY purchase_id) AS credit
+      |FROM joined ORDER BY purchase_id, touch_type""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -1313,7 +1514,10 @@ object Analytics {
     "ml_kmeans_iter" -> (mlKmeansIter _),
     "ml_one_hot" -> (mlOneHot _),
     "ml_standard_scale" -> (mlStandardScale _),
-    "ml_bootstrap_ci" -> (mlBootstrapCi _))
+    "ml_bootstrap_ci" -> (mlBootstrapCi _),
+    "gr_clustering_coef" -> (grClusteringCoef _),
+    "gr_modularity" -> (grModularity _),
+    "ev_attribution_linear" -> (evAttributionLinear _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -1343,5 +1547,8 @@ object Analytics {
     "ml_kmeans_iter" -> mlKmeansIterSql,
     "ml_one_hot" -> mlOneHotSql,
     "ml_standard_scale" -> mlStandardScaleSql,
-    "ml_bootstrap_ci" -> mlBootstrapCiSql)
+    "ml_bootstrap_ci" -> mlBootstrapCiSql,
+    "gr_clustering_coef" -> grClusteringCoefSql,
+    "gr_modularity" -> grModularitySql,
+    "ev_attribution_linear" -> evAttributionLinearSql)
 }
