@@ -1299,14 +1299,16 @@ object Analytics {
   def grClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val canon = li.as("a").join(li.as("b"),
+    val canon = Scratch.persist(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct())
     val und = canon.select(col("src").as("v"))
       .unionAll(canon.select(col("dst").as("v")))
-    val degs = und.groupBy("v").agg(count(lit(1)).as("deg"))
-    val e = canon
+    val degs = Scratch.persist(und.groupBy("v").agg(count(lit(1)).as("deg")))
+    // persisted: the oriented relation feeds THREE sides of the triangle
+    // join — without it the canon→degs joins replay per side
+    val e = Scratch.persist(canon
       .join(degs.select(col("v").as("src"), col("deg").as("dsrc")), "src")
       .join(degs.select(col("v").as("dst"), col("deg").as("ddst")), "dst")
       .select(
@@ -1315,7 +1317,7 @@ object Analytics {
           .otherwise(col("dst")).as("lo"),
         when(col("dsrc") < col("ddst") ||
           (col("dsrc") === col("ddst") && col("src") < col("dst")), col("dst"))
-          .otherwise(col("src")).as("hi"))
+          .otherwise(col("src")).as("hi")))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
       .join(e.as("e3"),
