@@ -668,6 +668,52 @@ object Pipeline {
       .withColumn("n_published", lit(published))
   }
 
+  /** MEDALLION PIPELINE (bronze → silver → gold) — the canonical
+    * lakehouse layering, composed from this engine's own tiers: BRONZE
+    * lands the raw events fixture in a Delta table as-ingested; SILVER
+    * rewrites it cleaned (exact-duplicate drop on the natural key,
+    * positive-value validity filter) into a second Delta table; GOLD
+    * aggregates silver into the daily per-type revenue mart (exact
+    * cents) and commits THAT as a third table. Each layer reads only
+    * the previous table's live snapshot, so reprocessing a layer never
+    * rescans raw history upstream of it — the property that makes the
+    * pattern survive 100 TB of bronze. The oracle recomputes gold
+    * straight from the fixture: any row leaked or dropped by the
+    * bronze/silver hops shifts the checksums. */
+  def pipeMedallion(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/medallion_${sfName(sfDir)}"
+    wipe(spark, base)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // bronze is raw-as-delivered: replayed exact duplicates and invalid
+    // negative-value rows land alongside the good data, so the silver
+    // cleaning demonstrably bites (and the oracle proves it removed
+    // exactly the poison, nothing else)
+    val bronze = ev
+      .unionAll(ev.filter(col("event_id") % 10 === 0))
+      .unionAll(ev.filter(col("event_id") % 10 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", -col("value")))
+    DeltaLog.append(spark, s"$base/bronze", bronze.repartition(2))
+    val silver = DeltaLog.read(spark, s"$base/bronze")
+      .distinct()
+      .filter(col("value") > 0)
+    DeltaLog.append(spark, s"$base/silver", silver.repartition(2))
+    val gold = DeltaLog.read(spark, s"$base/silver")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.exactSum(col("value"), 2).as("total_value"))
+    DeltaLog.append(spark, s"$base/gold", gold.repartition(1))
+    DeltaLog.read(spark, s"$base/gold").orderBy("d", "event_type")
+  }
+
+  private val pipeMedallionSql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+       |  count(*)::BIGINT AS n_events,
+       |  ${graft.functions.Exact.sqlSum("value", 2)} AS total_value
+       |FROM events WHERE value > 0
+       |GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin
+
   /** PARTITIONED Delta table in the public log format: two appends of
     * the events fixture `partitionBy("event_type")` (Hive `col=value/`
     * layout on disk, stringified `partitionValues` on every add
@@ -1314,6 +1360,7 @@ object Pipeline {
     "pipe_delta_log" -> (pipeDeltaLog _),
     "pipe_delta_history" -> (pipeDeltaHistory _),
     "pipe_delta_wap" -> (pipeDeltaWap _),
+    "pipe_medallion" -> (pipeMedallion _),
     "pipe_delta_partition" -> (pipeDeltaPartition _),
     "pipe_delta_evolve" -> (pipeDeltaEvolve _),
     "pipe_delta_checkpoint" -> (pipeDeltaCheckpoint _),
@@ -1342,6 +1389,7 @@ object Pipeline {
     "pipe_delta_log" -> pipeDeltaLogSql,
     "pipe_delta_history" -> pipeDeltaHistorySql,
     "pipe_delta_wap" -> pipeDeltaWapSql,
+    "pipe_medallion" -> pipeMedallionSql,
     "pipe_delta_partition" -> pipeDeltaPartitionSql,
     "pipe_delta_evolve" -> pipeDeltaEvolveSql,
     "pipe_delta_checkpoint" -> pipeDeltaCheckpointSql,
