@@ -648,15 +648,18 @@ object StreamingOps {
     * durable state stays cross-batch correct. max S is monotone under
     * suffix extension and the earliest-argmax can't be displaced by
     * later data, so the multi-batch readout is the per-key struct max. */
-  def opStreamCusum(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The CUSUM state transition, extracted so the cross-batch contract
+    * (splitting the stream at any boundary yields the same final
+    * emission) is directly testable with `TestGroupState`. */
+  private[graft] val cusumFn:
+      (String, Iterator[CusumEvent], GroupState[CusumState]) => Iterator[CusumOut] = {
     val Mu = 3L
     val HourUs = 3600L * 1000000L
     def hourUs(ts: java.sql.Timestamp): Long = {
       val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
       us - math.floorMod(us, HourUs)
     }
-    val fn = (typ: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+    (typ, rows, state) => {
       val sorted = rows.toSeq.sortWith((a, b) =>
         a.ts.compareTo(b.ts) < 0 || (a.ts.compareTo(b.ts) == 0 && a.event_id < b.event_id))
       var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L, 0L, -1L, Long.MinValue))
@@ -679,6 +682,11 @@ object StreamingOps {
       Iterator.single(CusumOut(typ, p.maxS,
         new java.sql.Timestamp(p.peakUs / 1000L)))
     }
+  }
+
+  def opStreamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fn = cusumFn
     val res = Tables.eventsStream(spark, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"))
       .as[CusumEvent]

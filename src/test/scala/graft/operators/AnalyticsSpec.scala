@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Invariants of the round-7 Analytics tier that the DuckDB oracle
+  * can't express: the bloom pre-filter's containment properties, the
+  * bitmap sketch's exactness under repartitioning, and the iterative
+  * k-means chain's internal consistency. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("op_bloom_join: bloom pre-filter is a superset of the exact semi join (no false negatives)") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloomAgg = ColumnBridge.toColumn(
+      new BloomFilterAggregate(ColumnBridge.toExpr(col("o_orderkey")), 100000L)
+        .toAggregateExpression())
+    val blob = dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mc = ColumnBridge.toColumn(BloomFilterMightContain(
+      ColumnBridge.toExpr(lit(blob)), ColumnBridge.toExpr(col("l_orderkey"))))
+    val li = Tables.lineitem(spark, sf)
+    val nAll = li.count()
+    val nPre = li.filter(mc).count()
+    val nExact = li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    // bloom admits every true match (no false negatives) and never
+    // exceeds the full table
+    assert(nExact <= nPre, s"bloom dropped true matches: exact=$nExact > pre=$nPre")
+    assert(nPre <= nAll)
+    // and the composed operator equals the exact semi join regardless of
+    // the bloom's false-positive rate
+    val composed = li.filter(mc)
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(composed === nExact)
+  }
+
+  test("op_bitmap_distinct: bitmap counts equal exact distinct under adversarial repartitioning") {
+    val base = Tables.events(spark, sf).repartition(7, col("value"))
+    val perBucket = base
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    val viaBitmap = perBucket.groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBitmap === exact)
+  }
+
+  test("ml_kmeans_iter: assignments are stable cluster ids and counts cover every vector") {
+    val out = Analytics.mlKmeansIter(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === nVecs, "every vector assigned exactly once")
+    val cids = out.map(_.getLong(0))
+    assert(cids.distinct.length === cids.length)
+    assert(cids.forall(c => c >= 0 && c < 8))
+  }
+
+  test("ev_growth_accounting: state counts partition the distinct user-days") {
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    val total = Analytics.evGrowthAccounting(spark, sf)
+      .agg(sum("n_users")).head().getLong(0)
+    assert(total === userDays, "every active user-day classified exactly once")
+  }
+}
