@@ -1487,6 +1487,127 @@ object Analytics {
       |FROM joined ORDER BY purchase_id, touch_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // SQL interface
+
+  /** SQL-FIRST INTERFACE — the same flagship semantics as
+    * [[Relational.q3Unshipped]], but driven through `spark.sql` over
+    * registered temp views: the entry a SQL-speaking user of the
+    * engine actually types. Catalyst compiles this to the identical
+    * plan as the DataFrame form (views are just named subplans), which
+    * is the point being demonstrated — the two APIs are one engine. */
+  def opSqlInterface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000) as bigint)) / 10000.0
+        |    AS revenue
+        |FROM g_customer
+        |JOIN g_orders ON c_custkey = o_custkey
+        |JOIN g_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 50""".stripMargin)
+  }
+
+  private val opSqlInterfaceSql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${graft.functions.Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Audience overlap
+
+  /** AUDIENCE OVERLAP — exact Jaccard between every pair of event-type
+    * audiences (|A∩B| / |A∪B|): the segment-similarity matrix behind
+    * every "users who did X also did Y" dashboard. Reduce-first: the
+    * fact table collapses to distinct (type, user) once; the pair
+    * intersection is ONE self-equi-join on user of that reduced
+    * relation; union sizes come from the per-type counts by
+    * inclusion–exclusion — all exact integers, one division per pair. */
+  def evAudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val tu = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val evAudienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS n_both
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      |  n_both::DOUBLE / (sa.n + sb.n - n_both) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Null-safe equality join
+
+  /** NULL-SAFE EQUALITY JOIN (`<=>` — SQL's IS NOT DISTINCT FROM): the
+    * join semantics a dimension with NULL-able natural keys needs,
+    * where NULL must match NULL instead of silently dropping (the
+    * classic slowly-changing-dimension bug). Nulls are injected
+    * deterministically into a key column on both sides; the null-safe
+    * join pairs the null groups, the plain equi-join (oracle's second
+    * count) does not — the difference IS the demonstrated semantics.
+    * Spark plans `<=>` as a hash join on the null-safe key (nulls hash
+    * to one group), not a nested loop — same scale shape as any
+    * equi-join, plus the skew caveat if nulls dominate. */
+  def opNullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(alias: String) = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_custkey")).as(s"k_$alias"))
+    val joined = side("a").as("a").join(side("b").as("b"),
+      col("k_a") <=> col("k_b") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+    joined.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("k_a").isNull, 1L).otherwise(0L)).as("n_null_pairs"))
+  }
+
+  private val opNullSafeJoinSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders)
+      |SELECT count(*)::BIGINT AS n_pairs,
+      |  sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_pairs
+      |FROM s a JOIN s b
+      |  ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -1519,7 +1640,10 @@ object Analytics {
     "ml_bootstrap_ci" -> (mlBootstrapCi _),
     "gr_clustering_coef" -> (grClusteringCoef _),
     "gr_modularity" -> (grModularity _),
-    "ev_attribution_linear" -> (evAttributionLinear _))
+    "ev_attribution_linear" -> (evAttributionLinear _),
+    "op_sql_interface" -> (opSqlInterface _),
+    "ev_audience_overlap" -> (evAudienceOverlap _),
+    "op_null_safe_join" -> (opNullSafeJoin _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -1552,5 +1676,8 @@ object Analytics {
     "ml_bootstrap_ci" -> mlBootstrapCiSql,
     "gr_clustering_coef" -> grClusteringCoefSql,
     "gr_modularity" -> grModularitySql,
-    "ev_attribution_linear" -> evAttributionLinearSql)
+    "ev_attribution_linear" -> evAttributionLinearSql,
+    "op_sql_interface" -> opSqlInterfaceSql,
+    "ev_audience_overlap" -> evAudienceOverlapSql,
+    "op_null_safe_join" -> opNullSafeJoinSql)
 }
