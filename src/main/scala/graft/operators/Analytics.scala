@@ -1608,6 +1608,143 @@ object Analytics {
       |  ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // Union by name (schema evolution union)
+
+  /** UNION BY NAME with missing columns — the schema-evolution union
+    * every multi-generation dataset needs (`unionByName(…,
+    * allowMissingColumns = true)`): the 1997 slice carries no
+    * `priority_class`, the 1998 slice does, and the union serves both
+    * generations with NULL back-fill — positionally-aligned `UNION ALL`
+    * would silently mis-bind columns. Resolution happens at plan time;
+    * the executed plan is a plain union of projections, no runtime
+    * cost. */
+  def opUnionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    def yr(y: Int) = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp"))
+    val old = yr(1997).select(col("o_orderkey"), col("o_totalprice"))
+    val nu = yr(1998).select(col("o_orderkey"), col("o_totalprice"),
+      substring(col("o_orderpriority"), 1, 1).as("priority_class"))
+    old.unionByName(nu, allowMissingColumns = true)
+      .groupBy(coalesce(col("priority_class"), lit("none")).as("priority_class"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("priority_class")
+  }
+
+  private val opUnionByNameSql: String =
+    s"""SELECT coalesce(priority_class, 'none') AS priority_class,
+       |  count(*)::BIGINT AS n_orders,
+       |  ${graft.functions.Exact.sqlSum("o_totalprice", 2)} AS revenue
+       |FROM (
+       |  SELECT o_orderkey, o_totalprice, NULL AS priority_class
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice, substr(o_orderpriority, 1, 1)
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+       |GROUP BY 1 ORDER BY priority_class""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Checkpoint (lineage truncation)
+
+  /** RELIABLE CHECKPOINT — `Dataset.checkpoint()` materializes the
+    * relation and TRUNCATES its lineage, the control knob that keeps
+    * iterative jobs (k-means rounds, graph frontiers) from growing an
+    * unbounded plan tree: without it, round N's plan contains rounds
+    * 1..N−1 and both planning time and recovery cost grow per
+    * iteration. The entry checkpoints the aggregated intermediate of
+    * a two-stage computation; the oracle recomputes the SAME two
+    * stages un-checkpointed — results must be identical because
+    * checkpointing is semantically a no-op (that is the test). */
+  def opCheckpoint(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.sparkContext.setCheckpointDir(
+      s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/chkpt")
+    val stage1 = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .checkpoint()
+    stage1
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy("n_orders")
+  }
+
+  private val opCheckpointSql: String =
+    """WITH stage1 AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT n_orders, count(*)::BIGINT AS n_customers,
+      |  sum(cents)::BIGINT::DOUBLE / 100.0 AS revenue
+      |FROM stage1 GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bounded weighted shortest paths
+
+  /** BOUNDED WEIGHTED SHORTEST PATHS — 3 Bellman–Ford relaxation
+    * rounds over the co-occurrence graph with integer edge costs
+    * (cost = 1000 div shared-order-count: stronger ties are cheaper),
+    * from the same modulo-seeded source set as gr_shortest_paths'
+    * hop-BFS. Each round is one join + one min-aggregate, both
+    * hash-partitioned on the node key — the scalable relax schedule
+    * (and exactly what a Pregel step compiles to). All-integer
+    * distances: deterministic min, no float accumulation. Top 20
+    * nearest non-seed nodes under a totalized order. */
+  def grWeightedPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val e = Scratch.persist(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("cost", expr("1000L div w")))
+    val seeds = e.select(col("src").as("v")).distinct()
+      .filter(col("v") % 50 === 0)
+    var dist = Scratch.persist(seeds.withColumn("d", lit(0L)))
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(col("dst").as("v"), (col("d") + col("cost")).as("d"))
+        .unionByName(dist)
+        .groupBy("v").agg(min(col("d")).as("d"))
+      dist = Scratch.persist(relaxed)
+    }
+    dist.join(seeds.withColumnRenamed("v", "s"), col("v") === col("s"), "left_anti")
+      .orderBy(col("d").asc, col("v").asc)
+      .limit(20)
+  }
+
+  private val grWeightedPathsSql: String = {
+    def relax(dIn: String, dOut: String): String =
+      s"""$dOut AS (
+         |  SELECT v, min(d)::BIGINT AS d FROM (
+         |    SELECT e.dst AS v, $dIn.d + e.cost AS d
+         |    FROM $dIn JOIN e ON $dIn.v = e.src
+         |    UNION ALL SELECT v, d FROM $dIn)
+         |  GROUP BY v)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       |    1000 // count(*) AS cost
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |seeds AS (SELECT DISTINCT src AS v FROM e WHERE src % 50 = 0),
+       |d0 AS (SELECT v, 0::BIGINT AS d FROM seeds),
+       |${relax("d0", "d1")},
+       |${relax("d1", "d2")},
+       |${relax("d2", "d3")}
+       |SELECT v, d FROM d3 WHERE v NOT IN (SELECT v FROM seeds)
+       |ORDER BY d, v LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_bitmap_distinct" -> (opBitmapDistinct _),
@@ -1643,7 +1780,10 @@ object Analytics {
     "ev_attribution_linear" -> (evAttributionLinear _),
     "op_sql_interface" -> (opSqlInterface _),
     "ev_audience_overlap" -> (evAudienceOverlap _),
-    "op_null_safe_join" -> (opNullSafeJoin _))
+    "op_null_safe_join" -> (opNullSafeJoin _),
+    "op_union_by_name" -> (opUnionByName _),
+    "op_checkpoint" -> (opCheckpoint _),
+    "gr_weighted_paths" -> (grWeightedPaths _))
 
   val oracles: Map[String, String] = Map(
     "op_bitmap_distinct" -> opBitmapDistinctSql,
@@ -1679,5 +1819,8 @@ object Analytics {
     "ev_attribution_linear" -> evAttributionLinearSql,
     "op_sql_interface" -> opSqlInterfaceSql,
     "ev_audience_overlap" -> evAudienceOverlapSql,
-    "op_null_safe_join" -> opNullSafeJoinSql)
+    "op_null_safe_join" -> opNullSafeJoinSql,
+    "op_union_by_name" -> opUnionByNameSql,
+    "op_checkpoint" -> opCheckpointSql,
+    "gr_weighted_paths" -> grWeightedPathsSql)
 }
