@@ -126,13 +126,93 @@ object Multimodal {
     }
   }
 
+  /** ViT PATCH/TOKEN ACCOUNTING — the budget arithmetic a multimodal
+    * training pipeline runs per image BEFORE any decode: 16×16 patch
+    * grid over the (stub) dimensions, tokens = patches·frames + 1 CLS,
+    * aggregated per format with the count of images that would blow a
+    * 4096-token budget (the resize trigger). Pure integer projection +
+    * one map-combinable aggregate; the real decoder changes none of
+    * it. */
+  def mmPatchTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        (lit(320L) + col("n_chars") % 320).as("width"),
+        (lit(240L) + col("n_chars") % 240).as("height"),
+        (lit(1L) + col("n_chars") % 30).as("n_frames"),
+        when(col("n_chars") % 3 === 0, "jpeg")
+          .when(col("n_chars") % 3 === 1, "png")
+          .otherwise("webp").as("fmt"))
+      .withColumn("n_patches",
+        expr("((width + 15) div 16) * ((height + 15) div 16)"))
+      .withColumn("n_tokens", col("n_patches") * col("n_frames") + 1)
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") > 4096, 1L).otherwise(0L)).as("n_over_budget"))
+      .orderBy("fmt")
+
+  private val mmPatchTokensSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    320 + n_chars % 320 AS width, 240 + n_chars % 240 AS height,
+      |    1 + n_chars % 30 AS n_frames,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'jpeg'
+      |         WHEN n_chars % 3 = 1 THEN 'png' ELSE 'webp' END AS fmt
+      |  FROM documents),
+      |t AS (
+      |  SELECT fmt,
+      |    ((width + 15) // 16) * ((height + 15) // 16) * n_frames + 1 AS n_tokens
+      |  FROM m)
+      |SELECT fmt, count(*)::BIGINT AS n_media,
+      |  sum(n_tokens)::BIGINT AS total_tokens,
+      |  max(n_tokens)::BIGINT AS max_tokens,
+      |  sum(CASE WHEN n_tokens > 4096 THEN 1 ELSE 0 END)::BIGINT AS n_over_budget
+      |FROM t GROUP BY fmt ORDER BY fmt""".stripMargin
+
+  /** EXACT MEDIA DEDUP BY CONTENT HASH — md5 over the opaque binary
+    * column (both engines hash the same bytes), over a corpus where a
+    * re-ingested copy of every document landed under new ids (the
+    * daily-reingest duplication every media lake fights). One hash
+    * group-by; keep = lowest id per content group — the binary twin of
+    * dd_exact. */
+  def mmDedupBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 100000L).as("doc_id"), col("media")))
+    corpus
+      .withColumn("h", md5(col("media")))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"), sum(col("keep_id")).as("keep_id_check"))
+      .orderBy("n_copies")
+  }
+
+  private val mmDedupBytesSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |groups AS (
+      |  SELECT md5(text) AS h, count(*)::BIGINT AS n_copies,
+      |    min(doc_id)::BIGINT AS keep_id
+      |  FROM corpus GROUP BY 1)
+      |SELECT n_copies, count(*)::BIGINT AS n_groups,
+      |  sum(keep_id)::BIGINT AS keep_id_check
+      |FROM groups GROUP BY n_copies ORDER BY n_copies""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_patch_tokens" -> (mmPatchTokens _),
+    "mm_dedup_bytes" -> (mmDedupBytes _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_patch_tokens" -> mmPatchTokensSql,
+    "mm_dedup_bytes" -> mmDedupBytesSql)
 }
