@@ -120,10 +120,10 @@ class PlanSpec extends SparkSpec {
         // ml_kmeans_iter: three k-row centroid broadcasts (one per
         // Lloyd round), same bounded build side as ml_kmeans
         "ml_kmeans_iter",
-        // ml_standard_scale / ml_bootstrap_ci broadcast their ONE-ROW
-        // parameter aggregates (mean/std; point estimate) — the same
-        // bounded scalar-subquery shape
-        "ml_standard_scale", "ml_bootstrap_ci")
+        // ml_standard_scale / ml_bootstrap_ci / gr_modularity broadcast
+        // their ONE-ROW parameter aggregates (mean/std; point estimate;
+        // total edge count m) — the same bounded scalar-subquery shape
+        "ml_standard_scale", "ml_bootstrap_ci", "gr_modularity")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -278,5 +278,22 @@ class PlanSpec extends SparkSpec {
     // lineitem scan must read only the 3 needed columns
     assert(plan.contains("l_extendedprice") && !plan.contains("l_tax"),
       "column pruning failed: unneeded lineitem columns in scan")
+  }
+
+  test("join hints switch the physical strategy without changing results") {
+    import org.apache.spark.sql.functions._
+    val ord = graft.sources.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = graft.sources.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("c_mktsegment").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merge = ord.join(cust.hint("merge"), col("o_custkey") === col("c_custkey"))
+    val bcast = ord.join(cust.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+    assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "merge hint ignored")
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "broadcast hint ignored")
+    // strategy choice is a pure physical concern: results identical
+    assert(counts(merge) === counts(bcast))
   }
 }
