@@ -462,6 +462,59 @@ object Analytics {
       |  sum(np * (2 * cnb + nn))::DOUBLE / (2 * sum(np) * sum(nn)) AS auc
       |FROM cum""".stripMargin
 
+  /** EXACT ROC CURVE POINTS — the full curve [[mlAuc]] integrates: one
+    * (threshold, tp, fp, tpr, fpr, prec) row per DISTINCT score, where
+    * a row's counts are "predict positive at score ≥ s". Same scored
+    * relation and fixed-point exact scores as [[mlAuc]]; the cumulative
+    * pass runs over the distinct-score relation (bounded by score
+    * cardinality, not row count — the same reduction argument), and
+    * every rate is ONE double division of exact int64 counts, so the
+    * whole curve is bit-identical at any parallelism. */
+  def mlRocPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val per = scored.groupBy("s")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("n_pos", sum(col("np")).over(all))
+      .withColumn("n_neg", sum(col("nn")).over(all))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double") / col("n_pos")).as("tpr"),
+        (col("fp").cast("double") / col("n_neg")).as("fpr"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"))
+      .orderBy(col("threshold").desc)
+  }
+
+  private val mlRocPointsSql: String =
+    """WITH scored AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+      |  FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT s,
+      |    sum(np) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+      |    sum(nn) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+      |    sum(np) OVER ()::BIGINT AS n_pos,
+      |    sum(nn) OVER ()::BIGINT AS n_neg
+      |  FROM per)
+      |SELECT s AS threshold, tp, fp,
+      |  tp::DOUBLE / n_pos AS tpr, fp::DOUBLE / n_neg AS fpr,
+      |  tp::DOUBLE / (tp + fp) AS prec
+      |FROM cum ORDER BY threshold DESC""".stripMargin
+
   // ------------------------------------------------------------------
   // K-means (one Lloyd iteration)
 
@@ -1758,6 +1811,7 @@ object Analytics {
     "gr_degree_dist" -> (grDegreeDist _),
     "op_bloom_join" -> (opBloomJoin _),
     "ml_auc" -> (mlAuc _),
+    "ml_roc_points" -> (mlRocPoints _),
     "ml_kmeans" -> (mlKmeans _),
     "gr_hits" -> (grHits _),
     "ml_best_split" -> (mlBestSplit _),
@@ -1797,6 +1851,7 @@ object Analytics {
     "gr_degree_dist" -> grDegreeDistSql,
     "op_bloom_join" -> opBloomJoinSql,
     "ml_auc" -> mlAucSql,
+    "ml_roc_points" -> mlRocPointsSql,
     "ml_kmeans" -> mlKmeansSql,
     "gr_hits" -> grHitsSql,
     "ml_best_split" -> mlBestSplitSql,

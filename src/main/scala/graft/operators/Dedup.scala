@@ -582,7 +582,83 @@ object Dedup {
        |FROM comp JOIN sz ON sz.cr = comp.cluster_rep
        |ORDER BY doc_id""".stripMargin
 
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo SIGMOD'95) — the
+    * third candidate-generation family next to LSH banding and PPJoin
+    * prefix filtering: sort documents by a normalized key, compare each
+    * only with its W−1 successors in sort order. Near-identical texts
+    * normalize to near-identical keys and sort adjacently, so the
+    * candidate volume is EXACTLY n·(W−1) — fixed linear, no hot-shingle
+    * df² tail at all (the property that makes SNM the classic
+    * record-linkage workhorse). The trade-off is recall at the block
+    * edge (dups whose keys sort >W apart are missed; production runs
+    * multi-pass SNM with rotated keys); verification of survivors is
+    * exact word-3-shingle Jaccard, same as [[ddNgramJaccard]].
+    *
+    * Scale: the sort is WITHIN 4-char-prefix blocks (row_number over a
+    * (block, key) window) — one hash exchange on the block key, no
+    * global sort; successor pairing is an explode(1..W−1) + equi-join
+    * on (block, position) — a plain shuffle join on a synthetic
+    * integer key. A corpus-hot block (every doc starting "the ")
+    * bounds its own window cost at |block|·(W−1); skewed blocks are
+    * AQE's skew-join case, not a plan change. */
+  def ddSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 8
+    val normKey =
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(normKey, 1, 24).as("sk"))
+      .withColumn("blk", substring(col("sk"), 1, 4))
+    val pos = keyed.withColumn("rn",
+      row_number().over(Window.partitionBy("blk").orderBy("sk", "doc_id")))
+    val candA = pos.select(col("blk"), col("rn"), col("doc_id").as("id_a"))
+      .withColumn("off", explode(expr(s"sequence(1, ${W - 1})")))
+      .withColumn("rn_b", col("rn") + col("off"))
+      .select("blk", "rn_b", "id_a")
+    val candB = pos.select(col("blk"), col("rn").as("rn_b"), col("doc_id").as("id_b"))
+    val cand = candA.join(candB, Seq("blk", "rn_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val sh = Text.shingled(spark, sfDir)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= 0.6)
+      .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ddSortedNeighborhoodSql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |keyed AS (
+       |  SELECT doc_id,
+       |    substr(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS sk
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, sk, substr(sk, 1, 4) AS blk,
+       |    row_number() OVER (PARTITION BY substr(sk, 1, 4)
+       |      ORDER BY sk, doc_id) AS rn
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM pos a JOIN pos b
+       |    ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 7)
+       |SELECT doc_a, doc_b, len(x.s)::BIGINT AS na, len(y.s)::BIGINT AS nb,
+       |  len(list_intersect(x.s, y.s))::BIGINT AS inter,
+       |  len(list_intersect(x.s, y.s))::DOUBLE
+       |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jacc
+       |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |WHERE len(list_intersect(x.s, y.s))::DOUBLE
+       |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_sorted_neighborhood" -> (ddSortedNeighborhood _),
     "dd_exact" -> (ddExact _),
     "dd_exact_norm" -> (ddExactNorm _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -593,6 +669,7 @@ object Dedup {
     "dd_cluster" -> (ddCluster _))
 
   val oracles: Map[String, String] = Map(
+    "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "dd_exact" -> ddExactSql,
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash_lsh" -> minhashLshSql(),

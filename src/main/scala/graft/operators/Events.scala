@@ -940,7 +940,66 @@ object Events {
        |ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  /** Sessionization with BOTH a 30-min inactivity gap and a
+    * maximum-duration cap — the Google-Analytics-style split: a long
+    * continuously-active visit is cut at fixed offsets from the
+    * gap-session's start (floor(elapsed / cap)), so no session row ever
+    * spans more than the cap. (The cap is 15 min here — BELOW the
+    * fixture's 56-min longest session so the split path is genuinely
+    * exercised (224 sessions split); production caps like GA's 4 h are
+    * the same constant.) The offset form (rather than "cap since
+    * the previous split") keeps the semantics a pure per-row function
+    * of (ts − session_start), which is one extra window `min` over the
+    * SAME (user_id, ts) exchange+sort the gap pass already planned —
+    * identical single-shuffle shape as [[opEventsSession]], and exactly
+    * expressible in both engines (an iterative "reset at each split"
+    * rule would be neither). */
+  def evSessionCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val capUs = 15L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sess_start_us", min(unix_micros(col("ts"))).over(
+        Window.partitionBy("user_id", "session_id")))
+      .withColumn("sub_id", expr(s"(unix_micros(ts) - sess_start_us) div $capUs"))
+      .groupBy(col("user_id"), col("session_id"), col("sub_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), Exact.exactSum(col("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_id", "sub_id")
+  }
+
+  private val evSessionCapSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > ${30L * 60 * 1000000}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT user_id, ts, value, event_id,
+       |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |        FROM events) t),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       |  FROM marked),
+       |capped AS (
+       |  SELECT user_id, ts, value, session_id,
+       |    ((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id, session_id))
+       |      // ${15L * 60 * 1000000})::BIGINT AS sub_id
+       |  FROM sess)
+       |SELECT user_id, session_id, sub_id,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, ${Exact.sqlSum("value", 2)} AS total_value
+       |FROM capped GROUP BY user_id, session_id, sub_id
+       |ORDER BY user_id, session_id, sub_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_session_cap" -> (evSessionCap _),
     "op_ewma" -> (opEwma _),
     "ev_anomaly" -> (evAnomaly _),
     "op_resample_interp" -> (opResampleInterp _),
@@ -968,6 +1027,7 @@ object Events {
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
+    "ev_session_cap" -> evSessionCapSql,
     "op_ewma" -> opEwmaSql,
     "ev_anomaly" -> evAnomalySql,
     "op_resample_interp" -> opResampleInterpSql,

@@ -322,7 +322,75 @@ object Graph {
       |  sum(v % 9973)::BIGINT AS key_check
       |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 3 synchronous rounds of MIN-LABEL PROPAGATION over the co-order
+    * graph — the community-detection primitive (and, run to fixpoint,
+    * connected components — the HashMin/"small-star" shape): every
+    * vertex starts labeled with its own id; each round it takes the
+    * minimum of its label and its neighbors' labels. Deterministic by
+    * construction (min is order-free), so the fixed-round form is
+    * exactly oracle-able where the usual random-tie-break LPA is not.
+    * Output is the resulting community profile (label → member count)
+    * rather than 10k per-vertex rows.
+    *
+    * Scale: per round ONE equi-join labels⋈edges + a min-groupBy on
+    * dst — both keyed on vertex ids, the Pregel message pattern as
+    * DataFrame iteration ([[grShortestPaths]]'s frontier twin, dense
+    * form). Labels relation is (vertex, long) — never wider.
+    *
+    * The graph is the co-order relation RESTRICTED to pairs co-ordered
+    * ≥ 2 times (the association-strength floor [[grAssocRules]] also
+    * applies): the unfiltered graph is near-diameter-3 and collapses to
+    * ONE community in 3 rounds, which exercises nothing; the ≥2-support
+    * subgraph (~7k of 230k edges) has real component structure. */
+  def grLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val e = Scratch.persist(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select("src", "dst"))
+    val nodes = e.select(col("src").as("p")).distinct()
+    var labels = nodes.withColumn("lbl", col("p"))
+    for (_ <- 1 to Iters) {
+      val fromNbrs = e
+        .join(labels.withColumnRenamed("p", "src"), "src")
+        .groupBy(col("dst").as("p")).agg(min(col("lbl")).as("nbr_min"))
+      labels = labels.join(fromNbrs, Seq("p"), "left_outer")
+        .select(col("p"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  private val grLabelPropSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS p, min(l${k - 1}.lbl)::BIGINT AS nbr_min
+         |  FROM e JOIN l${k - 1} ON l${k - 1}.p = e.src GROUP BY 1),
+         |l$k AS (SELECT n.p,
+         |    least(l${k - 1}.lbl, coalesce(m$k.nbr_min, l${k - 1}.lbl))::BIGINT AS lbl
+         |  FROM n JOIN l${k - 1} ON l${k - 1}.p = n.p
+         |    LEFT JOIN m$k ON m$k.p = n.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst FROM raw),
+       |n AS (SELECT DISTINCT src AS p FROM raw),
+       |l0 AS (SELECT p, p AS lbl FROM n),
+       |$iterCtes
+       |SELECT lbl AS community, count(*) AS n_members
+       |FROM l$Iters GROUP BY lbl
+       |ORDER BY n_members DESC, community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_label_prop" -> (grLabelProp _),
     "gr_pagerank" -> (grPagerank _),
     "gr_assoc_rules" -> (grAssocRules _),
     "gr_triangles" -> (grTriangles _),
@@ -330,6 +398,7 @@ object Graph {
     "gr_shortest_paths" -> (grShortestPaths _))
 
   val oracles: Map[String, String] = Map(
+    "gr_label_prop" -> grLabelPropSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_assoc_rules" -> grAssocRulesSql,
     "gr_triangles" -> grTrianglesSql,

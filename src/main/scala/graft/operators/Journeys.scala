@@ -449,7 +449,81 @@ object Journeys {
       |  sum(vc * dt)::BIGINT::DOUBLE / (sum(dt)::BIGINT * 100) AS twap
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** BITEMPORAL point-in-time lookup — the two-axis generalization of
+    * [[opPitJoin]]: each dimension version carries VALID time
+    * (effective_from, from the order date driving the change) AND
+    * TRANSACTION time (recorded_at — when the warehouse learned of it;
+    * here a deterministic per-version ingest lag of `o_orderkey % 7`
+    * days, the late-arriving-data shape). The query answers "what
+    * priority was VALID at V, AS KNOWN at T" per customer and sets
+    * `revised` where later-arriving knowledge changed that answer —
+    * the audit/backtest primitive (reproduce yesterday's report
+    * exactly, even after restatements) that a valid-time-only SCD2
+    * cannot express.
+    *
+    * Scale: the version relation is one exchange on custkey (the same
+    * lag-window build as [[opScd2]]); each knowledge view is a
+    * row_number pick over that SAME partitioning (no new shuffle), and
+    * the final compare is a custkey equi-join of two per-customer
+    * single-row relations. */
+  def opBitemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    val validAt = "TIMESTAMP '1995-06-01 00:00:00'"
+    val knownAt = "TIMESTAMP '1995-06-15 00:00:00'"
+    val byTime = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val versions = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(byTime))
+      .filter(col("prev_priority").isNull || col("prev_priority") =!= col("o_orderpriority"))
+      .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"), col("o_orderkey").as("version_key"),
+        expr("timestampadd(DAY, cast(o_orderkey % 7 as int), o_orderdate)").as("recorded_at"))
+    def pick(df: DataFrame, tag: String): DataFrame = {
+      val w = Window.partitionBy("custkey")
+        .orderBy(col("effective_from").desc, col("version_key").desc)
+      df.filter(expr(s"effective_from <= $validAt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("priority").as(s"priority_$tag"),
+          col("effective_from").as(s"from_$tag"))
+    }
+    val asKnown = pick(versions.filter(expr(s"recorded_at <= $knownAt")), "known")
+    val latest = pick(versions, "latest")
+    asKnown.join(latest, "custkey")
+      .withColumn("revised", (col("priority_known") =!= col("priority_latest")).cast("long"))
+      .orderBy("custkey")
+  }
+
+  private val opBitemporalSql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_priority
+      |  FROM orders),
+      |v AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |    o_orderdate AS effective_from, o_orderkey AS version_key,
+      |    o_orderdate + ((o_orderkey % 7)::INT * INTERVAL 1 DAY) AS recorded_at
+      |  FROM chg WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority),
+      |known AS (
+      |  SELECT custkey, priority AS priority_known, effective_from AS from_known
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+      |          ORDER BY effective_from DESC, version_key DESC) AS rn
+      |        FROM v WHERE effective_from <= TIMESTAMP '1995-06-01 00:00:00'
+      |          AND recorded_at <= TIMESTAMP '1995-06-15 00:00:00') t
+      |  WHERE rn = 1),
+      |latest AS (
+      |  SELECT custkey, priority AS priority_latest, effective_from AS from_latest
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+      |          ORDER BY effective_from DESC, version_key DESC) AS rn
+      |        FROM v WHERE effective_from <= TIMESTAMP '1995-06-01 00:00:00') t
+      |  WHERE rn = 1)
+      |SELECT known.custkey, priority_known, from_known, priority_latest, from_latest,
+      |  (priority_known <> priority_latest)::BIGINT AS revised
+      |FROM known JOIN latest ON known.custkey = latest.custkey
+      |ORDER BY known.custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_bitemporal" -> (opBitemporal _),
     "ev_paths" -> (evPaths _),
     "op_twap" -> (opTwap _),
     "op_pit_join" -> (opPitJoin _),
@@ -463,6 +537,7 @@ object Journeys {
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "op_bitemporal" -> opBitemporalSql,
     "ev_paths" -> evPathsSql,
     "op_twap" -> opTwapSql,
     "op_pit_join" -> opPitJoinSql,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source/sink format breadth beyond parquet + JSON-lines: CSV and ORC
@@ -145,7 +146,66 @@ object FormatRoundtrips {
        |    FILTER (o_orderkey % 2 = 1)::BIGINT AS price_check
        |FROM orders""".stripMargin
 
+  /** DYNAMIC PARTITION PRUNING — the 100 TB star-join capability on top
+    * of [[opPartitionedWrite]]'s static form: the fact table is
+    * partitioned by order year, and the dimension's filter is an
+    * AGGREGATE property (years whose lineitem quantity exceeds 55% of
+    * the max year — integer compare `q·100 > mx·55`, no static literal
+    * Catalyst could propagate as a constraint), so the fact partitions
+    * to read are only knowable at RUNTIME. Spark plans a
+    * DynamicPruningExpression subquery into the fact scan's
+    * PartitionFilters (asserted in PlanSpec via [[dppFact]]): the dim
+    * side executes first, its broadcast is REUSED as the pruning filter,
+    * and only the qualifying years' directories are ever listed/read —
+    * on a decade-partitioned 100 TB fact this is the difference between
+    * scanning the 4 qualifying years and all 10. The checksum oracle
+    * recomputes the qualifying years and their rows from the
+    * unpartitioned fixtures. */
+  def opDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "dpp")
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    dppFact(spark, sfDir, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"unix_micros(o_orderdate) % $P")).as("time_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .select(lit("dpp").as("fmt"), col("n_rows"), col("key_check"),
+        col("time_check"), col("price_check"))
+  }
+
+  /** The pruned fact join itself (shared with the PlanSpec DPP
+    * assertion): partitioned fact ⋈ aggregate-filtered year dim. */
+  def dppFact(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(spark, sfDir)
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+    val dim = yearly
+      .withColumn("mx", max(col("q")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("q") * 100 > col("mx") * 55)
+      .select("y")
+    spark.read.parquet(dir).join(dim, col("o_year") === col("y"))
+  }
+
+  private val opDppJoinSql: String =
+    s"""WITH yearly AS (
+       |  SELECT year(l_shipdate) AS y,
+       |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS q
+       |  FROM lineitem GROUP BY 1),
+       |dim AS (
+       |  SELECT y FROM (SELECT y, q, max(q) OVER () AS mx FROM yearly) t
+       |  WHERE q * 100 > mx * 55)
+       |SELECT 'dpp' AS fmt, count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(epoch_us(o_orderdate) % $P)::BIGINT AS time_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM orders JOIN dim ON year(o_orderdate) = dim.y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_dpp_join" -> (opDppJoin _),
     "op_schema_merge" -> (opSchemaMerge _),
     "op_csv_roundtrip" -> (opCsvRoundtrip _),
     "op_orc_roundtrip" -> (opOrcRoundtrip _),
@@ -153,6 +213,7 @@ object FormatRoundtrips {
     "op_partitioned_write" -> (opPartitionedWrite _))
 
   val oracles: Map[String, String] = Map(
+    "op_dpp_join" -> opDppJoinSql,
     "op_schema_merge" -> opSchemaMergeSql,
     "op_csv_roundtrip" -> oracleFor("csv"),
     "op_orc_roundtrip" -> oracleFor("orc"),

@@ -199,6 +199,21 @@ class PlanSpec extends SparkSpec {
     assert(got == expected && got > 0, s"DPP join returned $got rows, expected $expected")
   }
 
+  test("op_dpp_join: the aggregate-derived dim plants runtime pruning on the fact scan") {
+    // The oracled twin of the synthetic DPP test above: here the dim is
+    // DERIVED BY AGGREGATION (years above 55% of the max yearly
+    // quantity), so no constraint propagation can ever turn it into a
+    // static filter — pruning can only happen via the runtime subquery.
+    graft.sources.FormatRoundtrips.opDppJoin(spark, sf).collect() // writes the layout
+    val tag = java.nio.file.Paths.get(sf).getFileName.toString
+    val dir = s"${sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe")}/fmt/dpp_$tag"
+    val j = graft.sources.FormatRoundtrips.dppFact(spark, sf, dir)
+    assert(j.collect().nonEmpty)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery in the fact scan:\n${plan.take(4000)}")
+  }
+
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
     // One hot key holds 75% of the left side. With broadcast off, a
     // static plan hashes all of it into ONE reducer — the straggler
