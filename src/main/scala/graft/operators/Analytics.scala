@@ -515,6 +515,68 @@ object Analytics {
       |  tp::DOUBLE / (tp + fp) AS prec
       |FROM cum ORDER BY threshold DESC""".stripMargin
 
+  /** CUMULATIVE GAINS / LIFT TABLE by score decile — the
+    * campaign-targeting view of the same scored relation as [[mlAuc]] /
+    * [[mlRocPoints]]: rank by score descending, cut into 10 equal-count
+    * deciles (ntile over a totalized (score, tie-break) order so both
+    * engines cut identically), and report per-decile response rate,
+    * cumulative response capture, and cumulative lift vs the base rate.
+    * Every rate is ONE double division of exact int64 counts. The ntile
+    * runs over the scored relation ordered by the exact fixed-point
+    * score with vec_id as total tie-break — the same
+    * cardinality-bounded single-partition window as the ROC pass. */
+  def mlLiftDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), (col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val dec = scored.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("s").desc, col("vec_id"))).cast("long"))
+    val per = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("tot_n", sum(col("n")).over(all))
+      .withColumn("tot_pos", sum(col("n_pos")).over(all))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("resp_rate"),
+        (col("cum_pos").cast("double") / col("tot_pos")).as("cum_capture"),
+        ((col("cum_pos") * col("tot_n")).cast("double") / (col("cum_n") * col("tot_pos")))
+          .as("cum_lift"))
+      .orderBy("decile")
+  }
+
+  private val mlLiftDecilesSql: String =
+    """WITH scored AS (
+      |  SELECT vec_id, (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |dec AS (
+      |  SELECT y, ntile(10) OVER (ORDER BY s DESC, vec_id)::BIGINT AS decile
+      |  FROM scored),
+      |per AS (
+      |  SELECT decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+      |  FROM dec GROUP BY decile),
+      |cum AS (
+      |  SELECT decile, n, n_pos,
+      |    sum(n) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+      |    sum(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos,
+      |    sum(n) OVER ()::BIGINT AS tot_n,
+      |    sum(n_pos) OVER ()::BIGINT AS tot_pos
+      |  FROM per)
+      |SELECT decile, n, n_pos,
+      |  n_pos::DOUBLE / n AS resp_rate,
+      |  cum_pos::DOUBLE / tot_pos AS cum_capture,
+      |  (cum_pos * tot_n)::DOUBLE / (cum_n * tot_pos) AS cum_lift
+      |FROM cum ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------------------
   // K-means (one Lloyd iteration)
 
@@ -1812,6 +1874,7 @@ object Analytics {
     "op_bloom_join" -> (opBloomJoin _),
     "ml_auc" -> (mlAuc _),
     "ml_roc_points" -> (mlRocPoints _),
+    "ml_lift_deciles" -> (mlLiftDeciles _),
     "ml_kmeans" -> (mlKmeans _),
     "gr_hits" -> (grHits _),
     "ml_best_split" -> (mlBestSplit _),
@@ -1852,6 +1915,7 @@ object Analytics {
     "op_bloom_join" -> opBloomJoinSql,
     "ml_auc" -> mlAucSql,
     "ml_roc_points" -> mlRocPointsSql,
+    "ml_lift_deciles" -> mlLiftDecilesSql,
     "ml_kmeans" -> mlKmeansSql,
     "gr_hits" -> grHitsSql,
     "ml_best_split" -> mlBestSplitSql,

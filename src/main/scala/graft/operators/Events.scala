@@ -998,7 +998,53 @@ object Events {
        |FROM capped GROUP BY user_id, session_id, sub_id
        |ORDER BY user_id, session_id, sub_id""".stripMargin
 
+  /** ROBUST anomaly detection by MEDIAN / MAD — the heavy-tail-safe twin
+    * of [[evAnomaly]]'s z-score: a single extreme value inflates the
+    * mean AND the stddev (masking itself and flagging normal points);
+    * the median and the median-absolute-deviation have 50% breakdown, so
+    * the robust z `0.6745·(x − med)/MAD` keeps scoring correctly under
+    * contamination. Exactness: values are integer cents; both medians
+    * use the same linear-interpolation percentile as [[Relational]]'s
+    * quantile idiom (DuckDB quantile_cont ≡ Spark percentile), whose
+    * half-step interpolants are exact binary fractions; the final score
+    * applies the identical constant multiply + divide in both engines.
+    *
+    * Scale: two per-type aggregations (exact percentile over each
+    * type's cents — at 100 TB swap for approx_percentile or a
+    * two-pass count-bucket exact median) + two broadcast joins of the
+    * 5-row stats relations; the scan stays the only data-sized pass. */
+  def evAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val vc = round(col("value") * 100).cast("long")
+    val ev = Tables.events(spark, sfDir)
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(cast(round(value * 100) as bigint), 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type", "med")
+      .agg(expr("percentile(abs(cast(round(value * 100) as bigint) - med), 0.5)").as("mad"))
+      .filter(col("mad") > 0)
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("rz", lit(0.6745) * (vc.cast("double") - col("med")) / col("mad"))
+      .select("event_id", "event_type", "value", "rz")
+      .orderBy(abs(col("rz")).desc, col("event_id"))
+      .limit(20)
+  }
+
+  private val evAnomalyMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(round(value * 100)::BIGINT, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, med,
+      |    quantile_cont(abs(round(value * 100)::BIGINT - med), 0.5) AS mad
+      |  FROM events e JOIN med ON med.event_type = e.event_type
+      |  GROUP BY 1, 2 HAVING quantile_cont(abs(round(value * 100)::BIGINT - med), 0.5) > 0)
+      |SELECT event_id, e.event_type, value,
+      |  0.6745 * (round(value * 100)::BIGINT::DOUBLE - med) / mad AS rz
+      |FROM events e JOIN mad ON mad.event_type = e.event_type
+      |ORDER BY abs(rz) DESC, event_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_mad" -> (evAnomalyMad _),
     "ev_session_cap" -> (evSessionCap _),
     "op_ewma" -> (opEwma _),
     "ev_anomaly" -> (evAnomaly _),
@@ -1027,6 +1073,7 @@ object Events {
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
+    "ev_anomaly_mad" -> evAnomalyMadSql,
     "ev_session_cap" -> evSessionCapSql,
     "op_ewma" -> opEwmaSql,
     "ev_anomaly" -> evAnomalySql,

@@ -522,7 +522,74 @@ object Journeys {
       |FROM known JOIN latest ON known.custkey = latest.custkey
       |ORDER BY known.custkey""".stripMargin
 
+  /** INCREMENTAL SCD2 maintenance — the nightly dimension job: the
+    * history BEFORE the cutoff is the already-built SCD2; only the
+    * post-cutoff order batch (the delta) is processed against it, and
+    * the result must equal [[opScd2]]'s full rebuild — which is exactly
+    * what the oracle asserts (same SQL as op_scd2, so incremental ≡
+    * rebuild is the verified property, not a claim).
+    *
+    * The incremental contract that matters at 100 TB: CLOSED history
+    * rows pass through untouched (no window visits them), the delta's
+    * change detection needs only the OPEN slice of the dimension (one
+    * row per entity — the last old order's priority IS the open
+    * version's priority, since any later differing order would have
+    * opened a new version), and every stage keys on custkey, so
+    * Catalyst reuses one hash partitioning across the join, the two
+    * windows, and the chain-closing pass. Work is O(delta + entities),
+    * not O(history). */
+  /** SCD2 version rows (custkey, priority, effective_from, version_key)
+    * from an order batch — the change-detection core shared by
+    * [[opScd2Incr]] and [[graft.streaming.Pipeline]]'s Delta-backed
+    * dimension maintenance. */
+  private[graft] def scd2Versions(df: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    df.select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(byTime))
+      .filter(col("prev_priority").isNull || col("prev_priority") =!= col("o_orderpriority"))
+      .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"), col("o_orderkey").as("version_key"))
+  }
+
+  /** New-version rows a delta order batch adds against the open slice
+    * `prev0` (custkey → current priority) — shared with the Delta
+    * pipeline twin. */
+  private[graft] def scd2DeltaVersions(delta: DataFrame, prev0: DataFrame): DataFrame = {
+    val byVer = Window.partitionBy("custkey").orderBy(col("effective_from"), col("version_key"))
+    delta.join(prev0, Seq("custkey"), "left_outer")
+      .withColumn("prev", coalesce(lag(col("priority"), 1).over(byVer), col("prev0")))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+      .select("custkey", "priority", "effective_from", "version_key")
+  }
+
+  def opScd2Incr(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "TIMESTAMP '1996-01-01 00:00:00'"
+    val orders = Tables.orders(spark, sfDir)
+    val byVer = Window.partitionBy("custkey").orderBy(col("effective_from"), col("version_key"))
+    val base = scd2Versions(orders.filter(expr(s"o_orderdate < $cutoff")))
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byVer))
+    val baseClosed = base.filter(col("effective_to").isNotNull)
+    val baseOpen = base.filter(col("effective_to").isNull)
+      .select("custkey", "priority", "effective_from", "version_key")
+    // Delta change detection: previous priority = prior delta row's, or
+    // (for the first delta row per entity) the open version's.
+    val delta = orders.filter(expr(s"o_orderdate >= $cutoff"))
+      .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"), col("o_orderkey").as("version_key"))
+    val prev0 = baseOpen.select(col("custkey"), col("priority").as("prev0"))
+    val newVers = scd2DeltaVersions(delta, prev0)
+    // Chain-close the open row against the new versions; closed rows
+    // union through untouched.
+    val chained = baseOpen.unionByName(newVers)
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byVer))
+    baseClosed.unionByName(chained)
+      .select(col("custkey"), col("priority"), col("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("custkey"), col("effective_from"), col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_scd2_incr" -> (opScd2Incr _),
     "op_bitemporal" -> (opBitemporal _),
     "ev_paths" -> (evPaths _),
     "op_twap" -> (opTwap _),
@@ -537,6 +604,9 @@ object Journeys {
     "op_scd2" -> (opScd2 _))
 
   val oracles: Map[String, String] = Map(
+    // incremental maintenance must equal the full rebuild — same oracle
+    // as op_scd2 by design
+    "op_scd2_incr" -> opScd2Sql,
     "op_bitemporal" -> opBitemporalSql,
     "ev_paths" -> evPathsSql,
     "op_twap" -> opTwapSql,

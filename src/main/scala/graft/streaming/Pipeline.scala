@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Schemas
 import graft.functions.Text
+import graft.operators.Journeys
 import graft.sources.Tables
 
 /** End-to-end incremental-pipeline entries — the reference's reason to
@@ -896,6 +897,52 @@ object Pipeline {
        |             ELSE o_totalprice END AS adj
        |      FROM orders) t""".stripMargin
 
+  /** SCD2 DIMENSION MAINTENANCE THROUGH THE DELTA LOG — the nightly
+    * warehouse job end-to-end: the pre-cutoff SCD2 build lands as the
+    * dimension table's first commit; the post-cutoff order batch is
+    * change-detected against ONLY the open slice
+    * ([[Journeys.scd2DeltaVersions]]), and the result applies as ONE
+    * copy-on-write MERGE keyed on (custkey, version_key) — open rows of
+    * affected entities get their effective_to closed (whole-row
+    * replace), new versions insert, and every file without an affected
+    * key survives untouched (the [[DeltaLog.merge]] contract). The
+    * read-back must equal [[Journeys]]' FULL SCD2 rebuild — the oracle
+    * is op_scd2's SQL verbatim, so "incremental merge ≡ rebuild" is the
+    * verified property across the storage layer too (the batch twin
+    * op_scd2_incr proves it for the pure relational path).
+    *
+    * 100 TB shape: merge's touched-file discovery is a semi-join on
+    * the merge keys (broadcastable — affected entities ≪ dimension),
+    * rewrite cost is proportional to files containing affected
+    * entities, and the unaffected history never moves. */
+  def pipeScd2Delta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s"$scratchBase/scd2_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/dim"
+    val cutoff = "TIMESTAMP '1996-01-01 00:00:00'"
+    val orders = Tables.orders(spark, sfDir)
+    val byVer = Window.partitionBy("custkey").orderBy(col("effective_from"), col("version_key"))
+    val baseRows = Journeys.scd2Versions(orders.filter(expr(s"o_orderdate < $cutoff")))
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byVer))
+    DeltaLog.append(spark, tbl, baseRows.repartition(2))
+    val baseOpen = baseRows.filter(col("effective_to").isNull).drop("effective_to")
+    val delta = orders.filter(expr(s"o_orderdate >= $cutoff"))
+      .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"), col("o_orderkey").as("version_key"))
+    val newVers = Journeys.scd2DeltaVersions(
+      delta, baseOpen.select(col("custkey"), col("priority").as("prev0")))
+    val affected = newVers.select("custkey").distinct()
+    val source = baseOpen.join(affected, Seq("custkey"), "left_semi")
+      .unionByName(newVers)
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byVer))
+    DeltaLog.merge(spark, tbl, source, keyCols = Seq("custkey", "version_key"))
+    DeltaLog.read(spark, tbl)
+      .select(col("custkey"), col("priority"), col("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("custkey"), col("effective_from"), col("priority"))
+  }
+
   /** DELTA RESTORE ([[DeltaLog.restore]]): orders land in two commits,
     * a copy-on-write delete retires the 'F' rows (v2), then the table
     * RESTORES to v0 — one metadata-only commit re-adding the delete's
@@ -1370,6 +1417,7 @@ object Pipeline {
     "pipe_delta_to_delta" -> (pipeDeltaToDelta _),
     "pipe_delta_delete" -> (pipeDeltaDelete _),
     "pipe_delta_merge" -> (pipeDeltaMerge _),
+    "pipe_scd2_delta" -> (pipeScd2Delta _),
     "pipe_delta_restore" -> (pipeDeltaRestore _),
     "pipe_delta_clone" -> (pipeDeltaClone _),
     "pipe_stream_upsert" -> (pipeStreamUpsert _),
@@ -1399,6 +1447,7 @@ object Pipeline {
     "pipe_delta_to_delta" -> pipeDeltaToDeltaSql,
     "pipe_delta_delete" -> pipeDeltaDeleteSql,
     "pipe_delta_merge" -> pipeDeltaMergeSql,
+    "pipe_scd2_delta" -> graft.operators.Journeys.oracles("op_scd2"),
     "pipe_delta_restore" -> pipeDeltaRestoreSql,
     "pipe_delta_clone" -> pipeDeltaCloneSql,
     "pipe_stream_upsert" -> pipeStreamUpsertSql,
