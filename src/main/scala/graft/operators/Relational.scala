@@ -1234,6 +1234,24 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Approximate quantiles via approx_percentile (Greenwald-Khanna
+    * sketch, 1% accuracy target) next to [[opQuantiles]]' exact form —
+    * the 100 TB path: the sketch is mergeable (one partial per task,
+    * log-sized), where exact percentile holds each group's values.
+    * Rows-only at the driver gate (sketch internals differ across
+    * engines, same contract as op_approx_distinct); AnalyticsSpec pins
+    * each approximation within 2% RELATIVE ERROR of the exact quantile
+    * — far inside the spread between adjacent order-price quantiles,
+    * so the bound is meaningful, not vacuous. */
+  def opApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.95, 1000)").as("ap95"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"))
+      .orderBy("o_orderpriority")
+
   /** Catalog scan (S2, reference pipeline/data.py:56-60): register the
     * fixture tables as temp views, list them from the session catalog.
     * The oracle pins the expected listing. */
@@ -1625,6 +1643,7 @@ object Relational {
     "op_string_funcs" -> (opStringFuncs _),
     "op_datetime_funcs" -> (opDatetimeFuncs _),
     "op_approx_distinct" -> (opApproxDistinct _),
+    "op_approx_quantiles" -> (opApproxQuantiles _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
     "op_result_sink" -> (opResultSink _),

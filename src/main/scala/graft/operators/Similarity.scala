@@ -951,7 +951,57 @@ object Similarity {
        |FROM terms GROUP BY i ORDER BY pos""".stripMargin
   }
 
+  /** EXACT COVARIANCE MATRIX over the first 16 embedding dimensions —
+    * the other PCA/whitening prerequisite next to [[embPowerIter]]'s
+    * matrix-vector kernel: upper-triangle cells (i ≤ j) of
+    * cov[i,j] = E[x_i·x_j] − E[x_i]·E[x_j], accumulated as exact
+    * 2^16-fixed-point int64 sums (products associative — partial-merge
+    * order cannot change any cell) with the whole rational evaluated in
+    * ONE identical double expression in both engines.
+    *
+    * Scale: a map-side D²/2 pair expansion per row (constant 136 cells
+    * at D=16) into ONE shuffle on the (i,j) cell key with map-side
+    * combine — each task emits at most 136 partial rows regardless of
+    * corpus size. Headroom: |x|·2^16 ≲ 2^18, per-pair product ≲ 2^36,
+    * 10⁹ rows stay under 2^63. */
+  def embCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaled = Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(slice(embedding, 1, 16), x -> cast(round(cast(x as double) * 65536) as bigint))")
+        .as("v"))
+    scaled
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("si"),
+        sum(col("xj")).as("sj"), sum(col("xi") * col("xj")).as("sij"))
+      .select(col("i"), col("j"), col("n"),
+        ((col("sij").cast("double") / col("n") -
+          (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
+          / 4294967296.0).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  private val embCovarianceSql: String =
+    """WITH t AS (
+      |  SELECT row_number() OVER () AS rid,
+      |    list_transform(embedding[1:16],
+      |      x -> round(x::DOUBLE * 65536)::BIGINT) AS v
+      |  FROM embeddings),
+      |a AS (SELECT rid, unnest(v) AS xi,
+      |        unnest(generate_series(1, len(v))) AS i FROM t),
+      |b AS (SELECT rid, unnest(v) AS xj,
+      |        unnest(generate_series(1, len(v))) AS j FROM t)
+      |SELECT (i - 1)::BIGINT AS i, (j - 1)::BIGINT AS j, count(*) AS n,
+      |  (sum(xi * xj)::BIGINT::DOUBLE / count(*)
+      |    - (sum(xi)::BIGINT::DOUBLE / count(*)) * (sum(xj)::BIGINT::DOUBLE / count(*)))
+      |    / 4294967296.0 AS cov
+      |FROM a JOIN b USING (rid) WHERE j >= i
+      |GROUP BY i, j ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance" -> (embCovariance _),
     "emb_power_iter" -> (embPowerIter _),
     "dc_embed_contamination" -> (dcEmbedContamination _),
     "ann_rrf_hybrid" -> (annRrfHybrid _),
@@ -968,6 +1018,7 @@ object Similarity {
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "emb_covariance" -> embCovarianceSql,
     "emb_power_iter" -> embPowerIterSql,
     "dc_embed_contamination" -> dcEmbedContaminationSql,
     "ann_rrf_hybrid" -> annRrfHybridSql,

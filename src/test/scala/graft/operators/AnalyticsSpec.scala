@@ -53,6 +53,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaBitmap === exact)
   }
 
+  test("op_approx_quantiles: every sketch quantile within 2% relative error of the exact") {
+    val approx = Relational.opApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (a50, a95, a99)) <- approx) {
+      val (e50, e95, e99) = exact(k)
+      for (((a, e), tag) <- Seq((a50, e50) -> "p50", (a95, e95) -> "p95", (a99, e99) -> "p99"))
+        assert(math.abs(a - e) / e <= 0.02,
+          s"$k $tag: approx $a vs exact $e drifts ${math.abs(a - e) / e}")
+    }
+  }
+
   test("ml_kmeans_iter: assignments are stable cluster ids and counts cover every vector") {
     val out = Analytics.mlKmeansIter(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
