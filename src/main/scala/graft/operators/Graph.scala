@@ -389,7 +389,62 @@ object Graph {
        |ORDER BY n_members DESC, community""".stripMargin
   }
 
+  /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec sampling
+    * primitive as DataFrame iteration: 3 steps from the 10 lowest-id
+    * vertices, where each step moves to the neighbor minimizing
+    * md5(cur:step:neighbor) (a content-addressed uniform choice — the
+    * same md5-as-randomness device as the synthesis noise, so both
+    * engines derive the IDENTICAL walk and the whole trajectory is
+    * hash-verifiable, which true rand() walks never are).
+    *
+    * Scale: per step ONE equi-join frontier⋈edges + a min_by groupBy on
+    * walk_id — frontier-sized state (walks, not graph), the same
+    * shape as [[grShortestPaths]]' frontier expansion. A production
+    * walk fleet is the same plan with millions of walk_ids; the hash
+    * argmin becomes hash-bucketed alias sampling, never a collect. */
+  def grRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Scratch.persist(edges(spark, sfDir))
+    val seeds = e.select(col("src")).distinct().orderBy("src").limit(10)
+      .select(col("src").as("walk_id"), col("src").as("node"))
+    var frontier = seeds
+    var out = seeds.withColumn("step", lit(0L))
+    for (k <- 1 to 3) {
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .groupBy(col("walk_id"))
+        .agg(expr(
+          s"""min_by(dst, cast(conv(substr(md5(concat(cast(node as string), ':$k:',
+             |  cast(dst as string))), 1, 15), 16, 10) as bigint))""".stripMargin).as("node"))
+      out = out.unionByName(frontier.withColumn("step", lit(k.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("node")).orderBy("walk_id", "step")
+  }
+
+  private val grRandomWalkSql: String = {
+    def stepCte(k: Int): String =
+      s"""w$k AS (SELECT walk_id,
+         |  min_by(dst, ('0x' || substr(md5(cur::VARCHAR || ':$k:' || dst::VARCHAR),
+         |    1, 15))::BIGINT) AS cur
+         |  FROM w${k - 1} JOIN raw ON raw.src = w${k - 1}.cur GROUP BY walk_id)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |w0 AS (
+       |  SELECT src AS walk_id, src AS cur
+       |  FROM (SELECT DISTINCT src FROM raw ORDER BY src LIMIT 10) s),
+       |${stepCte(1)},
+       |${stepCte(2)},
+       |${stepCte(3)}
+       |SELECT walk_id, 0::BIGINT AS step, cur AS node FROM w0
+       |UNION ALL SELECT walk_id, 1, cur FROM w1
+       |UNION ALL SELECT walk_id, 2, cur FROM w2
+       |UNION ALL SELECT walk_id, 3, cur FROM w3
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_random_walk" -> (grRandomWalk _),
     "gr_label_prop" -> (grLabelProp _),
     "gr_pagerank" -> (grPagerank _),
     "gr_assoc_rules" -> (grAssocRules _),
@@ -398,6 +453,7 @@ object Graph {
     "gr_shortest_paths" -> (grShortestPaths _))
 
   val oracles: Map[String, String] = Map(
+    "gr_random_walk" -> grRandomWalkSql,
     "gr_label_prop" -> grLabelPropSql,
     "gr_pagerank" -> grPagerankSql,
     "gr_assoc_rules" -> grAssocRulesSql,

@@ -1234,6 +1234,42 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** EXPECTATIONS WITH QUARANTINE — the Delta-Live-Tables pattern on
+    * top of [[opDqRules]]' report: every row is tagged with the
+    * comma-joined list of expectations it VIOLATES (empty = "ok") in
+    * the same single scan that would write the main table, and the
+    * output is the per-violation-profile row count + key checksum —
+    * the quarantine manifest (a real pipeline writes the "ok" slice to
+    * the main table and the rest to a quarantine table with exactly
+    * this tag column; the partition-by-tag write is
+    * [[graft.sources.FormatRoundtrips.opPartitionedWrite]]'s layout).
+    * One scan, one groupBy on the bounded profile key — no per-rule
+    * passes. */
+  def opQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val reasons = concat_ws(",",
+      when(col("o_totalprice") > 300000, lit("price_cap")),
+      when(col("o_orderstatus") === "P", lit("status_pending")),
+      when(expr("year(o_orderdate) >= 1998"), lit("stale_feed")))
+    Tables.orders(spark, sfDir)
+      .withColumn("violations", when(reasons === "", lit("ok")).otherwise(reasons))
+      .groupBy("violations")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % ${1000000007L}")).as("key_check"))
+      .orderBy("violations")
+  }
+
+  private val opQuarantineSql: String =
+    """SELECT violations, count(*) AS n_rows,
+      |  sum(o_orderkey % 1000000007)::BIGINT AS key_check
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN v = '' THEN 'ok' ELSE v END AS violations
+      |      FROM (SELECT o_orderkey, concat_ws(',',
+      |              CASE WHEN o_totalprice > 300000 THEN 'price_cap' END,
+      |              CASE WHEN o_orderstatus = 'P' THEN 'status_pending' END,
+      |              CASE WHEN year(o_orderdate) >= 1998 THEN 'stale_feed' END) AS v
+      |            FROM orders) t) q
+      |GROUP BY violations ORDER BY violations""".stripMargin
+
   /** Approximate quantiles via approx_percentile (Greenwald-Khanna
     * sketch, 1% accuracy target) next to [[opQuantiles]]' exact form —
     * the 100 TB path: the sketch is mergeable (one partial per task,
@@ -1644,6 +1680,7 @@ object Relational {
     "op_datetime_funcs" -> (opDatetimeFuncs _),
     "op_approx_distinct" -> (opApproxDistinct _),
     "op_approx_quantiles" -> (opApproxQuantiles _),
+    "op_quarantine" -> (opQuarantine _),
     "op_catalog_scan" -> (opCatalogScan _),
     "op_meta_columns" -> (opMetaColumns _),
     "op_result_sink" -> (opResultSink _),
@@ -1683,6 +1720,7 @@ object Relational {
     "op_display_format" -> (opDisplayFormat _))
 
   val oracles: Map[String, String] = Map(
+    "op_quarantine" -> opQuarantineSql,
     "op_table_stats" -> opTableStatsSql,
     "op_profile" -> opProfileSql,
     "op_dq_rules" -> opDqRulesSql,
