@@ -1132,6 +1132,82 @@ object Pipeline {
       .withColumn("replay_skipped", lit(if (replaySkipped) 1L else 0L))
   }
 
+  /** STREAMING EXPECTATIONS ROUTER — [[graft.operators.Relational]]'s
+    * quarantine pattern live: the events stream is tagged with its
+    * violated expectations inside `foreachBatch` and ROUTED in one pass
+    * — clean rows append to the main Delta table, violating rows (with
+    * their `violations` tag) to the quarantine table — each through
+    * [[DeltaLog.appendBatch]]'s txn actions under the SAME
+    * (appId, batchId), so a replayed micro-batch skips on BOTH tables
+    * (proven by a deliberate replay; a half-applied replay would shift
+    * one table's checksum). The summary reads both tables back; the
+    * oracle recomputes both populations from the fixture, so a row
+    * routed to the wrong side, dropped, or doubled fails the hash.
+    *
+    * 100 TB shape: the router is a per-row projection inside the one
+    * micro-batch pass (no second scan for the quarantine side), and
+    * both sinks are append-only txn commits — the DLT expectations
+    * pattern without a control plane. */
+  def pipeStreamQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/squar_${sfName(sfDir)}"
+    wipe(spark, base)
+    val main = s"$base/main"
+    val quar = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    def tagged(df: DataFrame): DataFrame = {
+      val reasons = concat_ws(",",
+        when(col("value") > 180, lit("value_outlier")),
+        when(col("event_type") === "error", lit("error_event")))
+      df.select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("violations", when(reasons === "", lit("ok")).otherwise(reasons))
+    }
+    val q = Tables.eventsStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val t = tagged(batch.toDF()).persist()
+        try {
+          DeltaLog.appendBatch(spark, main, "pipe_squar", id,
+            t.filter(col("violations") === "ok").drop("violations").repartition(2))
+          DeltaLog.appendBatch(spark, quar, "pipe_squar", id,
+            t.filter(col("violations") =!= "ok").repartition(2))
+        } finally t.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Deliberate replay of batch 0 against both tables: the txn
+    // watermark must skip each (a double-append would shift checksums
+    // AND these flags).
+    val replayed = tagged(Tables.events(spark, sfDir))
+    val mSkip = !DeltaLog.appendBatch(spark, main, "pipe_squar", 0L,
+      replayed.filter(col("violations") === "ok").drop("violations"))
+    val qSkip = !DeltaLog.appendBatch(spark, quar, "pipe_squar", 0L,
+      replayed.filter(col("violations") =!= "ok"))
+    val mainSumm = DeltaLog.read(spark, main)
+      .agg(count(lit(1)).as("n_rows"), sum(expr(s"event_id % $P")).as("key_check"))
+      .select(lit("main").as("dest"), col("n_rows"), col("key_check"))
+    val quarSumm = DeltaLog.read(spark, quar)
+      .groupBy(col("violations").as("dest"))
+      .agg(count(lit(1)).as("n_rows"), sum(expr(s"event_id % $P")).as("key_check"))
+    mainSumm.unionByName(quarSumm)
+      .withColumn("replay_skipped", lit(if (mSkip && qSkip) 1L else 0L))
+      .orderBy("dest")
+  }
+
+  private val pipeStreamQuarantineSql: String =
+    s"""WITH tagged AS (
+       |  SELECT event_id, CASE WHEN v = '' THEN 'ok' ELSE v END AS violations
+       |  FROM (SELECT event_id, concat_ws(',',
+       |          CASE WHEN value > 180 THEN 'value_outlier' END,
+       |          CASE WHEN event_type = 'error' THEN 'error_event' END) AS v
+       |        FROM events) t)
+       |SELECT CASE WHEN violations = 'ok' THEN 'main' ELSE violations END AS dest,
+       |  count(*) AS n_rows, sum(event_id % $P)::BIGINT AS key_check,
+       |  1::BIGINT AS replay_skipped
+       |FROM tagged GROUP BY 1 ORDER BY dest""".stripMargin
+
   private val pipeStreamUpsertSql: String =
     s"""SELECT count(*) AS n_rows,
        |  count(DISTINCT o_orderkey) AS n_distinct_keys,
@@ -1418,6 +1494,7 @@ object Pipeline {
     "pipe_delta_delete" -> (pipeDeltaDelete _),
     "pipe_delta_merge" -> (pipeDeltaMerge _),
     "pipe_scd2_delta" -> (pipeScd2Delta _),
+    "pipe_stream_quarantine" -> (pipeStreamQuarantine _),
     "pipe_delta_restore" -> (pipeDeltaRestore _),
     "pipe_delta_clone" -> (pipeDeltaClone _),
     "pipe_stream_upsert" -> (pipeStreamUpsert _),
@@ -1448,6 +1525,7 @@ object Pipeline {
     "pipe_delta_delete" -> pipeDeltaDeleteSql,
     "pipe_delta_merge" -> pipeDeltaMergeSql,
     "pipe_scd2_delta" -> graft.operators.Journeys.oracles("op_scd2"),
+    "pipe_stream_quarantine" -> pipeStreamQuarantineSql,
     "pipe_delta_restore" -> pipeDeltaRestoreSql,
     "pipe_delta_clone" -> pipeDeltaCloneSql,
     "pipe_stream_upsert" -> pipeStreamUpsertSql,
