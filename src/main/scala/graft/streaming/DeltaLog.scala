@@ -313,6 +313,39 @@ object DeltaLog {
     else readPartitioned(spark, table, st.live.toSeq, schema, st.partitionColumns)
   }
 
+  /** Read the table at `version` through a NATIVE Catalyst scan: the
+    * live set becomes a [[DeltaFileIndex]] inside a `HadoopFsRelation`,
+    * so the whole table — partitioned or not — plans as ONE
+    * `FileSourceScanExec` with the log as its file index. Partition
+    * predicates (static and runtime/DPP) prune against log metadata in
+    * [[DeltaFileIndex.listFiles]] before any file is opened, and
+    * Catalyst's parquet pushdown/column pruning/vectorization apply
+    * unchanged — the read path a public Delta connector plans, vs
+    * [[read]]'s composed per-partition union (kept: it needs no
+    * internal APIs and is the portable fallback). */
+  def readNative(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val st = replay(spark, table, version)
+    val schema = st.schema
+    if (st.live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val partCols = st.partitionColumns
+    val partitionSchema = StructType(schema.filter(f => partCols.contains(f.name)))
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val adds = st.live.toSeq.map { case (p, add) =>
+      (resolvedPath(table, p),
+        Option(add.get("size")).map(_.asLong).getOrElse(0L),
+        partitionValuesOf(add, partCols))
+    }
+    val index = new DeltaFileIndex(spark, table, adds, partitionSchema)
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      bucketSpec = None, new ParquetFileFormat(), options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 

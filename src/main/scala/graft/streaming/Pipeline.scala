@@ -747,6 +747,42 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** NATIVE CATALYST SCAN OVER THE DELTA LOG ([[DeltaLog.readNative]] /
+    * [[DeltaFileIndex]]): the same two-commit partitioned table as
+    * [[pipeDeltaPartition]], but the partition predicate is a plain
+    * `.filter` on the DataFrame — pruning happens inside the file
+    * index's `listFiles` against log metadata (PlanSpec asserts the
+    * scan's PartitionFilters + pruned file count; here the oracle
+    * asserts the VALUES). One FileSourceScanExec, no per-partition
+    * union, no filesystem listing — the read path where dynamic
+    * partition pruning and parquet pushdown compose with Delta tables
+    * exactly as with Hive layouts. */
+  def pipeDeltaNativePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/deltanp_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/events"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    DeltaLog.append(spark, tbl, ev.filter(col("event_id") % 2 === 0).repartition(2),
+      partitionBy = Seq("event_type"))
+    DeltaLog.append(spark, tbl, ev.filter(col("event_id") % 2 === 1).repartition(2),
+      partitionBy = Seq("event_type"))
+    DeltaLog.readNative(spark, tbl)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"event_id % $P")).as("key_check"),
+        sum(expr(s"cast(round(value * 100) as bigint) % $P")).as("value_check"))
+      .orderBy("event_type")
+  }
+
+  private val pipeDeltaNativePruneSql: String =
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  sum(event_id % $P)::BIGINT AS key_check,
+       |  sum(round(value * 100)::BIGINT % $P)::BIGINT AS value_check
+       |FROM events WHERE event_type IN ('purchase', 'signup')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Delta SCHEMA EVOLUTION (mergeSchema): v0 appends orders WITHOUT
     * `priority_class`; v1 appends the other half WITH it (additive
     * widening — the log's metaData updates in the same commit, Delta's
@@ -1495,6 +1531,7 @@ object Pipeline {
     "pipe_delta_merge" -> (pipeDeltaMerge _),
     "pipe_scd2_delta" -> (pipeScd2Delta _),
     "pipe_stream_quarantine" -> (pipeStreamQuarantine _),
+    "pipe_delta_native_prune" -> (pipeDeltaNativePrune _),
     "pipe_delta_restore" -> (pipeDeltaRestore _),
     "pipe_delta_clone" -> (pipeDeltaClone _),
     "pipe_stream_upsert" -> (pipeStreamUpsert _),
@@ -1526,6 +1563,7 @@ object Pipeline {
     "pipe_delta_merge" -> pipeDeltaMergeSql,
     "pipe_scd2_delta" -> graft.operators.Journeys.oracles("op_scd2"),
     "pipe_stream_quarantine" -> pipeStreamQuarantineSql,
+    "pipe_delta_native_prune" -> pipeDeltaNativePruneSql,
     "pipe_delta_restore" -> pipeDeltaRestoreSql,
     "pipe_delta_clone" -> pipeDeltaCloneSql,
     "pipe_stream_upsert" -> pipeStreamUpsertSql,

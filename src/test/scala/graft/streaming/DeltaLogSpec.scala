@@ -48,6 +48,12 @@ class DeltaLogSpec extends SparkSpec {
       """{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
       """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
 
+  private val handPartSchemaString =
+    """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
   test("replays a hand-written foreign _delta_log (adds, removes, schema, versions)") {
     val tbl = freshDir("foreign")
     val s1 = writeParquetFile(tbl, "f1.snappy.parquet", Seq((1L, "a"), (2L, "b")))
@@ -76,6 +82,77 @@ class DeltaLogSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L)))
     assert(DeltaLog.read(spark, tbl).select("k").collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 2L, 4L, 5L)))
+  }
+
+  test("readNative: one FileSourceScanExec; partition predicate prunes via the log index, no listing") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tbl = freshDir("native")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    DeltaLog.append(spark, tbl, ev.repartition(2), partitionBy = Seq("event_type"))
+    val totalFiles = DeltaLog.snapshot(spark, tbl)._2.size
+    val q = DeltaLog.readNative(spark, tbl).filter(col("event_type") === "purchase")
+    // execute q ITSELF so ITS scan's metrics populate (an .agg would be
+    // a separate QueryExecution whose metrics never tick here)
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.filter(col("event_type") === "purchase")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "native pruned read disagrees with the batch filter")
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected one native scan, got ${scans.size}")
+    assert(scans.head.metadata("PartitionFilters").contains("event_type"),
+      s"no partition filter reached the scan: ${scans.head.metadata}")
+    val scanned = scans.head.metrics("numFiles").value
+    assert(scanned > 0 && scanned < totalFiles,
+      s"log-index pruning read $scanned of $totalFiles files")
+    // relation-level column pruning must still reach parquet (separate
+    // narrow projection — q above materializes every column by design)
+    val narrow = DeltaLog.readNative(spark, tbl)
+      .filter(col("event_type") === "purchase").select("event_id")
+    narrow.collect()
+    val rs = narrow.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head.metadata("ReadSchema")
+    assert(!rs.contains("value"), s"unpruned ReadSchema: $rs")
+  }
+
+  test("readNative: dynamic partition pruning fires over a Delta fact table") {
+    val tbl = freshDir("nativedpp")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    DeltaLog.append(spark, tbl, ev.repartition(2), partitionBy = Seq("event_type"))
+    // dim filtered on a NON-KEY attribute: only runtime DPP can prune
+    val dim = spark.range(0, 10)
+      .select(concat(lit("t"), col("id")).as("d_name"),
+        when(col("id") === 3, lit("purchase")).otherwise(concat(lit("x"), col("id")))
+          .as("d_type"))
+      .filter(col("d_name") === "t3")
+    val j = DeltaLog.readNative(spark, tbl).join(dim, col("event_type") === col("d_type"))
+    val got = j.count()
+    val want = ev.filter(col("event_type") === "purchase").count()
+    assert(got == want && got > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery over the Delta scan:\n${plan.take(4000)}")
+  }
+
+  test("readNative: foreign flat-layout table with a null partition value reads protocol-literally") {
+    val tbl = freshDir("nativenull")
+    val s1 = writeParquetFile(tbl, "f1.snappy.parquet", Seq((1L, "a"), (2L, "b")))
+    val s2 = writeParquetFile(tbl, "f2.snappy.parquet", Seq((3L, "c")))
+    // partitioned metaData, files flat at the root, one null partition
+    // value — partition column must rebuild from the LOG, not paths
+    writeLogFile(tbl, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"11111111-2222-3333-4444-666666666666","format":{"provider":"parquet","options":{}},"schemaString":"$handPartSchemaString","partitionColumns":["p"],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"f1.snappy.parquet","partitionValues":{"p":"g1"},"size":$s1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"f2.snappy.parquet","partitionValues":{"p":null},"size":$s2,"modificationTime":2,"dataChange":true}}"""))
+    val df = DeltaLog.readNative(spark, tbl)
+    assert(df.columns.toSeq == Seq("k", "v", "p"))
+    val rows = df.select("k", "p").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("g1"), 2L -> Some("g1"), 3L -> None))
+    // null-safe partition predicate evaluates against the log values
+    assert(df.filter(col("p").isNull).count() == 1)
+    assert(df.filter(col("p") === "g1").count() == 2)
   }
 
   test("writer emits protocol-complete actions a foreign reader needs") {
