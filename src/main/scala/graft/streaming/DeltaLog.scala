@@ -62,6 +62,11 @@ object DeltaLog {
 
   private val M = new ObjectMapper()
 
+  /** Parse one action/stats JSON blob ([[DeltaFileIndex]] shares the
+    * log's mapper for stats-based file skipping). */
+  private[streaming] def parseJson(s: String): com.fasterxml.jackson.databind.JsonNode =
+    M.readTree(s)
+
   /** Highest version present in the log dir — JSON commits OR
     * checkpoint files (a foreign table whose entire JSON history was
     * retention-cleaned is still a valid table at its checkpoint). */
@@ -337,9 +342,10 @@ object DeltaLog {
     val adds = st.live.toSeq.map { case (p, add) =>
       (resolvedPath(table, p),
         Option(add.get("size")).map(_.asLong).getOrElse(0L),
-        partitionValuesOf(add, partCols))
+        partitionValuesOf(add, partCols),
+        Option(add.get("stats")).map(_.asText()))
     }
-    val index = new DeltaFileIndex(spark, table, adds, partitionSchema)
+    val index = new DeltaFileIndex(spark, table, adds, partitionSchema, dataSchema)
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       bucketSpec = None, new ParquetFileFormat(), options = Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)

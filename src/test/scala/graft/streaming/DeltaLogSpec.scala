@@ -155,6 +155,47 @@ class DeltaLogSpec extends SparkSpec {
     assert(df.filter(col("p") === "g1").count() == 2)
   }
 
+  test("readNative: add-action stats data-skip files inside the native scan; fractional columns stay conservative") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tbl = freshDir("nativeskip")
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // 4 key-disjoint commits → 4 files with tight, disjoint o_orderkey
+    // ranges in their stats
+    val keys = ord.select(col("o_orderkey")).orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val cuts = Seq(keys(keys.length / 4), keys(keys.length / 2), keys(3 * keys.length / 4))
+    val slices = Seq(
+      ord.filter(col("o_orderkey") < cuts(0)),
+      ord.filter(col("o_orderkey") >= cuts(0) && col("o_orderkey") < cuts(1)),
+      ord.filter(col("o_orderkey") >= cuts(1) && col("o_orderkey") < cuts(2)),
+      ord.filter(col("o_orderkey") >= cuts(2)))
+    slices.foreach(s => DeltaLog.append(spark, tbl, s.coalesce(1),
+      statsCols = Seq("o_orderkey", "o_totalprice")))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head.metrics("numFiles").value
+    }
+    // equality inside one slice's range → exactly 1 of 4 files opened
+    val q1 = DeltaLog.readNative(spark, tbl).filter(col("o_orderkey") === keys(2))
+    assert(q1.count() == 1)
+    assert(scannedFiles(DeltaLog.readNative(spark, tbl)
+      .filter(col("o_orderkey") === keys(2))) == 1L)
+    // a range predicate spanning two slices → 2 files
+    assert(scannedFiles(DeltaLog.readNative(spark, tbl)
+      .filter(col("o_orderkey") >= cuts(1) - 1 && col("o_orderkey") < cuts(2))) == 2L)
+    // fractional column (o_totalprice double): truncated long stats are
+    // not tight → NO skipping may happen on it, all 4 files open
+    assert(scannedFiles(DeltaLog.readNative(spark, tbl)
+      .filter(col("o_totalprice") < 2000.0)) == 4L)
+    // values must equal the plain filter regardless of skipping
+    val got = DeltaLog.readNative(spark, tbl)
+      .filter(col("o_orderkey") < cuts(0)).agg(sum("o_orderkey")).head.getLong(0)
+    val want = ord.filter(col("o_orderkey") < cuts(0)).agg(sum("o_orderkey")).head.getLong(0)
+    assert(got == want)
+  }
+
   test("writer emits protocol-complete actions a foreign reader needs") {
     import spark.implicits._
     val tbl = freshDir("emit")
