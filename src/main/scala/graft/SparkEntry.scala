@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Curation, Dedup, Events, Graph, IvfPq, Journeys, MlPrep, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Analytics, Curation, Dedup, Events, Graph, IvfPq, Journeys, MlPrep, MlScore, Multimodal, Pq, Relational, Similarity, TextAnalysis, Tpch, TypedOps}
 import graft.streaming.{Pipeline, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       StreamingOps.queries ++ Pipeline.queries ++ MlScore.queries ++ MlPrep.queries ++ Curation.queries ++
       Pq.queries ++ IvfPq.queries ++ Graph.queries ++ Analytics.queries ++
-      graft.sources.FormatRoundtrips.queries
+      graft.sources.FormatRoundtrips.queries ++ TypedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       StreamingOps.oracles ++ Pipeline.oracles ++ MlScore.oracles ++ MlPrep.oracles ++ Curation.oracles ++
       Pq.oracles ++ IvfPq.oracles ++ Graph.oracles ++ Analytics.oracles ++
-      graft.sources.FormatRoundtrips.oracles
+      graft.sources.FormatRoundtrips.oracles ++ TypedOps.oracles
 }

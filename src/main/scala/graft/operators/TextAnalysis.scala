@@ -839,7 +839,59 @@ object TextAnalysis {
       |    - 84.6 * (sum(y)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE) AS flesch
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the
+    * MOSS algorithm): over each document's POSITIONAL word-3-gram hash
+    * sequence, keep the minimum hash of every length-4 sliding window;
+    * the distinct selected hashes are local fingerprints with the
+    * guarantee that any shared run of ≥ 6 words between two documents
+    * shares a fingerprint — the partial-copy detection primitive that
+    * whole-document hashing ([[taFingerprint]]) structurally cannot
+    * provide and set-Jaccard only approximates. Documents shorter than
+    * one window contribute their global minimum (the standard
+    * degenerate case).
+    *
+    * The whole selection is higher-order array algebra inside ONE
+    * codegen'd projection — positional grams, windowed mins, distinct,
+    * checksum — zero shuffles, zero explodes; at 100 TB this is a
+    * map-only pass whose output (doc_id + counts + checksum) is
+    * index-sized. The md5-derived gram hash is engine-identical, so
+    * the fingerprint CHECKSUM is oracle-verified, not just counts. */
+  def taWinnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    val gram = "concat_ws(' ', element_at(toks, cast(i as int)), " +
+      "element_at(toks, cast(i as int) + 1), element_at(toks, cast(i as int) + 2))"
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", expr(
+        s"transform(sequence(1, size(toks) - 2), i -> ${Text.hash60SparkSql(gram)})"))
+      .withColumn("fps", expr(
+        """array_distinct(transform(sequence(1, greatest(size(grams) - 3, 1)),
+          |  j -> array_min(slice(grams, cast(j as int), 4))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("aggregate(transform(fps, x -> x % 1000000007), 0L, (a, b) -> a + b)")
+          .as("fp_check"))
+      .orderBy("doc_id")
+  }
+
+  private val taWinnowingSql: String = {
+    val gramHash = "('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |  [$gramHash for i in generate_series(1, len(w) - 2)] AS grams
+       |  FROM t WHERE len(w) >= 3),
+       |f AS (SELECT doc_id, len(grams)::BIGINT AS n_grams,
+       |  list_distinct([list_min(grams[j:j+3])
+       |    for j in generate_series(1, greatest(len(grams) - 3, 1))]) AS fps
+       |  FROM g)
+       |SELECT doc_id, n_grams, len(fps)::BIGINT AS n_fp,
+       |  list_sum(list_transform(fps, x -> x % 1000000007))::BIGINT AS fp_check
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_winnowing" -> (taWinnowing _),
     "ta_readability" -> (taReadability _),
     "ta_bpe_learn" -> (taBpeLearn _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
@@ -862,6 +914,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_winnowing" -> taWinnowingSql,
     "ta_readability" -> taReadabilitySql,
     "ta_bpe_learn" -> taBpeLearnSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
