@@ -31,6 +31,14 @@ import org.apache.spark.sql.SparkSession
   *    conditions; `cache_materialize` reports pass 1's (true) cost,
   *    and pass 2's confirms the cache held (~0).
   *
+  * Wall-clock contract (round 7): the consumer kills the process at a
+  * fixed timeout, and a killed bench records `parsed: null` — so the
+  * run self-limits to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1380 s)
+  * and sheds protocol instead of dying: pass 1 always covers every
+  * query (reps drop to 1 past 60% of budget), pass 2 re-measures in
+  * expensive-first order until 85%, the adaptive pass stops at 90%.
+  * Degradation counters ride in the protocol string of both JSONs.
+  *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
   * and json-parses the result line out of it. A line carrying medians +
@@ -77,28 +85,59 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
       .filter(n => filter.forall(_.contains(n)))
-    // Two clean consecutive full passes (see scaladoc). Each pass:
-    // pair-cache materialize first (its own line), then every query in
-    // name order, warm-up + Reps timed runs, Scratch released between
-    // queries. Guarded throughout: a query that throws reports failed
-    // for that pass, never aborts the bench with no JSON line emitted.
-    val passes: Seq[(Double, Map[String, Seq[Double]])] = (1 to Passes).map { _ =>
-      val cacheSec =
-        try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
-        catch { case _: Throwable => -1.0 }
-      val rs = names.map { name =>
-        val fn = SparkEntry.queries(name)
-        val samples = try {
-          run(fn(spark, sfDir)) // warm-up
-          Seq.fill(Reps)(time(run(fn(spark, sfDir))))
-        } catch { case _: Throwable => Seq.empty[Double] }
-        // drop this query's scratch-persisted relations so their blocks
-        // don't skew every later query's memory (outside the timing)
-        graft.operators.Scratch.release()
-        (name, samples)
-      }
-      (cacheSec, rs.toMap)
+    // WALL-CLOCK BUDGET (round-7: the consumer kills the bench process
+    // at a fixed timeout and records `parsed: null` — an artifact that
+    // does not parse is worth less than a slightly weaker protocol that
+    // completes, as round 6 proved the hard way). The bench self-limits
+    // to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1380 s of measurement)
+    // and DEGRADES instead of dying:
+    //  - pass 1 always covers EVERY query; past 60% of budget the
+    //    remaining pass-1 queries drop to warm-up + 1 timed run;
+    //  - pass 2 runs in DESCENDING pass-1-median order (the expensive
+    //    lines, where host noise matters, re-measure first) and stops
+    //    at 85% of budget — un-re-passed queries report their pass-1
+    //    median;
+    //  - the adaptive third pass only runs inside 90% of budget.
+    // Degradation counters ride in the protocol string, so a
+    // degraded artifact is visibly degraded, never silently weaker.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(1380.0)
+    val tWall0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
+    def measure(name: String, reps: Int): Seq[Double] = {
+      val fn = SparkEntry.queries(name)
+      val samples = try {
+        run(fn(spark, sfDir)) // warm-up
+        Seq.fill(reps)(time(run(fn(spark, sfDir))))
+      } catch { case _: Throwable => Seq.empty[Double] }
+      // drop this query's scratch-persisted relations so their blocks
+      // don't skew every later query's memory (outside the timing)
+      graft.operators.Scratch.release()
+      samples
     }
+    def cacheMaterialize(): Double =
+      try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
+    def medianOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    // pass 1: every query, in name order (guarded: a query that throws
+    // reports failed for the pass, never aborts the bench)
+    val cache1 = cacheMaterialize()
+    var p1Short = 0
+    val pass1: Map[String, Seq[Double]] = names.map { name =>
+      val reps = if (elapsedSec > 0.6 * budgetSec) { p1Short += 1; 1 } else Reps
+      name -> measure(name, reps)
+    }.toMap
+    // pass 2: expensive-first, budget-gated
+    val cache2 = cacheMaterialize()
+    var p2Skipped = 0
+    val pass2: Map[String, Seq[Double]] =
+      names.sortBy(n => -medianOf(pass1(n))).flatMap { name =>
+        if (elapsedSec > 0.85 * budgetSec) { p2Skipped += 1; None }
+        else Some(name -> measure(name, Reps))
+      }.toMap
+    val passes: Seq[(Double, Map[String, Seq[Double]])] =
+      Seq((cache1, pass1), (cache2, pass2))
     // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
     // and corrupt the JSON line
     def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
@@ -107,9 +146,11 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     // per query: pass medians [m1, m2]; reported = min (steady state),
-    // failed in EITHER pass → -1 (a flaky query is a failed query)
+    // failed in EITHER ATTEMPTED pass → -1 (a flaky query is a failed
+    // query; a pass-2 budget skip is NOT an attempt and leaves the
+    // pass-1 median as the report)
     val basePassMedians: Seq[(String, Seq[Double])] =
-      names.map(n => n -> passes.map { case (_, rs) => median(rs.getOrElse(n, Seq.empty)) })
+      names.map(n => n -> (Seq(median(pass1(n))) ++ pass2.get(n).map(median)))
     // A flag means the min is UNCONFIRMED: no second pass median lands
     // within 1.25× of the smallest (with two passes this is just
     // max/min > 1.25; after the adaptive pass below, a third
@@ -126,14 +167,10 @@ object Bench {
     // Caches are session-lived, so the extra pass runs under the same
     // warm conditions as pass 2.
     val flagged = flaggedIn(basePassMedians)
-    val thirdSamples: Map[String, Seq[Double]] = flagged.map { n =>
-      val fn = SparkEntry.queries(n)
-      val samples = try {
-        run(fn(spark, sfDir))
-        Seq.fill(Reps)(time(run(fn(spark, sfDir))))
-      } catch { case _: Throwable => Seq.empty[Double] }
-      graft.operators.Scratch.release()
-      n -> samples
+    var p3Skipped = 0
+    val thirdSamples: Map[String, Seq[Double]] = flagged.flatMap { n =>
+      if (elapsedSec > 0.9 * budgetSec) { p3Skipped += 1; None }
+      else Some(n -> measure(n, Reps))
     }.toMap
     val passMedians: Seq[(String, Seq[Double])] = basePassMedians.map { case (n, ms) =>
       n -> (thirdSamples.get(n) match {
@@ -173,7 +210,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullPath = "BENCH_FULL.json"
     val protocol = s"${Passes}x(warmup+median-of-$Reps);reported=min-of-pass-medians;" +
-      s"adaptive-3rd-pass-for-unconfirmed(${flagged.size})"
+      s"adaptive-3rd-pass-for-unconfirmed(${flagged.size});" +
+      s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s," +
+      s"degraded=p1short:$p1Short,p2skip:$p2Skipped,p3skip:$p3Skipped"
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"xrun_ratios":$ratiosJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below is self-sufficient
