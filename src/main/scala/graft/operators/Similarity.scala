@@ -1000,7 +1000,70 @@ object Similarity {
       |FROM a JOIN b USING (rid) WHERE j >= i
       |GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two cohorts (even/odd vec_id
+    * standing in for reference batch vs current batch) — the
+    * embedding-space monitor next to [[graft.operators.Analytics]]'s
+    * histogram chi-square (`ml_drift_bins`): per-dimension centroid
+    * deltas, their L2 norm, the worst-shifted dimension, and the count
+    * of dimensions shifted beyond a threshold. Exactness: per-dim sums
+    * are 2^20 fixed-point int64; the cross-dim reduction collects the
+    * 64 per-dim terms into a DIM-SORTED array and folds it left-to-
+    * right, so the float accumulation ORDER is pinned identically in
+    * both engines (a plain sum(double) over a shuffled relation is
+    * not) — one sqrt at the end of the same fold.
+    *
+    * Scale: one posexplode into a (dim)-keyed aggregate — 64 groups,
+    * map-side combined; the collected array is dimension-sized, never
+    * row-sized. */
+  def mlEmbedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") % 2).as("grp"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint))"))
+          .as(Seq("pos", "xi")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(
+        sum(when(col("grp") === 0, col("xi"))).as("sa"),
+        sum(when(col("grp") === 0, lit(1L))).as("na"),
+        sum(when(col("grp") === 1, col("xi"))).as("sb"),
+        sum(when(col("grp") === 1, lit(1L))).as("nb"))
+      .withColumn("diff",
+        (col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb"))
+          / 1048576.0)
+    per.agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        expr("""sqrt(aggregate(
+          |  transform(sort_array(collect_list(struct(dim, diff))), s -> s.diff * s.diff),
+          |  cast(0.0 as double), (a, t) -> a + t))""".stripMargin).as("shift_l2"),
+        max(abs(col("diff"))).as("max_dim_shift"),
+        sum((abs(col("diff")) > 0.01).cast("long")).as("n_drift_dims"))
+  }
+
+  private val mlEmbedDriftSql: String =
+    """WITH e AS (
+      |  SELECT vec_id % 2 AS grp,
+      |    unnest(list_transform(embedding, x -> round(x::DOUBLE * 1048576)::BIGINT)) AS xi,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT (i - 1)::BIGINT AS dim,
+      |    sum(CASE WHEN grp = 0 THEN xi END)::BIGINT AS sa,
+      |    sum(CASE WHEN grp = 0 THEN 1 END)::BIGINT AS na,
+      |    sum(CASE WHEN grp = 1 THEN xi END)::BIGINT AS sb,
+      |    sum(CASE WHEN grp = 1 THEN 1 END)::BIGINT AS nb
+      |  FROM e GROUP BY 1),
+      |d AS (SELECT dim, na, nb,
+      |  (sa::DOUBLE / na - sb::DOUBLE / nb) / 1048576.0 AS diff FROM per)
+      |SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+      |  sqrt(list_reduce(
+      |    list_transform(list_sort(list({'dim': dim, 'diff': diff})), s -> s.diff * s.diff),
+      |    (a, t) -> a + t)) AS shift_l2,
+      |  max(abs(diff)) AS max_dim_shift,
+      |  sum((abs(diff) > 0.01)::INT)::BIGINT AS n_drift_dims
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_embed_drift" -> (mlEmbedDrift _),
     "emb_covariance" -> (embCovariance _),
     "emb_power_iter" -> (embPowerIter _),
     "dc_embed_contamination" -> (dcEmbedContamination _),
@@ -1018,6 +1081,7 @@ object Similarity {
     "emb_centroid" -> (embCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "ml_embed_drift" -> mlEmbedDriftSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_power_iter" -> embPowerIterSql,
     "dc_embed_contamination" -> dcEmbedContaminationSql,
