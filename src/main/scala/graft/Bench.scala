@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Wall-clock contract (round 7): the consumer kills the process at a
   * fixed timeout, and a killed bench records `parsed: null` — so the
-  * run self-limits to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1380 s)
+  * run self-limits to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500 s)
   * and sheds protocol instead of dying: pass 1 always covers every
   * query (reps drop to 1 past 60% of budget), pass 2 re-measures in
   * expensive-first order until 85%, the adaptive pass stops at 90%.
@@ -89,7 +89,7 @@ object Bench {
     // at a fixed timeout and records `parsed: null` — an artifact that
     // does not parse is worth less than a slightly weaker protocol that
     // completes, as round 6 proved the hard way). The bench self-limits
-    // to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1380 s of measurement)
+    // to SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500 s of measurement)
     // and DEGRADES instead of dying:
     //  - pass 1 always covers EVERY query; past 60% of budget the
     //    remaining pass-1 queries drop to warm-up + 1 timed run;
@@ -101,7 +101,7 @@ object Bench {
     // Degradation counters ride in the protocol string, so a
     // degraded artifact is visibly degraded, never silently weaker.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .map(_.toDouble).getOrElse(1380.0)
+      .map(_.toDouble).getOrElse(1500.0)
     val tWall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
     def measure(name: String, reps: Int): Seq[Double] = {

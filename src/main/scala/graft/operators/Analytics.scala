@@ -1342,24 +1342,46 @@ object Analytics {
     * in replicate b is an independent Poisson(1) draw, so no global
     * shuffle or sampling pass is needed; this is how engines bootstrap
     * a 100 TB mean in one scan): the draw is a pure function of
-    * (row key, replicate) through the portable md5-based 60-bit
-    * uniform, quantized through the Poisson(1) CDF ×10000 — both
-    * engines derive the identical weight. Each replicate mean is
-    * exact-integer Σw·cents / Σw (one division), and the interval is
-    * the exact-percentile idiom over the 50 replicate means. */
+    * (row key, replicate) through the portable md5 hash, quantized
+    * through the Poisson(1) CDF — both engines derive the identical
+    * weight. One 60-bit digest per (row, 4-replicate block) is
+    * BIT-SLICED into four exact 15-bit uniforms (`shiftright` + mod,
+    * zero modulo bias; CDF thresholds ×32768) — 4× fewer md5s than a
+    * digest per (row, replicate), which profiling showed was this
+    * operator's entire cost. Each replicate mean is exact-integer
+    * Σw·cents / Σw (one division), and the interval is the
+    * exact-percentile idiom over the 50 replicate means. */
   def mlBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     val B = 50
-    val u = graft.functions.Text.hash60SparkSql(
-      "concat('boot:', cast(o_orderkey as string), ':', cast(b as string))") + " % 10000"
-    val reps = Tables.orders(spark, sfDir)
+    val nBlocks = (B + 3) / 4
+    val h = graft.functions.Text.hash60SparkSql(
+      "concat('boot:', cast(o_orderkey as string), ':', cast(blk as string))")
+    val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    // The replicate explode amplifies each input row B×, and the md5
+    // weight derivation is the per-row cost — but the single-file
+    // fixture reads as 1-2 splits, which would pin that compute to 2
+    // cores. Spread BEFORE the explode when the input has fewer splits
+    // than cores (same device as Text.shingled); at 100 TB the input
+    // has thousands of splits and no shuffle happens at all.
+    val spread =
+      if (base.inputFiles.length < spark.sparkContext.defaultParallelism)
+        base.repartition(col("o_orderkey"))
+      else base
+    val reps = spread
       .select(col("o_orderkey"), col("cents"),
-        explode(expr(s"sequence(1, $B)")).as("b"))
+        explode(expr(s"sequence(0, ${nBlocks - 1})")).as("blk"))
+      .withColumn("h", expr(h)) // ONE digest per block of 4 replicates
+      .select(col("cents"), col("blk"), col("h"),
+        explode(expr("sequence(0, 3)")).as("s"))
+      .withColumn("b", col("blk") * 4 + col("s") + 1)
+      .filter(col("b") <= B)
+      .withColumn("u", expr("shiftright(h, cast(15 * s as int)) % 32768"))
       .withColumn("w", expr(
-        s"""CASE WHEN $u < 3679 THEN 0L WHEN $u < 7358 THEN 1L
-           |WHEN $u < 9197 THEN 2L WHEN $u < 9810 THEN 3L
-           |WHEN $u < 9963 THEN 4L WHEN $u < 9994 THEN 5L ELSE 6L END""".stripMargin))
+        """CASE WHEN u < 12056 THEN 0L WHEN u < 24112 THEN 1L
+          |WHEN u < 30141 THEN 2L WHEN u < 32146 THEN 3L
+          |WHEN u < 32648 THEN 4L WHEN u < 32749 THEN 5L ELSE 6L END""".stripMargin))
       .groupBy("b")
       .agg((sum(col("w") * col("cents")).cast("double") / sum(col("w")) / 100.0)
         .as("m"))
@@ -1376,18 +1398,23 @@ object Analytics {
   }
 
   private val mlBootstrapCiSql: String = {
-    val u = graft.functions.Text.hash60DuckSql(
-      "'boot:' || o_orderkey::VARCHAR || ':' || b::VARCHAR") + " % 10000"
+    val h = graft.functions.Text.hash60DuckSql(
+      "'boot:' || o_orderkey::VARCHAR || ':' || blk::VARCHAR")
     s"""WITH reps AS (
        |  SELECT b,
        |    sum(w * cents)::BIGINT::DOUBLE / sum(w) / 100.0 AS m
        |  FROM (
-       |    SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
-       |      unnest(generate_series(1, 50)) AS b
-       |    FROM orders),
-       |  LATERAL (SELECT CASE WHEN $u < 3679 THEN 0 WHEN $u < 7358 THEN 1
-       |    WHEN $u < 9197 THEN 2 WHEN $u < 9810 THEN 3
-       |    WHEN $u < 9963 THEN 4 WHEN $u < 9994 THEN 5 ELSE 6 END::BIGINT AS w)
+       |    SELECT cents, blk, $h AS h, unnest(generate_series(0, 3)) AS s
+       |    FROM (
+       |      SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
+       |        unnest(generate_series(0, 12)) AS blk
+       |      FROM orders) t0) t1,
+       |  LATERAL (SELECT blk * 4 + s + 1 AS b,
+       |                  (h >> (15 * s)::INT) % 32768 AS u),
+       |  LATERAL (SELECT CASE WHEN u < 12056 THEN 0 WHEN u < 24112 THEN 1
+       |    WHEN u < 30141 THEN 2 WHEN u < 32146 THEN 3
+       |    WHEN u < 32648 THEN 4 WHEN u < 32749 THEN 5 ELSE 6 END::BIGINT AS w)
+       |  WHERE b <= 50
        |  GROUP BY b)
        |SELECT (SELECT count(*) FROM reps)::BIGINT AS n_replicates,
        |  (SELECT sum(round(o_totalprice * 100)::BIGINT)::BIGINT::DOUBLE
