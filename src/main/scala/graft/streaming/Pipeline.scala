@@ -1406,7 +1406,10 @@ object Pipeline {
     val base = s"$scratchBase/delta_ckpt_${sfName(sfDir)}"
     wipe(spark, base)
     val tbl = s"$base/orders"
-    val ord = Tables.orders(spark, sfDir)
+    // the checkpoint/replay/cleanup machinery under test is column-count
+    // independent; carry only the two checksummed columns so the 12
+    // commit cycles don't pay 3x the write volume for nothing
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
     (0 until 12).foreach { i =>
       DeltaLog.appendBatch(spark, tbl, "ckpt-sink", i.toLong,
         ord.filter(col("o_orderkey") % 12 === i).repartition(1))
