@@ -588,7 +588,103 @@ object Journeys {
       .orderBy(col("custkey"), col("effective_from"), col("priority"))
   }
 
+  /** KAPLAN–MEIER SURVIVAL CURVE for time-to-conversion — the censoring-
+    * correct generalization of [[graft.operators.Events]]'
+    * time-to-convert summary: entry = first view, event = first
+    * subsequent purchase, administratively CENSORED at a 3-day horizon
+    * (every fixture viewer eventually converts, so the horizon is what
+    * makes censoring real — exactly how production analyses bound an
+    * open-ended observation window). S(t) = Π_{u≤t} (1 − d_u/n_u) with
+    * censored-at-t users still at risk at t (the right-continuous KM
+    * convention); reported at 5 checkpoints with at-risk and
+    * cumulative-event counts.
+    *
+    * Exactness: d/n are exact integers from one user-level pass; each
+    * factor is ONE division; the product folds over a
+    * DURATION-SORTED collected array (the order-pinned float-fold
+    * device of ml_embed_drift — a plain product aggregate would be
+    * shuffle-order-dependent). Scale: one shuffle on user_id, then
+    * everything lives on the per-duration relation, bounded by horizon
+    * MINUTES (≤ 4320 rows) — not by users; the checkpoint cross join
+    * is a 5-row broadcast. */
+  def evSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 4320L // censoring horizon, minutes
+    val ev = Tables.events(spark, sfDir)
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(entry, "user_id").filter(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val users = entry.join(conv, Seq("user_id"), "left_outer")
+      .withColumn("raw_min",
+        expr("(unix_micros(t1) - unix_micros(t0)) div 60000000"))
+      .withColumn("dur",
+        when(col("raw_min").isNull || col("raw_min") >= H, lit(H)).otherwise(col("raw_min")))
+      .withColumn("evt",
+        when(col("raw_min").isNotNull && col("raw_min") < H, 1L).otherwise(0L))
+    val perDur = users.groupBy("dur")
+      .agg(sum(col("evt")).as("d"), count(lit(1)).as("n_all"))
+    val below = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grid = perDur
+      .withColumn("n_total", sum(col("n_all")).over(all))
+      .withColumn("n_risk", col("n_total") - coalesce(sum(col("n_all")).over(below), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk"))
+    val cp = spark.range(0, 5).select(
+      expr("element_at(array(60L, 360L, 1440L, 2880L, 4320L), cast(id as int) + 1)").as("t_min"))
+    grid.crossJoin(broadcast(cp)).filter(col("dur") <= col("t_min"))
+      .groupBy("t_min")
+      .agg(
+        max(col("n_total")).as("n_users"),
+        sum(col("d")).as("cum_events"),
+        (max(col("n_total")) - sum(col("n_all"))).as("n_at_risk_after"),
+        expr("""aggregate(
+          |  transform(sort_array(collect_list(struct(dur, factor))), s -> s.factor),
+          |  cast(1.0 as double), (a, f) -> a * f)""".stripMargin).as("survival"))
+      .orderBy("t_min")
+  }
+
+  private val evSurvivalSql: String =
+    """WITH entry AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, min(e.ts) AS t1
+      |  FROM events e JOIN entry ON entry.user_id = e.user_id AND e.ts > entry.t0
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |users AS (
+      |  SELECT entry.user_id,
+      |    (epoch_us(t1) - epoch_us(t0)) // 60000000 AS raw_min,
+      |    CASE WHEN t1 IS NULL OR (epoch_us(t1) - epoch_us(t0)) // 60000000 >= 4320
+      |         THEN 4320 ELSE (epoch_us(t1) - epoch_us(t0)) // 60000000 END AS dur,
+      |    CASE WHEN t1 IS NOT NULL AND (epoch_us(t1) - epoch_us(t0)) // 60000000 < 4320
+      |         THEN 1 ELSE 0 END AS evt
+      |  FROM entry LEFT JOIN conv ON conv.user_id = entry.user_id),
+      |per AS (
+      |  SELECT dur, sum(evt)::BIGINT AS d, count(*)::BIGINT AS n_all FROM users GROUP BY 1),
+      |grid AS (
+      |  SELECT dur, d, n_all,
+      |    sum(n_all) OVER ()::BIGINT AS n_total,
+      |    (sum(n_all) OVER ()
+      |      - coalesce(sum(n_all) OVER (ORDER BY dur
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+      |  FROM per),
+      |f AS (SELECT dur, d, n_all, n_total,
+      |        1.0::DOUBLE - d::DOUBLE / n_risk AS factor FROM grid),
+      |cp AS (SELECT unnest([60, 360, 1440, 2880, 4320]) AS t_min)
+      |SELECT t_min::BIGINT AS t_min, max(n_total)::BIGINT AS n_users,
+      |  sum(d)::BIGINT AS cum_events,
+      |  (max(n_total) - sum(n_all))::BIGINT AS n_at_risk_after,
+      |  list_reduce(
+      |    list_transform(list_sort(list({'dur': dur, 'factor': factor})),
+      |      s -> s.factor),
+      |    (a, x) -> a * x) AS survival
+      |FROM f CROSS JOIN cp WHERE dur <= t_min
+      |GROUP BY t_min ORDER BY t_min""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival" -> (evSurvival _),
     "op_scd2_incr" -> (opScd2Incr _),
     "op_bitemporal" -> (opBitemporal _),
     "ev_paths" -> (evPaths _),
@@ -607,6 +703,7 @@ object Journeys {
     // incremental maintenance must equal the full rebuild — same oracle
     // as op_scd2 by design
     "op_scd2_incr" -> opScd2Sql,
+    "ev_survival" -> evSurvivalSql,
     "op_bitemporal" -> opBitemporalSql,
     "ev_paths" -> evPathsSql,
     "op_twap" -> opTwapSql,

@@ -135,13 +135,88 @@ object MlPrep {
       |  FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS cents FROM orders))
       |GROUP BY o_orderpriority, bin ORDER BY o_orderpriority, bin""".stripMargin
 
+  /** LEARNING CURVE — "how much data does the model need": the
+    * target-encoding model ([[mlTargetEncode]]'s shrinkage) is fit on
+    * nested md5-bucket subsets of the training pool (10/25/50/100% of
+    * buckets 0-89) and each fit is scored on the SAME held-out eval
+    * slice (buckets 90-99), reporting per-category n_train and MAE.
+    * The 4 fits run as ONE grouped pass: the bucketed relation cross
+    * joins the 4-row fraction dim (broadcast — the bounded
+    * scalar-batch shape), so training-subset stats for every fraction
+    * come from a single shuffle on (fraction, category).
+    *
+    * Exactness: the prediction is carried as an integer RATIONAL
+    * (num = sum_cents + 10·g_mean_cents, den = n + 10; g_mean itself
+    * one division + round), per-row error is the exact integer
+    * |cents·den − num|, summed as int64 per (fraction, category), and
+    * MAE is a fixed chain of three divisions on exact integers —
+    * nothing order-dependent anywhere. Headroom: cents·den ≤ 5e7·2e7
+    * at 100×, inside int64. */
+  def mlLearningCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("cat"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        expr(Text.hash60SparkSql("concat('lc:', cast(o_orderkey as string))") + " % 100")
+          .as("bucket"))
+    val frac = spark.range(0, 4).select(
+      expr("element_at(array(9, 22, 45, 90), cast(id as int) + 1)").as("f"))
+    val pool = bucketed.filter(col("bucket") < 90)
+      .crossJoin(broadcast(frac)).filter(col("bucket") < col("f"))
+    val gStats = pool.groupBy("f")
+      .agg(expr("cast(round(cast(sum(cents) as double) / count(*)) as bigint)")
+        .as("g_mean_c"))
+    val catStats = pool.groupBy("f", "cat")
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("sum_c"))
+      .join(gStats, "f")
+      .select(col("f"), col("cat"), col("n_train"),
+        (col("sum_c") + lit(10L) * col("g_mean_c")).as("num"),
+        (col("n_train") + lit(10L)).as("den"))
+    val evalSet = bucketed.filter(col("bucket") >= 90)
+    evalSet.join(broadcast(catStats), Seq("cat"))
+      .withColumn("err", abs(col("cents") * col("den") - col("num")))
+      .groupBy("f", "cat")
+      .agg(max(col("n_train")).as("n_train"), count(lit(1)).as("n_eval"),
+        sum(col("err")).as("sum_err"), max(col("den")).as("den"))
+      .select(col("f").as("train_pct_buckets"), col("cat"), col("n_train"), col("n_eval"),
+        (((col("sum_err").cast("double") / col("den")) / col("n_eval")) / 100.0)
+          .as("mae_dollars"))
+      .orderBy("train_pct_buckets", "cat")
+  }
+
+  private val mlLearningCurveSql: String = {
+    val h = Text.hash60DuckSql("'lc:' || o_orderkey::VARCHAR") + " % 100"
+    s"""WITH b AS (
+       |  SELECT o_orderpriority AS cat, round(o_totalprice * 100)::BIGINT AS cents,
+       |    $h AS bucket
+       |  FROM orders),
+       |frac AS (SELECT unnest([9, 22, 45, 90]) AS f),
+       |pool AS (SELECT * FROM b CROSS JOIN frac WHERE bucket < 90 AND bucket < f),
+       |g AS (SELECT f, round(sum(cents)::DOUBLE / count(*))::BIGINT AS g_mean_c
+       |  FROM pool GROUP BY f),
+       |cs AS (
+       |  SELECT pool.f, pool.cat AS cat, count(*)::BIGINT AS n_train,
+       |    (sum(cents)::BIGINT + 10 * any_value(g_mean_c))::BIGINT AS num,
+       |    (count(*) + 10)::BIGINT AS den
+       |  FROM pool JOIN g ON g.f = pool.f GROUP BY pool.f, cat)
+       |SELECT cs.f AS train_pct_buckets, b.cat AS cat, any_value(n_train) AS n_train,
+       |  count(*)::BIGINT AS n_eval,
+       |  ((sum(abs(b.cents * den - num))::BIGINT::DOUBLE / any_value(den))
+       |    / count(*)) / 100.0 AS mae_dollars
+       |FROM b JOIN cs ON cs.cat = b.cat
+       |WHERE b.bucket >= 90
+       |GROUP BY cs.f, b.cat
+       |ORDER BY train_pct_buckets, b.cat""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_learning_curve" -> (mlLearningCurve _),
     "ml_split" -> (mlSplit _),
     "ml_feature_hash" -> (mlFeatureHash _),
     "ml_target_encode" -> (mlTargetEncode _),
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_learning_curve" -> mlLearningCurveSql,
     "ml_split" -> mlSplitSql,
     "ml_feature_hash" -> mlFeatureHashSql,
     "ml_target_encode" -> mlTargetEncodeSql,

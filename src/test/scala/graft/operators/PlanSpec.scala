@@ -123,7 +123,12 @@ class PlanSpec extends SparkSpec {
         // ml_standard_scale / ml_bootstrap_ci / gr_modularity broadcast
         // their ONE-ROW parameter aggregates (mean/std; point estimate;
         // total edge count m) — the same bounded scalar-subquery shape
-        "ml_standard_scale", "ml_bootstrap_ci", "gr_modularity")
+        "ml_standard_scale", "ml_bootstrap_ci", "gr_modularity",
+        // ml_learning_curve broadcasts its 4-row fraction dim into the
+        // bucketed pool; ev_survival its 5-row checkpoint dim into the
+        // horizon-bounded duration grid — the bounded scalar-batch
+        // shape again
+        "ml_learning_curve", "ev_survival")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
