@@ -633,15 +633,25 @@ object Journeys {
         lit(1.0) - col("d").cast("double") / col("n_risk"))
     val cp = spark.range(0, 5).select(
       expr("element_at(array(60L, 360L, 1440L, 2880L, 4320L), cast(id as int) + 1)").as("t_min"))
-    grid.crossJoin(broadcast(cp)).filter(col("dur") <= col("t_min"))
+    // CHECKPOINT-COMPLETE: a checkpoint before the first grid point must
+    // still report (S=1.0, zero events, full risk set), so the grid
+    // aggregation LEFT-joins back onto the checkpoint dim (a smaller
+    // fixture would otherwise silently drop early checkpoints).
+    val cpAgg = grid.crossJoin(broadcast(cp)).filter(col("dur") <= col("t_min"))
       .groupBy("t_min")
       .agg(
-        max(col("n_total")).as("n_users"),
-        sum(col("d")).as("cum_events"),
-        (max(col("n_total")) - sum(col("n_all"))).as("n_at_risk_after"),
+        sum(col("d")).as("ev_sum"),
+        sum(col("n_all")).as("gone_sum"),
         expr("""aggregate(
           |  transform(sort_array(collect_list(struct(dur, factor))), s -> s.factor),
-          |  cast(1.0 as double), (a, f) -> a * f)""".stripMargin).as("survival"))
+          |  cast(1.0 as double), (a, f) -> a * f)""".stripMargin).as("surv"))
+    val total = users.agg(count(lit(1)).as("n_users"))
+    cp.crossJoin(broadcast(total))
+      .join(cpAgg, Seq("t_min"), "left_outer")
+      .select(col("t_min"), col("n_users"),
+        coalesce(col("ev_sum"), lit(0L)).as("cum_events"),
+        (col("n_users") - coalesce(col("gone_sum"), lit(0L))).as("n_at_risk_after"),
+        coalesce(col("surv"), lit(1.0)).as("survival"))
       .orderBy("t_min")
   }
 
@@ -672,16 +682,22 @@ object Journeys {
       |  FROM per),
       |f AS (SELECT dur, d, n_all, n_total,
       |        1.0::DOUBLE - d::DOUBLE / n_risk AS factor FROM grid),
-      |cp AS (SELECT unnest([60, 360, 1440, 2880, 4320]) AS t_min)
-      |SELECT t_min::BIGINT AS t_min, max(n_total)::BIGINT AS n_users,
-      |  sum(d)::BIGINT AS cum_events,
-      |  (max(n_total) - sum(n_all))::BIGINT AS n_at_risk_after,
-      |  list_reduce(
-      |    list_transform(list_sort(list({'dur': dur, 'factor': factor})),
-      |      s -> s.factor),
-      |    (a, x) -> a * x) AS survival
-      |FROM f CROSS JOIN cp WHERE dur <= t_min
-      |GROUP BY t_min ORDER BY t_min""".stripMargin
+      |cp AS (SELECT unnest([60, 360, 1440, 2880, 4320]) AS t_min),
+      |agg AS (
+      |  SELECT t_min, sum(d)::BIGINT AS ev_sum, sum(n_all)::BIGINT AS gone_sum,
+      |    list_reduce(
+      |      list_transform(list_sort(list({'dur': dur, 'factor': factor})),
+      |        s -> s.factor),
+      |      (a, x) -> a * x) AS surv
+      |  FROM f CROSS JOIN cp WHERE dur <= t_min
+      |  GROUP BY t_min),
+      |tot AS (SELECT count(*)::BIGINT AS n_users FROM users)
+      |SELECT t_min::BIGINT AS t_min, n_users,
+      |  coalesce(ev_sum, 0)::BIGINT AS cum_events,
+      |  (n_users - coalesce(gone_sum, 0))::BIGINT AS n_at_risk_after,
+      |  coalesce(surv, 1.0::DOUBLE) AS survival
+      |FROM cp CROSS JOIN tot LEFT JOIN agg USING (t_min)
+      |ORDER BY t_min""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_survival" -> (evSurvival _),

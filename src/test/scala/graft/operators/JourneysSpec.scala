@@ -34,6 +34,22 @@ class JourneysSpec extends SparkSpec {
       "offset-0 retention cell must count the full cohort")
   }
 
+  test("ev_survival: S is a proper survival function — in (0,1], nonincreasing, consistent with counts") {
+    val rows = Journeys.evSurvival(spark, sf).collect()
+    assert(rows.length == 5)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s > 0.0 && s <= 1.0))
+    surv.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-15, s"S increased: $a -> $b") }
+    // cumulative events never exceed users, at-risk shrinks with t
+    val nUsers = rows.map(_.getAs[Long]("n_users")).distinct
+    assert(nUsers.length == 1)
+    val cum = rows.map(_.getAs[Long]("cum_events"))
+    cum.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(cum.last <= nUsers.head)
+    val risk = rows.map(_.getAs[Long]("n_at_risk_after"))
+    risk.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
   test("op_scd2: one current row per key, ranges chain without gaps or overlaps") {
     val hist = Journeys.opScd2(spark, sf).collect()
       .groupBy(_.getAs[Long]("custkey"))
