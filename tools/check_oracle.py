@@ -10,7 +10,11 @@ Reads <verify_out_dir>/<name>/ parquet (Spark output) and runs
 tables, then compares schema + values with columns sorted by name and
 rows sorted by all columns.
 """
-import json, sys, glob
+import glob
+import json
+import os
+import sys
+
 import duckdb
 
 
@@ -21,12 +25,9 @@ def canon(rel):
     return df
 
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+def connect(sf_dir):
+    """Fresh DuckDB connection with the fixture views registered."""
     con = duckdb.connect()
-    import os
     # large scale fixtures need spill + an explicit cap (the container's
     # cgroup limit confuses duckdb's autodetection into tiny allocations)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
@@ -57,6 +58,14 @@ def main():
                 cols = ("event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
                         "event_type, value, props")
         con.sql(f"CREATE VIEW {t} AS SELECT {cols} FROM '{src}'")
+    return con
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = connect(sf_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
@@ -81,6 +90,12 @@ def main():
                 want = canon(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            # a broken connection (e.g. a failed retry) must not cascade
+            # into every later query
+            try:
+                con.sql("SELECT 1")
+            except Exception:
+                con = connect(sf_dir)
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
