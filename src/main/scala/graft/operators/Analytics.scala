@@ -1379,8 +1379,8 @@ object Analytics {
       .filter(col("b") <= B)
       .withColumn("u", expr("shiftright(h, cast(15 * s as int)) % 32768"))
       .withColumn("w", expr(
-        """CASE WHEN u < 12056 THEN 0L WHEN u < 24112 THEN 1L
-          |WHEN u < 30141 THEN 2L WHEN u < 32146 THEN 3L
+        """CASE WHEN u < 12055 THEN 0L WHEN u < 24109 THEN 1L
+          |WHEN u < 30137 THEN 2L WHEN u < 32146 THEN 3L
           |WHEN u < 32648 THEN 4L WHEN u < 32749 THEN 5L ELSE 6L END""".stripMargin))
       .groupBy("b")
       .agg((sum(col("w") * col("cents")).cast("double") / sum(col("w")) / 100.0)
@@ -1411,8 +1411,8 @@ object Analytics {
        |      FROM orders) t0) t1,
        |  LATERAL (SELECT blk * 4 + s + 1 AS b,
        |                  (h >> (15 * s)::INT) % 32768 AS u),
-       |  LATERAL (SELECT CASE WHEN u < 12056 THEN 0 WHEN u < 24112 THEN 1
-       |    WHEN u < 30141 THEN 2 WHEN u < 32146 THEN 3
+       |  LATERAL (SELECT CASE WHEN u < 12055 THEN 0 WHEN u < 24109 THEN 1
+       |    WHEN u < 30137 THEN 2 WHEN u < 32146 THEN 3
        |    WHEN u < 32648 THEN 4 WHEN u < 32749 THEN 5 ELSE 6 END::BIGINT AS w)
        |  WHERE b <= 50
        |  GROUP BY b)
@@ -1642,9 +1642,13 @@ object Analytics {
     Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_lineitem")
     spark.sql(
+      // `/ 10000.0` would parse as DECIMAL(5,1) in Spark SQL, forcing
+      // bigint/decimal *decimal* division (revenue: decimal(28,7)) while
+      // the DuckDB oracle's `/` returns DOUBLE — the CAST keeps both
+      // engines on the identical single float division (r7 driver gate).
       """SELECT l_orderkey, o_orderdate,
-        |  sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000) as bigint)) / 10000.0
-        |    AS revenue
+        |  sum(cast(round((l_extendedprice * (1 - l_discount)) * 10000) as bigint))
+        |    / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM g_customer
         |JOIN g_orders ON c_custkey = o_custkey
         |JOIN g_lineitem ON l_orderkey = o_orderkey

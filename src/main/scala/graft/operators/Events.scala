@@ -546,7 +546,9 @@ object Events {
           .as("target_day"))
       .groupBy("target_day").agg(countDistinct(col("user_id")).as("mau_30d"))
     dau.join(mau, dau("day") === mau("target_day"))
-      .select(col("day"), col("dau"), col("mau_30d"),
+      // day as DATE: DuckDB's date_trunc('day', ts) returns DATE while
+      // Spark's returns midnight TIMESTAMP — strict type gate (round 8)
+      .select(col("day").cast("date").as("day"), col("dau"), col("mau_30d"),
         (col("dau").cast("double") / col("mau_30d")).as("stickiness"))
       .orderBy("day")
   }

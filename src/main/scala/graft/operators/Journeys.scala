@@ -131,6 +131,10 @@ object Journeys {
         ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("active_users"))
+      // output as DATE: DuckDB's date_trunc('week', ts) returns DATE
+      // while Spark's returns midnight TIMESTAMP — same instant, but the
+      // strict type gate (round 8) requires identical parquet types
+      .withColumn("cohort_week", col("cohort_week").cast("date"))
       .orderBy("cohort_week", "week_offset")
   }
 
@@ -166,6 +170,8 @@ object Journeys {
       .groupBy("cohort_week", "week_age")
       .agg(countDistinct(col("user_id")).as("n_buyers"), sum("cents").as("cents"))
       .withColumn("cum_cents", sum("cents").over(cum))
+      // DATE output to match DuckDB's date_trunc type (see evRetention)
+      .withColumn("cohort_week", col("cohort_week").cast("date"))
       .orderBy("cohort_week", "week_age")
   }
 

@@ -53,7 +53,12 @@ object MlScore {
     val thr0 = u(s"$s:r", 900.0, 2000.0)
     val thrL = u(s"$s:l", 1.0, 50.0)
     val thrR = u(s"$s:rr", 1.0, 50.0)
-    val w = (0 until 4).map(i => u(s"$s:w$i", -0.5, 0.5))
+    // Leaf weights as CAST(… AS DOUBLE) — dialect-neutral in both
+    // engines. A bare `0.25` parses as DECIMAL in Spark SQL, making the
+    // margin sum DECIMAL(5,2) while DuckDB's is DOUBLE (the same literal
+    // hazard as op_sql_interface, r8 strict type gate); the cast keeps
+    // both engines on identical left-to-right double additions.
+    val w = (0 until 4).map(i => s"CAST(${u(s"$s:w$i", -0.5, 0.5)} AS DOUBLE)")
     s"(CASE WHEN p_retailprice < $thr0 " +
       s"THEN (CASE WHEN p_size < $thrL THEN ${w(0)} ELSE ${w(1)} END) " +
       s"ELSE (CASE WHEN p_size < $thrR THEN ${w(2)} ELSE ${w(3)} END) END)"

@@ -661,27 +661,33 @@ object Relational {
     * 128-bit decimal aggregate buffer, DuckDB's exact DECIMAL engine) —
     * exact by TYPE rather than by the cent-BIGINT trick the rest of the
     * surface uses, which is how a finance-grade schema would actually
-    * model the column. The average is re-rounded to 2 places with an
-    * explicit half-up cast so both engines' quotient rendering
-    * coincides. Same one-pass aggregate shape as [[opAggStats]]. */
+    * model the column. Sum/min/max stay IN the decimal domain; the sum
+    * is widened to decimal(38,2) to match DuckDB's native
+    * sum(DECIMAL(18,2)) result type exactly. The average is the one
+    * column that CANNOT be decimal-exact cross-engine — DuckDB's
+    * `avg(DECIMAL)` routes through DOUBLE internally (an inexact path
+    * that can land on the other side of a half-cent rounding boundary,
+    * the r7 driver-gate failure) — so it uses the [[graft.functions.Exact]]
+    * cent-sum form: one integer sum, one fixed-association float
+    * division, bit-identical at any parallelism. */
   def opDecimalAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("price_dec")).as("total_price"),
+        sum(col("price_dec")).cast("decimal(38,2)").as("total_price"),
         min(col("price_dec")).as("min_price"),
         max(col("price_dec")).as("max_price"),
-        expr("cast(avg(price_dec) as decimal(18,2))").as("avg_price"))
+        graft.functions.Exact.exactAvg(col("o_totalprice"), 2).as("avg_price"))
       .orderBy("o_orderstatus")
 
   private val opDecimalAggSql: String =
-    """SELECT o_orderstatus, count(*) AS n_orders,
-      |  sum(o_totalprice::DECIMAL(18,2)) AS total_price,
-      |  min(o_totalprice::DECIMAL(18,2)) AS min_price,
-      |  max(o_totalprice::DECIMAL(18,2)) AS max_price,
-      |  avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS avg_price
-      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |  sum(o_totalprice::DECIMAL(18,2)) AS total_price,
+       |  min(o_totalprice::DECIMAL(18,2)) AS min_price,
+       |  max(o_totalprice::DECIMAL(18,2)) AS max_price,
+       |  ${graft.functions.Exact.sqlAvg("o_totalprice", 2)} AS avg_price
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** MOVING MEDIAN — an exact order statistic over a sliding window
     * frame (`percentile(…) OVER (ROWS 5 PRECEDING)`), the robust
@@ -1149,7 +1155,9 @@ object Relational {
     Tables.orders(spark, sfDir)
       .filter(col("o_custkey") <= 100)
       .select(col("o_orderkey"), col("o_orderdate"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        // DATE, not Spark's midnight TIMESTAMP: DuckDB's date_trunc
+        // returns DATE at month granularity (strict type gate, round 8)
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         dayofweek(col("o_orderdate")).cast("long").as("dow"),
         add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),

@@ -166,15 +166,30 @@ final class DeltaFileIndex(
         // Bind the filters to the partition schema by NAME (the scan
         // hands us attributes of the relation's partition columns) and
         // evaluate interpreted — the directory count is log-metadata
-        // sized, never data sized.
-        val bound = partitionFilters.reduce(And).transform {
-          case a: Attribute =>
-            val idx = partitionSchema.fieldIndex(a.name)
-            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        // sized, never data sized. Name resolution is CASE-INSENSITIVE
+        // (under spark.sql.caseSensitive=false the analyzer-resolved
+        // attribute can differ in case from the log schema), and a
+        // filter that fails to bind falls back to NO pruning for the
+        // whole listing: pruning is an optimization and must never be
+        // able to fail a read.
+        def fieldIdx(name: String): Option[Int] = {
+          val i = partitionSchema.indexWhere(_.name == name)
+          if (i >= 0) Some(i)
+          else Some(partitionSchema.indexWhere(_.name.equalsIgnoreCase(name)))
+            .filter(_ >= 0)
         }
-        val predicate = Predicate.createInterpreted(bound)
-        predicate.initialize(0)
-        directories.filter { case (row, _) => predicate.eval(row) }
+        val attrs = partitionFilters.reduce(And).collect { case a: Attribute => a }
+        if (attrs.exists(a => fieldIdx(a.name).isEmpty)) directories
+        else {
+          val bound = partitionFilters.reduce(And).transform {
+            case a: Attribute =>
+              val idx = fieldIdx(a.name).get
+              BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+          }
+          val predicate = Predicate.createInterpreted(bound)
+          predicate.initialize(0)
+          directories.filter { case (row, _) => predicate.eval(row) }
+        }
       }
     pruned.map { case (row, fs) =>
       val kept =

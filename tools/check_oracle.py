@@ -19,10 +19,33 @@ import duckdb
 
 
 def canon(rel):
+    """(df, duckdb-level types) with columns sorted by name.
+
+    The duckdb type strings are captured BEFORE the pandas conversion:
+    duckdb's .df() coerces DECIMAL (any precision/scale) and HUGEINT to
+    float64, so a Spark decimal128 output vs a DuckDB DOUBLE oracle are
+    indistinguishable at the pandas layer — exactly the r7 gap where two
+    driver-red entries passed this local gate. The driver hashes rendered
+    values (Decimal('1.2500000') != 1.25), so the local gate must be at
+    least type-strict."""
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    types = [norm_type(types[i]) for i in order]
     df = rel.df()
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    return df, types
+
+
+def norm_type(t):
+    # Session TZ is pinned UTC on both engines; Spark parquet timestamps
+    # carry isAdjustedToUTC so duckdb reads them as TIMESTAMP WITH TIME
+    # ZONE while oracle TIMESTAMP literals/date_trunc return plain
+    # TIMESTAMP — equivalent under UTC, and the pandas value compare
+    # still checks the instants. Everything else (incl. DECIMAL(p,s))
+    # must match exactly.
+    return "TIMESTAMP" if t == "TIMESTAMP WITH TIME ZONE" else t
 
 
 def connect(sf_dir):
@@ -77,8 +100,8 @@ def main():
             continue
         try:
             try:
-                got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-                want = canon(con.sql(sql))
+                got, got_t = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+                want, want_t = canon(con.sql(sql))
             except duckdb.OutOfMemoryException:
                 # a 290-oracle run accumulates buffer-pool state; a fresh
                 # connection retries the one query with an empty pool (the
@@ -86,8 +109,8 @@ def main():
                 # DuckDB)
                 con.close()
                 con = connect(sf_dir)
-                got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-                want = canon(con.sql(sql))
+                got, got_t = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+                want, want_t = canon(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             # a broken connection (e.g. a failed retry) must not cascade
@@ -104,6 +127,10 @@ def main():
             continue
         if got.shape != want.shape:
             print(f"FAIL {name}: shape {got.shape} != {want.shape}")
+            n_fail += 1
+            continue
+        if got_t != want_t:
+            print(f"FAIL {name}: duckdb types {got_t} != {want_t}")
             n_fail += 1
             continue
         sg = [str(t) for t in got.dtypes]
