@@ -14,6 +14,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-derived shuffle parallelism via AQE coalesce (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       // µs parquet timestamps: DuckDB-comparable (INT96 is deprecated and
       // reads back as ns in some arrow paths, breaking value compares).
@@ -30,6 +32,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pin the corpus-size estimates to THIS fixture before any query runs
+    // or any oracle SQL is dumped — the LSH/IVF parameter derivations and
+    // the oracle strings that embed them must come from the same value
+    // (round 8; see graft.operators.Corpus). Explicit here so a filtered
+    // run that executes no deriving query still dumps synced oracles.
+    graft.operators.Corpus.prime(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // DuckDB oracle timestamps are tz-naive; Spark TimestampType writes
     // isAdjustedToUTC=true parquet (reads back tz-aware). Session TZ is

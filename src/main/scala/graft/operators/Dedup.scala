@@ -87,9 +87,13 @@ object Dedup {
   private val Bands = sys.props.get("graft.lsh.bands").map(_.toInt).getOrElse(6)
   private val RowsPerBand = sys.props.get("graft.lsh.rows").map(_.toInt).getOrElse(2)
 
-  /** The derived non-default setting exercised by dd_minhash_lsh_wide:
-    * [[LshParams.lshParams]](500) — the verification corpus size. */
-  private val (wideBands, wideRows) = LshParams.lshParams(500)
+  /** The derived setting exercised by dd_minhash_lsh_wide:
+    * [[LshParams.lshParams]] of the LIVE documents-corpus estimate
+    * ([[Corpus.documents]], primed from the fixture's parquet footers —
+    * round 8 closed the static-fixture-constant caveat). A def so it
+    * re-derives after priming; at the 500-doc verification fixture this
+    * yields the same (9, 4) every prior round verified. */
+  private def wideParams: (Int, Int) = LshParams.lshParams(Corpus.documents)
 
   /** Document-frequency cap for ddNgramJaccard candidate generation
     * (anti-join threshold; see its scaladoc for the exactness bound).
@@ -151,8 +155,12 @@ object Dedup {
     * oracle-verified proof that the banding is a true parameter — both
     * the Spark plan and the DuckDB SQL are generated from the derived
     * values, and the verification stage keeps the result exact. */
-  def ddMinhashLshWide(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairs(spark, sfDir, wideBands, wideRows)
+  def ddMinhashLshWide(spark: SparkSession, sfDir: String): DataFrame = {
+    // derive banding from THIS corpus's footer count (round 8)
+    Corpus.prime(spark, sfDir)
+    val (b, r) = wideParams
+    minhashPairs(spark, sfDir, b, r)
+  }
 
   private def minhashLshPlan(spark: SparkSession, sfDir: String,
                              bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
@@ -668,12 +676,15 @@ object Dedup {
     "dd_simhash" -> (ddSimhash _),
     "dd_cluster" -> (ddCluster _))
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: the wide-banding oracle embeds the corpus-DERIVED
+    * (bands, rows) ([[wideParams]]), so it must be generated after
+    * [[Corpus]] is primed, not at class init. */
+  def oracles: Map[String, String] = Map(
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "dd_exact" -> ddExactSql,
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash_lsh" -> minhashLshSql(),
-    "dd_minhash_lsh_wide" -> minhashLshSql(wideBands, wideRows),
+    "dd_minhash_lsh_wide" -> { val (b, r) = wideParams; minhashLshSql(b, r) },
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_simhash" -> ddSimhashSql,

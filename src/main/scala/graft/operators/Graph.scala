@@ -146,7 +146,18 @@ object Graph {
     *
     * Scale: the oriented join's fan-out per vertex is its out-degree
     * in the orientation — bounded by per-order co-occurrence like
-    * [[edges]]; wedge counts are exact integer aggregates. */
+    * [[edges]]; wedge counts are exact integer aggregates.
+    *
+    * Partition scaling (round 8, closing the r7 exponent note): the
+    * triangle join's shuffle volume grows superlinearly in edges, so a
+    * FIXED `spark.sql.shuffle.partitions` eventually spills — ScaleRun
+    * measured the second-decade exponent drop 1.141 → 1.081 just by
+    * doubling partitions. The harness sessions therefore plan
+    * exchanges at `spark.sql.adaptive.coalescePartitions
+    * .initialPartitionNum = 1024` and let AQE coalesce by observed
+    * bytes (floored at default parallelism by `parallelismFirst`) —
+    * reducer count derives from data, which is also the cluster-mode
+    * configuration (the floor scales with executors there). */
   def grTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     val canon = Scratch.persist(edges(spark, sfDir)
       .filter(col("src") < col("dst")))

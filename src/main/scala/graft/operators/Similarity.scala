@@ -276,9 +276,14 @@ object Similarity {
     *    system property, default 500 = the verification fixture) so
     *    bucket count scales with the corpus. */
   private val Planes = 6
-  private val EmbCorpus =
-    sys.props.get("graft.corpus.embeddings").map(_.toLong).getOrElse(500L)
-  private val DedupPlanes = LshParams.dedupPlanes(EmbCorpus)
+  /** Corpus-size estimate, read from the live fixture's parquet footers
+    * (round 8): [[Corpus.prime]]d by Verify/Bench and by every
+    * derived-parameter query on entry, so the Spark plan and the DuckDB
+    * oracle generated in the same process always share the value. A def,
+    * not a val — the derivation must see the primed estimate, never a
+    * class-init snapshot. */
+  private def embCorpus: Long = Corpus.embeddings
+  private def DedupPlanes: Int = LshParams.dedupPlanes(embCorpus)
   private val DedupTables =
     sys.props.get("graft.lsh.embtables").map(_.toInt).getOrElse(4)
   private val Dim = 64
@@ -289,8 +294,15 @@ object Similarity {
   }
   private lazy val planes: Array[Array[Int]] =
     Array.tabulate(Planes, Dim)((p, j) => sign(s"plane:$p:$j"))
-  private lazy val dplanes: Array[Array[Array[Int]]] =
-    Array.tabulate(DedupTables, DedupPlanes, Dim)((t, p, j) => sign(s"dplane:$t:$p:$j"))
+  // memoized per derived plane count (the count changes when a different
+  // corpus is primed; the plane family for a given depth is fixed)
+  private val dplaneCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Array[Int]]]]
+  private def dplanes: Array[Array[Array[Int]]] = {
+    val np = DedupPlanes
+    dplaneCache.getOrElseUpdate(np,
+      Array.tabulate(DedupTables, np, Dim)((t, p, j) => sign(s"dplane:$t:$p:$j")))
+  }
 
   private def arrS(a: Array[Int]): String =
     a.map(v => s"${v}.0D").mkString("array(", ", ", ")")
@@ -323,9 +335,14 @@ object Similarity {
     * fixture's level. m = 0 at the default estimate — the refined cell
     * IS the Lloyd cell for the oracle gate, and both sides below are
     * generated from the same value so they refine in lockstep. */
-  private val SemSubPlanes = math.min(20, LshParams.semSubPlanes(EmbCorpus))
-  private lazy val splanes: Array[Array[Int]] =
-    Array.tabulate(math.max(SemSubPlanes, 1), Dim)((p, j) => sign(s"splane:$p:$j"))
+  private def SemSubPlanes: Int = math.min(20, LshParams.semSubPlanes(embCorpus))
+  private val splaneCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
+  private def splanes: Array[Array[Int]] = {
+    val n = math.max(SemSubPlanes, 1)
+    splaneCache.getOrElseUpdate(n,
+      Array.tabulate(n, Dim)((p, j) => sign(s"splane:$p:$j")))
+  }
 
   /** Spark-SQL form: refine the (int) cell expression `inner` with
     * [[SemSubPlanes]] sign bits of the `emb` column. */
@@ -393,6 +410,9 @@ object Similarity {
     * vectors have no cosine > 0.5 pairs, so a threshold form would be
     * vacuous — top-k keeps the operator observable at every scale.) */
   def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    // derive the plane count from THIS corpus's footer count (round 8;
+    // idempotent, cached) — see [[Corpus]] for the oracle-sync contract
+    Corpus.prime(spark, sfDir)
     // persisted: consumed by every hash table's bucket join plus both
     // rerank sides; megabytes at fixture scale, a staging table at 100 TB.
     // Query-scoped — released by the harness between queries ([[Scratch]])
@@ -412,7 +432,7 @@ object Similarity {
       .limit(100)
   }
 
-  private val ddEmbedCosineSql: String = {
+  private def ddEmbedCosineSql: String = {
     val tables = (0 until DedupTables).map { t =>
       s"""SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) a
@@ -731,6 +751,8 @@ object Similarity {
     * into BOTH sides from the same value. The oracle recomputes fit +
     * assignment + in-cell pairing bit-identically. */
   def ddSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // derive the sub-cell depth from THIS corpus's footer count (round 8)
+    Corpus.prime(spark, sfDir)
     val cents = ivfCentroids(spark, sfDir, 1)
     // query-scoped persist: both pair sides scan the assigned relation
     val e = Scratch.persist(embWithNorm(spark, sfDir)
@@ -751,7 +773,7 @@ object Similarity {
       .orderBy("dropped")
   }
 
-  private val ddSemdedupSql: String =
+  private def ddSemdedupSql: String =
     s"""WITH $duckEmbCte,
        |${ivfSqlCtes(1)},
        |sasg AS (SELECT vec_id, embedding, nrm, $semCellD AS cell FROM asg),
@@ -1080,7 +1102,10 @@ object Similarity {
     "dd_semdedup" -> (ddSemdedup _),
     "emb_centroid" -> (embCentroid _))
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: dd_embed_cosine / dd_semdedup oracle SQL embeds
+    * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
+    * generated after priming, not at class init. */
+  def oracles: Map[String, String] = Map(
     "ml_embed_drift" -> mlEmbedDriftSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_power_iter" -> embPowerIterSql,

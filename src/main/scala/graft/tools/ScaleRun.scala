@@ -23,6 +23,8 @@ object ScaleRun {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-derived shuffle parallelism via AQE coalesce (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
