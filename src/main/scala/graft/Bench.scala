@@ -60,15 +60,6 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Shuffle parallelism DERIVED FROM DATA (round-8, verdict item 7):
-      // AQE plans every exchange at up to 1024 partitions and coalesces
-      // by observed bytes; parallelismFirst (default true) floors the
-      // result at default parallelism, so small fixtures behave exactly
-      // as before while a 100× corpus gets 100× the reducers instead of
-      // spilling through a fixed 32 (gr_triangles' measured 1.141→1.081
-      // exponent was this). Cluster-mode: the same two lines, with the
-      // floor scaling to the executor count.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // TypedImperativeAggregate (SimhashAgg) groups exceed the 128-entry
       // sort-fallback default in every partition at any real scale; keep
@@ -79,8 +70,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Derive LSH/IVF corpus parameters from this fixture's footers so the
-    // bench measures the same plans Verify verifies (round 8)
+    // bench measures the same plans Verify verifies, and size shuffle
+    // partitions from the fixture's bytes (round 8, verdict item 7 —
+    // identical to the old fixed core count at bench scale, scaling up
+    // with the corpus; see Corpus.shufflePartitions for the measurement
+    // that rejected a fixed-high AQE initialPartitionNum instead)
     graft.operators.Corpus.prime(spark, sfDir)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.operators.Corpus.shufflePartitions(spark, sfDir).toString)
     // Full materialization via the noop v2 sink: every output column is
     // computed and serialized, unlike round 1's count() action, which
     // let Catalyst prune projections under the count (e.g. op_synth_uuid
@@ -156,10 +153,20 @@ object Bench {
     val p2Small = names.size - p2Eligible.size
     val cache2 = cacheMaterialize()
     var p2Skipped = 0
+    var p2OneRep = 0
     val pass2: Map[String, Seq[Double]] =
       p2Eligible.sortBy(n => -medianOf(pass1(n))).flatMap { name =>
         if (elapsedSec > 0.85 * budgetSec) { p2Skipped += 1; None }
-        else Some(name -> measure(name, Reps))
+        else {
+          // ≥2 s lines (the ones the adaptive pass can flag) get the
+          // full warmup+median-of-3; the 0.3-2 s middle tier gets
+          // warmup+1 — a cross-pass confirmation sample at half the
+          // cost, which is what doubles pass-2 coverage inside the
+          // same budget (round-8, verdict item 6)
+          val m1 = medianOf(pass1(name))
+          val reps = if (m1 >= 2.0 || m1 < 0) Reps else { p2OneRep += 1; 1 }
+          Some(name -> measure(name, reps))
+        }
       }.toMap
     val passes: Seq[(Double, Map[String, Seq[Double]])] =
       Seq((cache1, pass1), (cache2, pass2))
@@ -243,7 +250,7 @@ object Bench {
       s"pass1=${names.size}q(warmup+median-of-$Reps" +
       (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}eligible" +
-      s"(small-skip:$p2Small,budget-skip:$p2Skipped);" +
+      s"(small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
       s"pass3=${thirdSamples.size}q-of-${flagged.size}flagged(budget-skip:$p3Skipped);" +
       s"reported=min-of-pass-medians;" +
       s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s"

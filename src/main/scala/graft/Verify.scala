@@ -14,8 +14,6 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // data-derived shuffle parallelism via AQE coalesce (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       // µs parquet timestamps: DuckDB-comparable (INT96 is deprecated and
       // reads back as ns in some arrow paths, breaking value compares).
@@ -38,6 +36,9 @@ object Verify {
     // (round 8; see graft.operators.Corpus). Explicit here so a filtered
     // run that executes no deriving query still dumps synced oracles.
     graft.operators.Corpus.prime(spark, sfDir)
+    // shuffle partitions sized from fixture bytes (Corpus.shufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.operators.Corpus.shufflePartitions(spark, sfDir).toString)
     new java.io.File(outDir).mkdirs()
     // DuckDB oracle timestamps are tz-naive; Spark TimestampType writes
     // isAdjustedToUTC=true parquet (reads back tz-aware). Session TZ is

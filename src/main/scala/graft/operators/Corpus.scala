@@ -77,4 +77,44 @@ object Corpus {
   def documents: Long = docPrimed
     .orElse(sys.props.get("graft.corpus.documents").map(_.toLong))
     .getOrElse(500L)
+
+  /** Total on-disk bytes of a fixture dir's parquet tables (one listing,
+    * cached). The input-size signal for [[shufflePartitions]]. */
+  def dirBytes(spark: SparkSession, sfDir: String): Long =
+    rowBytesCache.computeIfAbsent(sfDir, _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(sfDir)
+      val fs = p.getFileSystem(conf)
+      def sz(s: org.apache.hadoop.fs.FileStatus): Long =
+        if (s.isDirectory) fs.listStatus(s.getPath).map(sz).sum else s.getLen
+      fs.listStatus(p).map(sz).sum
+    })
+
+  private val rowBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Shuffle partition count DERIVED FROM INPUT BYTES (round-8, verdict
+    * item 7): one partition per ~2 MB of compressed fixture parquet,
+    * floored at the session's core count, capped at 4096. The 2 MB
+    * target encodes the measured shuffle amplification of the heaviest
+    * plans — the co-occurrence graph family explodes ~30× the scan
+    * bytes into its joins, so 2 MB of input ≈ the standard 64 MB of
+    * shuffle per reducer. At the bench fixture (17 MB → floor) this is
+    * exactly the old fixed core count — zero behavior change — while
+    * the x100 fixture (181 MB → ~90) gets the reducer count the spill
+    * probe demanded (gr_triangles' exponent 1.141 at 32 fixed
+    * partitions vs 1.081 at 64). A first attempt used a fixed AQE
+    * initialPartitionNum=1024 instead; the bench measured 1.2-7×
+    * per-query overhead at small scale from 1024-way map outputs on
+    * every exchange — partitions must scale WITH data, not sit at the
+    * ceiling. On a cluster the same formula applies with the
+    * executor-core floor; AQE coalesce (on by default) still shrinks
+    * small exchanges below this number. */
+  def shufflePartitions(spark: SparkSession, sfDir: String): Int = {
+    val floor = spark.sparkContext.defaultParallelism
+    val target = 2L << 20
+    val byBytes = try (dirBytes(spark, sfDir) / target).toInt
+    catch { case _: Throwable => 0 }
+    math.min(4096, math.max(floor, byBytes))
+  }
 }

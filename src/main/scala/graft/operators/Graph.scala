@@ -149,15 +149,17 @@ object Graph {
     * [[edges]]; wedge counts are exact integer aggregates.
     *
     * Partition scaling (round 8, closing the r7 exponent note): the
-    * triangle join's shuffle volume grows superlinearly in edges, so a
-    * FIXED `spark.sql.shuffle.partitions` eventually spills — ScaleRun
+    * triangle join's shuffle volume grows with edges, so a FIXED
+    * `spark.sql.shuffle.partitions` eventually spills — ScaleRun
     * measured the second-decade exponent drop 1.141 → 1.081 just by
-    * doubling partitions. The harness sessions therefore plan
-    * exchanges at `spark.sql.adaptive.coalescePartitions
-    * .initialPartitionNum = 1024` and let AQE coalesce by observed
-    * bytes (floored at default parallelism by `parallelismFirst`) —
-    * reducer count derives from data, which is also the cluster-mode
-    * configuration (the floor scales with executors there). */
+    * doubling partitions. The harness sessions therefore size
+    * `shuffle.partitions` from the fixture's on-disk bytes
+    * ([[Corpus.shufflePartitions]]: bytes/64 MB, floored at the core
+    * count) — unchanged at bench scale, ~10× more reducers at the
+    * x100 fixture, which is exactly what a cluster does as data
+    * grows. (A fixed-high AQE initialPartitionNum was tried first and
+    * REJECTED by measurement: 1.2-7× per-query overhead at small
+    * scale from 1024-way map outputs on every exchange.) */
   def grTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     val canon = Scratch.persist(edges(spark, sfDir)
       .filter(col("src") < col("dst")))

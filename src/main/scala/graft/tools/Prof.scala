@@ -11,12 +11,12 @@ object Prof {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // data-derived shuffle parallelism via AQE coalesce (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.operators.Corpus.prime(spark, sf)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.operators.Corpus.shufflePartitions(spark, sf).toString)
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")

@@ -13,8 +13,6 @@ object TimeOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // data-derived shuffle parallelism via AQE coalesce (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
@@ -23,6 +21,8 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.Corpus.prime(spark, sfDir)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.operators.Corpus.shufflePartitions(spark, sfDir).toString)
     val fn = graft.SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
