@@ -602,7 +602,7 @@ object Analytics {
       .select(col("vec_id").as("cid"), col("p").as("c"))
     val assign = pts.crossJoin(broadcast(cents))
       .withColumn("d2",
-        expr("aggregate(zip_with(p, c, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"))
+        expr("vec_l2sq_long(p, c)"))
       .groupBy("vec_id")
       .agg(expr("min_by(struct(cid, p), struct(d2, cid))").as("a"))
       .select(col("a.cid").as("cid"), col("a.p").as("p"))
@@ -954,11 +954,11 @@ object Analytics {
     * division per probe. The candidate scan is the same bounded
     * probe-broadcast as ann_topk_exact. */
   def mlNdcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dotS = "aggregate(zip_with(emb, p_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    val dotS = "vec_dot(emb, p_emb)"
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"))
+        "sqrt(vec_dot(emb, emb))"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
         col("emb").as("p_emb"), col("nrm").as("p_nrm"))
@@ -1202,7 +1202,7 @@ object Analytics {
     def assign(cents: DataFrame): DataFrame =
       pts.crossJoin(broadcast(cents))
         .withColumn("d2", expr(
-          "aggregate(zip_with(p, c, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), 0D, (s, v) -> s + v)"))
+          "vec_l2sq(p, c)"))
         .groupBy("vec_id")
         .agg(expr("min_by(struct(cid, p), struct(d2, cid))").as("a"))
         .select(col("a.cid").as("cid"), col("a.p").as("p"))

@@ -43,8 +43,7 @@ object IvfPq {
   private val NProbe = 2
   private val TopN = 5
 
-  private val d2S = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
-    "cast(0 as double), (acc, v) -> acc + v)"
+  private val d2S = "vec_l2sq(%s, %s)"
 
   private def fullVec(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -54,8 +53,7 @@ object IvfPq {
     cent.map(d => s"cast('${d.toString}' as double)").mkString("array(", ", ", ")")
 
   private def d2Lit(c: String, cent: Array[Double]): String =
-    s"aggregate(zip_with($c, ${litArr(cent)}, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
+    s"vec_l2sq($c, ${litArr(cent)})"
 
   /** Nearest-cell id as ONE map-side projection over the 8 inlined
     * coarse centroids (array_min over (d2, k) structs — the same

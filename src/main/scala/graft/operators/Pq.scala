@@ -52,7 +52,7 @@ object Pq {
     * literal centroid (Spark side). */
   private def d2S(sub: String, cent: Array[Double]): String = {
     val arr = cent.map(d => s"cast('${d.toString}' as double)").mkString("array(", ", ", ")")
-    s"aggregate(zip_with($sub, $arr, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+    s"vec_l2sq($sub, $arr)"
   }
 
   /** The same fold, DuckDB side, against the oracle's computed centroid
@@ -107,7 +107,7 @@ object Pq {
       val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
       val asg = sv.join(broadcast(centDf), Seq("m"))
         .withColumn("d2", expr(
-          s"aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"))
+          s"vec_l2sq(sub, cv)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("k").as("code"), col("sub"))
@@ -255,7 +255,7 @@ object Pq {
       .join(e.select(col("vec_id").as("neighbor_id"), col("emb")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("d2", expr(
-        "aggregate(zip_with(emb, p_emb, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"))
+        "vec_l2sq(emb, p_emb)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopN)
       .select("probe_id", "neighbor_id", "d2", "rank")
@@ -291,7 +291,7 @@ object Pq {
     val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
     val exact5 = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("d2", expr(
-        "aggregate(zip_with(emb, p_emb, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"))
+        "vec_l2sq(emb, p_emb)"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopN)

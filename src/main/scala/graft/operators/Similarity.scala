@@ -28,9 +28,12 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Spark: strict-left-fold dot product of two double-array columns. */
+  /** Spark: strict-left-fold dot product of two double-array columns —
+    * the native codegen kernel [[graft.plans.VecDot]], same IEEE
+    * sequence as the HOF `aggregate(zip_with(...))` form it replaced
+    * (one flat primitive loop, no intermediate zipped array). */
   private def dotS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+    s"vec_dot($a, $b)"
 
   /** DuckDB: the same fold (list_reduce seeds with the first element;
     * Spark seeds 0.0 — adding 0.0 is exact, so results are identical). */
@@ -122,9 +125,10 @@ object Similarity {
       .select("vec_id", "emb", "qv")
   }
 
-  /** Exact integer squared distance between two code arrays. */
+  /** Exact integer squared distance between two code arrays (native
+    * codegen kernel, exact long arithmetic). */
   private def qdistS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+    s"vec_l2sq_long($a, $b)"
 
   private val sq8QuantCte: String =
     """b AS (
@@ -219,7 +223,7 @@ object Similarity {
     * double fold as the cosine path. */
   def annSq8Recall(spark: SparkSession, sfDir: String): DataFrame = {
     def l2S(a: String, b: String): String =
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+      s"vec_l2sq($a, $b)"
     val e = embSq8(spark, sfDir)
     val probes = e.select(col("vec_id").as("probe_id"),
         col("emb").as("p_emb"), col("qv").as("p_qv"))

@@ -59,5 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "cms_agg(hash_col) takes exactly 1 argument")
       }))
+    def binary(name: String, mk: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VecDot].getName, name),
+        (args: Seq[Expression]) => args match {
+          case Seq(a, b) => mk(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"$name(a, b) takes exactly 2 arguments")
+        }))
+    binary("vec_dot", VecDot)
+    binary("vec_l2sq", VecL2Sq)
+    binary("vec_l2sq_long", VecL2SqLong)
   }
 }

@@ -61,6 +61,12 @@ object FunctionBridge {
       graft.plans.SimhashAgg(args.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("cms_agg", args =>
       graft.plans.CmsAgg(args.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot", args =>
+      graft.plans.VecDot(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2sq", args =>
+      graft.plans.VecL2Sq(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2sq_long", args =>
+      graft.plans.VecL2SqLong(args(0), args(1)), "scala_udf")
   }
 }
 
