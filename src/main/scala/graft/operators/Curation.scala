@@ -590,7 +590,158 @@ object Curation {
       |  min(class_size)::BIGINT AS min_class_size
       |FROM classes GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** FILTER-CASCADE ATTRITION FUNNEL — the per-rule survivorship
+    * report every published curation pipeline tabulates (RefinedWeb /
+    * Gopher-rules style): documents pass a fixed rule sequence, each
+    * doc is charged to the FIRST rule it violates, and the report
+    * shows, per rule in order, how many docs reached it, how many it
+    * dropped, how many survived, and the drop rate. This is the
+    * operational artifact that tells a pipeline owner WHICH gate is
+    * eating the corpus before they ship a config change.
+    *
+    * Exactness: every ratio threshold is an integer cross-
+    * multiplication (`stop_hits·50 ≥ n_tokens` for a 2% floor, etc. —
+    * the BM25 rational-arithmetic discipline), so rule outcomes are
+    * exact in both engines; the only double is the final
+    * n_dropped/n_in division on identical integers.
+    *
+    * Shape at scale: one map-side pass computes per-doc counters and
+    * the first-failed-rule id; one aggregation shrinks the corpus to
+    * ≤ K+1 rows; the funnel arithmetic (windowed cumulative drop) runs
+    * on that bounded rule table. The corpus text never shuffles. */
+  def cuFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val ruleNames = Seq("min_chars", "max_chars", "min_tokens",
+      "stopword_floor", "mean_tok_len", "digit_ratio")
+    val conds = Seq( // rule i PASSES iff cond(i); identical SQL both engines
+      "n_chars >= 100",
+      "n_chars <= 400",
+      "n_tokens >= 15",
+      "stop_hits * 50 >= n_tokens",
+      "3 * n_tokens <= tok_len_sum AND tok_len_sum <= 9 * n_tokens",
+      "digits * 5 < n_chars")
+    val firstFail = conds.zipWithIndex
+      .map { case (c, i) => s"WHEN NOT ($c) THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_len_sum", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, t -> t IN ($inStops)))").cast("long"))
+      .withColumn("digits",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+    val counts = docs.withColumn("first_fail", expr(firstFail))
+      .groupBy("first_fail").agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val rulesDf = spark.createDataFrame(
+      ruleNames.zipWithIndex.map { case (nm, i) => ((i + 1).toLong, nm) })
+      .toDF("rule_id", "rule")
+    val wPrev = Window.orderBy("rule_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    broadcast(rulesDf)
+      .join(counts, col("rule_id") === col("first_fail"), "left")
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum("n_dropped").over(wPrev), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .withColumn("drop_pct", when(col("n_in") === 0L, lit(0.0))
+        .otherwise(col("n_dropped").cast("double") / col("n_in").cast("double")))
+      .select("rule_id", "rule", "n_in", "n_dropped", "n_out", "drop_pct")
+      .orderBy("rule_id")
+  }
+
+  private val cuFilterFunnelSql: String = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val ruleNames = Seq("min_chars", "max_chars", "min_tokens",
+      "stopword_floor", "mean_tok_len", "digit_ratio")
+    val conds = Seq(
+      "n_chars >= 100",
+      "n_chars <= 400",
+      "n_tokens >= 15",
+      "stop_hits * 50 >= n_tokens",
+      "3 * n_tokens <= tok_len_sum AND tok_len_sum <= 9 * n_tokens",
+      "digits * 5 < n_chars")
+    val firstFail = conds.zipWithIndex
+      .map { case (c, i) => s"WHEN NOT ($c) THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val ruleRows = ruleNames.zipWithIndex
+      .map { case (nm, i) => s"(${i + 1}, '$nm')" }.mkString(", ")
+    s"""WITH m AS (
+       |  SELECT n_chars, len(w)::BIGINT AS n_tokens,
+       |    list_reduce(list_transform(w, t -> len(t)), (x, y) -> x + y)::BIGINT AS tok_len_sum,
+       |    len(list_filter(w, t -> t IN ($inStops)))::BIGINT AS stop_hits,
+       |    len(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digits
+       |  FROM (SELECT n_chars, text, string_split(text, ' ') AS w FROM documents) t),
+       |counts AS (
+       |  SELECT ($firstFail) AS first_fail, count(*)::BIGINT AS n
+       |  FROM m GROUP BY 1),
+       |rules(rule_id, rule) AS (VALUES $ruleRows),
+       |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+       |funnel AS (
+       |  SELECT r.rule_id::BIGINT AS rule_id, r.rule,
+       |    coalesce(c.n, 0)::BIGINT AS n_dropped,
+       |    (t.n_total - coalesce(sum(coalesce(c.n, 0)) OVER (ORDER BY r.rule_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_in
+       |  FROM rules r LEFT JOIN counts c ON c.first_fail = r.rule_id, tot t)
+       |SELECT rule_id, rule, n_in, n_dropped,
+       |  (n_in - n_dropped)::BIGINT AS n_out,
+       |  CASE WHEN n_in = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE n_dropped::DOUBLE / n_in::DOUBLE END AS drop_pct
+       |FROM funnel ORDER BY rule_id""".stripMargin
+  }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual/domain
+    * rebalancing rule from mBERT/XLM-R (Devlin et al. 2019; Conneau
+    * et al. 2020): sample group i with probability `pᵢ ∝ nᵢ^α`
+    * (α = 0.5 here), flattening the natural distribution so
+    * low-resource groups are upsampled without letting them dominate.
+    * The report gives each lang's natural count, its temperature
+    * probability, and the per-doc `boost` multiplier `pᵢ·N/nᵢ` an
+    * importance sampler applies (boost > 1 ⇒ upsampled).
+    *
+    * Bit-exactness: α = 0.5 makes `n^α = sqrt(n)` — IEEE sqrt is
+    * CORRECTLY ROUNDED in both engines (unlike exp/ln/pow, which is
+    * why this entry pins α at a half rather than parameterizing it).
+    * The normalizer folds the per-group sqrt terms in lang order via
+    * an explicit sorted-array fold on both engines, then each p and
+    * boost is a fixed two-op double sequence.
+    *
+    * Shape at scale: one lang-keyed count aggregation (map-side
+    * partials) to a ~5-row table; the ONE-ROW normalizer is broadcast
+    * back (scalar-subquery shape). Corpus text never moves. */
+  def cuTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", sqrt(col("n_docs").cast("double")))
+    val tot = g.agg(
+      sum("n_docs").as("n_total"),
+      expr("aggregate(transform(array_sort(collect_list(struct(lang, s))), " +
+        "x -> x.s), cast(0 as double), (a, v) -> a + v)").as("s_total"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("p", col("s") / col("s_total"))
+      .withColumn("boost",
+        (col("p") * col("n_total").cast("double")) / col("n_docs").cast("double"))
+      .select("lang", "n_docs", "p", "boost")
+      .orderBy("lang")
+  }
+
+  private val cuTemperatureMixSql: String =
+    """WITH g AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs,
+      |    sqrt(count(*)::DOUBLE) AS s
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT sum(n_docs)::BIGINT AS n_total,
+      |    list_reduce(list(s ORDER BY lang), (x, y) -> x + y) AS s_total
+      |  FROM g)
+      |SELECT lang, n_docs, s / s_total AS p,
+      |  ((s / s_total) * n_total::DOUBLE) / n_docs::DOUBLE AS boost
+      |FROM g, tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_temperature_mix" -> (cuTemperatureMix _),
+    "cu_filter_funnel" -> (cuFilterFunnel _),
     "cu_k_anon" -> (cuKAnon _),
     "cu_score_filter" -> (cuScoreFilter _),
     "cu_corpus_shuffle" -> (cuCorpusShuffle _),
@@ -605,6 +756,8 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_temperature_mix" -> cuTemperatureMixSql,
+    "cu_filter_funnel" -> cuFilterFunnelSql,
     "cu_k_anon" -> cuKAnonSql,
     "cu_corpus_shuffle" -> cuCorpusShuffleSql,
     "cu_dedup_soft" -> cuDedupSoftSql,

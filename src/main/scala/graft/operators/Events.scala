@@ -1045,7 +1045,62 @@ object Events {
       |FROM events e JOIN mad ON mad.event_type = e.event_type
       |ORDER BY abs(rz) DESC, event_id LIMIT 20""".stripMargin
 
+  /** GINI CONCENTRATION of activity — per event type, how unequally
+    * the event volume is distributed across users (the power-user /
+    * long-tail diagnostic behind sampling and rate-limit policy: a
+    * Gini near 0 means uniform usage, near 1 means a few users
+    * dominate — which also predicts shuffle-key skew for any
+    * user-keyed operator downstream, making this the skew PROBE you
+    * run before choosing a salting factor).
+    *
+    * Computed by the rank formula on ascending-sorted per-user counts
+    * x₁≤…≤xₙ: `G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)`. Ranks carry a
+    * user_id tie-break so `Σ i·xᵢ` is deterministic under equal
+    * counts (ties permute ranks WITHIN an equal-x run, and i·x sums
+    * are invariant under permutations within a run, but the explicit
+    * tie-break keeps the row_number itself reproducible too). All
+    * sums are exact BIGINTs; the Gini is ONE double division.
+    *
+    * Shape at scale: one user-keyed aggregation (map-side partials),
+    * one in-partition sort per event type for the rank, one
+    * type-keyed re-aggregation — the per-type relation is
+    * users-sized, never events-sized, and nothing is collected. */
+  def evGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("x"), col("user_id"))
+    Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_users"),
+        sum("x").as("n_events"),
+        sum(col("i") * col("x")).as("ix_sum"))
+      .withColumn("gini",
+        (lit(2L) * col("ix_sum") - (col("n_users") + lit(1L)) * col("n_events"))
+          .cast("double") /
+          (col("n_users") * col("n_events")).cast("double"))
+      .select("event_type", "n_users", "n_events", "gini")
+      .orderBy("event_type")
+  }
+
+  private val evGiniSql: String =
+    """WITH per AS (
+      |  SELECT event_type, user_id, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, user_id)::BIGINT AS i
+      |  FROM per),
+      |agg AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_users,
+      |    sum(x)::BIGINT AS n_events, sum(i * x)::BIGINT AS ix_sum
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type, n_users, n_events,
+      |  (2 * ix_sum - (n_users + 1) * n_events)::DOUBLE
+      |    / (n_users * n_events)::DOUBLE AS gini
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gini" -> (evGini _),
     "ev_anomaly_mad" -> (evAnomalyMad _),
     "ev_session_cap" -> (evSessionCap _),
     "op_ewma" -> (opEwma _),
@@ -1075,6 +1130,7 @@ object Events {
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
+    "ev_gini" -> evGiniSql,
     "ev_anomaly_mad" -> evAnomalyMadSql,
     "ev_session_cap" -> evSessionCapSql,
     "op_ewma" -> opEwmaSql,

@@ -208,7 +208,123 @@ object MlPrep {
        |ORDER BY train_pct_buckets, b.cat""".stripMargin
   }
 
+  /** CHI-SQUARED FEATURE SELECTION — the classic filter-method ranking
+    * (Yang & Pedersen 1997 for text): score every hashed token feature
+    * against a binary label (`lang = 'en'`) with the 2×2 chi² statistic
+    * and keep the top 15. With counts a (feature∧en), b (feature∧¬en),
+    * c (¬feature∧en), d (¬feature∧¬en):
+    * `chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    *
+    * Bit-exactness: all counts and `ad−bc` are exact BIGINTs (≤ ~4e11
+    * at any shipped fixture, far inside int64 and inside double's 2^53
+    * exact-integer range), and the chi² is then a FIXED parenthesised
+    * sequence of double multiplications and one division — the same
+    * IEEE ops on the same inputs in both engines, so the ranking and
+    * the reported statistic hash-match (no transcendental functions,
+    * which is why chi² is chosen here over mutual information — MI's
+    * log() is not cross-engine reproducible; the repo-wide log-free
+    * discipline of [[TextAnalysis]]'s BM25 applies).
+    *
+    * Shape at scale: one map-side token explode + hash, one
+    * aggregation to a [[MlPrep.Chi2Buckets]]-row feature table, then
+    * all arithmetic on that bounded table (the ONE-ROW total is
+    * broadcast — scalar-subquery shape). The corpus never shuffles
+    * by anything wider than the 64-key bucket id with map-side
+    * partial aggregation; at 100 TB the shuffle carries ≤ B rows per
+    * mapper. */
+  def mlChi2Select(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", expr(s"${Text.hash60SparkSql("tok")} % $Chi2Buckets"))
+      .withColumn("is_en", (col("lang") === "en").cast("long"))
+      .groupBy("bucket").agg(
+        sum(col("is_en")).as("n_en"),
+        sum(lit(1L) - col("is_en")).as("n_other"))
+    val tot = per.agg(sum("n_en").as("t_en"), sum("n_other").as("t_other"))
+    val wTop = Window.orderBy(col("chi2").desc, col("bucket"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("c", col("t_en") - col("n_en"))
+      .withColumn("d", col("t_other") - col("n_other"))
+      .withColumn("diff", col("n_en") * col("d") - col("n_other") * col("c"))
+      .withColumn("chi2",
+        ((col("t_en") + col("t_other")).cast("double") *
+          (col("diff").cast("double") * col("diff").cast("double"))) /
+          (((col("n_en") + col("n_other")).cast("double") *
+            (col("c") + col("d")).cast("double")) *
+            ((col("n_en") + col("c")).cast("double") *
+              (col("n_other") + col("d")).cast("double"))))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 15)
+      .select("rank", "bucket", "n_en", "n_other", "chi2")
+      .orderBy("rank")
+  }
+
+  private val Chi2Buckets = 64
+
+  private val mlChi2SelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |per AS (
+       |  SELECT ${Text.hash60DuckSql("tok")} % $Chi2Buckets AS bucket,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n_other
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT sum(n_en)::BIGINT AS t_en, sum(n_other)::BIGINT AS t_other FROM per),
+       |scored AS (
+       |  SELECT bucket, n_en, n_other,
+       |    (t_en - n_en) AS c, (t_other - n_other) AS d,
+       |    (n_en * (t_other - n_other) - n_other * (t_en - n_en)) AS diff,
+       |    t_en, t_other
+       |  FROM per, tot),
+       |chi AS (
+       |  SELECT bucket, n_en, n_other,
+       |    ((t_en + t_other)::DOUBLE * (diff::DOUBLE * diff::DOUBLE)) /
+       |      (((n_en + n_other)::DOUBLE * (c + d)::DOUBLE) *
+       |        ((n_en + c)::DOUBLE * (n_other + d)::DOUBLE)) AS chi2
+       |  FROM scored)
+       |SELECT rank, bucket, n_en, n_other, chi2 FROM (
+       |  SELECT *, row_number() OVER (ORDER BY chi2 DESC, bucket)::BIGINT AS rank
+       |  FROM chi) t
+       |WHERE rank <= 15 ORDER BY rank""".stripMargin
+
+  /** GROUP K-FOLD assignment — cross-validation folds where every
+    * event of a user lands in the SAME fold (the leakage guard:
+    * correlated rows from one entity must not straddle train and
+    * validation). The fold is a pure function of the GROUP key
+    * (md5-bucket of user_id, the [[mlSplit]] discipline), so
+    * assignment is reproducible at any parallelism, under retries,
+    * and incrementally — no membership list is ever materialized.
+    * The readout reports per-fold group/row counts and label balance
+    * (share of purchase events), each ONE division on exact integers.
+    * Shape at scale: one map-side hash + one fold-keyed aggregation
+    * (5 groups) with map-side partials; nothing else moves. */
+  def mlGroupKfold(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("fold",
+        expr(s"${Text.hash60SparkSql("concat('fold:', cast(user_id as string))")} % 5"))
+      .groupBy("fold").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchase"),
+        sum(expr("user_id % 9973")).as("user_check"))
+      .withColumn("purchase_rate",
+        col("n_purchase").cast("double") / col("n_events").cast("double"))
+      .select("fold", "n_users", "n_events", "n_purchase", "purchase_rate", "user_check")
+      .orderBy("fold")
+
+  private val mlGroupKfoldSql: String =
+    s"""SELECT ${Text.hash60DuckSql("'fold:' || user_id::VARCHAR")} % 5 AS fold,
+       |  count(DISTINCT user_id)::BIGINT AS n_users,
+       |  count(*)::BIGINT AS n_events,
+       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE AS purchase_rate,
+       |  sum(user_id % 9973)::BIGINT AS user_check
+       |FROM events GROUP BY 1 ORDER BY fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_chi2_select" -> (mlChi2Select _),
+    "ml_group_kfold" -> (mlGroupKfold _),
     "ml_learning_curve" -> (mlLearningCurve _),
     "ml_split" -> (mlSplit _),
     "ml_feature_hash" -> (mlFeatureHash _),
@@ -216,6 +332,8 @@ object MlPrep {
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_chi2_select" -> mlChi2SelectSql,
+    "ml_group_kfold" -> mlGroupKfoldSql,
     "ml_learning_curve" -> mlLearningCurveSql,
     "ml_split" -> mlSplitSql,
     "ml_feature_hash" -> mlFeatureHashSql,

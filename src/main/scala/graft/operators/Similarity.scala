@@ -1088,7 +1088,147 @@ object Similarity {
       |  sum((abs(diff) > 0.01)::INT)::BIGINT AS n_drift_dims
       |FROM d""".stripMargin
 
+  /** MARGIN-CRITERION bitext/pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining"): score a candidate pair
+    * (x, y) by its cosine RELATIVE to each side's neighborhood —
+    * `margin = cos(x,y) / ((meanNNₖ(x) + meanNNₖ(y)) / 2)` — which
+    * suppresses hub vectors that are near everything. The two "corpora"
+    * are the label halves of the embeddings table (A: label<5,
+    * B: label≥5); each normalizer is the mean of the side's top-k
+    * cosines INTO THE OTHER CORPUS, per the paper.
+    *
+    * Shape at scale: the exact bounded form here is the verification
+    * baseline — probes and the ≤ probes·k candidate set are broadcast,
+    * the corpus streams map-side through [[graft.plans.VecDot]] scans
+    * and never shuffles (same whitelisted plan as ann_topk_exact). The
+    * 100 TB path swaps each exact NN list for the LSH-bucketed
+    * candidate join (ann_lsh_bucketed's shape) in both directions;
+    * the margin arithmetic is unchanged.
+    *
+    * Bit-exactness: each mean folds the top-k cosines in RANK order
+    * (explicit sorted-array fold on both engines) and divides once;
+    * margin is one add, one halving, one division — identical IEEE
+    * sequence in Spark and DuckDB. */
+  def annMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 4
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .select("vec_id", "label", "emb", "nrm")
+    val a = e.filter(col("label") < 5)
+    val b = e.filter(col("label") >= 5)
+    val probes = a.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val rankFold =
+      "aggregate(transform(array_sort(collect_list(struct(rnk, cosine))), s -> s.cosine), " +
+        s"cast(0 as double), (acc, v) -> acc + v) / cast($K as double)"
+    val wx = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("cand_id"))
+    val pb = Scratch.persist(b.crossJoin(broadcast(probes))
+      .withColumn("cosine", expr("vec_dot(emb, p_emb)") / (col("nrm") * col("p_nrm")))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("cosine"))
+      .withColumn("rnk", row_number().over(wx))
+      .filter(col("rnk") <= K))
+    val xmean = pb.groupBy("probe_id").agg(expr(rankFold).as("xmean"))
+    val candVecs = b.join(broadcast(pb.select("cand_id").distinct()),
+        col("vec_id") === col("cand_id"))
+      .select(col("cand_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wy = Window.partitionBy("cand_id").orderBy(col("cosine").desc, col("a_id"))
+    val ymean = a.crossJoin(broadcast(candVecs))
+      .withColumn("cosine", expr("vec_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")))
+      .select(col("cand_id"), col("vec_id").as("a_id"), col("cosine"))
+      .withColumn("rnk", row_number().over(wy))
+      .filter(col("rnk") <= K)
+      .groupBy("cand_id").agg(expr(rankFold).as("ymean"))
+    val wm = Window.partitionBy("probe_id").orderBy(col("margin").desc, col("cand_id"))
+    pb.join(broadcast(xmean), Seq("probe_id"))
+      .join(broadcast(ymean), Seq("cand_id"))
+      .withColumn("margin", col("cosine") / ((col("xmean") + col("ymean")) * lit(0.5)))
+      .withColumn("mrank", row_number().over(wm).cast("long"))
+      .filter(col("mrank") <= 3)
+      .select("probe_id", "cand_id", "cosine", "margin", "mrank")
+      .orderBy("probe_id", "mrank")
+  }
+
+  private val annMarginSql: String = {
+    val K = 4
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotD("embedding", "embedding")}) AS nrm FROM embeddings),
+       |a AS (SELECT * FROM e WHERE label < 5),
+       |b AS (SELECT * FROM e WHERE label >= 5),
+       |p AS (SELECT vec_id AS probe_id, embedding AS p_embedding, nrm AS p_nrm
+       |      FROM a WHERE vec_id < 8),
+       |pb AS (
+       |  SELECT * FROM (
+       |    SELECT p.probe_id, b.vec_id AS cand_id,
+       |      ${dotD("b.embedding", "p.p_embedding")} / (b.nrm * p.p_nrm) AS cosine,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${dotD("b.embedding", "p.p_embedding")} / (b.nrm * p.p_nrm) DESC,
+       |                 b.vec_id) AS rnk
+       |    FROM b, p) t WHERE rnk <= $K),
+       |xmean AS (
+       |  SELECT probe_id,
+       |    list_reduce(list(cosine ORDER BY rnk), (x, y) -> x + y) / $K.0 AS xmean
+       |  FROM pb GROUP BY probe_id),
+       |cv AS (SELECT DISTINCT cand_id FROM pb),
+       |ya AS (
+       |  SELECT * FROM (
+       |    SELECT c.cand_id, a.vec_id AS a_id,
+       |      ${dotD("a.embedding", "cb.embedding")} / (a.nrm * cb.nrm) AS cosine,
+       |      row_number() OVER (PARTITION BY c.cand_id
+       |        ORDER BY ${dotD("a.embedding", "cb.embedding")} / (a.nrm * cb.nrm) DESC,
+       |                 a.vec_id) AS rnk
+       |    FROM cv c JOIN b cb ON cb.vec_id = c.cand_id, a) t WHERE rnk <= $K),
+       |ymean AS (
+       |  SELECT cand_id,
+       |    list_reduce(list(cosine ORDER BY rnk), (x, y) -> x + y) / $K.0 AS ymean
+       |  FROM ya GROUP BY cand_id)
+       |SELECT probe_id, cand_id, cosine, margin, mrank FROM (
+       |  SELECT pb.probe_id, pb.cand_id, pb.cosine,
+       |    pb.cosine / ((xmean.xmean + ymean.ymean) * 0.5) AS margin,
+       |    row_number() OVER (PARTITION BY pb.probe_id
+       |      ORDER BY pb.cosine / ((xmean.xmean + ymean.ymean) * 0.5) DESC,
+       |               pb.cand_id)::BIGINT AS mrank
+       |  FROM pb JOIN xmean USING (probe_id) JOIN ymean USING (cand_id)) t
+       |WHERE mrank <= 3 ORDER BY probe_id, mrank""".stripMargin
+  }
+
+  /** The vector kernels as PURE SQL surface (the ta_sql_shingles
+    * pattern for [[graft.plans.VecDot]]/[[graft.plans.VecL2Sq]]): a
+    * SQL-only consumer of the library calls `vec_dot`/`vec_l2sq` from
+    * `spark.sql` exactly like built-ins — registered by
+    * [[graft.plans.GraftExtensions]], analyzed and codegen'd by
+    * Catalyst. The reference-vector comparison uses scalar subqueries
+    * (broadcast one-row shapes), so the corpus scan is map-side. */
+  def annSqlVec(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_sql_emb")
+    spark.sql(
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> cast(x as double)) AS emb
+        |  FROM graft_sql_emb)
+        |SELECT vec_id,
+        |  sqrt(vec_dot(emb, emb)) AS nrm,
+        |  vec_dot(emb, (SELECT emb FROM e WHERE vec_id = 0)) AS dot0,
+        |  vec_l2sq(emb, (SELECT emb FROM e WHERE vec_id = 0)) AS l2sq0
+        |FROM e WHERE vec_id < 50 ORDER BY vec_id""".stripMargin)
+  }
+
+  private val annSqlVecSql: String = {
+    def l2DD(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (SELECT embedding AS p_emb FROM e WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  sqrt(${dotD("e.embedding", "e.embedding")}) AS nrm,
+       |  ${dotD("e.embedding", "p.p_emb")} AS dot0,
+       |  ${l2DD("e.embedding", "p.p_emb")} AS l2sq0
+       |FROM e, p WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sql_vec" -> (annSqlVec _),
+    "ann_margin" -> (annMargin _),
     "ml_embed_drift" -> (mlEmbedDrift _),
     "emb_covariance" -> (embCovariance _),
     "emb_power_iter" -> (embPowerIter _),
@@ -1110,6 +1250,8 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "ann_sql_vec" -> annSqlVecSql,
+    "ann_margin" -> annMarginSql,
     "ml_embed_drift" -> mlEmbedDriftSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_power_iter" -> embPowerIterSql,

@@ -890,7 +890,51 @@ object TextAnalysis {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** CODE-vs-PROSE detection — the corpus-composition gate every LLM
+    * data pipeline runs to route documents to the right mixture bucket
+    * (code is upsampled or downsampled deliberately, never by
+    * accident). Heuristic: density of code-punctuation characters
+    * (`{}();=<>#&|` — braces, statement/assignment/comparison/pipe
+    * glyphs rare in natural prose, dense in every mainstream language's
+    * source). A doc is flagged code iff symbols ≥ 5% of characters,
+    * expressed as the integer cross-multiplication `n_sym·20 ≥ n_chars`
+    * (no float threshold). The per-lang report's permille column is
+    * integer-scaled and divided ONCE.
+    *
+    * The character class is spelled identically for Java regex and RE2
+    * (all members are literal inside a class in both dialects), so the
+    * two engines count the same symbols. Shape at scale: pure map-side
+    * per-doc arithmetic + one 5-row aggregation; the text never
+    * shuffles. */
+  def taCodeDetect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_sym",
+        length(regexp_replace(col("text"), "[^{}();=<>#&|]", "")).cast("long"))
+      .withColumn("is_code", (col("n_sym") * lit(20L) >= col("n_chars")).cast("long"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_code")).as("n_code"),
+        sum(col("n_sym")).as("sum_sym"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(col("n_sym")).as("max_sym"))
+      .withColumn("sym_permille",
+        (col("sum_sym") * lit(1000L)).cast("double") / col("sum_chars").cast("double"))
+      .select("lang", "n_docs", "n_code", "max_sym", "sym_permille")
+      .orderBy("lang")
+
+  private val taCodeDetectSql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    len(regexp_replace(text, '[^{}();=<>#&|]', '', 'g'))::BIGINT AS n_sym
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN n_sym * 20 >= n_chars THEN 1 ELSE 0 END)::BIGINT AS n_code,
+      |  max(n_sym)::BIGINT AS max_sym,
+      |  (sum(n_sym)::BIGINT * 1000)::DOUBLE / sum(n_chars)::BIGINT::DOUBLE AS sym_permille
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_code_detect" -> (taCodeDetect _),
     "ta_winnowing" -> (taWinnowing _),
     "ta_readability" -> (taReadability _),
     "ta_bpe_learn" -> (taBpeLearn _),
@@ -914,6 +958,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_code_detect" -> taCodeDetectSql,
     "ta_winnowing" -> taWinnowingSql,
     "ta_readability" -> taReadabilitySql,
     "ta_bpe_learn" -> taBpeLearnSql,

@@ -128,7 +128,18 @@ class PlanSpec extends SparkSpec {
         // bucketed pool; ev_survival its 5-row checkpoint dim into the
         // horizon-bounded duration grid — the bounded scalar-batch
         // shape again
-        "ml_learning_curve", "ev_survival")
+        "ml_learning_curve", "ev_survival",
+        // ann_margin: the ann_topk_exact shape twice — bounded probe
+        // batch (≤8 rows) and bounded candidate batch (≤ probes·k)
+        // broadcast into corpus scans; plus the funnel/scalar one-row
+        // totals. ann_sql_vec: two scalar subqueries (the reference
+        // vector) — 1-row build sides. cu_filter_funnel: ONE-ROW
+        // corpus-total aggregate into the 6-row rule table.
+        "ann_margin", "ann_sql_vec", "cu_filter_funnel",
+        // cu_temperature_mix / ml_chi2_select: ONE-ROW normalizer /
+        // totals aggregate broadcast into a ≤64-row group table —
+        // the same bounded scalar-subquery shape
+        "cu_temperature_mix", "ml_chi2_select")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
