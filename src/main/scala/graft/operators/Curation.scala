@@ -739,7 +739,78 @@ object Curation {
       |  ((s / s_total) * n_total::DOUBLE) / n_docs::DOUBLE AS boost
       |FROM g, tot ORDER BY lang""".stripMargin
 
+  /** BOILERPLATE REMOVAL ACCOUNTING — the CCNet/RefinedWeb template
+    * strip: a text unit that recurs across MANY DISTINCT DOCUMENTS is
+    * navigation/footer/disclaimer noise, and unlike [[ddSpanDedup]]
+    * (which keeps the FIRST occurrence of a duplicated span — dedup
+    * semantics) boilerplate removal drops EVERY occurrence, because a
+    * template string carries no training signal even once. The unit
+    * here is a non-overlapping 3-token block (the fixture has no line
+    * breaks; on real corpora the unit is the line) and the rule is
+    * document frequency ≥ 5. The report gives per-source block counts,
+    * tokens removed, and the retention rate a pipeline owner watches
+    * when tuning the df threshold.
+    *
+    * Shape at scale: block construction is a per-row projection; ONE
+    * shuffle on the block-hash key builds the document-frequency
+    * table (map-side partial distinct-count), the blocks⋈df equi-join
+    * reuses that same hash partitioning (no extra exchange), and the
+    * final per-source rollup is a ~20-row aggregate. High-frequency
+    * blocks are exactly the rows AQE's skew handling splits if one
+    * template dominates. All counters are exact BIGINTs; retention is
+    * ONE double division. */
+  def cuBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val Bk = 3
+    val blocks = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) + $Bk - 1) div $Bk - 1), i -> slice(toks, i * $Bk + 1, $Bk))"))
+        .as(Seq("blk_no", "blk")))
+      .withColumn("blk_len", size(col("blk")).cast("long"))
+      .withColumn("h", expr(
+        graft.functions.Text.hash60SparkSql("concat('bp:', concat_ws(' ', blk))")))
+    val dfreq = blocks.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    blocks.join(dfreq, "h")
+      .withColumn("is_boiler", (col("df") >= 5).cast("long"))
+      .groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("is_boiler")).as("n_boiler_blocks"),
+        sum(col("blk_len")).as("n_tokens"),
+        sum(col("is_boiler") * col("blk_len")).as("tokens_removed"))
+      .withColumn("retention_permille",
+        ((col("n_tokens") - col("tokens_removed")) * lit(1000L)).cast("double") /
+          col("n_tokens").cast("double"))
+      .select("source", "n_docs", "n_blocks", "n_boiler_blocks",
+        "tokens_removed", "retention_permille")
+      .orderBy("source")
+  }
+
+  private val cuBoilerplateSql: String = {
+    val h = graft.functions.Text.hash60DuckSql("'bp:' || array_to_string(blk, ' ')")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, source,
+       |    toks[(i - 1) * 3 + 1 : least(i * 3, len(toks))] AS blk
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(1, (len(toks) + 2) // 3)) AS i
+       |        FROM toks) t),
+       |hashed AS (
+       |  SELECT doc_id, source, len(blk)::BIGINT AS blk_len, $h AS h FROM blocks),
+       |dfreq AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS df FROM hashed GROUP BY h)
+       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_blocks,
+       |  sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_boiler_blocks,
+       |  sum(CASE WHEN df >= 5 THEN blk_len ELSE 0 END)::BIGINT AS tokens_removed,
+       |  ((sum(blk_len)::BIGINT - sum(CASE WHEN df >= 5 THEN blk_len ELSE 0 END)::BIGINT)
+       |    * 1000)::DOUBLE / sum(blk_len)::BIGINT::DOUBLE AS retention_permille
+       |FROM hashed JOIN dfreq USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_boilerplate" -> (cuBoilerplate _),
     "cu_temperature_mix" -> (cuTemperatureMix _),
     "cu_filter_funnel" -> (cuFilterFunnel _),
     "cu_k_anon" -> (cuKAnon _),
@@ -756,6 +827,7 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_boilerplate" -> cuBoilerplateSql,
     "cu_temperature_mix" -> cuTemperatureMixSql,
     "cu_filter_funnel" -> cuFilterFunnelSql,
     "cu_k_anon" -> cuKAnonSql,

@@ -322,7 +322,36 @@ object MlPrep {
        |  sum(user_id % 9973)::BIGINT AS user_check
        |FROM events GROUP BY 1 ORDER BY fold""".stripMargin
 
+  /** INVERSE-FREQUENCY CLASS WEIGHTS — the imbalance correction a
+    * trainer applies when one label dominates: `w_c = N / (K·n_c)`
+    * (the sklearn "balanced" convention), so each class contributes
+    * equally to the loss regardless of its share. Counts are exact;
+    * the weight is ONE double division of exact integers, so both
+    * engines agree bitwise. Shape at scale: one label-keyed count
+    * (map-side partials) to a K-row table; the ONE-ROW (N, K) total
+    * is broadcast back — scalar-subquery shape. */
+  def mlClassWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("n_total"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        col("n_total").cast("double") / (col("k") * col("n")).cast("double"))
+      .select("label", "n", "weight")
+      .orderBy("label")
+  }
+
+  private val mlClassWeightsSql: String =
+    """WITH per AS (
+      |  SELECT label::BIGINT AS label, count(*)::BIGINT AS n
+      |  FROM embeddings GROUP BY 1),
+      |tot AS (SELECT sum(n)::BIGINT AS n_total, count(*)::BIGINT AS k FROM per)
+      |SELECT label, n, n_total::DOUBLE / (k * n)::DOUBLE AS weight
+      |FROM per, tot ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_class_weights" -> (mlClassWeights _),
     "ml_chi2_select" -> (mlChi2Select _),
     "ml_group_kfold" -> (mlGroupKfold _),
     "ml_learning_curve" -> (mlLearningCurve _),
@@ -332,6 +361,7 @@ object MlPrep {
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_class_weights" -> mlClassWeightsSql,
     "ml_chi2_select" -> mlChi2SelectSql,
     "ml_group_kfold" -> mlGroupKfoldSql,
     "ml_learning_curve" -> mlLearningCurveSql,

@@ -202,7 +202,72 @@ object Multimodal {
       |  sum(keep_id)::BIGINT AS keep_id_check
       |FROM groups GROUP BY n_copies ORDER BY n_copies""".stripMargin
 
+  /** PERCEPTUAL-STYLE NEAR-DUP over media bytes — the histogram-
+    * signature technique image lakes use where [[mmDedupBytes]]' exact
+    * md5 fails: a re-encoded or slightly-edited copy hashes differently
+    * but its content HISTOGRAM barely moves. Signature = the 8-bucket
+    * byte-value histogram of the first 64 content bytes, each count
+    * quantized by ÷8 (the coarse-binning that absorbs small edits) and
+    * serialized to a join key. The corpus is docs ∪ a one-byte-edited
+    * re-ingest of every doc under new ids: md5 distinguishes all of
+    * them (exact dedup finds NOTHING), while the quantized signature
+    * collides for most edited pairs — `n_mixed_groups` counts the
+    * near-dup catches, and the gap to the group total is the honest
+    * quantization-boundary miss rate a deployment tunes with bucket
+    * width. On real media the histogram comes from the decoder
+    * ([[stubDecode]]'s role); the signature join shape is unchanged.
+    *
+    * Shape at scale: signature construction is a bounded per-row fold
+    * (8×64 byte probes); ONE shuffle groups by the signature key —
+    * the same bucketed equi-join scale shape as every dd_* entry,
+    * never all-pairs. */
+  def mmHistoNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      expr("concat(substring(text, 1, 9), 'z', substring(text, 11))").as("text")))
+    corpus
+      .withColumn("sig", expr(
+        """concat_ws(',', transform(
+          |  transform(sequence(0, 7), b ->
+          |    aggregate(sequence(1, least(64, length(text))), 0L,
+          |      (acc, i) -> acc + if(ascii(substring(text, i, 1)) % 8 = b, 1L, 0L))),
+          |  c -> cast(c div 8 as string)))""".stripMargin))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_members"),
+        max((col("doc_id") < 100000L).cast("long")).as("has_orig"),
+        max((col("doc_id") >= 100000L).cast("long")).as("has_copy"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("has_orig") * col("has_copy")).as("n_mixed_groups"))
+      .orderBy("n_members")
+  }
+
+  private val mmHistoNeardupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(text, 1, 9) || 'z' || substr(text, 11)
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      list_transform(generate_series(0, 7), b ->
+      |        len(list_filter(generate_series(1, least(64, len(text))),
+      |          i -> ascii(text[i]) % 8 = b))),
+      |      c -> (c // 8)::VARCHAR), ',') AS sig
+      |  FROM corpus),
+      |groups AS (
+      |  SELECT sig, count(*)::BIGINT AS n_members,
+      |    max(CASE WHEN doc_id < 100000 THEN 1 ELSE 0 END)::BIGINT AS has_orig,
+      |    max(CASE WHEN doc_id >= 100000 THEN 1 ELSE 0 END)::BIGINT AS has_copy
+      |  FROM sigs GROUP BY sig)
+      |SELECT n_members, count(*)::BIGINT AS n_groups,
+      |  sum(has_orig * has_copy)::BIGINT AS n_mixed_groups
+      |FROM groups GROUP BY n_members ORDER BY n_members""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
@@ -210,6 +275,7 @@ object Multimodal {
     "mm_dedup_bytes" -> (mmDedupBytes _))
 
   val oracles: Map[String, String] = Map(
+    "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,

@@ -1226,7 +1226,116 @@ object Similarity {
        |FROM e, p WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
   }
 
+  /** RAG CHUNK RETRIEVAL — the retrieval-augmented-generation eval
+    * loop run end-to-end as one relational pipeline: (1) CHUNK every
+    * document into 32-token windows map-side (no shuffle — the chunk
+    * list is built per row with slice/transform); (2) EMBED each chunk
+    * with a deterministic signed-hash projection into 16 integer
+    * dimensions (the feature-hashing trick: ONE md5 per token, low
+    * 4 bits pick the dimension, the next bit the sign — so the
+    * "embedding" is engine-portable integer arithmetic, standing in
+    * for the model encoder the container lacks, with the real
+    * pipeline's exact plan shape); (3) RETRIEVE top-3 chunks per probe
+    * by cosine over a broadcast probe batch; (4) EVAL with the
+    * same-doc column — a probe's sibling chunks are its relevant set,
+    * so `same_doc` summed over ranks IS recall@3, the standard
+    * retriever metric when chunk provenance is ground truth.
+    *
+    * Probes are the chunk-0 rows of doc_id < 10 — a FIXED batch at
+    * any corpus scale (the x10/x100 fixtures remap copied keys upward,
+    * so the probe set never grows and the exact scan stays
+    * O(probes·corpus) map-side work, the [[annTopkExact]] envelope).
+    * The 100 TB path swaps stage 3 for the LSH-bucketed candidate
+    * join exactly as documented on [[annLshBucketed]]; stages 1-2 are
+    * already map-only at any scale. Zero-vector chunks (signs cancel)
+    * are excluded by the same `vv > 0` rule in both engines; cosine is
+    * integer dot → ONE double division against two correctly-rounded
+    * sqrts. */
+  def annRagChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = 32
+    val B = 16
+    val h = graft.functions.Text.hash60SparkSql("concat('rag:', t)")
+    val chunks = Tables.documents(spark, sfDir)
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) + $C - 1) div $C - 1), i -> slice(toks, i * $C + 1, $C))"))
+        .as(Seq("chunk_no", "ctoks")))
+      .withColumn("tv", expr(
+        s"transform(ctoks, t -> struct(pmod(($h), $B) as b, if(pmod(($h) div $B, 2) = 0, 1L, -1L) as s))"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${B - 1}), b -> aggregate(tv, 0L, (acc, x) -> acc + if(x.b = b, x.s, 0L)))"))
+      .withColumn("vv", expr("aggregate(v, 0L, (a, x) -> a + x * x)"))
+      .filter(col("vv") > 0)
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("v"), col("vv"))
+    val probes = chunks.filter(col("doc_id") < 10 && col("chunk_no") === 0L)
+      .select(col("doc_id").as("p_doc"), col("v").as("p_v"), col("vv").as("p_vv"))
+    val w = Window.partitionBy("p_doc")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_no"))
+    chunks.crossJoin(broadcast(probes))
+      .filter(!(col("doc_id") === col("p_doc") && col("chunk_no") === lit(0L)))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, p_v, (x, y) -> x * y), 0L, (a, z) -> a + z)"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("vv").cast("double")) * sqrt(col("p_vv").cast("double"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("p_doc").as("probe_doc"), col("rnk"),
+        col("doc_id").as("cand_doc"), col("chunk_no").as("cand_chunk"),
+        col("cosine"), (col("doc_id") === col("p_doc")).cast("long").as("same_doc"))
+      .orderBy("probe_doc", "rnk")
+  }
+
+  private val annRagChunksSql: String = {
+    val h = graft.functions.Text.hash60DuckSql("'rag:' || t")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i - 1 AS chunk_no,
+       |    toks[(i - 1) * 32 + 1 : least(i * 32, len(toks))] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, (len(toks) + 31) // 32)) AS i
+       |        FROM toks) t),
+       |tvs AS (
+       |  SELECT doc_id, chunk_no,
+       |    list_transform(ctoks, t -> {'b': ($h) % 16,
+       |      's': CASE WHEN (($h) // 16) % 2 = 0 THEN 1 ELSE -1 END}) AS tv
+       |  FROM chunks),
+       |emb AS (
+       |  SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       |    list_transform(generate_series(0, 15), b ->
+       |      list_reduce(list_transform(tv,
+       |        x -> CASE WHEN x.b = b THEN x.s ELSE 0 END), (a, y) -> a + y)) AS v
+       |  FROM tvs),
+       |vn AS (
+       |  SELECT doc_id, chunk_no, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)::BIGINT AS vv
+       |  FROM emb),
+       |pool AS (SELECT * FROM vn WHERE vv > 0),
+       |probes AS (
+       |  SELECT doc_id AS p_doc, v AS p_v, vv AS p_vv
+       |  FROM pool WHERE doc_id < 10 AND chunk_no = 0),
+       |scored AS (
+       |  SELECT p.p_doc, c.doc_id, c.chunk_no,
+       |    list_reduce(list_transform(generate_series(1, 16),
+       |      i -> c.v[i] * p.p_v[i]), (a, b) -> a + b)::BIGINT AS dot,
+       |    c.vv, p.p_vv
+       |  FROM pool c, probes p
+       |  WHERE NOT (c.doc_id = p.p_doc AND c.chunk_no = 0)),
+       |ranked AS (
+       |  SELECT p_doc, doc_id, chunk_no,
+       |    dot::DOUBLE / (sqrt(vv::DOUBLE) * sqrt(p_vv::DOUBLE)) AS cosine,
+       |    row_number() OVER (PARTITION BY p_doc
+       |      ORDER BY dot::DOUBLE / (sqrt(vv::DOUBLE) * sqrt(p_vv::DOUBLE)) DESC,
+       |               doc_id, chunk_no)::BIGINT AS rnk
+       |  FROM scored)
+       |SELECT p_doc AS probe_doc, rnk, doc_id AS cand_doc,
+       |  chunk_no AS cand_chunk, cosine,
+       |  (doc_id = p_doc)::BIGINT AS same_doc
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_doc, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rag_chunks" -> (annRagChunks _),
     "ann_sql_vec" -> (annSqlVec _),
     "ann_margin" -> (annMargin _),
     "ml_embed_drift" -> (mlEmbedDrift _),
@@ -1250,6 +1359,7 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "ann_rag_chunks" -> annRagChunksSql,
     "ann_sql_vec" -> annSqlVecSql,
     "ann_margin" -> annMarginSql,
     "ml_embed_drift" -> mlEmbedDriftSql,

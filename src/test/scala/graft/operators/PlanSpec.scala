@@ -139,7 +139,13 @@ class PlanSpec extends SparkSpec {
         // cu_temperature_mix / ml_chi2_select: ONE-ROW normalizer /
         // totals aggregate broadcast into a ≤64-row group table —
         // the same bounded scalar-subquery shape
-        "cu_temperature_mix", "ml_chi2_select")
+        "cu_temperature_mix", "ml_chi2_select",
+        // ann_rag_chunks: the ann_topk_exact envelope — FIXED 10-row
+        // probe-chunk batch broadcast into the map-side chunk scan
+        "ann_rag_chunks",
+        // ml_class_weights: ONE-ROW (N, K) total broadcast into the
+        // K-row class table — scalar-subquery shape
+        "ml_class_weights")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
