@@ -1251,12 +1251,16 @@ object Similarity {
     * are excluded by the same `vv > 0` rule in both engines; cosine is
     * integer dot → ONE double division against two correctly-rounded
     * sqrts. */
-  def annRagChunks(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared chunk + signed-hash-embed stage of [[annRagChunks]] and
+    * the streaming index entry (`pipe_stream_rag_index`): 32-token
+    * non-overlapping chunks, 16-dim signed-hash integer embedding,
+    * zero-vector chunks dropped. Input needs (doc_id, text); output is
+    * (doc_id, chunk_no, v, vv). Entirely map-side. */
+  def ragChunkEmbed(df: DataFrame): DataFrame = {
     val C = 32
     val B = 16
     val h = graft.functions.Text.hash60SparkSql("concat('rag:', t)")
-    val chunks = Tables.documents(spark, sfDir)
-      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+    df.withColumn("toks", graft.functions.Text.tokens(col("text")))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(toks) + $C - 1) div $C - 1), i -> slice(toks, i * $C + 1, $C))"))
         .as(Seq("chunk_no", "ctoks")))
@@ -1267,28 +1271,16 @@ object Similarity {
       .withColumn("vv", expr("aggregate(v, 0L, (a, x) -> a + x * x)"))
       .filter(col("vv") > 0)
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("v"), col("vv"))
-    val probes = chunks.filter(col("doc_id") < 10 && col("chunk_no") === 0L)
-      .select(col("doc_id").as("p_doc"), col("v").as("p_v"), col("vv").as("p_vv"))
-    val w = Window.partitionBy("p_doc")
-      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_no"))
-    chunks.crossJoin(broadcast(probes))
-      .filter(!(col("doc_id") === col("p_doc") && col("chunk_no") === lit(0L)))
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, p_v, (x, y) -> x * y), 0L, (a, z) -> a + z)"))
-      .withColumn("cosine", col("dot").cast("double") /
-        (sqrt(col("vv").cast("double")) * sqrt(col("p_vv").cast("double"))))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("p_doc").as("probe_doc"), col("rnk"),
-        col("doc_id").as("cand_doc"), col("chunk_no").as("cand_chunk"),
-        col("cosine"), (col("doc_id") === col("p_doc")).cast("long").as("same_doc"))
-      .orderBy("probe_doc", "rnk")
   }
 
-  private val annRagChunksSql: String = {
+  /** DuckDB mirror of [[ragChunkEmbed]] over a relation/CTE named
+    * `docsRel` with (doc_id, text): emits vn(doc_id, chunk_no, v, vv)
+    * with zero-vector chunks dropped — callers compose it as a CTE
+    * body. */
+  def ragChunkEmbedSql(docsRel: String): String = {
     val h = graft.functions.Text.hash60DuckSql("'rag:' || t")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $docsRel),
        |chunks AS (
        |  SELECT doc_id, i - 1 AS chunk_no,
        |    toks[(i - 1) * 32 + 1 : least(i * 32, len(toks))] AS ctoks
@@ -1309,8 +1301,34 @@ object Similarity {
        |vn AS (
        |  SELECT doc_id, chunk_no, v,
        |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)::BIGINT AS vv
-       |  FROM emb),
-       |pool AS (SELECT * FROM vn WHERE vv > 0),
+       |  FROM emb
+       |  WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0)""".stripMargin
+  }
+
+  def annRagChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = ragChunkEmbed(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val probes = chunks.filter(col("doc_id") < 10 && col("chunk_no") === 0L)
+      .select(col("doc_id").as("p_doc"), col("v").as("p_v"), col("vv").as("p_vv"))
+    val w = Window.partitionBy("p_doc")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_no"))
+    chunks.crossJoin(broadcast(probes))
+      .filter(!(col("doc_id") === col("p_doc") && col("chunk_no") === lit(0L)))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, p_v, (x, y) -> x * y), 0L, (a, z) -> a + z)"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("vv").cast("double")) * sqrt(col("p_vv").cast("double"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("p_doc").as("probe_doc"), col("rnk"),
+        col("doc_id").as("cand_doc"), col("chunk_no").as("cand_chunk"),
+        col("cosine"), (col("doc_id") === col("p_doc")).cast("long").as("same_doc"))
+      .orderBy("probe_doc", "rnk")
+  }
+
+  private val annRagChunksSql: String = {
+    s"""WITH ${ragChunkEmbedSql("documents")},
+       |pool AS (SELECT * FROM vn),
        |probes AS (
        |  SELECT doc_id AS p_doc, v AS p_v, vv AS p_vv
        |  FROM pool WHERE doc_id < 10 AND chunk_no = 0),

@@ -933,7 +933,77 @@ object TextAnalysis {
       |  (sum(n_sym)::BIGINT * 1000)::DOUBLE / sum(n_chars)::BIGINT::DOUBLE AS sym_permille
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** LANGUAGE-ID EVALUATION — the confusion matrix over
+    * [[taLangId]]'s predictions against the corpus's labeled `lang`
+    * column, the QA artifact a pipeline owner reads before trusting a
+    * classifier to route documents ([[cuTemperatureMix]]-style
+    * mixture decisions are only as good as this matrix). One row per
+    * (truth, prediction) cell with the within-truth rate; `cell_rate`
+    * on the diagonal is per-language recall. Counts exact; each rate
+    * is ONE double division. Shape at scale: the per-doc scoring is
+    * [[taLangId]]'s map-side filter counts; the matrix aggregation
+    * shuffles ≤ langs² bounded cells with map-side partials. */
+  def taLangidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val wLang = Window.partitionBy("lang")
+    taLangId(spark, sfDir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(wLang))
+      .withColumn("cell_rate", col("n").cast("double") / col("n_lang").cast("double"))
+      .select("lang", "pred_lang", "n", "cell_rate")
+      .orderBy("lang", "pred_lang")
+  }
+
+  private val taLangidEvalSql: String =
+    s"""WITH pred AS ($taLangIdSql),
+       |cells AS (
+       |  SELECT lang, pred_lang, count(*)::BIGINT AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::BIGINT::DOUBLE AS cell_rate
+       |FROM cells ORDER BY lang, pred_lang""".stripMargin
+
+  /** DUPLICATE-NGRAM EXCESS FRACTION — the OTHER Gopher repetition
+    * rule next to [[taRepetition]]'s adjacent/top-bigram gates: how
+    * much of a document is excess re-occurrence of its own 3-grams
+    * (`dup_frac = 3·(n_grams − n_distinct_grams) / n_tokens`), the
+    * signal that catches looping generation and copy-pasted blocks
+    * that adjacent-duplicate checks miss (the repeats need not be
+    * adjacent). Entirely MAP-SIDE: the gram list and its distinct
+    * count are per-row array ops (Spark `array_distinct`, DuckDB
+    * `list_distinct` — both preserve exact equality semantics on
+    * strings), so the corpus never shuffles; the only shuffle is the
+    * 20-row top-k. Integer arithmetic until ONE double division. */
+  def taDupFraction(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_dup_excess",
+        (col("n_grams") - size(array_distinct(col("grams")))).cast("long"))
+      .withColumn("dup_frac",
+        (col("n_dup_excess") * lit(3L)).cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_grams", "n_dup_excess", "dup_frac")
+      .orderBy(col("dup_frac").desc, col("doc_id")).limit(20)
+
+  private val taDupFractionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |    list_transform(generate_series(1, len(w) - 2),
+      |      i -> array_to_string(w[i : i + 2], ' ')) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |  WHERE len(w) >= 3)
+      |SELECT doc_id, n_tokens, len(grams)::BIGINT AS n_grams,
+      |  (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup_excess,
+      |  ((len(grams) - len(list_distinct(grams)))::BIGINT * 3)::DOUBLE
+      |    / n_tokens::DOUBLE AS dup_frac
+      |FROM g ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_langid_eval" -> (taLangidEval _),
+    "ta_dup_fraction" -> (taDupFraction _),
     "ta_code_detect" -> (taCodeDetect _),
     "ta_winnowing" -> (taWinnowing _),
     "ta_readability" -> (taReadability _),
@@ -958,6 +1028,8 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_langid_eval" -> taLangidEvalSql,
+    "ta_dup_fraction" -> taDupFractionSql,
     "ta_code_detect" -> taCodeDetectSql,
     "ta_winnowing" -> taWinnowingSql,
     "ta_readability" -> taReadabilitySql,

@@ -1168,6 +1168,95 @@ object Pipeline {
       .withColumn("replay_skipped", lit(if (replaySkipped) 1L else 0L))
   }
 
+  /** STREAMING RAG-INDEX MAINTENANCE — the production loop behind
+    * every retrieval corpus: documents arrive continuously (initial
+    * crawl, then re-crawls of changed pages), and the chunk-embedding
+    * index must follow WITHOUT a full rebuild. Micro-batches stream
+    * from the source Delta table; each batch runs
+    * [[graft.operators.Similarity.ragChunkEmbed]] (the exact stage the
+    * batch entry `ann_rag_chunks` uses — stream/batch parity by shared
+    * code, not by luck) and MERGEs on (doc_id, chunk_no) into the
+    * index table under a per-batch txn id, so a replayed micro-batch
+    * is skipped whole (proven by a deliberate replay; `replay_skipped`
+    * would read 0 and the checksums would double on a broken skip).
+    * The re-crawl edits every 7th document by appending tokens —
+    * chunk 0 is unchanged (merge no-op), the tail chunk's embedding
+    * moves (merge update): the oracle recomputes the FINAL corpus
+    * state from scratch, so a stale, dropped, or doubled chunk fails
+    * the hash.
+    *
+    * 100 TB shape: per-batch work is the map-side embed + one
+    * key-bucketed MERGE join against only the index partitions the
+    * batch's keys touch; the index never rebuilds and the corpus
+    * never re-embeds. A SHRINKING re-crawl (fewer chunks than
+    * indexed) additionally needs a delete-by-doc_id pass before the
+    * merge — out of scope here, documented as the deployment note. */
+  def pipeStreamRagIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/sragix_${sfName(sfDir)}"
+    wipe(spark, base)
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def indexRows(batch: DataFrame): DataFrame =
+      graft.operators.Similarity.ragChunkEmbed(batch)
+        .withColumn("v_check", expr(
+          "aggregate(zip_with(v, sequence(1, 16), (x, w) -> x * w), 0L, (a, z) -> a + z)"))
+        .select("doc_id", "chunk_no", "vv", "v_check")
+    DeltaLog.append(spark, src, docs.repartition(2)) // v0: initial crawl
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", src)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          DeltaLog.merge(spark, dst,
+            indexRows(batch.select(col("doc_id"), col("text"))),
+            keyCols = Seq("doc_id", "chunk_no"), txn = Some(("rag_index", id)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // batch 0: index build
+    val recrawl = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" graft index refresh pad")))
+    DeltaLog.append(spark, src, recrawl.repartition(2)) // v1: the re-crawl
+    drain() // batch 1: incremental upsert
+    val vBefore = DeltaLog.latestVersion(spark, dst)
+    DeltaLog.merge(spark, dst, indexRows(recrawl),
+      keyCols = Seq("doc_id", "chunk_no"), txn = Some(("rag_index", 1L)))
+    val replaySkipped = DeltaLog.latestVersion(spark, dst) == vBefore
+    DeltaLog.read(spark, dst)
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("vv")).as("vv_sum"),
+        sum(expr(s"v_check % $P")).as("vcheck_sum"))
+      .withColumn("replay_skipped", lit(if (replaySkipped) 1L else 0L))
+  }
+
+  private val pipeStreamRagIndexSql: String =
+    s"""WITH final_docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' graft index refresh pad'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${graft.operators.Similarity.ragChunkEmbedSql("final_docs")},
+       |checks AS (
+       |  SELECT doc_id, chunk_no, vv,
+       |    list_reduce(list_transform(generate_series(1, 16), i -> v[i] * i),
+       |      (a, b) -> a + b)::BIGINT AS v_check
+       |  FROM vn)
+       |SELECT count(*)::BIGINT AS n_chunks,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  sum(vv)::BIGINT AS vv_sum,
+       |  sum(v_check % $P)::BIGINT AS vcheck_sum,
+       |  1::BIGINT AS replay_skipped
+       |FROM checks""".stripMargin
+
   /** STREAMING EXPECTATIONS ROUTER — [[graft.operators.Relational]]'s
     * quarantine pattern live: the events stream is tagged with its
     * violated expectations inside `foreachBatch` and ROUTED in one pass
@@ -1538,6 +1627,7 @@ object Pipeline {
     "pipe_delta_restore" -> (pipeDeltaRestore _),
     "pipe_delta_clone" -> (pipeDeltaClone _),
     "pipe_stream_upsert" -> (pipeStreamUpsert _),
+    "pipe_stream_rag_index" -> (pipeStreamRagIndex _),
     "pipe_backfill" -> (pipeBackfill _),
     "op_synth_table" -> (opSynthTable _))
 
@@ -1570,6 +1660,7 @@ object Pipeline {
     "pipe_delta_restore" -> pipeDeltaRestoreSql,
     "pipe_delta_clone" -> pipeDeltaCloneSql,
     "pipe_stream_upsert" -> pipeStreamUpsertSql,
+    "pipe_stream_rag_index" -> pipeStreamRagIndexSql,
     "pipe_backfill" -> pipeBackfillSql,
     "op_synth_table" -> opSynthTableSql)
 }
