@@ -809,7 +809,111 @@ object Curation {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** PER-DOMAIN FREQUENCY CAP — the anti-over-representation rule every
+    * web-corpus recipe applies (C4 / RefinedWeb cap documents per
+    * domain so one crawl-heavy site cannot dominate the mixture): keep
+    * at most [[DomainCap]] documents per `source`, chosen by a
+    * DETERMINISTIC hash rank (md5 of the doc_id — an unbiased sample
+    * of the domain, not "first N by id" which would bias toward old
+    * crawls; and reproducible, unlike rand()). Emits the per-domain
+    * audit row: total, kept, dropped, and an order-insensitive checksum
+    * of the kept ids so the oracle verifies the exact kept SET, not
+    * just its size. One window shuffle keyed on source; rank≤K means
+    * the window needs only a size-K heap per partition-key at 100 TB
+    * (Spark's WindowExec + rank-filter pushdown), and a skew-heavy
+    * domain still processes as one key — the documented mitigation is
+    * the same two-level salt used by [[cuCorpusShuffle]]'s sharder. */
+  private val DomainCap = 40L
+
+  def cuDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("hk", expr(Text.hash60SparkSql("cast(doc_id as string)")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= DomainCap, col("doc_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  private val cuDomainCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${Text.hash60DuckSql("doc_id::VARCHAR")}, doc_id)::BIGINT AS rk
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN rk > $DomainCap THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  sum(CASE WHEN rk <= $DomainCap THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** PER-GROUP WINSORIZATION — robust outlier clipping of a numeric
+    * column (document length) at discrete per-source p05/p95 order
+    * statistics before it feeds a mixture weight or a quality score:
+    * one enormous page must not drag its domain's mean. The
+    * percentiles are RANK-SELECTED (the value at row ⌈p·n⌉ of the
+    * per-source sort) rather than interpolated — pure integer
+    * selection, so Spark and DuckDB cannot diverge by a ULP of
+    * interpolation arithmetic, and every downstream stat stays exact
+    * integers until the one final mean division. Two window passes over
+    * the same per-source partitioning (rank, then threshold pick-off),
+    * both reusing ONE shuffle — Catalyst plans the identical-key
+    * windows into a single exchange. */
+  def cuWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRank = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val wSrc = Window.partitionBy("source")
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("lo", max(when(col("rk") === ceil(col("n") * 0.05).cast("long"),
+        col("n_chars"))).over(wSrc))
+      .withColumn("hi", max(when(col("rk") === ceil(col("n") * 0.95).cast("long"),
+        col("n_chars"))).over(wSrc))
+      .withColumn("clipped", least(greatest(col("n_chars"), col("lo")), col("hi")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lo")).as("p05"),
+        min(col("hi")).as("p95"),
+        sum(col("n_chars")).as("sum_raw"),
+        sum(col("clipped")).as("sum_winsor"),
+        sum(when(col("n_chars") < col("lo"), 1L)
+          .when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_clipped"))
+      .withColumn("mean_winsor",
+        col("sum_winsor").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  private val cuWinsorizeSql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS rk,
+      |    count(*) OVER (PARTITION BY source)::BIGINT AS n
+      |  FROM documents),
+      |th AS (
+      |  SELECT *,
+      |    max(CASE WHEN rk = ceil(n * 0.05)::BIGINT THEN n_chars END)
+      |      OVER (PARTITION BY source) AS lo,
+      |    max(CASE WHEN rk = ceil(n * 0.95)::BIGINT THEN n_chars END)
+      |      OVER (PARTITION BY source) AS hi
+      |  FROM ranked)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  min(lo)::BIGINT AS p05, min(hi)::BIGINT AS p95,
+      |  sum(n_chars)::BIGINT AS sum_raw,
+      |  sum(least(greatest(n_chars, lo), hi))::BIGINT AS sum_winsor,
+      |  sum(CASE WHEN n_chars < lo THEN 1 WHEN n_chars > hi THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_clipped,
+      |  sum(least(greatest(n_chars, lo), hi))::BIGINT::DOUBLE
+      |    / count(*)::BIGINT::DOUBLE AS mean_winsor
+      |FROM th GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_domain_cap" -> (cuDomainCap _),
+    "cu_winsorize" -> (cuWinsorize _),
     "cu_boilerplate" -> (cuBoilerplate _),
     "cu_temperature_mix" -> (cuTemperatureMix _),
     "cu_filter_funnel" -> (cuFilterFunnel _),
@@ -827,6 +931,8 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_domain_cap" -> cuDomainCapSql,
+    "cu_winsorize" -> cuWinsorizeSql,
     "cu_boilerplate" -> cuBoilerplateSql,
     "cu_temperature_mix" -> cuTemperatureMixSql,
     "cu_filter_funnel" -> cuFilterFunnelSql,

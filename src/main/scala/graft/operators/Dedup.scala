@@ -231,15 +231,18 @@ object Dedup {
     * [[graft.streaming.StreamingOps]]). */
   private[graft] def minhashLshOracle: String = minhashLshSql()
 
-  private def minhashLshSql(bands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
+  /** The shingle→minhash→band→verify pipeline as reusable CTEs
+    * (`bands`, `cand`, `v`) — shared by the pair-report oracle and the
+    * recall oracle. Assumes [[graft.functions.Text.shingleCteSql]]'s
+    * `sh` CTE is already in scope. */
+  private def minhashPairsCteSql(bands: Int, rowsPerBand: Int): String = {
     val bandRows = (0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map { r =>
         s"list_min(list_transform(s, x -> md5('mh$b:$r:' || x)))"
       }.mkString(" || ")
       s"SELECT doc_id, $b AS band, $mins AS sig FROM sh"
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${Text.shingleCteSql},
-       |bands AS (
+    s"""bands AS (
        |$bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -247,12 +250,16 @@ object Dedup {
        |v AS (SELECT doc_a, doc_b,
        |    len(x.s)::BIGINT AS na, len(y.s)::BIGINT AS nb,
        |    len(list_intersect(x.s, y.s))::BIGINT AS inter
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
+  }
+
+  private def minhashLshSql(bands: Int = Bands, rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH ${Text.shingleCteSql},
+       |${minhashPairsCteSql(bands, rowsPerBand)}
        |SELECT doc_a, doc_b, na, nb, inter,
        |  inter::DOUBLE / (na + nb - inter) AS jacc
        |FROM v WHERE inter::DOUBLE / (na + nb - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Exact n-gram Jaccard near-dup with prefix filtering (the AllPairs /
     * PPJoin principle — Bayardo et al., WWW'07; public algorithm): for
@@ -665,7 +672,119 @@ object Dedup {
        |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CROSS-DOCUMENT REPEATED-SUBSTRING FRACTION — the corpus-level dual
+    * of [[TextAnalysis.taDupFraction]]'s within-document rule, and the
+    * practical form of exact-substring dedup from "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., ACL'22):
+    * instead of a distributed suffix array, fixed-length word k-grams
+    * (k=5) approximate the repeated-span set — a window is "repeated"
+    * iff the identical 5-gram occurs in ≥2 DISTINCT documents
+    * (boilerplate, license headers, templated spans). Per document the
+    * entry reports total windows, repeated windows, and the repeated
+    * fraction — the signal a pipeline thresholds to drop or trim
+    * templated documents.
+    *
+    * Scale shape: windows hash to 60-bit ints IN the projection (the
+    * shuffle carries int64 keys, never 5-word strings), and within-doc
+    * duplicates collapse to (doc, gram, count) BEFORE any shuffle — so
+    * stage 1 is a map-side-combined aggregate linear in corpus tokens,
+    * the "hot gram" relation aggregates it again by gram, and the
+    * join-back is int-keyed on the already-collapsed relation. No
+    * all-pairs anything; at 100 TB this is two linear shuffles, the
+    * same cost class as a word-count. */
+  def ddSubstringRepeat(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> ${Text.hash60SparkSql(s"concat_ws(' ', slice(toks, i, $k))")})""".stripMargin))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val hot = grams.groupBy("g")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("g")
+    grams.join(hot.withColumn("is_hot", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("is_hot").isNotNull, col("c")).otherwise(lit(0L))).as("n_repeated"))
+      .withColumn("repeat_frac",
+        col("n_repeated").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("repeat_frac").desc, col("doc_id")).limit(20)
+  }
+
+  private val ddSubstringRepeatSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |ex AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+       |    i -> ${Text.hash60DuckSql("array_to_string(w[i : i + 4], ' ')")})) AS g
+       |  FROM t WHERE len(w) >= 5),
+       |pg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM ex GROUP BY 1, 2),
+       |hot AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2)
+       |SELECT doc_id, sum(c)::BIGINT AS n_windows,
+       |  sum(CASE WHEN hot.g IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n_repeated,
+       |  sum(CASE WHEN hot.g IS NOT NULL THEN c ELSE 0 END)::BIGINT::DOUBLE
+       |    / sum(c)::BIGINT::DOUBLE AS repeat_frac
+       |FROM pg LEFT JOIN hot ON pg.g = hot.g
+       |GROUP BY doc_id
+       |ORDER BY repeat_frac DESC, doc_id LIMIT 20""".stripMargin
+
+  /** MINHASH-LSH CANDIDATE RECALL — measured, not asserted (the same
+    * discipline the ANN family applies with `ann_*_recall`): LSH is the
+    * engine's probabilistic dedup path, and this entry quantifies what
+    * the banding actually catches on THIS corpus against exact ground
+    * truth. Ground truth = [[ddNgramJaccard]]'s prefix-filtered exact
+    * Jaccard ≥ 0.8 pair set (proven identical to the naive form by its
+    * own oracle); LSH side = [[minhashPairs]]'s verified pairs. Both
+    * verify candidates exactly at the same threshold, so LSH ⊆ exact
+    * and `recall = n_lsh_hit / n_exact` is the banding's true positive
+    * rate — the number `LshParams` trades against candidate volume
+    * (P[collide] = 1−(1−J^r)^b). One row out; both inputs are the
+    * already-bounded pair relations, so the join is pair-set-sized,
+    * never corpus-sized. The one-row aggregates combine via a broadcast
+    * nested-loop (the allowlisted scalar-subquery shape, not a data
+    * cartesian). */
+  def ddMinhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = ddNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val lsh = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .withColumn("m", lit(1L))
+    val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("m"), lit(0L))).as("n_hit"))
+    hits.crossJoin(broadcast(
+        lsh.agg(count(lit(1)).as("n_lsh"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
+  private val ddMinhashRecallSql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |${minhashPairsCteSql(Bands, RowsPerBand)},
+       |lsh AS (SELECT doc_a, doc_b FROM v
+       |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |exact AS (
+       |  SELECT doc_a, doc_b FROM pc
+       |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.8)
+       |SELECT
+       |  (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       |  (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+       |  (SELECT count(*) FROM exact e JOIN lsh l
+       |     ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)::BIGINT AS n_hit,
+       |  (SELECT count(*) FROM exact e JOIN lsh l
+       |     ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)::BIGINT::DOUBLE
+       |    / (SELECT count(*) FROM exact)::BIGINT::DOUBLE AS recall""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_minhash_recall" -> (ddMinhashRecall _),
+    "dd_substring_repeat" -> (ddSubstringRepeat _),
     "dd_sorted_neighborhood" -> (ddSortedNeighborhood _),
     "dd_exact" -> (ddExact _),
     "dd_exact_norm" -> (ddExactNorm _),
@@ -680,6 +799,8 @@ object Dedup {
     * (bands, rows) ([[wideParams]]), so it must be generated after
     * [[Corpus]] is primed, not at class init. */
   def oracles: Map[String, String] = Map(
+    "dd_minhash_recall" -> ddMinhashRecallSql,
+    "dd_substring_repeat" -> ddSubstringRepeatSql,
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "dd_exact" -> ddExactSql,
     "dd_exact_norm" -> ddExactNormSql,

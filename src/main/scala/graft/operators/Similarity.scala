@@ -1352,7 +1352,47 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_doc, rnk""".stripMargin
   }
 
+  /** MAX-INNER-PRODUCT SEARCH (MIPS) — the retrieval objective of
+    * recommendation and dense-retrieval scoring: rank by raw dot
+    * product `⟨q, x⟩`, NOT cosine — magnitude matters (a long vector
+    * can beat a better-aligned short one), so this is a genuinely
+    * different top-k than [[annTopkExact]] and cosine-family indexes
+    * cannot serve it directly. Distances run through the native
+    * [[graft.plans.VecDot]] codegen kernel; probes broadcast, the
+    * corpus is scanned once map-side, and the per-probe top-k is a
+    * bounded window — the exact baseline shape. The 100 TB path is the
+    * standard order-preserving reduction to cosine (Bachrach et al.,
+    * RecSys'14): augment each corpus vector with
+    * `sqrt(maxNorm² − ‖x‖²)` and each query with a 0 — then
+    * `⟨[q;0], [x;aug]⟩ = ⟨q,x⟩` with all corpus vectors on one sphere,
+    * so the existing hyperplane-LSH bucketing ([[annLshBucketed]])
+    * serves MIPS unchanged at cluster scale. */
+  def annMips(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embWithNorm(spark, sfDir)
+    val probes = e.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      .filter(col("probe_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("ip").desc, col("neighbor_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("ip", expr(s"${dotS("emb", "p_emb")}"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("ip"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val annMipsSql: String =
+    s"""WITH $duckEmbCte
+       |SELECT probe_id, neighbor_id, ip, rank FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    ${dotD("e.embedding", "p.embedding")} AS ip,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e.embedding", "p.embedding")} DESC,
+       |               e.vec_id) AS rank
+       |  FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mips" -> (annMips _),
     "ann_rag_chunks" -> (annRagChunks _),
     "ann_sql_vec" -> (annSqlVec _),
     "ann_margin" -> (annMargin _),
@@ -1377,6 +1417,7 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "ann_mips" -> annMipsSql,
     "ann_rag_chunks" -> annRagChunksSql,
     "ann_sql_vec" -> annSqlVecSql,
     "ann_margin" -> annMarginSql,

@@ -1001,7 +1001,88 @@ object TextAnalysis {
       |    / n_tokens::DOUBLE AS dup_frac
       |FROM g ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin
 
+  /** UNICODE NFC NORMALIZATION — canonical-equivalence text cleanup via
+    * the native [[graft.plans.NfcNormalize]] codegen expression (Spark
+    * has no built-in; a Scala UDF would break whole-stage codegen).
+    * `é` (U+00E9) and `e`+combining-acute (U+0301) are the same
+    * character to a reader but different bytes to every hash-based
+    * operator — exact dedup, MinHash shingles, BM25 terms all split on
+    * un-normalized text, so NFC is the first map of a web-corpus
+    * pipeline. The fixture text is ASCII (already NFC), so the entry
+    * first DECOMPOSES it deterministically (every `e` gains U+0301) and
+    * then verifies the normalizer re-composes: `len_raw − len_nfc`
+    * equals the number of composed pairs, cross-checked against
+    * DuckDB's built-in `nfc_normalize`. Entirely map-side — one
+    * projection, no shuffle beyond the doc_id sort; at 100 TB the
+    * already-NFC fast path (`Normalizer.isNormalized`, no allocation)
+    * makes this a near-free scan. */
+  def taUnicodeNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir)
+      .withColumn("raw", expr("replace(text, 'e', 'é')"))
+      .withColumn("nfc", expr("nfc_normalize(raw)"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(col("nfc")).cast("long").as("len_nfc"),
+        (length(col("raw")) - length(col("nfc"))).cast("long").as("n_composed"),
+        (col("nfc") =!= col("raw")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  private val taUnicodeNormSql: String =
+    """SELECT doc_id,
+      |  length(raw)::BIGINT AS len_raw,
+      |  length(nfc_normalize(raw))::BIGINT AS len_nfc,
+      |  (length(raw) - length(nfc_normalize(raw)))::BIGINT AS n_composed,
+      |  nfc_normalize(raw) <> raw AS changed
+      |FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** TOKENIZER FERTILITY — the standard tokenizer-evaluation statistic
+    * (subword tokens emitted per whitespace word, per language): a
+    * tokenizer with fertility ≫ 1 on a language inflates that
+    * language's effective sequence lengths and training cost, which is
+    * exactly what a mixture designer needs to see BEFORE fixing the
+    * data budget (a corpus "balanced" in documents can be wildly
+    * unbalanced in tokens). Uses the engine's BPE-ish regex tokenizer
+    * (the [[taBpeTokens]] segmentation) over the whitespace word count,
+    * plus compression (chars per subword). Map-side feature extraction
+    * + one tiny per-lang aggregate; integers until the two final
+    * divisions. */
+  def taFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_words", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("n_sub",
+        size(expr("regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_subword",
+        col("n_chars").cast("double") / col("n_subwords").cast("double"))
+      .orderBy("lang")
+
+  private val taFertilitySql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+      |  sum(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)))::BIGINT
+      |    AS n_subwords,
+      |  sum(length(text))::BIGINT AS n_chars,
+      |  sum(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)))::BIGINT::DOUBLE
+      |    / sum(len(string_split(text, ' ')))::BIGINT::DOUBLE AS fertility,
+      |  sum(length(text))::BIGINT::DOUBLE
+      |    / sum(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)))::BIGINT::DOUBLE
+      |    AS chars_per_subword
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_fertility" -> (taFertility _),
+    "ta_unicode_norm" -> (taUnicodeNorm _),
     "ta_langid_eval" -> (taLangidEval _),
     "ta_dup_fraction" -> (taDupFraction _),
     "ta_code_detect" -> (taCodeDetect _),
@@ -1028,6 +1109,8 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_fertility" -> taFertilitySql,
+    "ta_unicode_norm" -> taUnicodeNormSql,
     "ta_langid_eval" -> taLangidEvalSql,
     "ta_dup_fraction" -> taDupFractionSql,
     "ta_code_detect" -> taCodeDetectSql,

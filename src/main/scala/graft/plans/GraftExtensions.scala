@@ -71,5 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_dot", VecDot)
     binary("vec_l2sq", VecL2Sq)
     binary("vec_l2sq_long", VecL2SqLong)
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NfcNormalize(text)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text) takes exactly 1 argument")
+      }))
   }
 }

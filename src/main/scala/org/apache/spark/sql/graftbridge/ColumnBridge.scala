@@ -67,6 +67,8 @@ object FunctionBridge {
       graft.plans.VecL2Sq(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_l2sq_long", args =>
       graft.plans.VecL2SqLong(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", args =>
+      graft.plans.NfcNormalize(args.head), "scala_udf")
   }
 }
 

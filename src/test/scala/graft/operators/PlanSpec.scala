@@ -145,7 +145,13 @@ class PlanSpec extends SparkSpec {
         "ann_rag_chunks",
         // ml_class_weights: ONE-ROW (N, K) total broadcast into the
         // K-row class table — scalar-subquery shape
-        "ml_class_weights")
+        "ml_class_weights",
+        // ann_mips: the ann_topk_exact envelope — bounded 10-row probe
+        // batch broadcast into the one-pass corpus scan
+        "ann_mips",
+        // dd_minhash_recall: ONE-ROW lsh-pair-count aggregate broadcast
+        // into the one-row hit aggregate — scalar-subquery shape
+        "dd_minhash_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
