@@ -911,7 +911,146 @@ object Curation {
       |    / count(*)::BIGINT::DOUBLE AS mean_winsor
       |FROM th GROUP BY source ORDER BY source""".stripMargin
 
+  /** QUALITY-PROPORTIONAL IMPORTANCE SAMPLING — keep each document
+    * with probability equal to its quality score (the soft form of
+    * [[cuScoreFilter]]'s hard threshold, and the per-document
+    * counterpart of [[cuDsirWeights]]' distribution-level weights):
+    * high-quality text is kept almost surely, low-quality text
+    * survives at its score rate instead of being cliff-dropped — the
+    * standard way to keep a quality gradient in the mixture without a
+    * brittle cutoff. The coin flip is a DETERMINISTIC 24-bit hash of
+    * the doc id compared against `round(score · 2^24)` — reproducible
+    * across runs/engines (rand() is neither), integer-exact (no
+    * float-vs-2^60 mantissa hazard), and unbiased because the md5-hash
+    * is uniform on [0, 2^24). The audit output per source:
+    * `expected_keep = Σ score` vs actual kept count — sampling error
+    * shrinks as 1/√n, and both engines hash-agree on every row's
+    * verdict. Entirely map-side + one small aggregate; nothing
+    * corpus-sized shuffles at any scale. */
+  def cuImportanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($inStops)))").cast("double")
+          / col("n_tokens").cast("double"))
+      .withColumn("score",
+        least(lit(1.0), col("n_tokens").cast("double") / 200.0)
+          * (lit(1.0) - col("stop_ratio")))
+      .withColumn("coin",
+        expr(Text.hash60SparkSql("concat('is:', cast(doc_id as string))")) % 16777216L)
+      .withColumn("keep", col("coin") < expr("cast(round(score * 16777216.0) as bigint)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(expr("cast(round(score * 16777216) as bigint)")).as("expected_keep_fp"),
+        sum(when(col("keep"), col("doc_id")).otherwise(lit(0L))).as("kept_id_sum"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .withColumn("expected_rate",
+        (col("expected_keep_fp").cast("double") / 16777216.0)
+          / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  private val cuImportanceSampleSql: String = {
+    val inStops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH feat AS (
+       |  SELECT doc_id, source,
+       |    least(1.0, len(w)::DOUBLE / 200.0)
+       |      * (1.0 - len(list_filter(w, t -> t IN ($inStops)))::DOUBLE
+       |          / len(w)::DOUBLE) AS score,
+       |    ${Text.hash60DuckSql("'is:' || doc_id::VARCHAR")} % 16777216 AS coin
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents) t),
+       |flags AS (
+       |  SELECT *, coin < round(score * 16777216.0)::BIGINT AS keep FROM feat)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(round(score * 16777216)::BIGINT)::BIGINT AS expected_keep_fp,
+       |  sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |    / count(*)::BIGINT::DOUBLE AS keep_rate,
+       |  (sum(round(score * 16777216)::BIGINT)::BIGINT::DOUBLE / 16777216.0)
+       |    / count(*)::BIGINT::DOUBLE AS expected_rate
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** TOKEN-BUDGETED MIXTURE SELECTION — the planning query that turns a
+    * mixture policy into an actual document list: given a global token
+    * budget ([[TokenBudget]]) split across sources by
+    * temperature-weighted token mass (τ=0.5 via IEEE-exact `sqrt`, the
+    * [[cuTemperatureMix]] convention — up-weights small sources), pick
+    * each source's documents GREEDILY in deterministic hash order until
+    * its budget is exhausted. Per source the audit row: token mass,
+    * allocated budget, selected docs/tokens, fill rate. This is the
+    * query a training-data team runs to materialize "a 100 B-token mix
+    * at temperature τ" from a curated corpus. The cross-engine hazards
+    * are each pinned: the weight normalizer folds `sqrt` terms in
+    * sorted-source order (reassociation-proof), budgets round once,
+    * selection compares exact integer cumsums. Shape: one small
+    * aggregate (+ one-row broadcast), one per-source window cumsum over
+    * the doc relation — the same single-shuffle cost as any per-key
+    * rank, with the budget table broadcast back. */
+  private val TokenBudget = 100000L
+
+  def cuTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("hk", expr(Text.hash60SparkSql("concat('tb:', cast(doc_id as string))")))
+    val g = docs.groupBy("source").agg(sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("s", sqrt(col("t_tokens").cast("double")))
+    val tot = g.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, s))), " +
+        "x -> x.s), cast(0 as double), (a, v) -> a + v)").as("s_total"))
+    val budgets = g.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"cast(round((s / s_total) * $TokenBudget.0) as bigint)"))
+      .select("source", "t_tokens", "budget")
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), "source")
+      .groupBy("source", "t_tokens", "budget")
+      .agg(sum(when(col("cum") <= col("budget"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum") <= col("budget"), col("n_tokens")).otherwise(lit(0L)))
+          .as("tokens_selected"))
+      .withColumn("fill_rate",
+        col("tokens_selected").cast("double") / col("budget").cast("double"))
+      .select("source", "t_tokens", "budget", "n_selected", "tokens_selected", "fill_rate")
+      .orderBy("source")
+  }
+
+  private val cuTokenBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    ${Text.hash60DuckSql("'tb:' || doc_id::VARCHAR")} AS hk
+       |  FROM documents),
+       |g AS (SELECT source, sum(n_tokens)::BIGINT AS t_tokens,
+       |    sqrt(sum(n_tokens)::BIGINT::DOUBLE) AS s
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT list_reduce(list(s ORDER BY source), (x, y) -> x + y) AS s_total
+       |  FROM g),
+       |b AS (SELECT source, t_tokens,
+       |    round((s / s_total) * $TokenBudget.0)::BIGINT AS budget
+       |  FROM g, tot),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM d)
+       |SELECT c.source, b.t_tokens, b.budget,
+       |  sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       |  sum(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)::BIGINT AS tokens_selected,
+       |  sum(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)::BIGINT::DOUBLE
+       |    / b.budget::DOUBLE AS fill_rate
+       |FROM c JOIN b ON c.source = b.source
+       |GROUP BY c.source, b.t_tokens, b.budget
+       |ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_token_budget" -> (cuTokenBudget _),
+    "cu_importance_sample" -> (cuImportanceSample _),
     "cu_domain_cap" -> (cuDomainCap _),
     "cu_winsorize" -> (cuWinsorize _),
     "cu_boilerplate" -> (cuBoilerplate _),
@@ -931,6 +1070,8 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_token_budget" -> cuTokenBudgetSql,
+    "cu_importance_sample" -> cuImportanceSampleSql,
     "cu_domain_cap" -> cuDomainCapSql,
     "cu_winsorize" -> cuWinsorizeSql,
     "cu_boilerplate" -> cuBoilerplateSql,

@@ -350,7 +350,55 @@ object MlPrep {
       |SELECT label, n, n_total::DOUBLE / (k * n)::DOUBLE AS weight
       |FROM per, tot ORDER BY label""".stripMargin
 
+  /** STRATIFIED K-FOLD — the class-balance guarantee [[mlGroupKfold]]'s
+    * hash assignment cannot give: within each label stratum, rows are
+    * ordered by a deterministic hash (an unbiased shuffle that is
+    * reproducible, unlike rand()) and dealt ROUND-ROBIN
+    * (`row_number % k`), so every fold holds ⌈n_c/k⌉ or ⌊n_c/k⌋ rows
+    * of class c EXACTLY — rare classes stay represented in every
+    * evaluation fold, the property stratified CV exists for. The
+    * `spread` column audits it: max−min fold size within each stratum,
+    * provably ≤ 1 by construction and hash-pinned by the oracle. One
+    * window shuffle keyed on the label; folds then aggregate
+    * map-side. At 100 TB the per-stratum sort is the cost — the same
+    * per-key window every quantile/rank op pays, parallel across
+    * strata. */
+  def mlStratifiedKfold(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("label")
+      .orderBy(col("hk"), col("vec_id"))
+    val wLab = Window.partitionBy("label")
+    Tables.embeddings(spark, sfDir)
+      .withColumn("hk", expr(Text.hash60SparkSql("concat('skf:', cast(vec_id as string))")))
+      .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("long"))
+      .groupBy("fold", "label")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("vec_id % 9973")).as("id_check"))
+      .withColumn("spread",
+        (max(col("n")).over(Window.partitionBy("label"))
+          - min(col("n")).over(Window.partitionBy("label"))).cast("long"))
+      .select(col("fold"), col("label").cast("long").as("label"),
+        col("n"), col("id_check"), col("spread"))
+      .orderBy("fold", "label")
+  }
+
+  private val mlStratifiedKfoldSql: String =
+    s"""WITH assigned AS (
+       |  SELECT label, vec_id,
+       |    (row_number() OVER (PARTITION BY label
+       |      ORDER BY ${Text.hash60DuckSql("'skf:' || vec_id::VARCHAR")}, vec_id) - 1) % 5
+       |      AS fold
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT fold::BIGINT AS fold, label::BIGINT AS label,
+       |    count(*)::BIGINT AS n, sum(vec_id % 9973)::BIGINT AS id_check
+       |  FROM assigned GROUP BY 1, 2)
+       |SELECT fold, label, n, id_check,
+       |  (max(n) OVER (PARTITION BY label) - min(n) OVER (PARTITION BY label))::BIGINT
+       |    AS spread
+       |FROM cells ORDER BY fold, label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_stratified_kfold" -> (mlStratifiedKfold _),
     "ml_class_weights" -> (mlClassWeights _),
     "ml_chi2_select" -> (mlChi2Select _),
     "ml_group_kfold" -> (mlGroupKfold _),
@@ -361,6 +409,7 @@ object MlPrep {
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_stratified_kfold" -> mlStratifiedKfoldSql,
     "ml_class_weights" -> mlClassWeightsSql,
     "ml_chi2_select" -> mlChi2SelectSql,
     "ml_group_kfold" -> mlGroupKfoldSql,

@@ -1259,15 +1259,17 @@ object Similarity {
   def ragChunkEmbed(df: DataFrame): DataFrame = {
     val C = 32
     val B = 16
-    val h = graft.functions.Text.hash60SparkSql("concat('rag:', t)")
+    // one flat native pass per chunk (one md5/token, primitive longs) —
+    // replaces the interpreted transform/aggregate HOF tree that hashed
+    // every token twice; bit-identical by the kernel's contract
+    // ([[graft.plans.HashEmbed]]) and pinned by HashEmbedSpec's parity
+    // test, so the composed-form DuckDB oracles verify unchanged
+    val emb = graft.plans.HashEmbed.hashEmbed(col("ctoks"), B, "rag:")
     df.withColumn("toks", graft.functions.Text.tokens(col("text")))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(toks) + $C - 1) div $C - 1), i -> slice(toks, i * $C + 1, $C))"))
         .as(Seq("chunk_no", "ctoks")))
-      .withColumn("tv", expr(
-        s"transform(ctoks, t -> struct(pmod(($h), $B) as b, if(pmod(($h) div $B, 2) = 0, 1L, -1L) as s))"))
-      .withColumn("v", expr(
-        s"transform(sequence(0, ${B - 1}), b -> aggregate(tv, 0L, (acc, x) -> acc + if(x.b = b, x.s, 0L)))"))
+      .withColumn("v", emb)
       .withColumn("vv", expr("aggregate(v, 0L, (a, x) -> a + x * x)"))
       .filter(col("vv") > 0)
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("v"), col("vv"))
@@ -1391,7 +1393,65 @@ object Similarity {
        |  FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
+  /** k-NN LABEL AGREEMENT — the label-noise screen ("confident
+    * learning" family): for each probe, its 5 nearest cosine neighbors
+    * vote; the fraction sharing the probe's label, aggregated per
+    * class, is the class's annotation-consistency score — a class
+    * whose members' neighbors systematically disagree is mislabeled or
+    * heterogeneous, and that is a DATA defect (find it before
+    * training, not in the loss curve). Probe set bounded (vec_id <
+    * 50) and broadcast into one corpus scan — the [[annTopkExact]]
+    * envelope; at 100 TB the probe side is served by the LSH/IVF index
+    * families instead of the exact scan, same downstream vote.
+    * Integer vote counts until the one final rate division. */
+  def mlKnnAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, sfDir)
+    val spread =
+      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
+        raw.repartition(col("vec_id"))
+      else raw
+    val e = spread
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr(s"sqrt(${dotS("emb", "emb")})"))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"))
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr(s"${dotS("emb", "p_emb")}") / (col("nrm") * col("p_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy("p_label")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        sum((col("label") === col("p_label")).cast("long")).as("n_agree"))
+      .withColumn("agreement",
+        col("n_agree").cast("double") / (col("n_probes") * 5L).cast("double"))
+      .select(col("p_label").cast("long").as("p_label"),
+        col("n_probes"), col("n_agree"), col("agreement"))
+      .orderBy("p_label")
+  }
+
+  private val mlKnnAgreementSql: String =
+    s"""WITH el AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |nn AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS p_label, e.label AS label,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |               e.vec_id) AS rank
+       |  FROM el e JOIN el p ON p.vec_id < 50 AND e.vec_id <> p.vec_id)
+       |SELECT p_label::BIGINT AS p_label,
+       |  count(DISTINCT probe_id)::BIGINT AS n_probes,
+       |  sum(CASE WHEN label = p_label THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       |  sum(CASE WHEN label = p_label THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |    / (count(DISTINCT probe_id) * 5)::BIGINT::DOUBLE AS agreement
+       |FROM nn WHERE rank <= 5
+       |GROUP BY p_label ORDER BY p_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
     "ann_rag_chunks" -> (annRagChunks _),
     "ann_sql_vec" -> (annSqlVec _),
@@ -1417,6 +1477,7 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,
     "ann_rag_chunks" -> annRagChunksSql,
     "ann_sql_vec" -> annSqlVecSql,

@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_l2sq", VecL2Sq)
     binary("vec_l2sq_long", VecL2SqLong)
     ext.injectFunction((
+      new FunctionIdentifier("hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "hash_embed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, Literal(b: Int, _), Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          HashEmbed(toks, b, p.toString)
+        case _ => throw new IllegalArgumentException(
+          "hash_embed(tokens, buckets_literal, prefix_literal) takes 3 arguments")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {

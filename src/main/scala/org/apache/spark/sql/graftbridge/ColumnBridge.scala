@@ -69,6 +69,15 @@ object FunctionBridge {
       graft.plans.VecL2SqLong(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", args =>
       graft.plans.NfcNormalize(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_embed", args => args match {
+      case Seq(toks,
+        org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        graft.plans.HashEmbed(toks, b, p.toString)
+      case _ => throw new IllegalArgumentException(
+        "hash_embed(tokens, buckets_literal, prefix_literal)")
+    }, "scala_udf")
   }
 }
 

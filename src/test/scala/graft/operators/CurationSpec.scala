@@ -67,4 +67,52 @@ class CurationSpec extends SparkSpec {
     val a2 = Curation.shardAssign(docs.repartition(3), n).select("doc_id", "shard", "ord").collect().toSet
     assert(a1 == a2)
   }
+
+  test("cu_token_budget: budgets partition the global budget, greedy fill never overshoots") {
+    val out = Curation.cuTokenBudget(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-source budgets are rounded shares of 100k: the sum can drift
+    // from the target only by cumulative rounding, < 0.5 per source
+    val totalBudget = out.map(_.getAs[Long]("budget")).sum
+    assert(math.abs(totalBudget - 100000L) <= out.length,
+      s"budget shares sum to $totalBudget, expected ~100000")
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens_selected") <= r.getAs[Long]("budget"),
+        s"source ${r.getAs[String]("source")} overshot its budget")
+      assert(r.getAs[Double]("fill_rate") <= 1.0)
+    }
+  }
+
+  test("cu_domain_cap: kept never exceeds the cap and kept+dropped partitions each domain") {
+    val out = Curation.cuDomainCap(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= 40L)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("cu_winsorize: thresholds ordered, winsorized sum bounded by the clip interval") {
+    val out = Curation.cuWinsorize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi, n) = (r.getAs[Long]("p05"), r.getAs[Long]("p95"), r.getAs[Long]("n_docs"))
+      assert(lo <= hi)
+      val sw = r.getAs[Long]("sum_winsor")
+      assert(sw >= n * lo && sw <= n * hi,
+        s"winsorized sum $sw outside [$n*$lo, $n*$hi]")
+      assert(r.getAs[Long]("n_clipped") <= n)
+    }
+  }
+
+  test("cu_importance_sample: kept is a subsample and rates are proper probabilities") {
+    val out = Curation.cuImportanceSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val er = r.getAs[Double]("expected_rate")
+      assert(er > 0.0 && er <= 1.0, s"expected_rate $er out of (0,1]")
+      assert(r.getAs[Double]("keep_rate") >= 0.0 && r.getAs[Double]("keep_rate") <= 1.0)
+    }
+  }
 }

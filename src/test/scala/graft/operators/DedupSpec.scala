@@ -101,4 +101,25 @@ class DedupSpec extends SparkSpec {
     assert(brute.exceptAll(banded).count() == 0,
       "banding MISSED a pair within Hamming<=10 — the block-pair guarantee is broken")
   }
+
+  test("dd_minhash_recall: LSH pairs are a subset of exact pairs, so hits == lsh count") {
+    val r = Dedup.ddMinhashRecall(spark, sf).head()
+    val (nExact, nLsh, nHit) =
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"), r.getAs[Long]("n_hit"))
+    // both sides verify candidates exactly at the same threshold, so
+    // every LSH pair IS an exact pair and recall = n_lsh / n_exact
+    assert(nHit == nLsh, s"an LSH pair escaped the exact set: hit=$nHit lsh=$nLsh")
+    assert(nHit <= nExact)
+    assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+  }
+
+  test("dd_substring_repeat: repeated windows never exceed total windows") {
+    val out = Dedup.ddSubstringRepeat(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_repeated") <= r.getAs[Long]("n_windows"))
+      val f = r.getAs[Double]("repeat_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
 }

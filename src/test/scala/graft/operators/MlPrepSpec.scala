@@ -57,4 +57,18 @@ class MlPrepSpec extends SparkSpec {
       assert(n === regexCount.toLong, s"automaton diverged from regex on '$s'")
     }
   }
+
+  test("ml_stratified_kfold: every stratum spreads across folds by at most one row") {
+    val out = MlPrep.mlStratifiedKfold(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the round-robin construction guarantee, asserted directly
+    assert(out.forall(_.getAs[Long]("spread") <= 1L))
+    // each (fold, label) cell is non-empty only if the stratum has >= fold+1 rows;
+    // stronger: folds partition each stratum exactly
+    val byLabel = out.groupBy(_.getAs[Long]("label"))
+    byLabel.foreach { case (label, rows) =>
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1L, s"label $label unbalanced: ${ns.mkString(",")}")
+    }
+  }
 }

@@ -136,19 +136,19 @@ class PlanSpec extends SparkSpec {
         // vector) — 1-row build sides. cu_filter_funnel: ONE-ROW
         // corpus-total aggregate into the 6-row rule table.
         "ann_margin", "ann_sql_vec", "cu_filter_funnel",
-        // cu_temperature_mix / ml_chi2_select: ONE-ROW normalizer /
-        // totals aggregate broadcast into a ≤64-row group table —
-        // the same bounded scalar-subquery shape
-        "cu_temperature_mix", "ml_chi2_select",
+        // cu_temperature_mix / ml_chi2_select / cu_token_budget:
+        // ONE-ROW normalizer / totals aggregate broadcast into a
+        // ≤64-row group table — the same bounded scalar-subquery shape
+        "cu_temperature_mix", "ml_chi2_select", "cu_token_budget",
         // ann_rag_chunks: the ann_topk_exact envelope — FIXED 10-row
         // probe-chunk batch broadcast into the map-side chunk scan
         "ann_rag_chunks",
         // ml_class_weights: ONE-ROW (N, K) total broadcast into the
         // K-row class table — scalar-subquery shape
         "ml_class_weights",
-        // ann_mips: the ann_topk_exact envelope — bounded 10-row probe
-        // batch broadcast into the one-pass corpus scan
-        "ann_mips",
+        // ann_mips / ml_knn_agreement: the ann_topk_exact envelope —
+        // bounded probe batch broadcast into the one-pass corpus scan
+        "ann_mips", "ml_knn_agreement",
         // dd_minhash_recall: ONE-ROW lsh-pair-count aggregate broadcast
         // into the one-row hit aggregate — scalar-subquery shape
         "dd_minhash_recall")
