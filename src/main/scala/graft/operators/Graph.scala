@@ -355,7 +355,10 @@ object Graph {
     * applies): the unfiltered graph is near-diameter-3 and collapses to
     * ONE community in 3 rounds, which exercises nothing; the ≥2-support
     * subgraph (~7k of 230k edges) has real component structure. */
-  def grLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ≥2-support co-order edge relation and the post-[[Iters]]
+    * min-label assignment — shared by [[grLabelProp]] (community
+    * profile) and [[grConductance]] (community quality). */
+  private def labelPropState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     val e = Scratch.persist(
       li.as("a").join(li.as("b"),
@@ -374,12 +377,52 @@ object Graph {
       labels = labels.join(fromNbrs, Seq("p"), "left_outer")
         .select(col("p"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
     }
+    (e, labels)
+  }
+
+  def grLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, labels) = labelPropState(spark, sfDir)
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("community"))
   }
 
-  private val grLabelPropSql: String = {
+  /** COMMUNITY CONDUCTANCE — the cut-quality metric for the
+    * [[grLabelProp]] communities (the evaluation [[grModularity]]'s
+    * global score can't give per community): φ(C) = cut(C) /
+    * min(vol(C), vol(V∖C)) — low φ means the community's edges stay
+    * inside it. Everything is exact integers (degrees, cuts, volumes)
+    * until the one final division, so the ranking is bit-portable. The
+    * communities whose complement volume is 0 (a label swallowing the
+    * whole graph) are excluded — φ is undefined there. Plan: degree
+    * aggregate + two label joins on the edge relation (vertex-keyed
+    * shuffles, the Pregel shape again) + a one-row total broadcast; at
+    * 100 TB this costs the same as one label-prop round. */
+  def grConductance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, labels) = labelPropState(spark, sfDir)
+    val lab = Scratch.persist(labels)
+    val deg = e.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val vol = lab.join(deg, "p")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("vol"))
+    val tot = vol.agg(sum(col("vol")).as("vol_total"))
+    val cut = e
+      .join(lab.select(col("p").as("src"), col("lbl").as("la")), "src")
+      .join(lab.select(col("p").as("dst"), col("lbl").as("lb")), "dst")
+      .groupBy(col("la").as("lbl"))
+      .agg(sum(when(col("lb") =!= col("la"), 1L).otherwise(0L)).as("cut"))
+    vol.join(cut, "lbl").crossJoin(broadcast(tot))
+      .filter(col("vol_total") - col("vol") > 0)
+      .select(col("lbl").as("community"), col("n_members"), col("vol"), col("cut"),
+        (col("cut").cast("double")
+          / least(col("vol"), col("vol_total") - col("vol")).cast("double"))
+          .as("conductance"))
+      .orderBy(col("n_members").desc, col("community")).limit(20)
+  }
+
+  /** The shared label-propagation CTE chain (`e`, `n`, `l0..lIters`) —
+    * the SQL twin of [[labelPropState]]. */
+  private val labelPropCtesSql: String = {
     val iterCtes = (1 to Iters).map { k =>
       s"""m$k AS (SELECT e.dst AS p, min(l${k - 1}.lbl)::BIGINT AS nbr_min
          |  FROM e JOIN l${k - 1} ON l${k - 1}.p = e.src GROUP BY 1),
@@ -388,7 +431,7 @@ object Graph {
          |  FROM n JOIN l${k - 1} ON l${k - 1}.p = n.p
          |    LEFT JOIN m$k ON m$k.p = n.p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -396,11 +439,32 @@ object Graph {
        |e AS (SELECT src, dst FROM raw),
        |n AS (SELECT DISTINCT src AS p FROM raw),
        |l0 AS (SELECT p, p AS lbl FROM n),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private val grLabelPropSql: String =
+    s"""WITH $labelPropCtesSql
        |SELECT lbl AS community, count(*) AS n_members
        |FROM l$Iters GROUP BY lbl
        |ORDER BY n_members DESC, community""".stripMargin
-  }
+
+  private val grConductanceSql: String =
+    s"""WITH $labelPropCtesSql,
+       |lab AS (SELECT p, lbl FROM l$Iters),
+       |deg AS (SELECT src AS p, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |vol AS (SELECT lbl, count(*)::BIGINT AS n_members, sum(deg)::BIGINT AS vol
+       |  FROM lab JOIN deg USING (p) GROUP BY 1),
+       |tot AS (SELECT sum(vol)::BIGINT AS vol_total FROM vol),
+       |cut AS (SELECT la.lbl,
+       |    sum(CASE WHEN lb.lbl <> la.lbl THEN 1 ELSE 0 END)::BIGINT AS cut
+       |  FROM e JOIN lab la ON la.p = e.src JOIN lab lb ON lb.p = e.dst
+       |  GROUP BY 1)
+       |SELECT v.lbl AS community, v.n_members, v.vol, c.cut,
+       |  c.cut::DOUBLE / least(v.vol, t.vol_total - v.vol)::BIGINT::DOUBLE
+       |    AS conductance
+       |FROM vol v JOIN cut c ON c.lbl = v.lbl, tot t
+       |WHERE t.vol_total - v.vol > 0
+       |ORDER BY v.n_members DESC, community LIMIT 20""".stripMargin
 
   /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec sampling
     * primitive as DataFrame iteration: 3 steps from the 10 lowest-id
@@ -457,6 +521,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_conductance" -> (grConductance _),
     "gr_random_walk" -> (grRandomWalk _),
     "gr_label_prop" -> (grLabelProp _),
     "gr_pagerank" -> (grPagerank _),
@@ -466,6 +531,7 @@ object Graph {
     "gr_shortest_paths" -> (grShortestPaths _))
 
   val oracles: Map[String, String] = Map(
+    "gr_conductance" -> grConductanceSql,
     "gr_random_walk" -> grRandomWalkSql,
     "gr_label_prop" -> grLabelPropSql,
     "gr_pagerank" -> grPagerankSql,

@@ -149,6 +149,9 @@ class PlanSpec extends SparkSpec {
         // ann_mips / ml_knn_agreement: the ann_topk_exact envelope —
         // bounded probe batch broadcast into the one-pass corpus scan
         "ann_mips", "ml_knn_agreement",
+        // gr_conductance: ONE-ROW total-volume aggregate broadcast into
+        // the community table — scalar-subquery shape
+        "gr_conductance",
         // dd_minhash_recall: ONE-ROW lsh-pair-count aggregate broadcast
         // into the one-row hit aggregate — scalar-subquery shape
         "dd_minhash_recall")
