@@ -397,7 +397,146 @@ object MlPrep {
        |    AS spread
        |FROM cells ORDER BY fold, label""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Closed-form linear regression from distributed sufficient statistics
+  // — the canonical "train a linear model on 100 TB without an iterative
+  // solver" pattern: ONE map-side-combinable aggregate collects the
+  // moment sums (n, Σx, Σy, Σx², Σxy, Σy²) per group, and the normal
+  // equations solve in a final per-group scalar expression. Zero
+  // iterations, zero driver-side data, one shuffle of group-count rows.
+  //
+  // Bit-exactness across engines (the Exact.scala discipline applied to
+  // second moments): every sum is an integer-cents BIGINT sum —
+  // associative, so partial-aggregation order can't change it — and the
+  // closed-form solve is ONE shared expression string evaluated by both
+  // engines on those identical integers, so the doubles agree bitwise.
+  // Σy² of a 10^7-cent price would overflow int64 around sf1 row counts,
+  // so it is carried as a hi/lo pair split at 2^20 (two exact BIGINT
+  // sums, recombined in the shared double expression — the recombination
+  // is the same two IEEE ops on the same inputs in both engines, so it
+  // stays bit-identical even past 2^53). Headroom at 100 TB (sf100k,
+  // ~6e11 rows/group): Σxy ≈ 3e21 exceeds int64 — the deployment path is
+  // the same hi/lo split applied to Σxy (or decimal(38,0) sums, which
+  // Spark and DuckDB both hold exactly); the fixture-to-x100 range is
+  // proven exact as shipped.
+
+  /** Shared Spark/DuckDB final-solve fragments over the moment columns
+    * (n, sx, sy, sxx, sxy, syy_hi, syy_lo[, ...]). Pure common-dialect
+    * SQL (CAST, + - * /, parens only), so the exact text runs on both
+    * engines. */
+  private object Ols {
+    val nD = "CAST(n AS DOUBLE)"
+    val syyD = "(CAST(syy_hi AS DOUBLE) * CAST(1048576 AS DOUBLE) + CAST(syy_lo AS DOUBLE))"
+    val cov = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varx = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vary = s"($nD * $syyD - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val slope = s"($cov / $varx)"
+    val intercept =
+      s"((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / ($nD * CAST(100 AS DOUBLE)))"
+    val r2 = s"(($cov * $cov) / ($varx * $vary))"
+
+    // bivariate (x1 = quantity cents, x2 = discount cents): centered
+    // normal equations solved by Cramer's rule, all from the same sums
+    val s11 = varx
+    val s22 = s"($nD * CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))"
+    val s12 = s"($nD * CAST(sxw AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sw AS DOUBLE))"
+    val s1y = cov
+    val s2y = s"($nD * CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val det = s"($s11 * $s22 - $s12 * $s12)"
+    val b1 = s"(($s1y * $s22 - $s2y * $s12) / $det)"
+    val b2 = s"(($s11 * $s2y - $s12 * $s1y) / $det)"
+    val b0 =
+      s"((CAST(sy AS DOUBLE) - $b1 * CAST(sx AS DOUBLE) - $b2 * CAST(sw AS DOUBLE)) / ($nD * CAST(100 AS DOUBLE)))"
+    val r2Multi = s"((($b1 * $s1y + $b2 * $s2y)) / $vary)"
+  }
+
+  /** Univariate OLS per return flag: extendedprice ~ quantity. The
+    * slope/intercept/R² come out of one aggregation pass — the shape
+    * that trains on the full corpus at any scale (statistics shrink to
+    * one row per group before any non-associative arithmetic runs). */
+  def mlOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = Tables.lineitem(spark, sfDir)
+      .withColumn("xc", expr("cast(round(l_quantity * 100) as bigint)"))
+      .withColumn("yc", expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(expr("(yc * yc) div 1048576")).as("syy_hi"),
+        sum(expr("(yc * yc) % 1048576")).as("syy_lo"))
+    sums.selectExpr("l_returnflag", "n",
+      s"${Ols.slope} AS slope", s"${Ols.intercept} AS intercept",
+      s"${Ols.r2} AS r2")
+      .orderBy("l_returnflag")
+  }
+
+  private val mlOlsSql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    round(l_quantity * 100)::BIGINT AS xc,
+       |    round(l_extendedprice * 100)::BIGINT AS yc
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, count(*)::BIGINT AS n,
+       |    sum(xc)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+       |    sum(xc * xc)::BIGINT AS sxx, sum(xc * yc)::BIGINT AS sxy,
+       |    sum((yc * yc) // 1048576)::BIGINT AS syy_hi,
+       |    sum((yc * yc) % 1048576)::BIGINT AS syy_lo
+       |  FROM c GROUP BY l_returnflag)
+       |SELECT l_returnflag, n, ${Ols.slope} AS slope,
+       |  ${Ols.intercept} AS intercept, ${Ols.r2} AS r2
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** Bivariate OLS per return flag: extendedprice ~ quantity + discount,
+    * solved in closed form (Cramer on the centered 2×2 normal
+    * equations). Demonstrates the multi-feature extension of the same
+    * one-pass sufficient-statistics shape — the 2×2 solve is a scalar
+    * expression per group, no matrix library and no second pass. */
+  def mlOls2(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = Tables.lineitem(spark, sfDir)
+      .withColumn("xc", expr("cast(round(l_quantity * 100) as bigint)"))
+      .withColumn("wc", expr("cast(round(l_discount * 100) as bigint)"))
+      .withColumn("yc", expr("cast(round(l_extendedprice * 100) as bigint)"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("wc")).as("sw"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("wc") * col("wc")).as("sww"),
+        sum(col("xc") * col("wc")).as("sxw"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("wc") * col("yc")).as("swy"),
+        sum(expr("(yc * yc) div 1048576")).as("syy_hi"),
+        sum(expr("(yc * yc) % 1048576")).as("syy_lo"))
+    sums.selectExpr("l_returnflag", "n",
+      s"${Ols.b1} AS beta_qty", s"${Ols.b2} AS beta_disc",
+      s"${Ols.b0} AS intercept", s"${Ols.r2Multi} AS r2")
+      .orderBy("l_returnflag")
+  }
+
+  private val mlOls2Sql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    round(l_quantity * 100)::BIGINT AS xc,
+       |    round(l_discount * 100)::BIGINT AS wc,
+       |    round(l_extendedprice * 100)::BIGINT AS yc
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, count(*)::BIGINT AS n,
+       |    sum(xc)::BIGINT AS sx, sum(wc)::BIGINT AS sw, sum(yc)::BIGINT AS sy,
+       |    sum(xc * xc)::BIGINT AS sxx, sum(wc * wc)::BIGINT AS sww,
+       |    sum(xc * wc)::BIGINT AS sxw, sum(xc * yc)::BIGINT AS sxy,
+       |    sum(wc * yc)::BIGINT AS swy,
+       |    sum((yc * yc) // 1048576)::BIGINT AS syy_hi,
+       |    sum((yc * yc) % 1048576)::BIGINT AS syy_lo
+       |  FROM c GROUP BY l_returnflag)
+       |SELECT l_returnflag, n, ${Ols.b1} AS beta_qty, ${Ols.b2} AS beta_disc,
+       |  ${Ols.b0} AS intercept, ${Ols.r2Multi} AS r2
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ols" -> (mlOls _),
+    "ml_ols2" -> (mlOls2 _),
     "ml_stratified_kfold" -> (mlStratifiedKfold _),
     "ml_class_weights" -> (mlClassWeights _),
     "ml_chi2_select" -> (mlChi2Select _),
@@ -409,6 +548,8 @@ object MlPrep {
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_ols" -> mlOlsSql,
+    "ml_ols2" -> mlOls2Sql,
     "ml_stratified_kfold" -> mlStratifiedKfoldSql,
     "ml_class_weights" -> mlClassWeightsSql,
     "ml_chi2_select" -> mlChi2SelectSql,

@@ -1450,7 +1450,79 @@ object Similarity {
        |FROM nn WHERE rank <= 5
        |GROUP BY p_label ORDER BY p_label""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Matryoshka truncation (MRL, Kusupati et al. 2022, arXiv:2205.13147):
+  // modern embedding models are trained so a DIM-PREFIX of the vector is
+  // itself a usable embedding. At 100 TB the standard deployment is
+  // retrieve-with-the-prefix (4x less memory bandwidth and index size at
+  // 16 of 64 dims), re-rank or accept the recall loss — this entry
+  // MEASURES that loss the same way ann_*_recall measure their indexes:
+  // recall@5 of prefix-dim search vs the full-dim exact top-5, per
+  // probe. Same broadcast-probe map-side scan shape as the exact
+  // baseline (corpus never shuffles); the prefix slice happens in the
+  // scan projection so only 16 of 64 dims flow through the hot loop.
+
+  private val MrlDims = 16
+
+  /** Prefix-truncated (16-of-64-dim) cosine top-5 vs full-dim exact
+    * top-5: per-probe hit count and recall@5. */
+  def embMrlRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = embWithNorm(spark, sfDir)
+      .withColumn("emb16", expr(s"slice(emb, 1, $MrlDims)"))
+      .withColumn("nrm16", expr(s"sqrt(${dotS("emb16", "emb16")})"))
+    val probes = t.select(col("vec_id").as("probe_id"),
+      col("emb16").as("p16"), col("nrm16").as("p_nrm16"))
+      .filter(col("probe_id") < 10)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos16").desc, col("neighbor_id"))
+    val mrl5 = t.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos16", expr(dotS("emb16", "p16")) / (col("nrm16") * col("p_nrm16")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos16"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "neighbor_id")
+    val exact5 = annTopkExact(spark, sfDir).filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact5.join(mrl5, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    exact5.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall_at_5"))
+      .orderBy("probe_id")
+  }
+
+  private val embMrlRecallSql: String =
+    s"""WITH $duckEmbCte,
+       |t AS (SELECT vec_id, embedding[1:$MrlDims] AS emb16 FROM embeddings),
+       |tn AS (SELECT vec_id, emb16,
+       |  sqrt(${dotD("emb16", "emb16")}) AS nrm16 FROM t),
+       |mrl5 AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT p.vec_id AS probe_id, e2.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e2.emb16", "p.emb16")} / (e2.nrm16 * p.nrm16) DESC,
+       |               e2.vec_id) AS rank
+       |  FROM tn e2 JOIN tn p ON p.vec_id < 10 AND e2.vec_id <> p.vec_id) s
+       |  WHERE rank <= 5),
+       |exact5 AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |               e.vec_id) AS rank
+       |  FROM e JOIN e p ON p.vec_id < 10 AND e.vec_id <> p.vec_id) t2
+       |  WHERE rank <= 5),
+       |hits AS (SELECT a.probe_id, count(*) AS n_hits
+       |  FROM exact5 a JOIN mrl5 b
+       |    ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY a.probe_id)
+       |SELECT p.probe_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(n_hits, 0)::DOUBLE / 5.0 AS recall_at_5
+       |FROM (SELECT DISTINCT probe_id FROM exact5) p
+       |LEFT JOIN hits ON hits.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mrl_recall" -> (embMrlRecall _),
     "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
     "ann_rag_chunks" -> (annRagChunks _),
@@ -1477,6 +1549,7 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "emb_mrl_recall" -> embMrlRecallSql,
     "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,
     "ann_rag_chunks" -> annRagChunksSql,
