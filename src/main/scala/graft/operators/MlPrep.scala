@@ -534,9 +534,81 @@ object MlPrep {
        |  ${Ols.b0} AS intercept, ${Ols.r2Multi} AS r2
        |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** SHAP attributions for the bivariate linear model — for a linear
+    * model the exact Shapley value of feature j on row i is
+    * βⱼ·(xᵢⱼ − x̄ⱼ), so the global mean-|SHAP| importance is
+    * |βⱼ|·mean|xᵢⱼ − x̄ⱼ|. Every piece reduces to the same one-pass
+    * sufficient statistics: the βs come from [[Ols]], and the mean
+    * absolute deviation is carried EXACTLY as the integer sum
+    * Σ|xᵢ·n − Σx| (multiplying through by n keeps the deviation an
+    * integer — no per-row double subtraction whose order could
+    * diverge), divided once at the end in a shared expression. Two
+    * aggregation passes with a broadcast of the 3-row stats between
+    * them; nothing data-sized moves. Headroom: |xc·n − sx| sums stay
+    * under int64 through x100 of the shipped fixtures (≈2e16); the
+    * 100 TB path is the same hi/lo split the second moments use. */
+  def mlShapLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .withColumn("xc", expr("cast(round(l_quantity * 100) as bigint)"))
+      .withColumn("wc", expr("cast(round(l_discount * 100) as bigint)"))
+      .withColumn("yc", expr("cast(round(l_extendedprice * 100) as bigint)"))
+    val stats = rows.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("wc")).as("sw"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("wc") * col("wc")).as("sww"),
+        sum(col("xc") * col("wc")).as("sxw"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("wc") * col("yc")).as("swy"))
+    val devs = rows
+      .join(broadcast(stats.select(col("l_returnflag"), col("n"), col("sx"), col("sw"))),
+        Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("abs(xc * n - sx)")).as("sdx"),
+        sum(expr("abs(wc * n - sw)")).as("sdw"))
+    val phiQty =
+      s"(abs(${Ols.b1}) * (CAST(sdx AS DOUBLE) / (${Ols.nD} * ${Ols.nD} * CAST(100 AS DOUBLE))))"
+    val phiDisc =
+      s"(abs(${Ols.b2}) * (CAST(sdw AS DOUBLE) / (${Ols.nD} * ${Ols.nD} * CAST(100 AS DOUBLE))))"
+    stats.join(devs, Seq("l_returnflag"))
+      .selectExpr("l_returnflag", "n",
+        s"$phiQty AS phi_qty", s"$phiDisc AS phi_disc")
+      .orderBy("l_returnflag")
+  }
+
+  private val mlShapLinearSql: String = {
+    val phiQty =
+      s"(abs(${Ols.b1}) * (CAST(sdx AS DOUBLE) / (${Ols.nD} * ${Ols.nD} * CAST(100 AS DOUBLE))))"
+    val phiDisc =
+      s"(abs(${Ols.b2}) * (CAST(sdw AS DOUBLE) / (${Ols.nD} * ${Ols.nD} * CAST(100 AS DOUBLE))))"
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    round(l_quantity * 100)::BIGINT AS xc,
+       |    round(l_discount * 100)::BIGINT AS wc,
+       |    round(l_extendedprice * 100)::BIGINT AS yc
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, count(*)::BIGINT AS n,
+       |    sum(xc)::BIGINT AS sx, sum(wc)::BIGINT AS sw, sum(yc)::BIGINT AS sy,
+       |    sum(xc * xc)::BIGINT AS sxx, sum(wc * wc)::BIGINT AS sww,
+       |    sum(xc * wc)::BIGINT AS sxw, sum(xc * yc)::BIGINT AS sxy,
+       |    sum(wc * yc)::BIGINT AS swy
+       |  FROM c GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT c.l_returnflag,
+       |    sum(abs(c.xc * s.n - s.sx))::BIGINT AS sdx,
+       |    sum(abs(c.wc * s.n - s.sw))::BIGINT AS sdw
+       |  FROM c JOIN s ON s.l_returnflag = c.l_returnflag
+       |  GROUP BY c.l_returnflag)
+       |SELECT s.l_returnflag, n, $phiQty AS phi_qty, $phiDisc AS phi_disc
+       |FROM s JOIN d ON d.l_returnflag = s.l_returnflag
+       |ORDER BY s.l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ols" -> (mlOls _),
     "ml_ols2" -> (mlOls2 _),
+    "ml_shap_linear" -> (mlShapLinear _),
     "ml_stratified_kfold" -> (mlStratifiedKfold _),
     "ml_class_weights" -> (mlClassWeights _),
     "ml_chi2_select" -> (mlChi2Select _),
@@ -550,6 +622,7 @@ object MlPrep {
   val oracles: Map[String, String] = Map(
     "ml_ols" -> mlOlsSql,
     "ml_ols2" -> mlOls2Sql,
+    "ml_shap_linear" -> mlShapLinearSql,
     "ml_stratified_kfold" -> mlStratifiedKfoldSql,
     "ml_class_weights" -> mlClassWeightsSql,
     "ml_chi2_select" -> mlChi2SelectSql,

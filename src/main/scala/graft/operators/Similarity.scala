@@ -1521,7 +1521,93 @@ object Similarity {
        |LEFT JOIN hits ON hits.probe_id = p.probe_id
        |ORDER BY p.probe_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998): the
+  // standard diversity re-rank between retrieval and a RAG prompt —
+  // greedily pick the candidate maximizing λ·relevance −
+  // (1−λ)·max-similarity-to-already-picked. The expensive stage (top-N
+  // candidate retrieval) is the distributed broadcast-probe scan every
+  // ann_* entry uses; the greedy stage runs over the FIXED candidate
+  // batch (8 rows here), so it is unrolled statically into the plan —
+  // no driver-side collect, no iteration over data-sized state. At
+  // 100 TB only N and k change; the greedy cost stays O(k·N) on
+  // centroid-sized frames. λ = 1/2 keeps the score arithmetic to one
+  // shared halving expression both engines evaluate identically.
+
+  private val MmrScore =
+    "(CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * msim)"
+
+  /** Greedy MMR selection of 4 diverse results from the top-8 cosine
+    * candidates of probe vec_id = 0: (step, cand_id, score). */
+  def annMmrSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embWithNorm(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = Scratch.persist(
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("rel", expr(dotS("emb", "p_emb")) / (col("nrm") * col("p_nrm")))
+        .select(col("vec_id").as("cand_id"), col("rel"), col("emb"), col("nrm"))
+        .orderBy(col("rel").desc, col("cand_id")).limit(8))
+    val a = cands.select(col("cand_id").as("ca"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = cands.select(col("cand_id").as("cb"), col("emb").as("eb"), col("nrm").as("nb"))
+    val sims = a.join(broadcast(b), col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        (expr(dotS("ea", "eb")) / (col("na") * col("nb"))).as("sim"))
+    var sel = cands.orderBy(col("rel").desc, col("cand_id")).limit(1)
+      .select(col("cand_id"), col("rel").as("score"), lit(1L).as("step"))
+    for (t <- 2 to 4) {
+      val selIds = sel.select(col("cand_id").as("sel_id"))
+      val msim = sims.join(broadcast(selIds), col("cb") === col("sel_id"), "left_semi")
+        .groupBy("ca").agg(max(col("sim")).as("msim"))
+      val next = cands.join(broadcast(selIds), col("cand_id") === col("sel_id"), "left_anti")
+        .join(msim, col("cand_id") === col("ca"))
+        .selectExpr("cand_id", s"$MmrScore AS score")
+        .withColumn("step", lit(t.toLong))
+        .orderBy(col("score").desc, col("cand_id")).limit(1)
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("step"), col("cand_id"), col("score")).orderBy("step")
+  }
+
+  private val annMmrSelectSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $duckEmbCte,
+         |p AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+         |c AS (SELECT e.vec_id AS cand_id,
+         |    ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) AS rel,
+         |    e.embedding AS emb, e.nrm AS nrm
+         |  FROM e, p WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, cand_id LIMIT 8),
+         |sim AS (SELECT a.cand_id AS ca, b.cand_id AS cb,
+         |    ${dotD("a.emb", "b.emb")} / (a.nrm * b.nrm) AS sim
+         |  FROM c a JOIN c b ON a.cand_id <> b.cand_id),
+         |s1 AS (SELECT cand_id, rel AS score, 1::BIGINT AS step
+         |  FROM c ORDER BY rel DESC, cand_id LIMIT 1),
+         |sel1 AS (SELECT cand_id FROM s1)""".stripMargin)
+    for (t <- 2 to 4) {
+      sb.append(
+        s""",
+           |m$t AS (SELECT ca, max(sim) AS msim FROM sim
+           |  WHERE cb IN (SELECT cand_id FROM sel${t - 1}) GROUP BY ca),
+           |s$t AS (SELECT cand_id, score, $t::BIGINT AS step FROM (
+           |  SELECT c.cand_id, rel, msim, $MmrScore AS score
+           |  FROM c JOIN m$t ON m$t.ca = c.cand_id
+           |  WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${t - 1})) z
+           |  ORDER BY score DESC, cand_id LIMIT 1),
+           |sel$t AS (SELECT cand_id FROM sel${t - 1}
+           |  UNION ALL SELECT cand_id FROM s$t)""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT step, cand_id, score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
+        |ORDER BY step""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr_select" -> (annMmrSelect _),
     "emb_mrl_recall" -> (embMrlRecall _),
     "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
@@ -1549,6 +1635,7 @@ object Similarity {
     * corpus-DERIVED parameters ([[Corpus]]), so the strings must be
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
+    "ann_mmr_select" -> annMmrSelectSql,
     "emb_mrl_recall" -> embMrlRecallSql,
     "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,

@@ -58,6 +58,57 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("ml_ols: closed-form coefficients match a direct local least-squares fit") {
+    import spark.implicits._
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val out = MlPrep.mlOls(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val xs = g.map(_._2); val ys = g.map(_._3); val n = g.length.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val varx = xs.map(x => (x - mx) * (x - mx)).sum
+      val slope = cov / varx
+      val intercept = my - slope * mx
+      val got = out(flag)
+      assert(math.abs(got.getAs[Double]("slope") - slope) <= 1e-6 * math.max(1.0, math.abs(slope)),
+        s"$flag slope ${got.getAs[Double]("slope")} vs local $slope")
+      assert(math.abs(got.getAs[Double]("intercept") - intercept) <= 1e-6 * math.abs(intercept),
+        s"$flag intercept")
+      val r2 = got.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag r2 out of range: $r2")
+    }
+  }
+
+  test("ml_ols2: bivariate fit reduces residual variance vs univariate, r2 in range") {
+    val uni = MlPrep.mlOls(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("r2")).toMap
+    val bi = MlPrep.mlOls2(spark, sf).collect()
+    assert(bi.length === uni.size)
+    bi.foreach { r =>
+      val flag = r.getString(0)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag r2 out of range: $r2")
+      // adding a regressor can never reduce in-sample R^2 (allow fp slack)
+      assert(r2 >= uni(flag) - 1e-12,
+        s"$flag bivariate r2 $r2 below univariate ${uni(flag)}")
+    }
+  }
+
+  test("ml_shap_linear: importances are non-negative and finite") {
+    val out = MlPrep.mlShapLinear(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq("phi_qty", "phi_disc").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(!v.isNaN && !v.isInfinite && v >= 0.0, s"$c = $v")
+      }
+    }
+  }
+
   test("ml_stratified_kfold: every stratum spreads across folds by at most one row") {
     val out = MlPrep.mlStratifiedKfold(spark, sf).collect()
     assert(out.nonEmpty)

@@ -154,7 +154,15 @@ class PlanSpec extends SparkSpec {
         "gr_conductance",
         // dd_minhash_recall: ONE-ROW lsh-pair-count aggregate broadcast
         // into the one-row hit aggregate — scalar-subquery shape
-        "dd_minhash_recall")
+        "dd_minhash_recall",
+        // emb_mrl_recall: the ann_topk_exact envelope twice — the same
+        // bounded 10-row probe broadcast, once at full dim and once at
+        // the 16-dim Matryoshka prefix
+        "emb_mrl_recall",
+        // ann_mmr_select: ONE-ROW probe broadcast into the candidate
+        // scan, then every greedy-stage join is over the FIXED 8-row
+        // candidate batch (pairwise sims, per-step argmax)
+        "ann_mmr_select")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
