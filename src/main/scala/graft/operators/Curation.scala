@@ -1048,7 +1048,60 @@ object Curation {
        |GROUP BY c.source, b.t_tokens, b.budget
        |ORDER BY c.source""".stripMargin
 
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE — the corpus-reporting query
+    * a data owner publishes instead of raw per-(lang, source) document
+    * counts. Mechanism: discrete Laplace (two-sided geometric, p=1/2 ⇒
+    * ε = ln 2 per cell at add/remove-one-document sensitivity 1, each
+    * document in exactly one cell), post-processed with a floor at 0.
+    * The geometric draws are the trailing-zero counts of two
+    * independent keyed md5 hashes of the CELL — the reproducible-noise
+    * construction real releases use (noise keyed per release, never
+    * per row), and the one form both engines evaluate bit-identically:
+    * min(tz(h), 17) is a pure integer CASE chain, no ln / no float
+    * inverse-CDF whose libm could diverge. Shape: one hash-partitioned
+    * count per cell, then the noise is a SCALAR expression on the
+    * aggregate row — nothing data-sized moves after the groupBy, and
+    * at 100 TB the release costs exactly one count(*) scan. */
+  private def dpTz(h: String): String = {
+    val cases = (0 to 16).map { k =>
+      s"WHEN $h % ${1L << (k + 1)}L = ${1L << k}L THEN ${k}L"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 17L END)"
+  }
+
+  /** Same chain in DuckDB spelling (no L suffix on integer literals). */
+  private def dpTzDuck(h: String): String = {
+    val cases = (0 to 16).map { k =>
+      s"WHEN $h % ${1L << (k + 1)} = ${1L << k} THEN $k"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 17 END)::BIGINT"
+  }
+
+  def cuDpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val hA = Text.hash60SparkSql("concat('dpa:', lang, '|', source)")
+    val hB = Text.hash60SparkSql("concat('dpb:', lang, '|', source)")
+    Tables.documents(spark, sfDir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", expr(s"${dpTz(s"($hA)")} - ${dpTz(s"($hB)")}"))
+      .withColumn("released", greatest(lit(0L), col("n") + col("noise")))
+      .select("lang", "source", "released")
+      .orderBy("lang", "source")
+  }
+
+  private val cuDpCountsSql: String = {
+    val hA = Text.hash60DuckSql("'dpa:' || lang || '|' || source")
+    val hB = Text.hash60DuckSql("'dpb:' || lang || '|' || source")
+    s"""WITH c AS (
+       |  SELECT lang, source, count(*)::BIGINT AS n,
+       |    ${dpTzDuck(s"($hA)")} - ${dpTzDuck(s"($hB)")} AS noise
+       |  FROM documents GROUP BY lang, source)
+       |SELECT lang, source, greatest(0, n + noise)::BIGINT AS released
+       |FROM c ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_dp_counts" -> (cuDpCounts _),
     "cu_token_budget" -> (cuTokenBudget _),
     "cu_importance_sample" -> (cuImportanceSample _),
     "cu_domain_cap" -> (cuDomainCap _),
@@ -1070,6 +1123,7 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_dp_counts" -> cuDpCountsSql,
     "cu_token_budget" -> cuTokenBudgetSql,
     "cu_importance_sample" -> cuImportanceSampleSql,
     "cu_domain_cap" -> cuDomainCapSql,

@@ -1099,7 +1099,96 @@ object Events {
       |    / (n_users * n_events)::DOUBLE AS gini
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    * a rollout without random assignment: compare the treated group's
+    * pre→post outcome change against the control group's over the same
+    * boundary, cancelling time trends common to both. Assignment is
+    * the deterministic keyed-hash split [[opAbTest]] uses (variant =
+    * hash60 of user % 2); the period boundary is the event window's
+    * exact midpoint in epoch MICROSECONDS (integer min/max midpoint —
+    * a one-row aggregate broadcast back, the allowlisted scalar-
+    * subquery shape). Outcome = per-cell purchase cents (exact integer
+    * sums) per distinct active user; the four cell means are each ONE
+    * double division and the DiD is the identical two-subtraction
+    * expression on both engines. Shape at scale: one events scan, one
+    * (variant, period) aggregation with map-side partials over 4 keys
+    * (countDistinct(user) shuffles user-sized partials, the standard
+    * distinct-agg plan) — no window, no join against anything
+    * data-sized. */
+  def evDid(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cut_us"))
+    val cells = ev.crossJoin(broadcast(cut))
+      .withColumn("variant",
+        expr(s"${graft.functions.Text.hash60SparkSql("concat('did:', cast(user_id as string))")} % 2"))
+      .withColumn("post",
+        when(unix_micros(col("ts")) >= col("cut_us"), 1L).otherwise(0L))
+      .withColumn("cents",
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(lit(0L)))
+      .groupBy("variant", "post")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents"))
+    val one = cells.agg(
+      sum(when(col("variant") === 1 && col("post") === 0, col("n_users"))).as("n_t_pre"),
+      sum(when(col("variant") === 1 && col("post") === 1, col("n_users"))).as("n_t_post"),
+      sum(when(col("variant") === 0 && col("post") === 0, col("n_users"))).as("n_c_pre"),
+      sum(when(col("variant") === 0 && col("post") === 1, col("n_users"))).as("n_c_post"),
+      sum(when(col("variant") === 1 && col("post") === 0, col("cents"))).as("cents_t_pre"),
+      sum(when(col("variant") === 1 && col("post") === 1, col("cents"))).as("cents_t_post"),
+      sum(when(col("variant") === 0 && col("post") === 0, col("cents"))).as("cents_c_pre"),
+      sum(when(col("variant") === 0 && col("post") === 1, col("cents"))).as("cents_c_post"))
+    one
+      .withColumn("m_t_pre", expr("cast(cents_t_pre as double) / cast(n_t_pre as double)"))
+      .withColumn("m_t_post", expr("cast(cents_t_post as double) / cast(n_t_post as double)"))
+      .withColumn("m_c_pre", expr("cast(cents_c_pre as double) / cast(n_c_pre as double)"))
+      .withColumn("m_c_post", expr("cast(cents_c_post as double) / cast(n_c_post as double)"))
+      .withColumn("did", expr("(m_t_post - m_t_pre) - (m_c_post - m_c_pre)"))
+      .select("n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        "m_t_pre", "m_t_post", "m_c_pre", "m_c_post", "did")
+  }
+
+  private val evDidSql: String =
+    s"""WITH cut AS (
+       |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us FROM events),
+       |per AS (
+       |  SELECT
+       |    ${graft.functions.Text.hash60DuckSql("'did:' || user_id::VARCHAR")} % 2 AS variant,
+       |    CASE WHEN epoch_us(ts) >= cut_us THEN 1 ELSE 0 END AS post,
+       |    user_id,
+       |    CASE WHEN event_type = 'purchase'
+       |      THEN round(value * 100)::BIGINT ELSE 0 END AS cents
+       |  FROM events, cut),
+       |cell AS (
+       |  SELECT variant, post, count(DISTINCT user_id)::BIGINT AS n_users,
+       |    sum(cents)::BIGINT AS cents
+       |  FROM per GROUP BY 1, 2),
+       |one AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 1 AND post = 0 THEN n_users END)::BIGINT AS n_t_pre,
+       |    sum(CASE WHEN variant = 1 AND post = 1 THEN n_users END)::BIGINT AS n_t_post,
+       |    sum(CASE WHEN variant = 0 AND post = 0 THEN n_users END)::BIGINT AS n_c_pre,
+       |    sum(CASE WHEN variant = 0 AND post = 1 THEN n_users END)::BIGINT AS n_c_post,
+       |    sum(CASE WHEN variant = 1 AND post = 0 THEN cents END)::BIGINT AS cents_t_pre,
+       |    sum(CASE WHEN variant = 1 AND post = 1 THEN cents END)::BIGINT AS cents_t_post,
+       |    sum(CASE WHEN variant = 0 AND post = 0 THEN cents END)::BIGINT AS cents_c_pre,
+       |    sum(CASE WHEN variant = 0 AND post = 1 THEN cents END)::BIGINT AS cents_c_post
+       |  FROM cell),
+       |m AS (
+       |  SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       |    cents_t_pre::DOUBLE / n_t_pre::DOUBLE AS m_t_pre,
+       |    cents_t_post::DOUBLE / n_t_post::DOUBLE AS m_t_post,
+       |    cents_c_pre::DOUBLE / n_c_pre::DOUBLE AS m_c_pre,
+       |    cents_c_post::DOUBLE / n_c_post::DOUBLE AS m_c_post
+       |  FROM one)
+       |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       |  m_t_pre, m_t_post, m_c_pre, m_c_post,
+       |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did" -> (evDid _),
     "ev_gini" -> (evGini _),
     "ev_anomaly_mad" -> (evAnomalyMad _),
     "ev_session_cap" -> (evSessionCap _),
@@ -1130,6 +1219,7 @@ object Events {
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
+    "ev_did" -> evDidSql,
     "ev_gini" -> evGiniSql,
     "ev_anomaly_mad" -> evAnomalyMadSql,
     "ev_session_cap" -> evSessionCapSql,

@@ -1450,6 +1450,76 @@ object Similarity {
        |FROM nn WHERE rank <= 5
        |GROUP BY p_label ORDER BY p_label""".stripMargin
 
+  /** MEAN RECIPROCAL RANK of the first same-label neighbor in the
+    * cosine top-[[MrrK]] — the retrieval-eval companion to
+    * [[mlKnnAgreement]] (label agreement asks "how pure is the
+    * neighborhood"; MRR asks "how FAR DOWN is the first relevant
+    * hit", the metric RAG retrievers are tuned on). Reciprocal ranks
+    * are summed EXACTLY: each probe contributes lcm(1..20)/first_hit
+    * (an exact integer — the LCM is divisible by every rank), the
+    * per-label mean is ONE double division at the end, so no
+    * float-summation-order hazard crosses engines. Probes broadcast;
+    * the corpus scans map-side exactly as in the exact-top-k baseline;
+    * the per-probe first-hit reduction is a 50-row aggregate. */
+  private val MrrK = 20
+  private val MrrLcm = 232792560L // lcm(1..20)
+
+  def mlMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, sfDir)
+    val spread =
+      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
+        raw.repartition(col("vec_id"))
+      else raw
+    val e = spread
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr(s"sqrt(${dotS("emb", "emb")})"))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"))
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    val firstHit = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr(s"${dotS("emb", "p_emb")}") / (col("nrm") * col("p_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MrrK && col("label") === col("p_label"))
+      .groupBy("probe_id").agg(min(col("rank")).cast("long").as("first_hit"))
+    probes.select("probe_id", "p_label")
+      .join(broadcast(firstHit), Seq("probe_id"), "left")
+      .withColumn("rr_fp",
+        coalesce(expr(s"${MrrLcm}L div first_hit"), lit(0L)))
+      .groupBy("p_label")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("first_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("rr_fp")).as("rr_fp_sum"))
+      .withColumn("mrr", col("rr_fp_sum").cast("double")
+        / (col("n_probes") * lit(MrrLcm)).cast("double"))
+      .select(col("p_label").cast("long").as("p_label"),
+        col("n_probes"), col("n_hit"), col("mrr"))
+      .orderBy("p_label")
+  }
+
+  private val mlMrrSql: String =
+    s"""WITH el AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotD("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |nn AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS p_label, e.label AS label,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${dotD("e.embedding", "p.embedding")} / (e.nrm * p.nrm) DESC,
+       |               e.vec_id) AS rank
+       |  FROM el e JOIN el p ON p.vec_id < 50 AND e.vec_id <> p.vec_id),
+       |fh AS (
+       |  SELECT probe_id, min(rank)::BIGINT AS first_hit
+       |  FROM nn WHERE rank <= $MrrK AND label = p_label GROUP BY probe_id),
+       |pr AS (SELECT vec_id AS probe_id, label AS p_label FROM el WHERE vec_id < 50)
+       |SELECT pr.p_label::BIGINT AS p_label,
+       |  count(*)::BIGINT AS n_probes,
+       |  sum(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  sum(coalesce($MrrLcm // first_hit, 0))::BIGINT::DOUBLE
+       |    / (count(*) * $MrrLcm)::BIGINT::DOUBLE AS mrr
+       |FROM pr LEFT JOIN fh ON fh.probe_id = pr.probe_id
+       |GROUP BY pr.p_label ORDER BY p_label""".stripMargin
+
   // ------------------------------------------------------------------
   // Matryoshka truncation (MRL, Kusupati et al. 2022, arXiv:2205.13147):
   // modern embedding models are trained so a DIM-PREFIX of the vector is
@@ -1608,6 +1678,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mmr_select" -> (annMmrSelect _),
+    "ml_mrr" -> (mlMrr _),
     "emb_mrl_recall" -> (embMrlRecall _),
     "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
@@ -1636,6 +1707,7 @@ object Similarity {
     * generated after priming, not at class init. */
   def oracles: Map[String, String] = Map(
     "ann_mmr_select" -> annMmrSelectSql,
+    "ml_mrr" -> mlMrrSql,
     "emb_mrl_recall" -> embMrlRecallSql,
     "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,

@@ -115,4 +115,29 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("keep_rate") >= 0.0 && r.getAs[Double]("keep_rate") <= 1.0)
     }
   }
+
+  test("cu_dp_counts: release is deterministic, non-negative, within the capped-noise envelope") {
+    val rel = Curation.cuDpCounts(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r.getAs[Long]("released"))
+      .toMap
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(rel.keySet === truth.keySet, "release must cover exactly the true cells")
+    rel.foreach { case (cell, v) =>
+      assert(v >= 0L, s"$cell released a negative count")
+      // two-sided geometric capped at 17 per draw: |noise| <= 17, plus the
+      // floor at 0 can only shrink the deviation further
+      assert(math.abs(v - truth(cell)) <= 17L,
+        s"$cell deviates by more than the capped noise: $v vs true ${truth(cell)}")
+    }
+    // keyed-hash noise: a second evaluation is bit-identical
+    val again = Curation.cuDpCounts(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r.getAs[Long]("released"))
+      .toMap
+    assert(again === rel, "DP release must be reproducible (keyed hash, not a PRNG)")
+    // the mechanism is actually perturbing: at least one cell moved
+    assert(rel.exists { case (c, v) => v != truth(c) }, "noise must not be identically zero")
+  }
 }

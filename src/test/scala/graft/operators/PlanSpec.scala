@@ -162,7 +162,14 @@ class PlanSpec extends SparkSpec {
         // ann_mmr_select: ONE-ROW probe broadcast into the candidate
         // scan, then every greedy-stage join is over the FIXED 8-row
         // candidate batch (pairwise sims, per-step argmax)
-        "ann_mmr_select")
+        "ann_mmr_select",
+        // ev_did: ONE-ROW window-midpoint aggregate broadcast into the
+        // events scan — scalar-subquery shape
+        "ev_did",
+        // ml_mrr: the ann_topk_exact envelope — bounded 50-probe batch
+        // broadcast into the one-pass corpus scan, then a 50-row
+        // first-hit reduction
+        "ml_mrr")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
