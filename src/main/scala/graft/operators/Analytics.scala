@@ -462,6 +462,67 @@ object Analytics {
       |  sum(np * (2 * cnb + nn))::DOUBLE / (2 * sum(np) * sum(nn)) AS auc
       |FROM cum""".stripMargin
 
+  /** AVERAGE PRECISION (area under the precision-recall curve, the
+    * step form retrieval papers report) — the PR companion to
+    * [[mlAuc]]: AUC-ROC is insensitive to class skew, AP is the metric
+    * that moves when the positive class is rare, which is the regime
+    * every data-curation classifier (quality filter, toxicity gate)
+    * lives in. Same scored relation as [[mlAuc]]; with ties grouped at
+    * distinct scores, AP = Σ_s np(s)·TP(s)/(TP(s)+FP(s)) / n_pos. Each
+    * term is ONE double division of exact int64 counts (numerator
+    * np·tp exact), and the term SUM is an explicit left fold in
+    * score-descending order on both engines (Spark: fold over the
+    * sorted collected list, the [[Curation.cuTokenBudget]] normalizer
+    * convention; DuckDB: list_reduce over list(... ORDER BY s DESC)) —
+    * no engine is free to reassociate float adds. The fold input is
+    * the DISTINCT-SCORE relation (bounded by score cardinality, the
+    * same reduction argument as [[mlRocPoints]]' global window). */
+  def mlAvgPrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val per = scored.groupBy("s")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("term",
+        expr("cast(np * tp as double) / cast(tp + fp as double)"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        expr("aggregate(transform(array_sort(collect_list(struct(-s AS k, term))), " +
+          "x -> x.term), cast(0 as double), (a, v) -> a + v)").as("ap_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("ap_sum") / col("n_pos").cast("double")).as("avg_precision"))
+  }
+
+  private val mlAvgPrecisionSql: String =
+    """WITH scored AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+      |  FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT *,
+      |    sum(np) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+      |    sum(nn) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+      |  FROM per),
+      |terms AS (
+      |  SELECT np, nn, s,
+      |    (np * tp)::DOUBLE / (tp + fp)::DOUBLE AS term
+      |  FROM cum)
+      |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+      |  list_reduce(list(term ORDER BY s DESC), (x, y) -> x + y)
+      |    / sum(np)::BIGINT::DOUBLE AS avg_precision
+      |FROM terms""".stripMargin
+
   /** EXACT ROC CURVE POINTS — the full curve [[mlAuc]] integrates: one
     * (threshold, tp, fp, tpr, fpr, prec) row per DISTINCT score, where
     * a row's counts are "predict positive at score ≥ s". Same scored
@@ -1904,6 +1965,7 @@ object Analytics {
     "gr_degree_dist" -> (grDegreeDist _),
     "op_bloom_join" -> (opBloomJoin _),
     "ml_auc" -> (mlAuc _),
+    "ml_avg_precision" -> (mlAvgPrecision _),
     "ml_roc_points" -> (mlRocPoints _),
     "ml_lift_deciles" -> (mlLiftDeciles _),
     "ml_kmeans" -> (mlKmeans _),
@@ -1945,6 +2007,7 @@ object Analytics {
     "gr_degree_dist" -> grDegreeDistSql,
     "op_bloom_join" -> opBloomJoinSql,
     "ml_auc" -> mlAucSql,
+    "ml_avg_precision" -> mlAvgPrecisionSql,
     "ml_roc_points" -> mlRocPointsSql,
     "ml_lift_deciles" -> mlLiftDecilesSql,
     "ml_kmeans" -> mlKmeansSql,

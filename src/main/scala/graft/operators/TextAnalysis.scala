@@ -1080,7 +1080,45 @@ object TextAnalysis {
       |    AS chars_per_subword
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** N-GRAM NOVELTY — per document, the fraction of its distinct word
+    * 3-grams that appear for the FIRST time in the corpus (by doc_id
+    * order): the curriculum/ordering signal behind "novelty decay"
+    * dataset analyses — novelty near 0 marks documents whose content
+    * the corpus has already seen even when no single near-duplicate
+    * exists (the diffuse-redundancy case MinHash pair-finding misses
+    * by design). First occurrence = min(doc_id) per shingle (one
+    * hash-partitioned aggregation of the exploded shingle relation),
+    * joined back on the SAME key — co-partitioned, no second shuffle
+    * of the big side beyond the agg's own; counts exact, novelty one
+    * double division. Native [[graft.plans.WordShingles]] produces the
+    * distinct-shingle arrays map-side in codegen. */
+  def taNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Text.shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val first = pairs.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    pairs.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_distinct").cast("double"))
+      .select("doc_id", "n_distinct", "n_novel", "novelty")
+      .orderBy("doc_id")
+  }
+
+  private val taNgramNoveltySql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |p AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM p GROUP BY g)
+       |SELECT p.doc_id, count(*)::BIGINT AS n_distinct,
+       |  sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+       |    / count(*)::BIGINT::DOUBLE AS novelty
+       |FROM p JOIN f ON f.g = p.g
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ngram_novelty" -> (taNgramNovelty _),
     "ta_fertility" -> (taFertility _),
     "ta_unicode_norm" -> (taUnicodeNorm _),
     "ta_langid_eval" -> (taLangidEval _),
@@ -1109,6 +1147,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> (taBpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "ta_ngram_novelty" -> taNgramNoveltySql,
     "ta_fertility" -> taFertilitySql,
     "ta_unicode_norm" -> taUnicodeNormSql,
     "ta_langid_eval" -> taLangidEvalSql,

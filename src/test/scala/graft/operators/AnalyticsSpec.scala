@@ -87,4 +87,19 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum("n_users")).head().getLong(0)
     assert(total === userDays, "every active user-day classified exactly once")
   }
+
+  test("ml_avg_precision: AP in (0,1], counts partition the corpus, AP above random baseline bound") {
+    val r = Analytics.mlAvgPrecision(spark, sf).head()
+    val nPos = r.getAs[Long]("n_pos")
+    val nNeg = r.getAs[Long]("n_neg")
+    val ap = r.getAs[Double]("avg_precision")
+    assert(nPos > 0L && nNeg > 0L)
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(nPos + nNeg === total, "every vector scored exactly once")
+    assert(ap > 0.0 && ap <= 1.0, s"avg_precision $ap out of (0,1]")
+    // the final PR point has precision = prevalence, so the step AP can
+    // never fall below prevalence/n_pos (the last positive's term alone)
+    val prevalence = nPos.toDouble / total
+    assert(ap >= prevalence / nPos - 1e-12, s"AP $ap below the structural floor")
+  }
 }
