@@ -523,6 +523,88 @@ object Analytics {
       |    / sum(np)::BIGINT::DOUBLE AS avg_precision
       |FROM terms""".stripMargin
 
+  /** BRIER SCORE with the Murphy decomposition (reliability −
+    * resolution + uncertainty) — the probability-quality companion to
+    * [[mlAuc]]/[[mlAvgPrecision]]: rank metrics can look fine while
+    * the probabilities a downstream sampler consumes are mis-scaled;
+    * the decomposition says whether the damage is calibration
+    * (reliability) or discrimination (resolution). Forecasts are the
+    * nominal midpoints (2b+1)/20 of TEN FIXED-WIDTH score bins over
+    * the exact fixed-point score — binning is pure integer arithmetic
+    * from the global min/max (one-row broadcast), NOT an ntile, so
+    * there is no global sort and the plan is one scan + a 10-group
+    * aggregate at any corpus size. Every decomposition sum reduces to
+    * exact int64 aggregates (Σ n_b(2b+1)², Σ pos_b(2b+1)) except
+    * Σ pos_b²/n_b, which folds its 10 per-bin single-division terms
+    * in bin order on both engines. Final algebra is the identical
+    * IEEE expression chain; Brier is published as rel − res + unc
+    * (an exact identity for binned forecasts, spec-pinned against the
+    * direct per-row mean). */
+  def mlBrier(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val bounds = scored.agg(min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+    val bins = scored.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(s - s_min) * 10L div (s_max - s_min + 1L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+      .withColumn("c_term",
+        expr("cast(pos_b * pos_b as double) / cast(n_b as double)"))
+    val nD = col("n").cast("double")
+    bins.agg(
+        sum(col("n_b")).as("n"), sum(col("pos_b")).as("n_pos"),
+        sum(col("n_b") * (lit(2L) * col("bin") + 1L) * (lit(2L) * col("bin") + 1L)).as("a"),
+        sum(col("pos_b") * (lit(2L) * col("bin") + 1L)).as("b"),
+        expr("aggregate(transform(array_sort(collect_list(struct(bin, c_term))), " +
+          "x -> x.c_term), cast(0 as double), (acc, v) -> acc + v)").as("c"))
+      .withColumn("obar", col("n_pos").cast("double") / nD)
+      .withColumn("reliability",
+        col("a").cast("double") / lit(400.0) / nD
+          - lit(2.0) * col("b").cast("double") / lit(20.0) / nD
+          + col("c") / nD)
+      .withColumn("resolution", col("c") / nD - col("obar") * col("obar"))
+      .withColumn("uncertainty", col("obar") * (lit(1.0) - col("obar")))
+      .withColumn("brier",
+        col("reliability") - col("resolution") + col("uncertainty"))
+      .select("n", "n_pos", "reliability", "resolution", "uncertainty", "brier")
+  }
+
+  private val mlBrierSql: String =
+    """WITH scored AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |bounds AS (SELECT min(s) AS s_min, max(s) AS s_max FROM scored),
+      |binned AS (
+      |  SELECT (s - s_min) * 10 // (s_max - s_min + 1) AS bin, y
+      |  FROM scored, bounds),
+      |bins AS (
+      |  SELECT bin, count(*)::BIGINT AS n_b, sum(y)::BIGINT AS pos_b,
+      |    (sum(y)::BIGINT * sum(y)::BIGINT)::DOUBLE / count(*)::BIGINT::DOUBLE AS c_term
+      |  FROM binned GROUP BY bin),
+      |agg AS (
+      |  SELECT sum(n_b)::BIGINT AS n, sum(pos_b)::BIGINT AS n_pos,
+      |    sum(n_b * (2 * bin + 1) * (2 * bin + 1))::BIGINT AS a,
+      |    sum(pos_b * (2 * bin + 1))::BIGINT AS b,
+      |    list_reduce(list(c_term ORDER BY bin), (acc, v) -> acc + v) AS c
+      |  FROM bins),
+      |m AS (
+      |  SELECT n, n_pos,
+      |    n_pos::DOUBLE / n::DOUBLE AS obar,
+      |    a::DOUBLE / 400.0 / n::DOUBLE
+      |      - 2.0 * b::DOUBLE / 20.0 / n::DOUBLE
+      |      + c / n::DOUBLE AS reliability,
+      |    c / n::DOUBLE - (n_pos::DOUBLE / n::DOUBLE) * (n_pos::DOUBLE / n::DOUBLE)
+      |      AS resolution
+      |  FROM agg)
+      |SELECT n, n_pos, reliability, resolution,
+      |  obar * (1.0 - obar) AS uncertainty,
+      |  reliability - resolution + obar * (1.0 - obar) AS brier
+      |FROM m""".stripMargin
+
   /** EXACT ROC CURVE POINTS — the full curve [[mlAuc]] integrates: one
     * (threshold, tp, fp, tpr, fpr, prec) row per DISTINCT score, where
     * a row's counts are "predict positive at score ≥ s". Same scored
@@ -1966,6 +2048,7 @@ object Analytics {
     "op_bloom_join" -> (opBloomJoin _),
     "ml_auc" -> (mlAuc _),
     "ml_avg_precision" -> (mlAvgPrecision _),
+    "ml_brier" -> (mlBrier _),
     "ml_roc_points" -> (mlRocPoints _),
     "ml_lift_deciles" -> (mlLiftDeciles _),
     "ml_kmeans" -> (mlKmeans _),
@@ -2008,6 +2091,7 @@ object Analytics {
     "op_bloom_join" -> opBloomJoinSql,
     "ml_auc" -> mlAucSql,
     "ml_avg_precision" -> mlAvgPrecisionSql,
+    "ml_brier" -> mlBrierSql,
     "ml_roc_points" -> mlRocPointsSql,
     "ml_lift_deciles" -> mlLiftDecilesSql,
     "ml_kmeans" -> mlKmeansSql,

@@ -1026,6 +1026,60 @@ object Similarity {
       |FROM a JOIN b USING (rid) WHERE j >= i
       |GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** AXIS-ALIGNED VARIANCE SPECTRUM — per-dimension variance of the
+    * embedding matrix and its share of the total (the trace): the
+    * PCA-lite health screen that catches DEAD dimensions (share ≈ 0 —
+    * wasted index bytes in every ANN structure downstream) and
+    * DOMINANT ones (a single axis carrying the distance metric, which
+    * defeats product-quantization codebook balance). Per-dim moments
+    * are exact 2^16 fixed-point int64 sums ([[embCovariance]]'s
+    * convention — associative, parallelism-proof); each variance is
+    * the identical one-expression rational; the trace folds the 64
+    * per-dim variances in dimension order on both engines and comes
+    * back as a one-row broadcast. One dimension-keyed aggregate (64
+    * groups, map-side combined) at any corpus size. */
+  def embDimVariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.embeddings(spark, sfDir)
+      .select(posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 65536) as bigint))"))
+        .as(Seq("pos", "xs")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"),
+        sum(col("xs") * col("xs")).as("sxx"))
+      .withColumn("variance", expr(
+        """(cast(sxx as double) / cast(n as double)
+          | - (cast(sx as double) / cast(n as double))
+          |   * (cast(sx as double) / cast(n as double))) / 4294967296.0""".stripMargin))
+    val tot = terms.agg(expr(
+      "aggregate(transform(array_sort(collect_list(struct(pos, variance))), " +
+        "x -> x.variance), cast(0 as double), (a, v) -> a + v)").as("trace"))
+    terms.crossJoin(broadcast(tot))
+      .withColumn("share", col("variance") / col("trace"))
+      .select("pos", "n", "variance", "share")
+      .orderBy("pos")
+  }
+
+  private val embDimVarianceSql: String =
+    """WITH t AS (
+      |  SELECT unnest(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 65536)::BIGINT)) AS xs,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT (i - 1)::BIGINT AS pos, count(*)::BIGINT AS n,
+      |    sum(xs)::BIGINT AS sx, sum(xs * xs)::BIGINT AS sxx
+      |  FROM t GROUP BY i),
+      |v AS (
+      |  SELECT pos, n,
+      |    (sxx::DOUBLE / n::DOUBLE
+      |     - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE)) / 4294967296.0
+      |      AS variance
+      |  FROM d),
+      |tr AS (SELECT list_reduce(list(variance ORDER BY pos), (a, b) -> a + b) AS trace
+      |  FROM v)
+      |SELECT pos, n, variance, variance / trace AS share
+      |FROM v, tr ORDER BY pos""".stripMargin
+
   /** EMBEDDING-DISTRIBUTION DRIFT between two cohorts (even/odd vec_id
     * standing in for reference batch vs current batch) — the
     * embedding-space monitor next to [[graft.operators.Analytics]]'s
@@ -1679,6 +1733,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mmr_select" -> (annMmrSelect _),
     "ml_mrr" -> (mlMrr _),
+    "emb_dim_variance" -> (embDimVariance _),
     "emb_mrl_recall" -> (embMrlRecall _),
     "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
@@ -1708,6 +1763,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_mmr_select" -> annMmrSelectSql,
     "ml_mrr" -> mlMrrSql,
+    "emb_dim_variance" -> embDimVarianceSql,
     "emb_mrl_recall" -> embMrlRecallSql,
     "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,

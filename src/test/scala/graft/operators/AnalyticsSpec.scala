@@ -102,4 +102,31 @@ class AnalyticsSpec extends SparkSpec {
     val prevalence = nPos.toDouble / total
     assert(ap >= prevalence / nPos - 1e-12, s"AP $ap below the structural floor")
   }
+
+  test("ml_brier: decomposition identity matches the direct per-row Brier mean") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.mlBrier(spark, sf).head()
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    val unc = r.getAs[Double]("uncertainty")
+    val brier = r.getAs[Double]("brier")
+    assert(rel >= -1e-12 && res >= -1e-12, s"rel $rel / res $res must be non-negative")
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-12, s"uncertainty $unc outside [0, 1/4]")
+    assert(math.abs(brier - (rel - res + unc)) < 1e-15)
+    // direct computation: mean over rows of (midpoint(bin) - y)^2
+    val scored = graft.sources.Tables.embeddings(spark, sf)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val rows = scored.collect().map(x => (x.getLong(0), x.getLong(1)))
+    val sMin = rows.map(_._2).min
+    val sMax = rows.map(_._2).max
+    val direct = rows.map { case (y, s) =>
+      val bin = (s - sMin) * 10L / (sMax - sMin + 1L)
+      val p = (2.0 * bin + 1.0) / 20.0
+      (p - y) * (p - y)
+    }.sum / rows.length
+    assert(math.abs(brier - direct) < 1e-9,
+      s"decomposed Brier $brier != direct binned Brier $direct")
+  }
 }

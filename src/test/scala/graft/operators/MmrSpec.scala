@@ -25,4 +25,26 @@ class MmrSpec extends SparkSpec {
     val s1 = out.head.getAs[Double]("score")
     out.tail.foreach(r => assert(r.getAs[Double]("score") <= s1))
   }
+
+  test("emb_dim_variance: variances non-negative, shares sum to one, trace matches the diagonal") {
+    val out = Similarity.embDimVariance(spark, sf).collect()
+    assert(out.length === 64, "one row per embedding dimension")
+    out.foreach { r =>
+      assert(r.getAs[Double]("variance") >= 0.0,
+        s"dim ${r.getAs[Long]("pos")} variance negative")
+      assert(r.getAs[Double]("share") >= 0.0)
+    }
+    val shareSum = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum, not 1")
+    // the first 16 variances must equal emb_covariance's diagonal (same
+    // fixed-point construction, independent plans)
+    val diag = Similarity.embCovariance(spark, sf)
+      .filter("i = j").collect()
+      .map(r => r.getAs[Long]("i") -> r.getAs[Double]("cov")).toMap
+    out.filter(_.getAs[Long]("pos") < 16).foreach { r =>
+      val pos = r.getAs[Long]("pos")
+      assert(math.abs(r.getAs[Double]("variance") - diag(pos)) < 1e-12,
+        s"dim $pos variance disagrees with the covariance diagonal")
+    }
+  }
 }

@@ -169,7 +169,13 @@ class PlanSpec extends SparkSpec {
         // ml_mrr: the ann_topk_exact envelope — bounded 50-probe batch
         // broadcast into the one-pass corpus scan, then a 50-row
         // first-hit reduction
-        "ml_mrr")
+        "ml_mrr",
+        // ml_brier: ONE-ROW score min/max aggregate broadcast into the
+        // scan for integer binning — scalar-subquery shape
+        "ml_brier",
+        // emb_dim_variance: ONE-ROW trace fold broadcast back into the
+        // 64-row per-dimension relation — scalar-subquery shape
+        "emb_dim_variance")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
