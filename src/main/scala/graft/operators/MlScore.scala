@@ -436,10 +436,74 @@ object MlScore {
        |FROM binned GROUP BY 1, 2 ORDER BY pred_class, bin""".stripMargin
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between the ensemble's
+    * predictions and the labels, the one-number answer to "is this
+    * classifier better than its class-prior shadow" (and, swapping the
+    * two columns for two annotators, the standard annotation-QA
+    * statistic). With integer confusion counts, κ = (N·D − S) /
+    * (N² − S) where D = Σ diagonal and S = Σ_c row_c·col_c — EVERY
+    * term an exact int64 (S ≤ N² fits comfortably), ONE double
+    * division at the end, so the statistic is bit-identical at any
+    * parallelism. Shape: the scored scan feeds a ≤K² cell aggregate;
+    * row/col marginals and their product-sum are K-row computations on
+    * the aggregate — nothing data-sized moves after the confusion
+    * groupBy. */
+  def mlKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val margins = (0 until Classes).map(c => expr(marginExpr(c)).as(s"m$c"))
+    val cells = Tables.part(spark, sfDir)
+      .select(col("p_partkey") +: margins: _*)
+      .select(
+        expr(s"${graft.functions.Text.hash60SparkSql("concat('label:', cast(p_partkey as string))")} % ${Classes}")
+          .as("true_class"),
+        expr(argmaxExpr).cast("long").as("pred_class"))
+      .groupBy("true_class", "pred_class")
+      .agg(count(lit(1)).as("cn"))
+    val rows = cells.groupBy("true_class").agg(sum(col("cn")).as("r"))
+    val cols = cells.groupBy("pred_class").agg(sum(col("cn")).as("c"))
+    val sExp = rows.join(cols, col("true_class") === col("pred_class"))
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s_exp"))
+    val diag = cells.filter(col("true_class") === col("pred_class"))
+      .agg(coalesce(sum(col("cn")), lit(0L)).as("diag"))
+    cells.agg(sum(col("cn")).as("n"))
+      .crossJoin(broadcast(diag))
+      .crossJoin(broadcast(sExp))
+      .withColumn("po", col("diag").cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        col("s_exp").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa",
+        (col("n") * col("diag") - col("s_exp")).cast("double")
+          / (col("n") * col("n") - col("s_exp")).cast("double"))
+      .select("n", "diag", "s_exp", "po", "pe", "kappa")
+  }
+
+  private val mlKappaSql: String = {
+    val margins = (0 until Classes).map(c => s"${marginExpr(c)} AS m$c").mkString(",\n  ")
+    s"""WITH m AS (SELECT p_partkey, $margins FROM part),
+       |scored AS (SELECT
+       |    ${graft.functions.Text.hash60DuckSql("'label:' || p_partkey::VARCHAR")} % ${Classes} AS true_class,
+       |    ($argmaxExpr)::BIGINT AS pred_class
+       |  FROM m),
+       |cells AS (SELECT true_class, pred_class, count(*)::BIGINT AS cn
+       |  FROM scored GROUP BY 1, 2),
+       |r AS (SELECT true_class AS k, sum(cn)::BIGINT AS r FROM cells GROUP BY 1),
+       |c AS (SELECT pred_class AS k, sum(cn)::BIGINT AS c FROM cells GROUP BY 1),
+       |s AS (SELECT coalesce(sum(r.r * c.c), 0)::BIGINT AS s_exp
+       |  FROM r JOIN c ON r.k = c.k),
+       |d AS (SELECT coalesce(sum(cn), 0)::BIGINT AS diag
+       |  FROM cells WHERE true_class = pred_class),
+       |t AS (SELECT sum(cn)::BIGINT AS n FROM cells)
+       |SELECT n, diag, s_exp,
+       |  diag::DOUBLE / n::DOUBLE AS po,
+       |  s_exp::DOUBLE / (n * n)::DOUBLE AS pe,
+       |  (n * diag - s_exp)::DOUBLE / (n * n - s_exp)::DOUBLE AS kappa
+       |FROM t, d, s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ml_score_gbt" -> (mlScoreGbt _),
       "ml_eval" -> (mlEval _),
       "ml_calibration" -> (mlCalibration _),
+      "ml_kappa" -> (mlKappa _),
       "ml_train_gd" -> (mlTrainGd _)) ++
       xgbEntry.map { case (k, _) => k -> (mlScoreXgb _) }
 
@@ -447,5 +511,6 @@ object MlScore {
     Map("ml_score_gbt" -> mlScoreGbtSql,
       "ml_eval" -> mlEvalSql,
       "ml_calibration" -> mlCalibrationSql,
+      "ml_kappa" -> mlKappaSql,
       "ml_train_gd" -> mlTrainGdSql) ++ xgbEntry
 }

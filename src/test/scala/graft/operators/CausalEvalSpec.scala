@@ -40,4 +40,33 @@ class CausalEvalSpec extends SparkSpec {
     }
     assert(totalProbes === 50L, s"probe batch must be exactly 50, got $totalProbes")
   }
+
+  test("ml_kappa: kappa in [-1,1], consistent with po/pe, below raw accuracy") {
+    val r = MlScore.mlKappa(spark, sf).head()
+    val po = r.getAs[Double]("po")
+    val pe = r.getAs[Double]("pe")
+    val kappa = r.getAs[Double]("kappa")
+    assert(po >= 0.0 && po <= 1.0)
+    assert(pe > 0.0 && pe < 1.0, s"pe $pe degenerate")
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa $kappa out of range")
+    // same statistic two ways: (po - pe) / (1 - pe) within fp tolerance
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-12)
+    // chance correction can only shrink a better-than-chance agreement
+    if (po > pe) assert(kappa < po + 1e-12)
+  }
+
+  test("ev_srm: pooled counts cover all users, chi2 non-negative, flags ordered") {
+    val out = Events.evSrm(spark, sf).collect()
+    assert(out.nonEmpty)
+    val all = out.find(_.getAs[String]("event_type") == "(all)").get
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(all.getAs[Long]("n_a") + all.getAs[Long]("n_b") === users,
+      "pooled SRM row must count every distinct user exactly once")
+    out.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      // the stricter flag implies the looser one
+      if (r.getAs[Boolean]("srm_001")) assert(r.getAs[Boolean]("srm_05"))
+    }
+  }
 }

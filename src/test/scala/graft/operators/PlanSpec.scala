@@ -175,7 +175,10 @@ class PlanSpec extends SparkSpec {
         "ml_brier",
         // emb_dim_variance: ONE-ROW trace fold broadcast back into the
         // 64-row per-dimension relation — scalar-subquery shape
-        "emb_dim_variance")
+        "emb_dim_variance",
+        // ml_kappa: ONE-ROW diag and expected-agreement aggregates
+        // broadcast into the one-row total — scalar-subquery shape
+        "ml_kappa")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
