@@ -40,7 +40,7 @@ object Similarity {
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  private def embWithNorm(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def embWithNorm(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.embeddings(spark, sfDir)
     // Repartition ONLY when the input has fewer splits than cores (the
     // single-file fixture): per-row dot products would otherwise run on
@@ -323,7 +323,7 @@ object Similarity {
       s"(CASE WHEN ${dotD(emb, arrD(planes(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
-  private def dedupBucketS(t: Int): String =
+  private[operators] def dedupBucketS(t: Int): String =
     (0 until DedupPlanes).map { p =>
       s"(CASE WHEN ${dotS("emb", arrS(dplanes(t)(p)))} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("cast(", " + ", " as bigint)")
@@ -450,6 +450,127 @@ object Similarity {
        |  ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
        |FROM cand JOIN e x ON x.vec_id = cand.va JOIN e y ON y.vec_id = cand.vb
        |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
+  }
+
+  /** MULTI-PROBE LSH near-duplicate pairs (Lv et al., VLDB 2007) — the
+    * index-SIZE half of the LSH trade: instead of [[DedupTables]]
+    * tables probed once, HALF the tables each probed at the base
+    * bucket AND every Hamming-distance-1 bucket (flip one of the
+    * [[DedupPlanes]] sign bits). A 1-bit flip is exactly "what if the
+    * one closest hyperplane had voted the other way", so the probe set
+    * recovers most of the recall the dropped tables carried while the
+    * stored index (the dominant 100 TB cost — each table is a full
+    * corpus copy) halves. Candidates remain equi-joins on small int
+    * keys: the probe side explodes to planes+1 keys per vector
+    * (map-side, no extra shuffle shape), the build side stays one row
+    * per vector per table. Same exact-cosine rerank and deterministic
+    * top-100 as [[ddEmbedCosine]]; [[ddMultiprobeRecall]] publishes
+    * the overlap against the full-table baseline. */
+  private[operators] def MpTables: Int = math.max(1, DedupTables / 2)
+
+  /** Probe-key array for table `t` in Spark SQL: the base bucket plus
+    * each one-bit flip, literals fixed at plan time. */
+  private def mpProbesS: String =
+    (Seq("bucket") ++ (0 until DedupPlanes).map(p => s"bucket ^ ${1L << p}L"))
+      .mkString("array(", ", ", ")")
+
+  private def mpProbesD: String =
+    (Seq("bucket") ++ (0 until DedupPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+
+  private[operators] def mpCandidates(e: DataFrame): DataFrame =
+    (0 until MpTables).map { t =>
+      val base = e.select(col("vec_id"), expr(dedupBucketS(t)).as("bucket"))
+      val probes = base.select(col("vec_id"),
+        explode(expr(mpProbesS)).as("bucket"))
+      probes.as("a").join(base.as("b"), Seq("bucket"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    }.reduce(_ unionAll _).distinct()
+
+  def ddLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    Corpus.prime(spark, sfDir)
+    val e = Scratch.persist(embWithNorm(spark, sfDir))
+    mpCandidates(e)
+      .join(e.select(col("vec_id").as("va"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), "vb")
+      .withColumn("cosine", expr(s"${dotS("emb_a", "emb_b")}") / (col("nrm_a") * col("nrm_b")))
+      .select(col("va"), col("vb"), col("cosine"))
+      .orderBy(col("cosine").desc, col("va"), col("vb"))
+      .limit(100)
+  }
+
+  /** DuckDB candidate union for the multi-probe variant (CTE body). */
+  private def mpCandSql: String =
+    (0 until MpTables).map { t =>
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM (SELECT vec_id, unnest($mpProbesD) AS bucket
+         |        FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) ba) a
+         |  JOIN (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
+
+  private def ddLshMultiprobeSql: String =
+    s"""WITH $duckEmbCte,
+       |cand AS (
+       |$mpCandSql)
+       |SELECT cand.va, cand.vb,
+       |  ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+       |FROM cand JOIN e x ON x.vec_id = cand.va JOIN e y ON y.vec_id = cand.vb
+       |ORDER BY cosine DESC, va, vb LIMIT 100""".stripMargin
+
+  /** Overlap@100 of the multi-probe top pairs against the full-table
+    * single-probe baseline — the measurement that justifies shipping
+    * half the index: published as one verified row (table counts, both
+    * set sizes, the intersection, the overlap fraction). Both
+    * pipelines are deterministic so the overlap is too; the compare
+    * itself joins two 100-row sets. */
+  def ddMultiprobeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Corpus.prime(spark, sfDir)
+    // each 100-row set feeds two aggregate branches (its own count and
+    // the intersection) — persist the tiny results, not the pipelines
+    val b = Scratch.persist(ddEmbedCosine(spark, sfDir).select("va", "vb"))
+    val m = Scratch.persist(ddLshMultiprobe(spark, sfDir).select("va", "vb"))
+    val nb = b.agg(count(lit(1)).as("n_base"))
+    val nm = m.agg(count(lit(1)).as("n_mp"))
+    val ov = b.join(m, Seq("va", "vb"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+    nb.crossJoin(broadcast(nm)).crossJoin(broadcast(ov))
+      .select(lit(DedupTables.toLong).as("tables_full"),
+        lit(MpTables.toLong).as("tables_mp"),
+        col("n_base"), col("n_mp"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_base").cast("double"))
+          .as("overlap_frac"))
+  }
+
+  private def ddMultiprobeRecallSql: String = {
+    val fullCand = (0 until DedupTables).map { t =>
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) a
+         |  JOIN (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH $duckEmbCte,
+       |cand_f AS (
+       |$fullCand),
+       |base100 AS (
+       |  SELECT cand_f.va, cand_f.vb
+       |  FROM cand_f JOIN e x ON x.vec_id = cand_f.va JOIN e y ON y.vec_id = cand_f.vb
+       |  ORDER BY ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC, va, vb
+       |  LIMIT 100),
+       |cand_m AS (
+       |$mpCandSql),
+       |mp100 AS (
+       |  SELECT cand_m.va, cand_m.vb
+       |  FROM cand_m JOIN e x ON x.vec_id = cand_m.va JOIN e y ON y.vec_id = cand_m.vb
+       |  ORDER BY ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC, va, vb
+       |  LIMIT 100)
+       |SELECT ${DedupTables}::BIGINT AS tables_full, ${MpTables}::BIGINT AS tables_mp,
+       |  (SELECT count(*) FROM base100)::BIGINT AS n_base,
+       |  (SELECT count(*) FROM mp100)::BIGINT AS n_mp,
+       |  (SELECT count(*) FROM base100 JOIN mp100 USING (va, vb))::BIGINT AS n_overlap,
+       |  (SELECT count(*) FROM base100 JOIN mp100 USING (va, vb))::BIGINT::DOUBLE
+       |    / (SELECT count(*) FROM base100)::BIGINT::DOUBLE AS overlap_frac""".stripMargin
   }
 
   /** ANN index QUALITY as a first-class verified query: recall@5 of the
@@ -1734,6 +1855,8 @@ object Similarity {
     "ann_mmr_select" -> (annMmrSelect _),
     "ml_mrr" -> (mlMrr _),
     "emb_dim_variance" -> (embDimVariance _),
+    "dd_lsh_multiprobe" -> (ddLshMultiprobe _),
+    "dd_multiprobe_recall" -> (ddMultiprobeRecall _),
     "emb_mrl_recall" -> (embMrlRecall _),
     "ml_knn_agreement" -> (mlKnnAgreement _),
     "ann_mips" -> (annMips _),
@@ -1764,6 +1887,8 @@ object Similarity {
     "ann_mmr_select" -> annMmrSelectSql,
     "ml_mrr" -> mlMrrSql,
     "emb_dim_variance" -> embDimVarianceSql,
+    "dd_lsh_multiprobe" -> ddLshMultiprobeSql,
+    "dd_multiprobe_recall" -> ddMultiprobeRecallSql,
     "emb_mrl_recall" -> embMrlRecallSql,
     "ml_knn_agreement" -> mlKnnAgreementSql,
     "ann_mips" -> annMipsSql,

@@ -122,4 +122,29 @@ class DedupSpec extends SparkSpec {
       assert(f >= 0.0 && f <= 1.0)
     }
   }
+
+  test("dd_lsh_multiprobe: probing is a strict widening of its own tables' single-probe candidates") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.embWithNorm(spark, sf)
+    val multi = Similarity.mpCandidates(e)
+    // single-probe pairs over the SAME (first MpTables) tables
+    val single = (0 until Similarity.MpTables).map { t =>
+      val bk = e.select(col("vec_id"), expr(Similarity.dedupBucketS(t)).as("bucket"))
+      bk.as("a").join(bk.as("b"), Seq("bucket"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    }.reduce(_ unionAll _).distinct()
+    val nSingle = single.count()
+    val nMulti = multi.count()
+    val escaped = single.join(multi, Seq("va", "vb"), "left_anti").count()
+    assert(escaped === 0L,
+      s"$escaped single-probe pairs missing from the multi-probe candidate set")
+    assert(nMulti >= nSingle, s"probing shrank the candidate set: $nMulti < $nSingle")
+    // and the published recall row is internally consistent
+    val r = Similarity.ddMultiprobeRecall(spark, sf).head()
+    assert(r.getAs[Long]("n_overlap") <= math.min(r.getAs[Long]("n_base"), r.getAs[Long]("n_mp")))
+    assert(r.getAs[Long]("tables_mp") <= r.getAs[Long]("tables_full"))
+    val f = r.getAs[Double]("overlap_frac")
+    assert(f >= 0.0 && f <= 1.0)
+  }
 }

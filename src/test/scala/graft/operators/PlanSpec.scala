@@ -178,7 +178,10 @@ class PlanSpec extends SparkSpec {
         "emb_dim_variance",
         // ml_kappa: ONE-ROW diag and expected-agreement aggregates
         // broadcast into the one-row total — scalar-subquery shape
-        "ml_kappa")
+        "ml_kappa",
+        // dd_multiprobe_recall: ONE-ROW set-size aggregates of two
+        // 100-row pair sets broadcast together — scalar-subquery shape
+        "dd_multiprobe_recall")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
