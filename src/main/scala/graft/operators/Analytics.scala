@@ -523,6 +523,80 @@ object Analytics {
       |    / sum(np)::BIGINT::DOUBLE AS avg_precision
       |FROM terms""".stripMargin
 
+  /** OPERATING-POINT SELECTION — the step after the curve metrics: the
+    * threshold a deployment actually sets. Two standard criteria from
+    * the same distinct-score ROC relation as [[mlRocPoints]]:
+    * 'fpr_cap' (maximize TPR subject to FPR ≤ 5% — the quality-gate
+    * framing "catch the most while flagging ≤5% of clean docs") and
+    * 'youden' (maximize TPR − FPR, the balanced point). BOTH
+    * selections order on PURE INTEGERS — FPR ≤ 0.05 is 20·fp ≤ n_neg
+    * and the Youden objective is tp·n_neg − fp·n_pos — so no float
+    * comparison decides a tie-break anywhere; the published tpr/fpr
+    * are one division each after selection. Plan: the cumulative
+    * distinct-score pass (bounded by score cardinality) then two
+    * 1-row argmax selections. */
+  def mlOperatingPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint)), 0L, (a, v) -> a + v)")
+          .as("s"))
+    val per = scored.groupBy("s")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pts = per
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("n_pos", sum(col("np")).over(all))
+      .withColumn("n_neg", sum(col("nn")).over(all))
+    val wCap = Window.orderBy(col("tp").desc, col("fp").asc, col("s").desc)
+    val capPick = pts.filter(col("fp") * 20L <= col("n_neg"))
+      .withColumn("rk", row_number().over(wCap)).filter(col("rk") === 1)
+      .withColumn("criterion", lit("fpr_cap"))
+    val wJ = Window.orderBy(
+      (col("tp") * col("n_neg") - col("fp") * col("n_pos")).desc, col("s").desc)
+    val jPick = pts
+      .withColumn("rk", row_number().over(wJ)).filter(col("rk") === 1)
+      .withColumn("criterion", lit("youden"))
+    capPick.unionByName(jPick)
+      .select(col("criterion"), col("s").as("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double") / col("n_pos").cast("double")).as("tpr"),
+        (col("fp").cast("double") / col("n_neg").cast("double")).as("fpr"))
+      .orderBy("criterion")
+  }
+
+  private val mlOperatingPointSql: String =
+    """WITH scored AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    list_sum(list_transform(embedding,
+      |      x -> round(x::DOUBLE * 1048576)::BIGINT))::BIGINT AS s
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+      |  FROM scored GROUP BY s),
+      |pts AS (
+      |  SELECT s,
+      |    sum(np) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+      |    sum(nn) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+      |    sum(np) OVER ()::BIGINT AS n_pos,
+      |    sum(nn) OVER ()::BIGINT AS n_neg
+      |  FROM per),
+      |cap AS (
+      |  SELECT 'fpr_cap' AS criterion, s, tp, fp, n_pos, n_neg
+      |  FROM pts WHERE fp * 20 <= n_neg
+      |  ORDER BY tp DESC, fp ASC, s DESC LIMIT 1),
+      |yj AS (
+      |  SELECT 'youden' AS criterion, s, tp, fp, n_pos, n_neg
+      |  FROM pts ORDER BY (tp * n_neg - fp * n_pos) DESC, s DESC LIMIT 1)
+      |SELECT criterion, s AS threshold, tp, fp,
+      |  tp::DOUBLE / n_pos::DOUBLE AS tpr,
+      |  fp::DOUBLE / n_neg::DOUBLE AS fpr
+      |FROM (SELECT * FROM cap UNION ALL SELECT * FROM yj) u
+      |ORDER BY criterion""".stripMargin
+
   /** BRIER SCORE with the Murphy decomposition (reliability −
     * resolution + uncertainty) — the probability-quality companion to
     * [[mlAuc]]/[[mlAvgPrecision]]: rank metrics can look fine while
@@ -2049,6 +2123,7 @@ object Analytics {
     "ml_auc" -> (mlAuc _),
     "ml_avg_precision" -> (mlAvgPrecision _),
     "ml_brier" -> (mlBrier _),
+    "ml_operating_point" -> (mlOperatingPoint _),
     "ml_roc_points" -> (mlRocPoints _),
     "ml_lift_deciles" -> (mlLiftDeciles _),
     "ml_kmeans" -> (mlKmeans _),
@@ -2092,6 +2167,7 @@ object Analytics {
     "ml_auc" -> mlAucSql,
     "ml_avg_precision" -> mlAvgPrecisionSql,
     "ml_brier" -> mlBrierSql,
+    "ml_operating_point" -> mlOperatingPointSql,
     "ml_roc_points" -> mlRocPointsSql,
     "ml_lift_deciles" -> mlLiftDecilesSql,
     "ml_kmeans" -> mlKmeansSql,

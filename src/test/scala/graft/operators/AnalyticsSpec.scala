@@ -129,4 +129,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(brier - direct) < 1e-9,
       s"decomposed Brier $brier != direct binned Brier $direct")
   }
+
+  test("ml_operating_point: cap row respects the FPR budget, youden row maximizes J") {
+    val out = Analytics.mlOperatingPoint(spark, sf).collect()
+      .map(r => r.getAs[String]("criterion") -> r).toMap
+    assert(out.keySet === Set("fpr_cap", "youden"))
+    val cap = out("fpr_cap")
+    assert(cap.getAs[Double]("fpr") <= 0.05 + 1e-12,
+      s"fpr_cap row violates the 5% budget: ${cap.getAs[Double]("fpr")}")
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("tpr") >= 0.0 && r.getAs[Double]("tpr") <= 1.0)
+      assert(r.getAs[Double]("fpr") >= 0.0 && r.getAs[Double]("fpr") <= 1.0)
+    }
+    val jOf = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Double]("tpr") - r.getAs[Double]("fpr")
+    assert(jOf(out("youden")) >= jOf(cap) - 1e-12,
+      "the Youden point must dominate the capped point on J")
+  }
 }
