@@ -1243,7 +1243,202 @@ object Events {
        |  ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b)::DOUBLE > 10.828 AS srm_001
        |FROM t ORDER BY event_type""".stripMargin
 
+  /** MINIMUM DETECTABLE EFFECT — the experiment-design companion to
+    * [[opAbTest]]/[[evSrm]]: at the CURRENT arm sizes, how small a
+    * conversion-rate lift could the test even see at α=0.05 two-sided
+    * and 80% power? MDE = (z₀.₉₇₅ + z₀.₈)·√(2·p̄(1−p̄)/n̄) with the
+    * z-constants as shared literals (1.959964, 0.841621), p̄ the exact
+    * pooled-rate rational and n̄ the harmonic-style per-arm size
+    * 2·nₐ·n_b/(nₐ+n_b). The only non-rational step is ONE IEEE sqrt of
+    * an identically-built double on both engines ([[Events.evGini]]
+    * convention). Published per outcome definition: above-mean error
+    * activity (the guardrail) and above-mean purchase activity. Same
+    * user-keyed reduction shape as [[opAbTest]] plus one one-row
+    * totals broadcast — nothing user-sized leaves the first groupBy. */
+  def evPowerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    // outcome = ABOVE-MEAN activity of the type (cnt·N > total, an exact
+    // integer comparison): a plain incidence saturates at 100% on a
+    // fixture where every user hits every type (the opAbTest caveat),
+    // and a saturated metric has MDE 0 — the heavy-user rate stays
+    // mid-range at every scale, keeping the design query non-vacuous.
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c_err"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_buy"))
+    val tot = counts.agg(count(lit(1)).as("n_users"),
+      sum(col("c_err")).as("t_err"), sum(col("c_buy")).as("t_buy"))
+    val u = counts.crossJoin(broadcast(tot))
+      .withColumn("err",
+        when(col("c_err") * col("n_users") > col("t_err"), 1L).otherwise(0L))
+      .withColumn("buy",
+        when(col("c_buy") * col("n_users") > col("t_buy"), 1L).otherwise(0L))
+      .withColumn("variant",
+        expr(s"${graft.functions.Text.hash60SparkSql("cast(user_id as string)")} % 2"))
+    val arms = u.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(col("err")).as("conv_err"),
+      sum(col("buy")).as("conv_buy"))
+    val metrics = Seq("err", "buy").map { m =>
+      arms.select(lit(m).as("outcome"), col("n_a"), col("n_b"),
+        col(s"conv_$m").as("conv"))
+    }.reduce(_ unionByName _)
+    metrics
+      .withColumn("pbar",
+        col("conv").cast("double") / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("n_eff",
+        (lit(2L) * col("n_a") * col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("mde_abs",
+        lit(1.959964 + 0.841621) *
+          sqrt(lit(2.0) * col("pbar") * (lit(1.0) - col("pbar")) / col("n_eff")))
+      .withColumn("mde_rel", col("mde_abs") / col("pbar"))
+      .select("outcome", "n_a", "n_b", "conv", "pbar", "mde_abs", "mde_rel")
+      .orderBy("outcome")
+  }
+
+  private val evPowerMdeSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c_err,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c_buy
+       |  FROM events GROUP BY user_id),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS n_users,
+       |    sum(c_err)::BIGINT AS t_err, sum(c_buy)::BIGINT AS t_buy
+       |  FROM c),
+       |u AS (
+       |  SELECT user_id,
+       |    CASE WHEN c_err * n_users > t_err THEN 1 ELSE 0 END::BIGINT AS err,
+       |    CASE WHEN c_buy * n_users > t_buy THEN 1 ELSE 0 END::BIGINT AS buy,
+       |    ${graft.functions.Text.hash60DuckSql("user_id::VARCHAR")} % 2 AS variant
+       |  FROM c, tot),
+       |arms AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |    sum(err)::BIGINT AS conv_err, sum(buy)::BIGINT AS conv_buy
+       |  FROM u),
+       |m AS (
+       |  SELECT 'err' AS outcome, n_a, n_b, conv_err AS conv FROM arms
+       |  UNION ALL
+       |  SELECT 'buy' AS outcome, n_a, n_b, conv_buy AS conv FROM arms),
+       |r AS (
+       |  SELECT outcome, n_a, n_b, conv,
+       |    conv::DOUBLE / (n_a + n_b)::DOUBLE AS pbar,
+       |    (2 * n_a * n_b)::DOUBLE / (n_a + n_b)::DOUBLE AS n_eff
+       |  FROM m)
+       |SELECT outcome, n_a, n_b, conv, pbar,
+       |  ${1.959964 + 0.841621} * sqrt(2.0 * pbar * (1.0 - pbar) / n_eff) AS mde_abs,
+       |  ${1.959964 + 0.841621} * sqrt(2.0 * pbar * (1.0 - pbar) / n_eff) / pbar AS mde_rel
+       |FROM r ORDER BY outcome""".stripMargin
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    * production trick for shipping experiments faster: regress the
+    * post-period metric on the PRE-period covariate (θ = cov/var, the
+    * OLS slope), publish variant means of Y − θ(X − X̄), and report
+    * ρ² — the fraction of metric variance the covariate removes. The
+    * split reuses [[evDid]]'s exact epoch-microsecond midpoint and
+    * [[opAbTest]]'s hash variant. Exactness follows the
+    * [[graft.operators.MlPrep]] OLS convention: per-user X/Y are
+    * integer cents, ONE aggregation reduces the corpus to exact
+    * associative int64 sums (so partial-merge order cannot matter),
+    * and every published number is the same CAST-to-double scalar
+    * expression evaluated on both engines. Int64 headroom: per-user
+    * cents ≤ ~10⁶ ⇒ X² ≤ 10¹², fine through x100 of the shipped
+    * fixtures; the 100 TB path is the hi/lo split `Ols.syyD` uses. */
+  def evCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cut_us"))
+    val perUser = ev.crossJoin(broadcast(cut))
+      .withColumn("cents",
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(
+        sum(when(unix_micros(col("ts")) < col("cut_us"), col("cents"))
+          .otherwise(lit(0L))).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("cut_us"), col("cents"))
+          .otherwise(lit(0L))).as("y"))
+      .withColumn("variant",
+        expr(s"${graft.functions.Text.hash60SparkSql("cast(user_id as string)")} % 2"))
+    val sums = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 0, col("x")).otherwise(lit(0L))).as("sx_a"),
+      sum(when(col("variant") === 1, col("x")).otherwise(lit(0L))).as("sx_b"),
+      sum(when(col("variant") === 0, col("y")).otherwise(lit(0L))).as("sy_a"),
+      sum(when(col("variant") === 1, col("y")).otherwise(lit(0L))).as("sy_b"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums.selectExpr(
+      "n_a", "n_b",
+      s"${Cuped.meanYA} AS mean_y_a", s"${Cuped.meanYB} AS mean_y_b",
+      s"${Cuped.liftRaw} AS lift_raw",
+      s"${Cuped.theta} AS theta",
+      s"${Cuped.adjA} AS adj_a", s"${Cuped.adjB} AS adj_b",
+      s"${Cuped.liftAdj} AS lift_adj",
+      s"${Cuped.rho2} AS rho2")
+  }
+
+  /** Shared final-algebra strings (valid in BOTH Spark SQL and DuckDB —
+    * only CAST/arithmetic): exact int64 sums in, doubles out. */
+  private object Cuped {
+    private val nD = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    private val sxD = "(CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE))"
+    private val syD = "(CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE))"
+    private val cov = s"($nD * CAST(sxy AS DOUBLE) - $sxD * $syD)"
+    private val varx = s"($nD * CAST(sxx AS DOUBLE) - $sxD * $sxD)"
+    private val vary = s"($nD * CAST(syy AS DOUBLE) - $syD * $syD)"
+    val theta = s"($cov / $varx)"
+    val rho2 = s"(($cov * $cov) / ($varx * $vary))"
+    val meanYA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100 AS DOUBLE))"
+    val meanYB = "(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100 AS DOUBLE))"
+    val liftRaw = s"($meanYB - $meanYA)"
+    private val xbar = s"($sxD / $nD)"
+    val adjA = s"((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - $theta * " +
+      s"(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - $xbar)) / CAST(100 AS DOUBLE))"
+    val adjB = s"((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) - $theta * " +
+      s"(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - $xbar)) / CAST(100 AS DOUBLE))"
+    val liftAdj = s"($adjB - $adjA)"
+  }
+
+  private val evCupedSql: String =
+    s"""WITH cut AS (
+       |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN epoch_us(ts) < cut_us AND event_type = 'purchase'
+       |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+       |    sum(CASE WHEN epoch_us(ts) >= cut_us AND event_type = 'purchase'
+       |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y,
+       |    ${graft.functions.Text.hash60DuckSql("user_id::VARCHAR")} % 2 AS variant
+       |  FROM events, cut GROUP BY user_id),
+       |s AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |    sum(CASE WHEN variant = 0 THEN x ELSE 0 END)::BIGINT AS sx_a,
+       |    sum(CASE WHEN variant = 1 THEN x ELSE 0 END)::BIGINT AS sx_b,
+       |    sum(CASE WHEN variant = 0 THEN y ELSE 0 END)::BIGINT AS sy_a,
+       |    sum(CASE WHEN variant = 1 THEN y ELSE 0 END)::BIGINT AS sy_b,
+       |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+       |    sum(y * y)::BIGINT AS syy
+       |  FROM pu)
+       |SELECT n_a, n_b,
+       |  ${Cuped.meanYA} AS mean_y_a, ${Cuped.meanYB} AS mean_y_b,
+       |  ${Cuped.liftRaw} AS lift_raw,
+       |  ${Cuped.theta} AS theta,
+       |  ${Cuped.adjA} AS adj_a, ${Cuped.adjB} AS adj_b,
+       |  ${Cuped.liftAdj} AS lift_adj,
+       |  ${Cuped.rho2} AS rho2
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cuped" -> (evCuped _),
+    "ev_power_mde" -> (evPowerMde _),
     "ev_srm" -> (evSrm _),
     "ev_did" -> (evDid _),
     "ev_gini" -> (evGini _),
@@ -1276,6 +1471,8 @@ object Events {
     "ev_seasonality" -> (evSeasonality _))
 
   val oracles: Map[String, String] = Map(
+    "ev_cuped" -> evCupedSql,
+    "ev_power_mde" -> evPowerMdeSql,
     "ev_srm" -> evSrmSql,
     "ev_did" -> evDidSql,
     "ev_gini" -> evGiniSql,

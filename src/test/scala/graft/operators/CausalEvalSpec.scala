@@ -55,6 +55,59 @@ class CausalEvalSpec extends SparkSpec {
     if (po > pe) assert(kappa < po + 1e-12)
   }
 
+  test("ev_power_mde: MDE positive and shrinking in n, pooled rate consistent") {
+    val out = Events.evPowerMde(spark, sf).collect()
+      .map(r => r.getAs[String]("outcome") -> r).toMap
+    assert(out.keySet === Set("err", "buy"))
+    out.values.foreach { r =>
+      val pbar = r.getAs[Double]("pbar")
+      assert(pbar > 0.0 && pbar < 1.0, s"degenerate pooled rate $pbar")
+      assert(r.getAs[Double]("mde_abs") > 0.0)
+      assert(r.getAs[Double]("mde_rel") > 0.0)
+      assert(r.getAs[Long]("conv") <= r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+      // closed form check: mde = 2.801585 * sqrt(2 p(1-p) / n_eff)
+      val nA = r.getAs[Long]("n_a").toDouble
+      val nB = r.getAs[Long]("n_b").toDouble
+      val nEff = 2.0 * nA * nB / (nA + nB)
+      val expected = (1.959964 + 0.841621) * math.sqrt(2.0 * pbar * (1.0 - pbar) / nEff)
+      assert(math.abs(r.getAs[Double]("mde_abs") - expected) < 1e-12)
+    }
+  }
+
+  test("ev_cuped: rho2 in [0,1), theta matches a local OLS slope, adjustment preserves the global mean") {
+    import org.apache.spark.sql.functions._
+    val r = Events.evCuped(spark, sf).head()
+    val rho2 = r.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 < 1.0, s"rho2 $rho2 out of [0,1)")
+    // recompute theta locally from per-user (x, y)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .head().getLong(0)
+    val xy = ev
+      .withColumn("cents", when(col("event_type") === "purchase",
+        expr("cast(round(value * 100) as bigint)")).otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(when(unix_micros(col("ts")) < cut, col("cents")).otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= cut, col("cents")).otherwise(0L)).as("y"))
+      .collect().map(u => (u.getAs[Long]("x").toDouble, u.getAs[Long]("y").toDouble))
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val thetaLocal = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val theta = r.getAs[Double]("theta")
+    assert(math.abs(theta - thetaLocal) < 1e-9 * math.max(1.0, math.abs(thetaLocal)),
+      s"theta $theta vs local $thetaLocal")
+    // CUPED is mean-preserving: the user-weighted mean of adjusted
+    // variant means equals the raw pooled mean
+    val nA = r.getAs[Long]("n_a").toDouble
+    val nB = r.getAs[Long]("n_b").toDouble
+    val pooledRaw = (r.getAs[Double]("mean_y_a") * nA + r.getAs[Double]("mean_y_b") * nB) / (nA + nB)
+    val pooledAdj = (r.getAs[Double]("adj_a") * nA + r.getAs[Double]("adj_b") * nB) / (nA + nB)
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-9,
+      s"adjustment moved the pooled mean: $pooledRaw -> $pooledAdj")
+  }
+
   test("ev_srm: pooled counts cover all users, chi2 non-negative, flags ordered") {
     val out = Events.evSrm(spark, sf).collect()
     assert(out.nonEmpty)

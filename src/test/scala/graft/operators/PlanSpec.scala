@@ -163,9 +163,12 @@ class PlanSpec extends SparkSpec {
         // scan, then every greedy-stage join is over the FIXED 8-row
         // candidate batch (pairwise sims, per-step argmax)
         "ann_mmr_select",
-        // ev_did: ONE-ROW window-midpoint aggregate broadcast into the
-        // events scan — scalar-subquery shape
-        "ev_did",
+        // ev_did / ev_cuped: ONE-ROW window-midpoint aggregate broadcast
+        // into the events scan — scalar-subquery shape
+        "ev_did", "ev_cuped",
+        // ev_power_mde: ONE-ROW per-type totals broadcast into the
+        // user-count relation for the above-mean flags
+        "ev_power_mde",
         // ml_mrr: the ann_topk_exact envelope — bounded 50-probe batch
         // broadcast into the one-pass corpus scan, then a 50-row
         // first-hit reduction
