@@ -605,7 +605,65 @@ object MlPrep {
        |ORDER BY s.l_returnflag""".stripMargin
   }
 
+  /** TIME-BASED TRAIN/TEST SPLIT with the leakage-shaped audit row —
+    * the split a FORECASTING or next-event model must use (a hash
+    * split like [[mlSplit]] leaks the future into training): train =
+    * events strictly before the window's exact epoch-microsecond
+    * midpoint, test = at/after. The audit publishes what temporal
+    * splits actually break on: COLD-START users — test users with no
+    * training history (distinct-key anti-join, the exact population a
+    * per-user model cannot score). Counts exact; one events scan, one
+    * user-keyed distinct per side, one anti-join on user_id. */
+  def mlTimeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val cut = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(unix_micros(col("ts")) < col("cut_us"), "train").otherwise("test"))
+    val stats = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val trainUsers = tagged.filter(col("split") === "train")
+      .select("user_id").distinct()
+    val cold = tagged.filter(col("split") === "test")
+      .select("user_id").distinct()
+      .join(trainUsers, Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("n_cold_users"))
+    stats
+      .crossJoin(broadcast(cold))
+      .withColumn("n_cold_users",
+        when(col("split") === "test", col("n_cold_users")).otherwise(lit(0L)))
+      .withColumn("cold_frac",
+        col("n_cold_users").cast("double") / col("n_users").cast("double"))
+      .select("split", "n_events", "n_users", "n_cold_users", "cold_frac")
+      .orderBy("split")
+  }
+
+  private val mlTimeSplitSql: String =
+    """WITH cut AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us FROM events),
+      |tagged AS (
+      |  SELECT CASE WHEN epoch_us(ts) < cut_us THEN 'train' ELSE 'test' END AS split,
+      |    user_id
+      |  FROM events, cut),
+      |stats AS (
+      |  SELECT split, count(*)::BIGINT AS n_events,
+      |    count(DISTINCT user_id)::BIGINT AS n_users
+      |  FROM tagged GROUP BY split),
+      |cold AS (
+      |  SELECT count(*)::BIGINT AS n_cold_users FROM (
+      |    SELECT DISTINCT user_id FROM tagged WHERE split = 'test'
+      |    EXCEPT
+      |    SELECT DISTINCT user_id FROM tagged WHERE split = 'train') z)
+      |SELECT split, n_events, n_users,
+      |  CASE WHEN split = 'test' THEN n_cold_users ELSE 0 END::BIGINT AS n_cold_users,
+      |  CASE WHEN split = 'test' THEN n_cold_users ELSE 0 END::BIGINT::DOUBLE
+      |    / n_users::DOUBLE AS cold_frac
+      |FROM stats, cold ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_time_split" -> (mlTimeSplit _),
     "ml_ols" -> (mlOls _),
     "ml_ols2" -> (mlOls2 _),
     "ml_shap_linear" -> (mlShapLinear _),
@@ -620,6 +678,7 @@ object MlPrep {
     "ml_discretize" -> (mlDiscretize _))
 
   val oracles: Map[String, String] = Map(
+    "ml_time_split" -> mlTimeSplitSql,
     "ml_ols" -> mlOlsSql,
     "ml_ols2" -> mlOls2Sql,
     "ml_shap_linear" -> mlShapLinearSql,

@@ -98,6 +98,28 @@ class MlPrepSpec extends SparkSpec {
     }
   }
 
+  test("ml_time_split: splits partition the events, no training row at/after the cut, cold set exact") {
+    import org.apache.spark.sql.functions._
+    val out = MlPrep.mlTimeSplit(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(out.keySet === Set("train", "test"))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val total = ev.count()
+    assert(out("train").getAs[Long]("n_events") + out("test").getAs[Long]("n_events") === total)
+    assert(out("train").getAs[Long]("n_cold_users") === 0L)
+    // recompute the cold-start population directly
+    val cut = ev.agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .head().getLong(0)
+    val trainU = ev.filter(unix_micros(col("ts")) < cut)
+      .select("user_id").distinct()
+    val cold = ev.filter(unix_micros(col("ts")) >= cut)
+      .select("user_id").distinct()
+      .join(trainU, Seq("user_id"), "left_anti").count()
+    assert(out("test").getAs[Long]("n_cold_users") === cold)
+    val cf = out("test").getAs[Double]("cold_frac")
+    assert(cf >= 0.0 && cf <= 1.0)
+  }
+
   test("ml_shap_linear: importances are non-negative and finite") {
     val out = MlPrep.mlShapLinear(spark, sf).collect()
     assert(out.nonEmpty)

@@ -169,6 +169,9 @@ class PlanSpec extends SparkSpec {
         // ev_power_mde: ONE-ROW per-type totals broadcast into the
         // user-count relation for the above-mean flags
         "ev_power_mde",
+        // ml_time_split: the window-midpoint scalar plus the ONE-ROW
+        // cold-start count broadcast into the 2-row split stats
+        "ml_time_split",
         // ml_mrr: the ann_topk_exact envelope — bounded 50-probe batch
         // broadcast into the one-pass corpus scan, then a 50-row
         // first-hit reduction
