@@ -1100,7 +1100,64 @@ object Curation {
        |FROM c ORDER BY lang, source""".stripMargin
   }
 
+  /** EPOCH-CAPPED MIXTURE PLAN — the repetition dimension the flat
+    * [[cuTokenBudget]] split ignores: when the temperature-weighted
+    * allocation of a source exceeds its unique token mass, a trainer
+    * REPEATS the source, and past ~4 epochs repeated tokens stop
+    * helping (the Muennighoff et al. 2023 data-constrained scaling
+    * result, arXiv:2305.16264). The plan allocates 4× the corpus's
+    * total token mass (so the cap genuinely binds for up-weighted
+    * small sources AT EVERY SCALE — a fixed budget degenerates to
+    * epochs=1 as the corpus grows), then publishes per source: the
+    * allocation, epochs = min(4, ceil(alloc/U)) (pure integer
+    * arithmetic), tokens actually servable under the cap, and the
+    * unservable deficit a mixture designer must re-spread. Exactness:
+    * the weight normalizer folds sqrt terms in source order (the
+    * [[cuTemperatureMix]] convention), the budget multiply rounds
+    * once, everything after is int64. Shape: one token-count
+    * aggregate, one one-row broadcast back — corpus scanned once. */
+  def cuEpochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("u_tokens"))
+      .withColumn("s", sqrt(col("u_tokens").cast("double")))
+    val tot = g.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, s))), " +
+        "x -> x.s), cast(0 as double), (a, v) -> a + v)").as("s_total"),
+      sum(col("u_tokens")).as("t_total"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        expr("cast(round((s / s_total) * (cast(t_total as double) * cast(4 as double))) as bigint)"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(alloc + u_tokens - 1L) div u_tokens")))
+      .withColumn("served", least(col("alloc"), lit(4L) * col("u_tokens")))
+      .withColumn("deficit", col("alloc") - col("served"))
+      .select("source", "u_tokens", "alloc", "epochs", "served", "deficit")
+      .orderBy("source")
+  }
+
+  private val cuEpochPlanSql: String =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |g AS (SELECT source, sum(n_tokens)::BIGINT AS u_tokens,
+      |    sqrt(sum(n_tokens)::BIGINT::DOUBLE) AS s
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT list_reduce(list(s ORDER BY source), (x, y) -> x + y) AS s_total,
+      |    sum(u_tokens)::BIGINT AS t_total
+      |  FROM g),
+      |p AS (
+      |  SELECT source, u_tokens,
+      |    round((s / s_total) * (t_total::DOUBLE * 4::DOUBLE))::BIGINT AS alloc
+      |  FROM g, tot)
+      |SELECT source, u_tokens, alloc,
+      |  least(4, (alloc + u_tokens - 1) // u_tokens)::BIGINT AS epochs,
+      |  least(alloc, 4 * u_tokens)::BIGINT AS served,
+      |  (alloc - least(alloc, 4 * u_tokens))::BIGINT AS deficit
+      |FROM p ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cu_epoch_plan" -> (cuEpochPlan _),
     "cu_dp_counts" -> (cuDpCounts _),
     "cu_token_budget" -> (cuTokenBudget _),
     "cu_importance_sample" -> (cuImportanceSample _),
@@ -1123,6 +1180,7 @@ object Curation {
     "op_upsert_merge" -> (opUpsertMerge _))
 
   val oracles: Map[String, String] = Map(
+    "cu_epoch_plan" -> cuEpochPlanSql,
     "cu_dp_counts" -> cuDpCountsSql,
     "cu_token_budget" -> cuTokenBudgetSql,
     "cu_importance_sample" -> cuImportanceSampleSql,

@@ -116,6 +116,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cu_epoch_plan: allocations cover 4x the corpus, caps bind exactly where alloc exceeds 4 epochs") {
+    val out = Curation.cuEpochPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalU = out.map(_.getAs[Long]("u_tokens")).sum
+    val totalAlloc = out.map(_.getAs[Long]("alloc")).sum
+    // each per-source alloc rounds once: the sum is within n_sources/2 of 4T
+    assert(math.abs(totalAlloc - 4L * totalU) <= out.length,
+      s"allocs $totalAlloc stray from 4x corpus ${4L * totalU}")
+    out.foreach { r =>
+      val u = r.getAs[Long]("u_tokens")
+      val alloc = r.getAs[Long]("alloc")
+      val epochs = r.getAs[Long]("epochs")
+      val served = r.getAs[Long]("served")
+      val deficit = r.getAs[Long]("deficit")
+      assert(epochs >= 0L && epochs <= 4L)
+      assert(served <= alloc && served <= 4L * u)
+      assert(deficit === alloc - served && deficit >= 0L)
+      // a deficit exists exactly when the repetition cap binds
+      assert((deficit > 0L) === (alloc > 4L * u),
+        s"${r.getAs[String]("source")}: deficit/cap inconsistency")
+    }
+    // the temperature upweighting must make the cap bind somewhere on
+    // the fixture, else the entry is vacuous
+    assert(out.exists(_.getAs[Long]("deficit") > 0L), "no source hit the epoch cap")
+  }
+
   test("cu_dp_counts: release is deterministic, non-negative, within the capped-noise envelope") {
     val rel = Curation.cuDpCounts(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r.getAs[Long]("released"))

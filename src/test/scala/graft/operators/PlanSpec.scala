@@ -140,6 +140,9 @@ class PlanSpec extends SparkSpec {
         // ONE-ROW normalizer / totals aggregate broadcast into a
         // ≤64-row group table — the same bounded scalar-subquery shape
         "cu_temperature_mix", "ml_chi2_select", "cu_token_budget",
+        // cu_epoch_plan: the same ONE-ROW normalizer/total broadcast
+        // into the per-source table as cu_token_budget
+        "cu_epoch_plan",
         // ann_rag_chunks: the ann_topk_exact envelope — FIXED 10-row
         // probe-chunk batch broadcast into the map-side chunk scan
         "ann_rag_chunks",
