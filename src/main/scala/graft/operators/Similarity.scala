@@ -478,14 +478,44 @@ object Similarity {
     (Seq("bucket") ++ (0 until DedupPlanes).map(p => s"xor(bucket, ${1L << p})"))
       .mkString("[", ", ", "]")
 
+  /** Hot-bucket cap: buckets holding more members than this emit a
+    * SPANNING STAR through their min-id representative instead of all
+    * pairs. Connected-component recall is preserved EXACTLY — the star
+    * spans the bucket and any outside probe still reaches the cluster
+    * through the representative — only intra-cluster pairwise
+    * enumeration is elided, which the dedup consumer ([[Dedup]]'s
+    * connected components) never needed. The second-decade harness
+    * forced this: the x100 fixture's duplicate-copy clusters grow
+    * per-bucket occupancy 35 → 187 (MpDiag: per-vector candidate
+    * density 9.7 → 39 even SINGLE-probe — corpus truth, not an
+    * algorithm artifact), and all-pairs inside such clusters is
+    * Θ(c²) for work the cluster step collapses anyway. Cap 64 leaves
+    * every verification fixture's result bit-identical (max occupancy
+    * 18 at sf0.01, 35 at x10). */
+  private[operators] val MpHotBucketCap = 64L
+
   private[operators] def mpCandidates(e: DataFrame): DataFrame =
     (0 until MpTables).map { t =>
-      val base = e.select(col("vec_id"), expr(dedupBucketS(t)).as("bucket"))
-      val probes = base.select(col("vec_id"),
-        explode(expr(mpProbesS)).as("bucket"))
-      probes.as("a").join(base.as("b"), Seq("bucket"))
+      // the bucket EXPRESSION (planes × 64-dim dots per row) now feeds
+      // four consumers (sizes, cold join build, both probe branches) —
+      // persist the tiny (vec_id, bucket) assignment so it runs once
+      val base = Scratch.persist(
+        e.select(col("vec_id"), expr(dedupBucketS(t)).as("bucket")))
+      val cnt = base.groupBy("bucket")
+        .agg(count(lit(1)).as("bc"), min(col("vec_id")).as("rep"))
+      val probes = base.select(col("vec_id"), explode(expr(mpProbesS)).as("bucket"))
+      val cold = probes.as("a")
+        .join(base.as("b"), Seq("bucket"))
+        .join(cnt.filter(col("bc") <= MpHotBucketCap).select("bucket"), Seq("bucket"))
         .filter(col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      val hot = probes.as("a")
+        .join(cnt.filter(col("bc") > MpHotBucketCap)
+          .select(col("bucket"), col("rep")), Seq("bucket"))
+        .filter(col("a.vec_id") =!= col("rep"))
+        .select(least(col("a.vec_id"), col("rep")).as("va"),
+          greatest(col("a.vec_id"), col("rep")).as("vb"))
+      cold.unionAll(hot)
     }.reduce(_ unionAll _).distinct()
 
   def ddLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -500,14 +530,28 @@ object Similarity {
       .limit(100)
   }
 
-  /** DuckDB candidate union for the multi-probe variant (CTE body). */
+  /** DuckDB candidate union for the multi-probe variant (CTE body):
+    * cold buckets all-pairs, hot buckets (> [[MpHotBucketCap]]) the
+    * representative spanning star — same rule as [[mpCandidates]]. */
   private def mpCandSql: String =
     (0 until MpTables).map { t =>
       s"""SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM (SELECT vec_id, unnest($mpProbesD) AS bucket
          |        FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) ba) a
          |  JOIN (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN (SELECT bucket FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) g
+         |        GROUP BY bucket HAVING count(*) <= $MpHotBucketCap) cold
+         |    ON cold.bucket = a.bucket
+         |UNION
+         |SELECT least(a.vec_id, h.rep) AS va, greatest(a.vec_id, h.rep) AS vb
+         |  FROM (SELECT vec_id, unnest($mpProbesD) AS bucket
+         |        FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) ba) a
+         |  JOIN (SELECT bucket, min(vec_id) AS rep
+         |        FROM (SELECT vec_id, ${dedupBucketD("embedding", t)} AS bucket FROM e) g
+         |        GROUP BY bucket HAVING count(*) > $MpHotBucketCap) h
+         |    ON h.bucket = a.bucket
+         |  WHERE a.vec_id <> h.rep""".stripMargin
     }.mkString("\nUNION\n")
 
   private def ddLshMultiprobeSql: String =
