@@ -436,6 +436,61 @@ object MlScore {
        |FROM binned GROUP BY 1, 2 ORDER BY pred_class, bin""".stripMargin
   }
 
+  /** PARTIAL DEPENDENCE of the ensemble on the price feature — the
+    * interpretability companion to [[graft.operators.MlPrep]]'s exact
+    * linear SHAP, for the model family where SHAP has no closed form:
+    * PD(v) = the corpus-average prediction with p_retailprice FORCED
+    * to grid value v while every other feature keeps its row value
+    * (Friedman 2001). The grid substitution happens in the expression
+    * TEXT (the margin expression is our own generated string, so the
+    * feature reference is replaced by the exploded grid column in both
+    * engines identically); each row scores all [[PdGrid]] points
+    * map-side — a 10× row expansion with NO shuffle beyond the final
+    * 10-group aggregate. Published per grid point: the class-0 margin
+    * mean (margins rounded to 2^30 fixed point BEFORE summing — the
+    * exact associative-sum rule; one shared division after) and the
+    * all-integer predicted-class-0 share. */
+  private val PdGrid: Seq[Double] = (1000 to 1900 by 100).map(_.toDouble)
+
+  def mlPartialDep(spark: SparkSession, sfDir: String): DataFrame = {
+    val gridArr = PdGrid.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val margins = (0 until Classes).map(c =>
+      expr(marginExpr(c).replace("p_retailprice", "pd_v")).as(s"m$c"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"), explode(expr(gridArr)).as("pd_v"))
+      .select(col("pd_v") +: margins: _*)
+      .withColumn("pred", expr(argmaxExpr).cast("long"))
+      .withColumn("m0_fp", expr("cast(round(m0 * 1073741824) as bigint)"))
+      .groupBy("pd_v")
+      .agg(count(lit(1)).as("n"), sum(col("m0_fp")).as("s0"),
+        sum(when(col("pred") === 0L, 1L).otherwise(0L)).as("n_pred0"))
+      .withColumn("avg_margin0",
+        expr("CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1073741824 AS DOUBLE)"))
+      .withColumn("pred0_frac",
+        expr("CAST(n_pred0 AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select("pd_v", "n", "avg_margin0", "n_pred0", "pred0_frac")
+      .orderBy("pd_v")
+  }
+
+  private def mlPartialDepSql: String = {
+    val gridList = PdGrid.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val margins = (0 until Classes).map(c =>
+      s"${marginExpr(c).replace("p_retailprice", "pd_v")} AS m$c").mkString(",\n  ")
+    s"""WITH g AS (SELECT p_partkey, p_size, unnest($gridList) AS pd_v FROM part),
+       |m AS (SELECT pd_v, $margins FROM g),
+       |scored AS (SELECT pd_v,
+       |    ($argmaxExpr)::BIGINT AS pred,
+       |    round(m0 * 1073741824)::BIGINT AS m0_fp
+       |  FROM m)
+       |SELECT pd_v, count(*)::BIGINT AS n,
+       |  CAST(sum(m0_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    / CAST(1073741824 AS DOUBLE) AS avg_margin0,
+       |  sum(CASE WHEN pred = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pred0,
+       |  CAST(sum(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pred0_frac
+       |FROM scored GROUP BY pd_v ORDER BY pd_v""".stripMargin
+  }
+
   /** COHEN'S KAPPA — chance-corrected agreement between the ensemble's
     * predictions and the labels, the one-number answer to "is this
     * classifier better than its class-prior shadow" (and, swapping the
@@ -504,6 +559,7 @@ object MlScore {
       "ml_eval" -> (mlEval _),
       "ml_calibration" -> (mlCalibration _),
       "ml_kappa" -> (mlKappa _),
+      "ml_partial_dep" -> (mlPartialDep _),
       "ml_train_gd" -> (mlTrainGd _)) ++
       xgbEntry.map { case (k, _) => k -> (mlScoreXgb _) }
 
@@ -512,5 +568,6 @@ object MlScore {
       "ml_eval" -> mlEvalSql,
       "ml_calibration" -> mlCalibrationSql,
       "ml_kappa" -> mlKappaSql,
+      "ml_partial_dep" -> mlPartialDepSql,
       "ml_train_gd" -> mlTrainGdSql) ++ xgbEntry
 }

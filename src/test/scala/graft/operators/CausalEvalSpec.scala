@@ -108,6 +108,21 @@ class CausalEvalSpec extends SparkSpec {
       s"adjustment moved the pooled mean: $pooledRaw -> $pooledAdj")
   }
 
+  test("ml_partial_dep: every grid point scores the whole corpus, shares in range, PD varies") {
+    val pd = MlScore.mlPartialDep(spark, sf).collect()
+    assert(pd.length === 10, "one row per grid point")
+    val total = graft.sources.Tables.part(spark, sf).count()
+    pd.foreach { r =>
+      assert(r.getAs[Long]("n") === total, "PD must average over the full corpus at each point")
+      val f = r.getAs[Double]("pred0_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(!r.getAs[Double]("avg_margin0").isNaN)
+    }
+    // forcing the split feature across its span must move the ensemble
+    val margins = pd.map(_.getAs[Double]("avg_margin0"))
+    assert(margins.distinct.length > 1, "PD curve is flat — grid missed the split thresholds")
+  }
+
   test("ev_srm: pooled counts cover all users, chi2 non-negative, flags ordered") {
     val out = Events.evSrm(spark, sf).collect()
     assert(out.nonEmpty)
