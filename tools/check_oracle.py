@@ -48,8 +48,26 @@ def norm_type(t):
     return "TIMESTAMP" if t == "TIMESTAMP WITH TIME ZONE" else t
 
 
-def connect(sf_dir):
-    """Fresh DuckDB connection with the fixture views registered."""
+def connect(sf_dir, retries=2):
+    """Fresh DuckDB connection with the fixture views registered.
+
+    The reconnect itself can OOM right after a crashed predecessor (its
+    buffer pool frees asynchronously) — retry with a pause + gc so the
+    recovery path can't die inside the exception handler (the r8 x10
+    close-run failure mode)."""
+    for attempt in range(retries):
+        try:
+            return _connect_once(sf_dir)
+        except duckdb.OutOfMemoryException:
+            # last chance falls through to the unguarded call below
+            import gc
+            import time
+            gc.collect()
+            time.sleep(3)
+    return _connect_once(sf_dir)
+
+
+def _connect_once(sf_dir):
     con = duckdb.connect()
     # large scale fixtures need spill + an explicit cap (the container's
     # cgroup limit confuses duckdb's autodetection into tiny allocations)
@@ -90,9 +108,18 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = connect(sf_dir)
     n_pass = n_fail = 0
+    n_since_reconnect = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        # a 300+-oracle run accumulates buffer-pool state faster than the
+        # memory_limit evicts it; a periodic fresh connection bounds the
+        # footprint BEFORE the allocator hits the cgroup wall
+        n_since_reconnect += 1
+        if n_since_reconnect >= 80:
+            con.close()
+            con = connect(sf_dir)
+            n_since_reconnect = 0
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
