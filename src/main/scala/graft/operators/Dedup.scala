@@ -597,6 +597,34 @@ object Dedup {
        |FROM comp JOIN sz ON sz.cr = comp.cluster_rep
        |ORDER BY doc_id""".stripMargin
 
+  /** CLUSTER-SIZE HISTOGRAM — the report a dedup run is judged by:
+    * per component size, how many clusters, how many documents they
+    * hold, and how many the keep-one-per-cluster policy drops (the
+    * realized dedup savings). Covers the PAIRED population by
+    * construction ([[connectedComponents]] labels only documents that
+    * appear in at least one near-dup pair — singletons are untouched
+    * by dedup and excluded from the ledger on purpose). Shape: the
+    * component relation reduced by size — a ≤distinct-sizes-row
+    * aggregate after the cluster pipeline. */
+  def ddClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    ddCluster(spark, sfDir)
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_rep")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  private val ddClusterStatsSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+       |  FROM comp GROUP BY cluster_rep)
+       |SELECT cluster_size,
+       |  count(*)::BIGINT AS n_clusters,
+       |  sum(cluster_size)::BIGINT AS n_docs,
+       |  (sum(cluster_size) - count(*))::BIGINT AS n_dropped
+       |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo SIGMOD'95) — the
     * third candidate-generation family next to LSH banding and PPJoin
     * prefix filtering: sort documents by a normalized key, compare each
@@ -793,7 +821,8 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> (ddContainment _),
     "dd_simhash" -> (ddSimhash _),
-    "dd_cluster" -> (ddCluster _))
+    "dd_cluster" -> (ddCluster _),
+    "dd_cluster_stats" -> (ddClusterStats _))
 
   /** A def, not a val: the wide-banding oracle embeds the corpus-DERIVED
     * (bands, rows) ([[wideParams]]), so it must be generated after
@@ -809,5 +838,6 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_simhash" -> ddSimhashSql,
-    "dd_cluster" -> ddClusterSql)
+    "dd_cluster" -> ddClusterSql,
+    "dd_cluster_stats" -> ddClusterStatsSql)
 }

@@ -1245,6 +1245,54 @@ object Similarity {
       |SELECT pos, n, variance, variance / trace AS share
       |FROM v, tr ORDER BY pos""".stripMargin
 
+  /** PER-DIMENSION LABEL CORRELATION — point-biserial r of every
+    * embedding dimension against the binary label (label ≥ 5, the
+    * [[graft.operators.Analytics]] AUC-family convention): the
+    * continuous-feature screening companion to the categorical χ²
+    * ranking (`ml_chi2_select`) — which dimensions carry the signal a
+    * downstream probe would learn, and which are noise. Per-dim
+    * moments are exact 2^16 fixed-point int64 sums (y is 0/1 so
+    * Σy² = Σy and the whole correlation is one identical
+    * sums-to-double expression with a single sqrt). One
+    * dimension-keyed aggregate — 64 groups, map-side combined, no
+    * shuffle of vector payloads. */
+  def mlFeatureCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val corrExpr =
+      """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        | / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+        .stripMargin
+    Tables.embeddings(spark, sfDir)
+      .select((col("label") >= 5).cast("long").as("y"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 65536) as bigint))"))
+          .as(Seq("pos", "xs")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xs") * col("xs")).as("sxx"), sum(col("xs") * col("y")).as("sxy"))
+      .withColumn("corr", expr(corrExpr))
+      .select("pos", "n", "corr")
+      .orderBy("pos")
+  }
+
+  private val mlFeatureCorrSql: String =
+    """WITH t AS (
+      |  SELECT (label >= 5)::BIGINT AS y,
+      |    unnest(list_transform(embedding, x -> round(x::DOUBLE * 65536)::BIGINT)) AS xs,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT (i - 1)::BIGINT AS pos, count(*)::BIGINT AS n,
+      |    sum(xs)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(xs * xs)::BIGINT AS sxx, sum(xs * y)::BIGINT AS sxy
+      |  FROM t GROUP BY i)
+      |SELECT pos, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      | / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  AS corr
+      |FROM d ORDER BY pos""".stripMargin
+
   /** EMBEDDING-DISTRIBUTION DRIFT between two cohorts (even/odd vec_id
     * standing in for reference batch vs current batch) — the
     * embedding-space monitor next to [[graft.operators.Analytics]]'s
@@ -1899,6 +1947,7 @@ object Similarity {
     "ann_mmr_select" -> (annMmrSelect _),
     "ml_mrr" -> (mlMrr _),
     "emb_dim_variance" -> (embDimVariance _),
+    "ml_feature_corr" -> (mlFeatureCorr _),
     "dd_lsh_multiprobe" -> (ddLshMultiprobe _),
     "dd_multiprobe_recall" -> (ddMultiprobeRecall _),
     "emb_mrl_recall" -> (embMrlRecall _),
@@ -1931,6 +1980,7 @@ object Similarity {
     "ann_mmr_select" -> annMmrSelectSql,
     "ml_mrr" -> mlMrrSql,
     "emb_dim_variance" -> embDimVarianceSql,
+    "ml_feature_corr" -> mlFeatureCorrSql,
     "dd_lsh_multiprobe" -> ddLshMultiprobeSql,
     "dd_multiprobe_recall" -> ddMultiprobeRecallSql,
     "emb_mrl_recall" -> embMrlRecallSql,

@@ -123,6 +123,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd_cluster_stats: histogram consistent with the component relation") {
+    val stats = Dedup.ddClusterStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val nc = r.getAs[Long]("n_clusters")
+      val nd = r.getAs[Long]("n_docs")
+      assert(size >= 2L, "paired components have at least two members")
+      assert(nd === size * nc, "docs per bucket must be size x clusters")
+      assert(r.getAs[Long]("n_dropped") === nd - nc)
+    }
+    // totals must match the component relation exactly
+    val comp = Dedup.ddCluster(spark, sf).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === comp.length.toLong)
+    assert(stats.map(_.getAs[Long]("n_dropped")).sum ===
+      comp.count(r => !r.getAs[Boolean]("keep")).toLong)
+  }
+
+  test("ml_feature_corr: correlations in [-1,1] and signal dims detectable") {
+    val out = Similarity.mlFeatureCorr(spark, sf).collect()
+    assert(out.length === 64)
+    out.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(!c.isNaN && c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12,
+        s"dim ${r.getAs[Long]("pos")} corr $c out of range")
+    }
+    // labels derive from the embedding content, so SOME dimension must
+    // correlate above noise floor
+    assert(out.map(r => math.abs(r.getAs[Double]("corr"))).max > 0.05,
+      "no dimension correlates with the label at all")
+  }
+
   test("dd_lsh_multiprobe: probing is a strict widening of its own tables' single-probe candidates") {
     import org.apache.spark.sql.functions._
     val e = Similarity.embWithNorm(spark, sf)
