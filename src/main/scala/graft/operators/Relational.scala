@@ -656,23 +656,34 @@ object Relational {
       |    AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
-  /** NATIVE DECIMAL AGGREGATION — the money-type path: prices cast to
-    * DECIMAL(18,2) and summed/averaged IN the decimal domain (Spark's
-    * 128-bit decimal aggregate buffer, DuckDB's exact DECIMAL engine) —
-    * exact by TYPE rather than by the cent-BIGINT trick the rest of the
-    * surface uses, which is how a finance-grade schema would actually
-    * model the column. Sum/min/max stay IN the decimal domain; the sum
-    * is widened to decimal(38,2) to match DuckDB's native
-    * sum(DECIMAL(18,2)) result type exactly. The average is the one
-    * column that CANNOT be decimal-exact cross-engine — DuckDB's
-    * `avg(DECIMAL)` routes through DOUBLE internally (an inexact path
-    * that can land on the other side of a half-cent rounding boundary,
-    * the r7 driver-gate failure) — so it uses the [[graft.functions.Exact]]
-    * cent-sum form: one integer sum, one fixed-association float
-    * division, bit-identical at any parallelism. */
+  /** NATIVE DECIMAL AGGREGATION — the money-type path: prices modeled
+    * as DECIMAL(18,2) and summed IN the decimal domain (Spark's 128-bit
+    * decimal aggregate buffer, DuckDB's exact DECIMAL engine). The
+    * decimal column is derived from EXACT INTEGER CENTS, never by
+    * casting the double directly: `double::DECIMAL(18,2)` rounds by
+    * DIFFERENT rules per engine (Spark Casts via the shortest decimal
+    * RENDERING — BigDecimal(Double.toString(v)).setScale(2, HALF_UP),
+    * so 78123.305 → .31 — while DuckDB rounds the IEEE PRODUCT v*100 =
+    * 7812330.499999999 → .30), a data-dependent divergence that cost
+    * two driver-gate rounds; see DecimalCastSpec for pinned witnesses.
+    * `round(x*100)` at scale 0 IS engine-identical (every half-integer
+    * below 2^51 is exactly representable, so rendering-rounding and
+    * binary-rounding agree at the boundary), and the integer→decimal
+    * rescale (`cents::DECIMAL(16,0) * 0.01::DECIMAL(3,2)`, cast to a
+    * pinned DECIMAL(18,2)) is exact in both engines — no
+    * double→decimal cast anywhere on either side. The sum is widened
+    * to decimal(38,2) to match DuckDB's native sum(DECIMAL(18,2))
+    * result type exactly. The average uses the
+    * [[graft.functions.Exact]] cent-sum form (DuckDB's avg(DECIMAL)
+    * routes through DOUBLE internally): one integer sum, one
+    * fixed-association float division, bit-identical at any
+    * parallelism. */
   def opDecimalAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
-      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("price_dec",
+        (expr("cast(round(o_totalprice * 100) as bigint)").cast("decimal(16,0)")
+          * lit(new java.math.BigDecimal("0.01")).cast("decimal(3,2)"))
+          .cast("decimal(18,2)"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("price_dec")).cast("decimal(38,2)").as("total_price"),
@@ -683,11 +694,15 @@ object Relational {
 
   private val opDecimalAggSql: String =
     s"""SELECT o_orderstatus, count(*) AS n_orders,
-       |  sum(o_totalprice::DECIMAL(18,2)) AS total_price,
-       |  min(o_totalprice::DECIMAL(18,2)) AS min_price,
-       |  max(o_totalprice::DECIMAL(18,2)) AS max_price,
+       |  sum(price_dec) AS total_price,
+       |  min(price_dec) AS min_price,
+       |  max(price_dec) AS max_price,
        |  ${graft.functions.Exact.sqlAvg("o_totalprice", 2)} AS avg_price
-       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+       |FROM (SELECT o_orderstatus, o_totalprice,
+       |        (round(o_totalprice * 100)::BIGINT::DECIMAL(16,0)
+       |         * 0.01::DECIMAL(3,2))::DECIMAL(18,2) AS price_dec
+       |      FROM orders)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** MOVING MEDIAN — an exact order statistic over a sliding window
     * frame (`percentile(…) OVER (ROWS 5 PRECEDING)`), the robust

@@ -4,11 +4,23 @@ the engine itself is pure Scala/Spark; this mirrors what the driver does
 with Verify.scala output so oracle mismatches surface before a round ends).
 
 Usage: check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+       check_oracle.py --make-jitter <src_sf_dir> <dst_dir> [seed]
 
 Reads <verify_out_dir>/<name>/ parquet (Spark output) and runs
 <verify_out_dir>/oracle_sql.json[name] in DuckDB against the fixture
 tables, then compares schema + values with columns sorted by name and
 rows sorted by all columns.
+
+--make-jitter writes a PERTURBED copy of the fixture whose money
+columns are pushed onto engine-rounding boundaries: ~1/4 of values are
+replaced by exact half-cent doubles ((cents*2+1)/200 — the class where
+`double::DECIMAL(18,2)` rounds DIFFERENTLY in Spark vs DuckDB, the
+op_decimal_agg r7/r8 driver-gate failure), ~1/2 get a ±1-ulp nudge
+(surfaces any round(x,2)/float-fold that isn't fixed-association).
+Running the normal check against the jittered dir surfaces
+data-dependent divergence the fixed fixture can't: the driver
+regenerates its fixture every round, so "passes on MY copy of sf0.01"
+is weaker than "passes on a copy engineered to sit on the boundaries".
 """
 import glob
 import json
@@ -102,7 +114,64 @@ def _connect_once(sf_dir):
     return con
 
 
+# money double per table -> (column, deterministic row key for the hash split)
+JITTER_MONEY = {
+    "orders": ("o_totalprice", "o_orderkey"),
+    "lineitem": ("l_extendedprice", "l_orderkey * 8 + l_linenumber"),
+    "part": ("p_retailprice", "p_partkey"),
+    "supplier": ("s_acctbal", "s_suppkey"),
+    "customer": ("c_acctbal", "c_custkey"),
+    "events": ("value", "event_id"),
+}
+
+JITTER_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]
+
+
+def make_jitter(src, dst, seed=9):
+    """Write a boundary-engineered copy of the fixture to dst.
+
+    Branches (keyed on a deterministic hash so the fixture is stable
+    per seed): 0 -> exact half-cent ((round(v*100)*2+1)/200.0, the
+    double closest to x.xx5 — sub-cent precision straddling the
+    half-cent rounding boundary); 1/2 -> +/-1 ulp (nextafter); else
+    unchanged. Sign is preserved (acctbal can be negative; both
+    engines round halves away from zero, which the check verifies)."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in JITTER_TABLES:
+        p = f"{src}/{t}.parquet"
+        rd = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if t in JITTER_MONEY:
+            colname, key = JITTER_MONEY[t]
+            cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{rd}'").fetchall()]
+            sel = ", ".join(
+                f"""CASE hash(({key}) + {seed}) % 8
+                    WHEN 0 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
+                    WHEN 1 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
+                    WHEN 2 THEN nextafter({c}, 1e300)
+                    WHEN 3 THEN nextafter({c}, -1e300)
+                    ELSE {c} END AS {c}""" if c == colname else c
+                for c in cols)
+            con.sql(f"COPY (SELECT {sel} FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        else:
+            con.sql(f"COPY (SELECT * FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        n_half = 0
+        if t in JITTER_MONEY:
+            c = JITTER_MONEY[t][0]
+            n_half = con.sql(
+                f"SELECT count(*) FROM '{dst}/{t}.parquet' "
+                f"WHERE round({c}*1000) % 10 = 5 OR round({c}*1000) % 10 = -5"
+            ).fetchone()[0]
+        print(f"jitter {t}: written" + (f", {n_half} half-cent boundary values" if n_half else ""))
+    con.close()
+
+
 def main():
+    if sys.argv[1] == "--make-jitter":
+        make_jitter(sys.argv[2], sys.argv[3],
+                    int(sys.argv[4]) if len(sys.argv) > 4 else 9)
+        return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -22,6 +22,18 @@ case "$CMD" in
           python3 tools/check_oracle.py "$OUT" "$SF" "$@" ;;
   time)   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
           $JAVA graft.tools.TimeOne "$SF" "${3:?usage: run.sh time <sfDir> <query>}" ;;
+  jitter) # boundary-engineered fixture check: perturb money columns onto
+          # engine-rounding boundaries, then run the full verify+compare
+          # against the perturbed copy. Usage:
+          #   tools/run.sh jitter [srcSf] [workDir] [query ...]
+          shift 3 2>/dev/null || shift $#
+          JFIX="$OUT/fixture"; JOUT="$OUT/vout"
+          rm -rf "$JFIX" "$JOUT"
+          python3 tools/check_oracle.py --make-jitter "$SF" "$JFIX"
+          FILTER=""
+          [ $# -gt 0 ] && FILTER=$(echo "$@" | tr ' ' ',')
+          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$JFIX" "$JOUT" $FILTER
+          python3 tools/check_oracle.py "$JOUT" "$JFIX" "$@" ;;
   pipeline) rm -rf target/pipe/main
           SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.streaming.PipelineMain "$SF" "$(pwd)/target/pipe/main" "${3:-4}" "${4:-2}" ;;
   *) echo "unknown cmd $CMD"; exit 2 ;;
