@@ -41,6 +41,13 @@ import org.apache.spark.sql.SparkSession
   * the freed budget re-measures the 1-3 s middle tier), and the
   * protocol string is computed from the ACTUAL per-pass coverage
   * counts, never a nominal "2x" headline the run didn't deliver.
+  * Round 9: the previous driver artifact (BENCH_FULL.json as committed)
+  * is read at startup; lines whose pass-1 median moved >1.5x vs it get
+  * pass-2 priority at full reps (a cross-pass-confirmed move is a
+  * finding, an unconfirmed one is noise), funded by skipping the
+  * warm-up execution on the tail the previous artifact measured
+  * <0.3 s. Cross-round comparison is computed by
+  * tools/bench_compare.py from the committed BENCH_FULL.json blobs.
   * Degradation counters ride in the protocol string of both JSONs.
   *
   * Output-size contract (root cause of rounds 1-3 recording
@@ -116,10 +123,10 @@ object Bench {
       .map(_.toDouble).getOrElse(1500.0)
     val tWall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
-    def measure(name: String, reps: Int): Seq[Double] = {
+    def measure(name: String, reps: Int, warmup: Boolean = true): Seq[Double] = {
       val fn = SparkEntry.queries(name)
       val samples = try {
-        run(fn(spark, sfDir)) // warm-up
+        if (warmup) run(fn(spark, sfDir)) // warm-up
         Seq.fill(reps)(time(run(fn(spark, sfDir))))
       } catch { case _: Throwable => Seq.empty[Double] }
       // drop this query's scratch-persisted relations so their blocks
@@ -127,6 +134,29 @@ object Bench {
       graft.operators.Scratch.release()
       samples
     }
+    // Previous DRIVER artifact's full per-query map: BENCH_FULL.json as
+    // committed at the last round's driver bench — read BEFORE this run
+    // overwrites the file. Used to (a) skip the warm-up execution on the
+    // sub-0.3 s tail (median-of-3 discards the first rep's codegen spike
+    // anyway) and (b) steer pass-2 budget toward lines that MOVED vs the
+    // last driver run (round-8 verdict item 4: at 347 entries, pass 2
+    // covered 2 lines — exactly the regime where phantom regressions and
+    // phantom "zero regressions" flourish). tools/bench_compare.py makes
+    // the cross-round claim itself computable from the artifacts.
+    val prev: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
     def cacheMaterialize(): Double =
       try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
       catch { case _: Throwable => -1.0 }
@@ -136,10 +166,27 @@ object Bench {
     // reports failed for the pass, never aborts the bench)
     val cache1 = cacheMaterialize()
     var p1Short = 0
+    var p1NoWarm = 0
     val pass1: Map[String, Seq[Double]] = names.map { name =>
       val reps = if (elapsedSec > 0.6 * budgetSec) { p1Short += 1; 1 } else Reps
-      name -> measure(name, reps)
+      // sub-0.3 s tail (per the previous driver artifact): skip the
+      // untimed warm-up execution — at median-of-3 the first rep's
+      // codegen/materialization spike is discarded by the median, and
+      // the ~130 freed executions fund pass-2 coverage of moved lines.
+      // Never skipped at 1 rep (the single sample would carry compile).
+      val warm = reps < Reps || !prev.get(name).exists(p => p >= 0 && p < 0.3)
+      if (!warm) p1NoWarm += 1
+      name -> measure(name, reps, warmup = warm)
     }.toMap
+    // a line MOVED if its pass-1 median differs >1.5x (either direction,
+    // >0.3 s absolute) from the previous driver artifact — these get
+    // pass-2 priority and full reps: a cross-pass-confirmed move is a
+    // finding; an unconfirmed one is host noise wearing a trend coat
+    def movedLine(n: String): Boolean = prev.get(n).exists { p =>
+      val m = medianOf(pass1(n))
+      m >= 0 && p > 0 &&
+        math.max(m / p, p / m) > 1.5 && math.abs(m - p) > 0.3
+    }
     // pass 2: expensive-first, budget-gated. Sub-0.3 s lines are
     // INELIGIBLE by design (round-8, verdict item 6): timer jitter and
     // JVM hiccups dominate those medians, so a re-pass there buys no
@@ -148,26 +195,31 @@ object Bench {
     // p2small (a design choice), never as p2skip (budget degradation).
     // Failed pass-1 queries (median -1) stay eligible for the retry.
     val p2Eligible = names.filter { n =>
-      val m = medianOf(pass1(n)); m >= 0.3 || m < 0
+      val m = medianOf(pass1(n)); m >= 0.3 || m < 0 || movedLine(n)
     }
     val p2Small = names.size - p2Eligible.size
+    val movedLines = p2Eligible.filter(movedLine)
     val cache2 = cacheMaterialize()
     var p2Skipped = 0
     var p2OneRep = 0
     val pass2: Map[String, Seq[Double]] =
-      p2Eligible.sortBy(n => -medianOf(pass1(n))).flatMap { name =>
+      // MOVED lines first (they are the cross-round findings pass 2
+      // exists to confirm or kill), then expensive-first as before
+      p2Eligible.sortBy(n => (!movedLine(n), -medianOf(pass1(n)))).flatMap { name =>
         if (elapsedSec > 0.85 * budgetSec) { p2Skipped += 1; None }
         else {
-          // ≥2 s lines (the ones the adaptive pass can flag) get the
-          // full warmup+median-of-3; the 0.3-2 s middle tier gets
-          // warmup+1 — a cross-pass confirmation sample at half the
-          // cost, which is what doubles pass-2 coverage inside the
-          // same budget (round-8, verdict item 6)
+          // ≥2 s lines (the ones the adaptive pass can flag) and moved
+          // lines get the full warmup+median-of-3; the rest of the
+          // 0.3-2 s middle tier gets warmup+1 — a cross-pass
+          // confirmation sample at half the cost (round-8, item 6)
           val m1 = medianOf(pass1(name))
-          val reps = if (m1 >= 2.0 || m1 < 0) Reps else { p2OneRep += 1; 1 }
+          val reps =
+            if (m1 >= 2.0 || m1 < 0 || movedLine(name)) Reps
+            else { p2OneRep += 1; 1 }
           Some(name -> measure(name, reps))
         }
       }.toMap
+    val movedCovered = movedLines.count(pass2.contains)
     val passes: Seq[(Double, Map[String, Seq[Double]])] =
       Seq((cache1, pass1), (cache2, pass2))
     // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
@@ -240,7 +292,9 @@ object Bench {
       } ++ thirdSamples.get(n).map(_.map(fmt).mkString("[", ",", "]"))
       s"\"$n\":" + passArrays.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fullPath = "BENCH_FULL.json"
+    // filtered dev-loop runs must not clobber the committed full map —
+    // it is the prev-round reference the moved-line logic reads
+    val fullPath = if (filter.isDefined) "BENCH_FULL_dev.json" else "BENCH_FULL.json"
     // Protocol prefix computed from ACTUAL attempt counts (round-8
     // advice: r7's "2x(warmup+median-of-3)" headline overstated a run
     // where 282/296 lines shipped on one pass — the true protocol was
@@ -248,9 +302,11 @@ object Bench {
     // how many queries it actually covered.
     val protocol =
       s"pass1=${names.size}q(warmup+median-of-$Reps" +
-      (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
+      (if (p1Short > 0) s";$p1Short@1rep" else "") +
+      (if (p1NoWarm > 0) s";$p1NoWarm@nowarm" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}eligible" +
-      s"(small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
+      s"(moved:$movedCovered-of-${movedLines.size}," +
+      s"small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
       s"pass3=${thirdSamples.size}q-of-${flagged.size}flagged(budget-skip:$p3Skipped);" +
       s"reported=min-of-pass-medians;" +
       s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s"

@@ -532,7 +532,14 @@ object Analytics {
     * selections order on PURE INTEGERS — FPR ≤ 0.05 is 20·fp ≤ n_neg
     * and the Youden objective is tp·n_neg − fp·n_pos — so no float
     * comparison decides a tie-break anywhere; the published tpr/fpr
-    * are one division each after selection. Plan: the cumulative
+    * are one division each after selection. The fpr_cap branch always
+    * includes the virtual FLAG-NOTHING point (threshold NULL, tp=fp=0 —
+    * i.e. set the threshold above the max score): it trivially
+    * satisfies any FPR cap, so the two-row output contract holds even
+    * on data where every real threshold exceeds the cap (r8 advice:
+    * the branch used to come back empty there), and it only wins when
+    * no real threshold beats tp=0 — in which case "flag nothing" IS
+    * the correct deployment point. Plan: the cumulative
     * distinct-score pass (bounded by score cardinality) then two
     * 1-row argmax selections. */
   def mlOperatingPoint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -550,8 +557,17 @@ object Analytics {
       .withColumn("fp", sum(col("nn")).over(cum))
       .withColumn("n_pos", sum(col("np")).over(all))
       .withColumn("n_neg", sum(col("nn")).over(all))
-    val wCap = Window.orderBy(col("tp").desc, col("fp").asc, col("s").desc)
-    val capPick = pts.filter(col("fp") * 20L <= col("n_neg"))
+    // the virtual flag-nothing point (see scaladoc): NULL threshold,
+    // tp=fp=0, trivially inside any cap; loses every tp tie-break to a
+    // real row except the fp one it deserves to win
+    val sentinel = pts
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"))
+      .select(lit(null).cast("long").as("s"), lit(0L).as("np"), lit(0L).as("nn"),
+        lit(0L).as("tp"), lit(0L).as("fp"), col("n_pos"), col("n_neg"))
+      .filter(col("n_neg").isNotNull)
+    val wCap = Window.orderBy(col("tp").desc, col("fp").asc, col("s").desc_nulls_last)
+    val capPick = pts.unionByName(sentinel)
+      .filter(col("fp") * 20L <= col("n_neg"))
       .withColumn("rk", row_number().over(wCap)).filter(col("rk") === 1)
       .withColumn("criterion", lit("fpr_cap"))
     val wJ = Window.orderBy(
@@ -584,10 +600,16 @@ object Analytics {
       |    sum(np) OVER ()::BIGINT AS n_pos,
       |    sum(nn) OVER ()::BIGINT AS n_neg
       |  FROM per),
+      |capbase AS (
+      |  SELECT s, tp, fp, n_pos, n_neg FROM pts
+      |  UNION ALL
+      |  SELECT NULL::BIGINT, 0::BIGINT, 0::BIGINT,
+      |    (SELECT max(n_pos) FROM pts), (SELECT max(n_neg) FROM pts)
+      |  WHERE EXISTS (SELECT 1 FROM pts)),
       |cap AS (
       |  SELECT 'fpr_cap' AS criterion, s, tp, fp, n_pos, n_neg
-      |  FROM pts WHERE fp * 20 <= n_neg
-      |  ORDER BY tp DESC, fp ASC, s DESC LIMIT 1),
+      |  FROM capbase WHERE fp * 20 <= n_neg
+      |  ORDER BY tp DESC, fp ASC, s DESC NULLS LAST LIMIT 1),
       |yj AS (
       |  SELECT 'youden' AS criterion, s, tp, fp, n_pos, n_neg
       |  FROM pts ORDER BY (tp * n_neg - fp * n_pos) DESC, s DESC LIMIT 1)

@@ -369,8 +369,14 @@ object Dedup {
     * sides (provably inert at fixture df — the naive-form oracle stays
     * byte-identical); verification touches candidates only. */
   def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingle hashes as 16-byte BINARY (unhex(md5)) rather than 32-char
+    // hex strings: halves the persisted relation and every exploded
+    // shuffle row. Byte order == hex lexicographic order (hex digits
+    // are monotone in byte value), so the global prefix order — and
+    // therefore the candidate set and the verified result — is
+    // IDENTICAL to the string form the oracle's naive SQL checks.
     val hs = Scratch.persist(Text.shingled(spark, sfDir)
-      .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs")))
+      .select(col("doc_id"), expr("array_sort(transform(sh, s -> unhex(md5(s))))").as("hs")))
     val sized = hs.select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
     // contained-side prefix: n - ceil(0.8n) + 1 = n - (4n+4) div 5 + 1
     val prefix = sized

@@ -1188,60 +1188,75 @@ object Events {
        |FROM m""".stripMargin
 
   /** SAMPLE-RATIO MISMATCH — the guardrail every experiment readout
-    * ([[opAbTest]], [[evDid]]) must pass first: if the 50/50 hash
-    * split's realized user counts deviate beyond chance, assignment or
-    * logging is broken and the metric deltas are meaningless. For an
-    * equal split the chi-square statistic reduces to (n_a − n_b)² /
-    * (n_a + n_b) — exact integer numerator/denominator, ONE double
-    * division — compared against the 3.841 (χ²₁, α=0.05) and 10.828
-    * (α=0.001) critical values as published flags. Per event_type
-    * rows make the broken segment visible, plus the '(all)' pooled
-    * row. One distinct-(type, user, variant) reduction then a
-    * K-row aggregate — nothing user-sized leaves the first groupBy. */
+    * must pass first: if a 50/50 hash split's realized user counts
+    * deviate beyond chance, assignment or logging is broken and the
+    * metric deltas are meaningless. The surface uses TWO assignments —
+    * [[evDid]] hashes 'did:'-prefixed ids, while [[opAbTest]],
+    * [[evPowerMde]] and [[evCuped]] hash the bare id — so this emits
+    * rows for BOTH under a `split` column ('did' / 'plain'); r8 advice
+    * caught the previous version monitoring only the 'did' split while
+    * claiming to guard opAbTest. For an equal split the chi-square
+    * statistic reduces to (n_a − n_b)² / (n_a + n_b) — exact integer
+    * numerator/denominator, ONE double division — compared against the
+    * 3.841 (χ²₁, α=0.05) and 10.828 (α=0.001) critical values as
+    * published flags. Per event_type rows make the broken segment
+    * visible, plus the '(all)' pooled row. One distinct-(type, user,
+    * variant) reduction per split then a K-row aggregate — nothing
+    * user-sized leaves the first groupBy. */
   def evSrm(spark: SparkSession, sfDir: String): DataFrame = {
-    val users = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("user_id"))
-      .withColumn("variant",
-        expr(s"${graft.functions.Text.hash60SparkSql("concat('did:', cast(user_id as string))")} % 2"))
-    val byType = users.distinct()
-      .groupBy("event_type")
-      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
-    val overall = users.select(col("user_id"), col("variant")).distinct()
-      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
-      .withColumn("event_type", lit("(all)"))
-      .select("event_type", "n_a", "n_b")
-    byType.unionByName(overall)
+    def oneSplit(label: String, hashArg: String): DataFrame = {
+      val users = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"))
+        .withColumn("variant",
+          expr(s"${graft.functions.Text.hash60SparkSql(hashArg)} % 2"))
+      val byType = users.distinct()
+        .groupBy("event_type")
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      val overall = users.select(col("user_id"), col("variant")).distinct()
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("event_type", lit("(all)"))
+        .select("event_type", "n_a", "n_b")
+      byType.unionByName(overall).withColumn("split", lit(label))
+    }
+    oneSplit("did", "concat('did:', cast(user_id as string))")
+      .unionByName(oneSplit("plain", "cast(user_id as string)"))
       .withColumn("chi2",
         ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
           / (col("n_a") + col("n_b")).cast("double"))
       .withColumn("srm_05", col("chi2") > lit(3.841))
       .withColumn("srm_001", col("chi2") > lit(10.828))
-      .select("event_type", "n_a", "n_b", "chi2", "srm_05", "srm_001")
-      .orderBy("event_type")
+      .select("split", "event_type", "n_a", "n_b", "chi2", "srm_05", "srm_001")
+      .orderBy("split", "event_type")
   }
 
-  private val evSrmSql: String =
-    s"""WITH u AS (
-       |  SELECT DISTINCT event_type, user_id,
-       |    ${graft.functions.Text.hash60DuckSql("'did:' || user_id::VARCHAR")} % 2 AS variant
-       |  FROM events),
-       |t AS (
-       |  SELECT event_type,
-       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
-       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
-       |  FROM u GROUP BY event_type
-       |  UNION ALL
-       |  SELECT '(all)' AS event_type,
-       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT,
-       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT
-       |  FROM (SELECT DISTINCT user_id, variant FROM u) p)
-       |SELECT event_type, n_a, n_b,
+  private val evSrmSql: String = {
+    def oneSplit(label: String, hashArg: String): String =
+      s"""  SELECT '$label' AS split, event_type, n_a, n_b FROM (
+         |    SELECT event_type,
+         |      sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |      sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |    FROM (SELECT DISTINCT event_type, user_id,
+         |            ${graft.functions.Text.hash60DuckSql(hashArg)} % 2 AS variant
+         |          FROM events) u GROUP BY event_type
+         |    UNION ALL
+         |    SELECT '(all)' AS event_type,
+         |      sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT,
+         |      sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT
+         |    FROM (SELECT DISTINCT user_id,
+         |            ${graft.functions.Text.hash60DuckSql(hashArg)} % 2 AS variant
+         |          FROM events) p) s""".stripMargin
+    s"""WITH t AS (
+       |${oneSplit("did", "'did:' || user_id::VARCHAR")}
+       |UNION ALL
+       |${oneSplit("plain", "user_id::VARCHAR")})
+       |SELECT split, event_type, n_a, n_b,
        |  ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b)::DOUBLE AS chi2,
        |  ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b)::DOUBLE > 3.841 AS srm_05,
        |  ((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b)::DOUBLE > 10.828 AS srm_001
-       |FROM t ORDER BY event_type""".stripMargin
+       |FROM t ORDER BY split, event_type""".stripMargin
+  }
 
   /** MINIMUM DETECTABLE EFFECT — the experiment-design companion to
     * [[opAbTest]]/[[evSrm]]: at the CURRENT arm sizes, how small a

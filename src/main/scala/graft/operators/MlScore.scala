@@ -46,9 +46,12 @@ object MlScore {
     math.rint(x * 100) / 100
   }
 
-  /** One depth-2 tree as a dialect-neutral CASE expression over
-    * p_retailprice (root) and p_size (both children). */
-  private def treeExpr(c: Int, t: Int): String = {
+  /** One depth-2 tree as a dialect-neutral CASE expression over the
+    * price feature (root; `priceCol` names the column — the partial-
+    * dependence query substitutes its exploded grid column here, a
+    * parameter rather than post-hoc string surgery) and p_size (both
+    * children). */
+  private def treeExpr(c: Int, t: Int, priceCol: String = "p_retailprice"): String = {
     val s = s"gbt:$c:$t"
     val thr0 = u(s"$s:r", 900.0, 2000.0)
     val thrL = u(s"$s:l", 1.0, 50.0)
@@ -59,13 +62,13 @@ object MlScore {
     // hazard as op_sql_interface, r8 strict type gate); the cast keeps
     // both engines on identical left-to-right double additions.
     val w = (0 until 4).map(i => s"CAST(${u(s"$s:w$i", -0.5, 0.5)} AS DOUBLE)")
-    s"(CASE WHEN p_retailprice < $thr0 " +
+    s"(CASE WHEN $priceCol < $thr0 " +
       s"THEN (CASE WHEN p_size < $thrL THEN ${w(0)} ELSE ${w(1)} END) " +
       s"ELSE (CASE WHEN p_size < $thrR THEN ${w(2)} ELSE ${w(3)} END) END)"
   }
 
-  private def marginExpr(c: Int): String =
-    (0 until TreesPerClass).map(t => treeExpr(c, t)).mkString("(", " + ", ")")
+  private def marginExpr(c: Int, priceCol: String = "p_retailprice"): String =
+    (0 until TreesPerClass).map(t => treeExpr(c, t, priceCol)).mkString("(", " + ", ")")
 
   /** argmax over the margin columns, ties to the lower class. */
   private val argmaxExpr: String =
@@ -441,10 +444,10 @@ object MlScore {
     * linear SHAP, for the model family where SHAP has no closed form:
     * PD(v) = the corpus-average prediction with p_retailprice FORCED
     * to grid value v while every other feature keeps its row value
-    * (Friedman 2001). The grid substitution happens in the expression
-    * TEXT (the margin expression is our own generated string, so the
-    * feature reference is replaced by the exploded grid column in both
-    * engines identically); each row scores all [[PdGrid]] points
+    * (Friedman 2001). The grid substitution is a PARAMETER of the
+    * generated margin expression (`marginExpr(c, priceCol = "pd_v")`
+    * names the exploded grid column at generation time — r8 advice
+    * retired the post-hoc string replace); each row scores all [[PdGrid]] points
     * map-side — a 10× row expansion with NO shuffle beyond the final
     * 10-group aggregate. Published per grid point: the class-0 margin
     * mean (margins rounded to 2^30 fixed point BEFORE summing — the
@@ -455,7 +458,7 @@ object MlScore {
   def mlPartialDep(spark: SparkSession, sfDir: String): DataFrame = {
     val gridArr = PdGrid.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
     val margins = (0 until Classes).map(c =>
-      expr(marginExpr(c).replace("p_retailprice", "pd_v")).as(s"m$c"))
+      expr(marginExpr(c, priceCol = "pd_v")).as(s"m$c"))
     Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_size"), explode(expr(gridArr)).as("pd_v"))
       .select(col("pd_v") +: margins: _*)
@@ -475,7 +478,7 @@ object MlScore {
   private def mlPartialDepSql: String = {
     val gridList = PdGrid.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
     val margins = (0 until Classes).map(c =>
-      s"${marginExpr(c).replace("p_retailprice", "pd_v")} AS m$c").mkString(",\n  ")
+      s"${marginExpr(c, priceCol = "pd_v")} AS m$c").mkString(",\n  ")
     s"""WITH g AS (SELECT p_partkey, p_size, unnest($gridList) AS pd_v FROM part),
        |m AS (SELECT pd_v, $margins FROM g),
        |scored AS (SELECT pd_v,

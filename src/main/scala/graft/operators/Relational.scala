@@ -547,7 +547,10 @@ object Relational {
     val perPrice = parts.groupBy("p_retailprice")
       .agg(max(col("p_size")).as("price_max_size"))
       .withColumn("bkt", floor(col("p_retailprice") / 100.0))
-    // bucket-count-sized summary (bounded by price range / 100)
+    // BOUNDED DRIVER COLLECT: one row per $100 price bucket — bounded
+    // by the price DOMAIN (range/100 ≈ tens of buckets), not the row
+    // count, so it stays O(price range) at any corpus size (the
+    // codebook-collect convention)
     val bktRows = perPrice.groupBy("bkt")
       .agg(max(col("price_max_size")).cast("long").as("bkt_max"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

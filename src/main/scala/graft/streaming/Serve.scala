@@ -20,6 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    wait loop), 503 `{"status":"waiting",...}` before — exactly what
   *    a supervisor's health-check/redeploy probes;
   *  - `GET /segments` — the servable segment list;
+  *  - `GET /` (also `/dashboard`) — the reference dashboard's one view
+  *    (dashboard.py:13-69) as a static HTML page: segment selector +
+  *    top-50 table, formatted client-side from the JSON routes below;
   *  - `GET /results/<segment>?limit=k` — the segment's served rows as
   *    JSON, newest RESULT GENERATION wins: the parquet under
   *    `results/<segment>` is re-read when its file set changes (the
@@ -97,15 +100,78 @@ final class Serve private (spark: SparkSession, resultsDir: String,
     }
   }
 
-  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(x: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val b = body.getBytes(UTF_8)
-    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.getResponseHeaders.set("Content-Type", contentType)
     x.sendResponseHeaders(code, b.length.toLong)
     x.getResponseBody.write(b)
     x.close()
   }
 
+  /** The dashboard's one view (reference dashboard.py:13-69: Streamlit
+    * table with a segment selector, `${:,}` money and `MM/DD/YYYY`
+    * dates), as a dependency-free HTML page over the JSON endpoints:
+    * the selector fetches `/results/<segment>` and formats client-side
+    * with the same rules (order id zero-padded to 9 when numeric,
+    * revenue rounded to cents with thousands separators). The page is a
+    * static string — all data flows through the cached JSON routes, so
+    * the view adds no server-side read path. */
+  private def dashboardHtml: String = {
+    val segOptions = segments.map { s =>
+      val title = s.toLowerCase.capitalize
+      s"""<option value="${esc(s)}">${esc(title)}</option>"""
+    }.mkString("\n      ")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>Top Unshipped Orders</title>
+       |<style>
+       |  body { font-family: sans-serif; margin: 2rem; }
+       |  em { color: #555; }
+       |  table { border-collapse: collapse; margin-top: 1rem; }
+       |  th, td { border: 1px solid #ddd; padding: 0.4rem 0.8rem; text-align: left; }
+       |  th { background: #f5f5f5; }
+       |  td.num { text-align: right; }
+       |</style></head>
+       |<body>
+       |<h3>Top Unshipped Orders</h3>
+       |<p><em>Top 50 unshipped orders with the highest revenue.</em></p>
+       |<select id="segment">
+       |      <option value="" selected disabled>Please select a product segment...</option>
+       |      $segOptions
+       |</select>
+       |<div id="table"></div>
+       |<script>
+       |const fmtMoney = v => '$$' + Number(v).toLocaleString('en-US',
+       |  { minimumFractionDigits: 2, maximumFractionDigits: 2 });
+       |const fmtDate = v => { const d = new Date(v);
+       |  return String(d.getUTCMonth() + 1).padStart(2, '0') + '/' +
+       |         String(d.getUTCDate()).padStart(2, '0') + '/' + d.getUTCFullYear(); };
+       |const fmtId = v => /^[0-9]+$$/.test(String(v)) ? String(v).padStart(9, '0') : String(v);
+       |const esc = s => String(s).replace(/[&<>"]/g,
+       |  c => ({ '&': '&amp;', '<': '&lt;', '>': '&gt;', '"': '&quot;' }[c]));
+       |document.getElementById('segment').addEventListener('change', async e => {
+       |  const r = await fetch('/results/' + encodeURIComponent(e.target.value));
+       |  const el = document.getElementById('table');
+       |  if (!r.ok) { el.textContent = 'Waiting for data...'; return; }
+       |  const rows = await r.json();
+       |  el.innerHTML = '<table><tr><th>Order ID</th><th>Date Ordered</th>' +
+       |    '<th>Revenue (in USD)</th></tr>' + rows.map(x =>
+       |      '<tr><td>' + esc(fmtId(x.l_orderkey)) + '</td><td>' +
+       |      esc(fmtDate(x.o_order_time)) + '</td><td class="num">' +
+       |      esc(fmtMoney(x.revenue)) + '</td></tr>').join('') + '</table>';
+       |});
+       |</script>
+       |</body></html>""".stripMargin
+  }
+
   private def install(): Unit = {
+    server.createContext("/", (x: HttpExchange) => {
+      // exact-path match only: HttpServer routes any unmatched prefix
+      // here, and an unknown path deserves a 404, not the dashboard
+      if (x.getRequestURI.getPath == "/" || x.getRequestURI.getPath == "/dashboard")
+        respond(x, 200, dashboardHtml, contentType = "text/html; charset=utf-8")
+      else respond(x, 404, """{"error":"not found"}""")
+    })
     server.createContext("/health", (x: HttpExchange) => {
       val r = ready
       if (r.size == segments.size)

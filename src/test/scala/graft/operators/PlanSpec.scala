@@ -190,7 +190,12 @@ class PlanSpec extends SparkSpec {
         "ml_kappa",
         // dd_multiprobe_recall: ONE-ROW set-size aggregates of two
         // 100-row pair sets broadcast together — scalar-subquery shape
-        "dd_multiprobe_recall")
+        "dd_multiprobe_recall",
+        // dd_lsh_multiprobe: the ONE-ROW n_capped_buckets honesty
+        // column broadcast onto the 100-row result — scalar-subquery
+        // shape (r8 advice: the cap's approximation must ride in the
+        // published row)
+        "dd_lsh_multiprobe")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -170,6 +170,15 @@ class PipelineSpec extends SparkSpec {
       ord.limit(5).coalesce(1).write.mode("overwrite").parquet(s"$results/AUTOMOBILE")
       assert(get("/results/AUTOMOBILE")._2.count(_ == '{') == 5,
         "republished generation must be served (cache keyed by file set)")
+      // the dashboard view (reference dashboard.py's one consumer-visible
+      // artifact): HTML with the title, the placeholder, and both
+      // segments title-cased in the selector; unknown paths still 404
+      val (dc, db) = get("/")
+      assert(dc == 200 && db.contains("Top Unshipped Orders")
+        && db.contains("Please select a product segment...")
+        && db.contains(">Automobile<") && db.contains(">Building<"), db.take(200))
+      assert(get("/dashboard")._1 == 200)
+      assert(get("/nope")._1 == 404)
     } finally srv.stop()
   }
 
