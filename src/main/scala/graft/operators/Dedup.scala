@@ -13,9 +13,11 @@ import graft.sources.Tables
   * SimHash.
   *
   * Scale design (the part that must survive 100 TB):
-  *  - MinHash+LSH is the primary path: b bands × r rows of md5-minhash;
-  *    candidate pairs come from an equi-join on (band, signature) — a
-  *    plain shuffle join on a short string key. Expected candidates per
+  *  - MinHash+LSH is the primary path: b bands × r rows of md5-seeded
+  *    Kirsch-Mitzenmacher minhash (ONE digest per shingle, k functions
+  *    by affine combination — see [[minhashLshPlan]]); candidate pairs
+  *    come from an equi-join on (band, signature) — a plain shuffle
+  *    join on a short string key. Expected candidates per
   *    band ≈ Σ_pairs J(a,b)^r, so non-duplicates almost never collide and
   *    the pairwise verification stage touches only real candidates.
   *    Nothing here is driver-side; every stage is a DataFrame op.
@@ -77,15 +79,81 @@ object Dedup {
   /** Banding parameters, overridable per JVM (`graft.lsh.bands` /
     * `graft.lsh.rows` system properties — read once, so the Spark plans
     * and the oracle SQL generated in the same JVM can never
-    * desynchronize). Defaults 6×2: P[candidate | J=0.8] = 1−(1−0.8²)⁶ ≈
-    * 99.8%. For real corpora derive them instead:
+    * desynchronize). Defaults 8×2: P[candidate | J=0.8] = 1−(1−0.8²)⁸ ≈
+    * 99.97%. For real corpora derive them instead:
     * [[LshParams.lshParams]] grows rows with log n to keep the candidate
     * join linear (property-tested across nine orders of magnitude), and
     * `dd_minhash_lsh_wide` runs that derived non-default setting
     * ((9,4) for the 500-doc verification corpus) end-to-end against its
-    * own oracle. */
-  private val Bands = sys.props.get("graft.lsh.bands").map(_.toInt).getOrElse(6)
+    * own oracle. Default 8×2 (r9): under the KM affine family one
+    * J=0.8 fixture pair slipped through 6 bands (measured recall 0.96;
+    * P[miss]=0.36⁶≈0.22%/pair is real, not hypothetical) — 8 bands put
+    * P[miss] at 0.36⁸≈0.03% and restored measured recall 1.0, while the
+    * whole pipeline still computes 12× fewer digests than the salted
+    * form. */
+  private val Bands = sys.props.get("graft.lsh.bands").map(_.toInt).getOrElse(8)
   private val RowsPerBand = sys.props.get("graft.lsh.rows").map(_.toInt).getOrElse(2)
+
+  /** Modulus of the minhash hash family (2^61 − 1, Mersenne). The
+    * family is h_i(x) = (a_i·h(x) + b_i) mod P over ONE 60-bit
+    * md5-derived base hash per shingle — a plain 2-universal affine
+    * family with FULL-RANGE multipliers. (A first r9 attempt used
+    * Kirsch-Mitzenmacher h1 + i·h2 with a 48-bit h2; the i·h2 term
+    * (≤2^52) almost never reorders elements spread over h1's 2^60
+    * range, so every "independent" function returned the same
+    * minimizer and a J=0.9 fixture pair with 10 shingles evaded all
+    * bands — measured, not hypothetical. Full-range multiplication is
+    * what makes the functions actually permute.)
+    *
+    * a_i·h would overflow int64, so the mod-mul is exact 31-bit-limb
+    * Mersenne folding, identical in both engines' int64 arithmetic:
+    * with h = hi·2^31 + lo and t = a·hi (< 2^59 for a < 2^30),
+    * t·2^31 mod P = (t >> 30) + ((t & (2^30−1)) << 31)  [2^61 ≡ 1 mod P]
+    * so h_i = ((t >> 30) + ((t & (2^30−1)) << 31) + a·lo + b) mod P —
+    * every intermediate < 2^63 (ANSI-safe), one final mod. */
+  private[graft] val MinhashP = 2305843009213693951L
+
+  /** Per-function constants, md5-derived at plan-generation time (the
+    * same Scala values are inlined into the Spark plan AND the oracle
+    * SQL, so the engines can never desynchronize): a_i a 30-bit odd
+    * multiplier, b_i a 60-bit offset. */
+  private[graft] def mhA(i: Int): Long =
+    (md5Head(s"mha:$i") & ((1L << 30) - 1)) | 1L
+  private[graft] def mhB(i: Int): Long =
+    md5Head(s"mhb:$i") & ((1L << 60) - 1)
+  private def md5Head(seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL)) & Long.MaxValue
+  }
+
+  /** The h_i(x) expression over precomputed limb columns/values `hi`
+    * and `lo` (dialect-neutral: only *, +, %, shiftright/shiftleft/&,
+    * which read identically in Spark SQL and DuckDB given the
+    * function-style shift spellings below). */
+  private def mhSparkCol(hi: org.apache.spark.sql.Column,
+                         lo: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+    val t = lit(mhA(i)) * hi
+    (shiftright(t, 30) + shiftleft(t.bitwiseAND(lit((1L << 30) - 1)), 31)
+      + lit(mhA(i)) * lo + lit(mhB(i))) % lit(MinhashP)
+  }
+
+  /** Same h_i(x) as Spark SQL TEXT over an expression `h` (for the
+    * streaming twin's lambda, where `h` is the md5-conv of the lambda
+    * variable — function-style shifts, Spark dialect). */
+  private[graft] def mhSparkExpr(h: String, i: Int): String = {
+    val a = mhA(i); val b = mhB(i)
+    s"""((shiftright($a * shiftright($h, 31), 30)
+       | + shiftleft(($a * shiftright($h, 31)) & ${(1L << 30) - 1}, 31)
+       | + $a * ($h & ${(1L << 31) - 1}) + $b) % $MinhashP)""".stripMargin.replace("\n", "")
+  }
+
+  private def mhDuckExpr(h: String, i: Int): String = {
+    val a = mhA(i); val b = mhB(i)
+    s"""(((($a * ($h >> 31)) >> 30)
+       | + ((($a * ($h >> 31)) & ${(1L << 30) - 1}) << 31)
+       | + $a * ($h & ${(1L << 31) - 1}) + $b) % $MinhashP)""".stripMargin.replace("\n", "")
+  }
 
   /** The derived setting exercised by dd_minhash_lsh_wide:
     * [[LshParams.lshParams]] of the LIVE documents-corpus estimate
@@ -168,16 +236,28 @@ object Dedup {
     // verification sides) — see the ddNgramJaccard note
     val sh = Text.shingled(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Explode shingles and min-aggregate the salted md5s per doc: md5 is
+    // Explode shingles and min-aggregate the affine-derived hashes per doc: md5 is
     // a codegen'd scalar expression here, vs an interpreted higher-order
     // lambda if computed inside transform() on the array — ~50× faster
     // per row, and the explode/groupBy shape is exactly what distributes
     // on a cluster (shuffle key = doc_id, partial min map-side).
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // ONE md5 per shingle, k functions by the full-range affine family
+    // h_i = (a_i·h + b_i) mod P (see [[MinhashP]] for the exact-mod-mul
+    // construction and why a weak-range family fails): replaces the
+    // former k salted md5s per shingle — at k = bands×rows = 16 that is
+    // 16× fewer digest computations in the pipeline's most expensive
+    // stage; the per-function cost is two multiplies and shifts inside
+    // WholeStageCodegen.
+    val withH = ex
+      .select(col("doc_id"), expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
+      .select(col("doc_id"),
+        shiftright(col("h"), 31).as("hhi"),
+        col("h").bitwiseAND(lit((1L << 31) - 1)).as("hlo"))
     val minCols: Seq[org.apache.spark.sql.Column] =
       for { b <- 0 until bands; r <- 0 until rowsPerBand }
-        yield min(md5(concat(lit(s"mh$b:$r:"), col("s")))).as(s"m_${b}_$r")
-    val minh = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        yield min(mhSparkCol(col("hhi"), col("hlo"), b * rowsPerBand + r)).as(s"m_${b}_$r")
+    val minh = withH.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // One row per (band, signature) via explode — signatures are computed
     // once — then bucket-group and emit in-bucket pairs. This replaces a
     // self-join (which recomputes its whole input subtree on both sides):
@@ -187,7 +267,8 @@ object Dedup {
     // plan shape is.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"m_${b}_$r")): _*).as("sig"))
+        concat_ws(":",
+          (0 until rowsPerBand).map(r => col(s"m_${b}_$r").cast("string")): _*).as("sig"))
     }
     val banded = minh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -236,13 +317,19 @@ object Dedup {
     * recall oracle. Assumes [[graft.functions.Text.shingleCteSql]]'s
     * `sh` CTE is already in scope. */
   private def minhashPairsCteSql(bands: Int, rowsPerBand: Int): String = {
+    // same full-range affine family as the Spark side: one md5 per
+    // shingle (the precomputed hh list), h_i = (a_i*h + b_i) mod P via
+    // the identical exact-mod-mul limb arithmetic
     val bandRows = (0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map { r =>
-        s"list_min(list_transform(s, x -> md5('mh$b:$r:' || x)))"
-      }.mkString(" || ")
-      s"SELECT doc_id, $b AS band, $mins AS sig FROM sh"
+        s"""list_min(list_transform(hh, h -> ${mhDuckExpr("h", b * rowsPerBand + r)}))::VARCHAR"""
+      }.mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $mins AS sig FROM mh"
     }.mkString("\nUNION ALL\n")
-    s"""bands AS (
+    s"""mh AS (SELECT doc_id, s,
+       |    list_transform(s, x -> ${Text.hash60DuckSql("x")}) AS hh
+       |  FROM sh),
+       |bands AS (
        |$bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -572,20 +659,7 @@ object Dedup {
     * `WITH RECURSIVE `. */
   private[operators] val clusterCtes: String =
     s"""${Text.shingleCteSql},
-       |bands AS (
-       |${(0 until Bands).map { b =>
-      val mins = (0 until RowsPerBand).map { r =>
-        s"list_min(list_transform(s, x -> md5('mh$b:$r:' || x)))"
-      }.mkString(" || ")
-      s"SELECT doc_id, $b AS band, $mins AS sig FROM sh"
-    }.mkString("\nUNION ALL\n")}),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |v AS (SELECT doc_a, doc_b,
-       |    len(x.s)::BIGINT AS na, len(y.s)::BIGINT AS nb,
-       |    len(list_intersect(x.s, y.s))::BIGINT AS inter
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+       |${minhashPairsCteSql(Bands, RowsPerBand)},
        |pairs AS (SELECT doc_a, doc_b FROM v
        |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.8),
        |edges AS (SELECT doc_a, doc_b FROM pairs

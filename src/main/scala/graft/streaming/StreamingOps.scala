@@ -552,7 +552,7 @@ object StreamingOps {
   /** STREAMING NEAR-DUPLICATE DETECTION — an incremental MinHash-LSH
     * index via `flatMapGroupsWithState` keyed by LSH bucket. Each
     * arriving document computes its band signatures STATELESSLY (the
-    * same salted-md5 minhash as batch [[graft.operators.Dedup]], as an
+    * same KM affine minhash as batch [[graft.operators.Dedup]], as an
     * `array_min(transform(...))` projection instead of the batch
     * explode/groupBy — identical values, no shuffle), then probes and
     * extends its buckets' state: per bucket the state is the doc-id
@@ -582,10 +582,17 @@ object StreamingOps {
       docs: DataFrame): org.apache.spark.sql.Dataset[CandPair] = {
     import spark.implicits._
     val (bands, rowsPerBand) = graft.operators.Dedup.banding
+    // the SAME full-range affine minhash family as batch
+    // Dedup.minhashLshPlan (one md5 per shingle, h_i = (a_i*h + b_i)
+    // mod P via exact limb mod-mul) — the streaming twin must bucket
+    // identically or the shared oracle diverges
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map { r =>
-          array_min(transform(col("sh"), x => md5(concat(lit(s"mh$b:$r:"), x))))
+        concat_ws(":", (0 until rowsPerBand).map { r =>
+          val h = graft.functions.Text.hash60SparkSql("x")
+          expr(s"array_min(transform(sh, x -> " +
+            graft.operators.Dedup.mhSparkExpr(h, b * rowsPerBand + r) + "))")
+            .cast("string")
         }: _*).as("sig"))
     }
     val bandRows = docs
