@@ -14,9 +14,9 @@ import graft.sources.Tables
   *
   * Scale design (the part that must survive 100 TB):
   *  - MinHash+LSH is the primary path: b bands × r rows of md5-seeded
-  *    Kirsch-Mitzenmacher minhash (ONE digest per shingle, k functions
-  *    by affine combination — see [[minhashLshPlan]]); candidate pairs
-  *    come from an equi-join on (band, signature) — a plain shuffle
+  *    affine minhash (ONE digest per shingle, k full-range 2-universal
+  *    functions — see [[MinhashP]]); candidate pairs come from an
+  *    equi-join on (band, signature) — a plain shuffle
   *    join on a short string key. Expected candidates per
   *    band ≈ Σ_pairs J(a,b)^r, so non-duplicates almost never collide and
   *    the pairwise verification stage touches only real candidates.
@@ -85,12 +85,13 @@ object Dedup {
     * join linear (property-tested across nine orders of magnitude), and
     * `dd_minhash_lsh_wide` runs that derived non-default setting
     * ((9,4) for the 500-doc verification corpus) end-to-end against its
-    * own oracle. Default 8×2 (r9): under the KM affine family one
-    * J=0.8 fixture pair slipped through 6 bands (measured recall 0.96;
-    * P[miss]=0.36⁶≈0.22%/pair is real, not hypothetical) — 8 bands put
-    * P[miss] at 0.36⁸≈0.03% and restored measured recall 1.0, while the
-    * whole pipeline still computes 12× fewer digests than the salted
-    * form. */
+    * own oracle. Default widened 6×2 → 8×2 in r9 for margin
+    * (P[miss @ J=0.8] drops 0.36⁶≈0.22%/pair → 0.36⁸≈0.03%): the r9
+    * family rework showed a recall loss the pair report can't see
+    * (only `dd_minhash_recall` caught it — see [[MinhashP]]; the fix
+    * there was full-range multipliers, NOT more bands — 8 bands alone
+    * did not recover the evading pair), and at ONE digest per shingle
+    * the 4 extra functions cost two multiplies each, not two digests. */
   private val Bands = sys.props.get("graft.lsh.bands").map(_.toInt).getOrElse(8)
   private val RowsPerBand = sys.props.get("graft.lsh.rows").map(_.toInt).getOrElse(2)
 
