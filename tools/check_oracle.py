@@ -60,13 +60,16 @@ def norm_type(t):
     return "TIMESTAMP" if t == "TIMESTAMP WITH TIME ZONE" else t
 
 
-def connect(sf_dir, retries=2):
+def connect(sf_dir, retries=4):
     """Fresh DuckDB connection with the fixture views registered.
 
     The reconnect itself can OOM right after a crashed predecessor (its
-    buffer pool frees asynchronously) — retry with a pause + gc so the
-    recovery path can't die inside the exception handler (the r8 x10
-    close-run failure mode)."""
+    buffer pool frees asynchronously) — retry with an escalating pause +
+    gc so the recovery path can't die inside the exception handler (the
+    r8 x10 close-run failure mode; the r9 x10 run still lost a process
+    to the then-unguarded final attempt, hence more retries and backoff
+    — a killed comparer costs a 78-query manual resume, a 24 s sleep
+    does not)."""
     for attempt in range(retries):
         try:
             return _connect_once(sf_dir)
@@ -75,7 +78,7 @@ def connect(sf_dir, retries=2):
             import gc
             import time
             gc.collect()
-            time.sleep(3)
+            time.sleep(3 * (attempt + 1))
     return _connect_once(sf_dir)
 
 
@@ -185,7 +188,7 @@ def main():
         # memory_limit evicts it; a periodic fresh connection bounds the
         # footprint BEFORE the allocator hits the cgroup wall
         n_since_reconnect += 1
-        if n_since_reconnect >= 80:
+        if n_since_reconnect >= 50:
             con.close()
             con = connect(sf_dir)
             n_since_reconnect = 0
