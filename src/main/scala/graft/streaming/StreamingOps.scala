@@ -585,13 +585,17 @@ object StreamingOps {
     // the SAME full-range affine minhash family as batch
     // Dedup.minhashLshPlan (one md5 per shingle, h_i = (a_i*h + b_i)
     // mod P via exact limb mod-mul) — the streaming twin must bucket
-    // identically or the shared oracle diverges
+    // identically or the shared oracle diverges. The md5-conv list is
+    // projected ONCE per row (`hh`) and every function derives from it
+    // by integer arithmetic: the first r9 form re-evaluated the digest
+    // inside each function's lambda (3 occurrences × 16 functions = 48
+    // digests per shingle) and the close bench caught it as the round's
+    // one real regression (op_stream_neardup 3.5 → 12.4 s).
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until rowsPerBand).map { r =>
-          val h = graft.functions.Text.hash60SparkSql("x")
-          expr(s"array_min(transform(sh, x -> " +
-            graft.operators.Dedup.mhSparkExpr(h, b * rowsPerBand + r) + "))")
+          expr(s"array_min(transform(hh, h -> " +
+            graft.operators.Dedup.mhSparkExpr("h", b * rowsPerBand + r) + "))")
             .cast("string")
         }: _*).as("sig"))
     }
@@ -599,6 +603,8 @@ object StreamingOps {
       .select(col("doc_id"),
         graft.plans.WordShingles.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("hh",
+        expr(s"transform(sh, x -> ${graft.functions.Text.hash60SparkSql("x")})"))
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(concat(col("bs.band"), lit(":"), col("bs.sig")).as("bucket"),
         col("doc_id"))
