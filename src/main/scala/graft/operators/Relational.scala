@@ -1571,7 +1571,11 @@ object Relational {
     val cols = Seq(
       ("discount", "cast(round(l_discount * 100) as bigint)"),
       ("extendedprice", "cast(round(l_extendedprice) as bigint)"),
-      ("quantity", "cast(l_quantity as bigint)"),
+      // round() BEFORE the bigint cast: Spark's double->bigint cast
+      // TRUNCATES while DuckDB's ROUNDS -- integral fixture values mask
+      // the difference, a +/-1-ulp perturbation exposes it (caught by
+      // the r9 widened jitter gate)
+      ("quantity", "cast(round(l_quantity) as bigint)"),
       ("tax", "cast(round(l_tax * 100) as bigint)"))
     val aggs =
       cols.flatMap { case (n, e) =>
@@ -1599,7 +1603,7 @@ object Relational {
     val cols = Seq(
       ("discount", "round(l_discount * 100)::BIGINT"),
       ("extendedprice", "round(l_extendedprice)::BIGINT"),
-      ("quantity", "l_quantity::BIGINT"),
+      ("quantity", "round(l_quantity)::BIGINT"),
       ("tax", "round(l_tax * 100)::BIGINT"))
     def corr(a: String, b: String): String =
       s"""(n::DOUBLE * sp_${a}_$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)

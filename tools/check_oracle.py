@@ -117,14 +117,20 @@ def _connect_once(sf_dir):
     return con
 
 
-# money double per table -> (column, deterministic row key for the hash split)
+# per table: (row key for the hash split, [(column, kind), ...]) —
+# kind "money" gets the half-cent-boundary branch (the decimal-cast
+# divergence class), "ulp" a +/-1-ulp nudge only (fraction columns like
+# discount/tax, where half-CENT boundaries are meaningless but every
+# revenue fold must still be fixed-association robust)
 JITTER_MONEY = {
-    "orders": ("o_totalprice", "o_orderkey"),
-    "lineitem": ("l_extendedprice", "l_orderkey * 8 + l_linenumber"),
-    "part": ("p_retailprice", "p_partkey"),
-    "supplier": ("s_acctbal", "s_suppkey"),
-    "customer": ("c_acctbal", "c_custkey"),
-    "events": ("value", "event_id"),
+    "orders": ("o_orderkey", [("o_totalprice", "money")]),
+    "lineitem": ("l_orderkey * 8 + l_linenumber",
+                 [("l_extendedprice", "money"), ("l_discount", "ulp"),
+                  ("l_tax", "ulp"), ("l_quantity", "ulp")]),
+    "part": ("p_partkey", [("p_retailprice", "money")]),
+    "supplier": ("s_suppkey", [("s_acctbal", "money")]),
+    "customer": ("c_custkey", [("c_acctbal", "money")]),
+    "events": ("event_id", [("value", "money")]),
 }
 
 JITTER_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -146,22 +152,34 @@ def make_jitter(src, dst, seed=9):
         p = f"{src}/{t}.parquet"
         rd = f"{p}/*.parquet" if os.path.isdir(p) else p
         if t in JITTER_MONEY:
-            colname, key = JITTER_MONEY[t]
+            key, jit_cols = JITTER_MONEY[t]
+            kinds = dict(jit_cols)
             cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{rd}'").fetchall()]
+
+            def branch(c, j):
+                # j offsets the hash per column so the same row perturbs
+                # different columns differently
+                h = f"hash(({key}) + {seed} + {j})"
+                if kinds[c] == "money":
+                    return f"""CASE {h} % 8
+                        WHEN 0 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
+                        WHEN 1 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
+                        WHEN 2 THEN nextafter({c}, 1e300)
+                        WHEN 3 THEN nextafter({c}, -1e300)
+                        ELSE {c} END AS {c}"""
+                return f"""CASE {h} % 4
+                    WHEN 0 THEN nextafter({c}, 1e300)
+                    WHEN 1 THEN nextafter({c}, -1e300)
+                    ELSE {c} END AS {c}"""
             sel = ", ".join(
-                f"""CASE hash(({key}) + {seed}) % 8
-                    WHEN 0 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
-                    WHEN 1 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
-                    WHEN 2 THEN nextafter({c}, 1e300)
-                    WHEN 3 THEN nextafter({c}, -1e300)
-                    ELSE {c} END AS {c}""" if c == colname else c
+                branch(c, 1000 * list(kinds).index(c)) if c in kinds else c
                 for c in cols)
             con.sql(f"COPY (SELECT {sel} FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         else:
             con.sql(f"COPY (SELECT * FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         n_half = 0
         if t in JITTER_MONEY:
-            c = JITTER_MONEY[t][0]
+            c = JITTER_MONEY[t][1][0][0]
             n_half = con.sql(
                 f"SELECT count(*) FROM '{dst}/{t}.parquet' "
                 f"WHERE round({c}*1000) % 10 = 5 OR round({c}*1000) % 10 = -5"
