@@ -707,6 +707,50 @@ object Relational {
        |      FROM orders)
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** DIFFERENTIAL-DIAGNOSIS TWIN of [[opDecimalAgg]] (r9 verdict item 1).
+    * `op_decimal_agg` has been driver-hash-red for three rounds across
+    * three materially different implementations, while (a) every local
+    * gate — strict DuckDB-type comparison at sf0.01, x10, and the
+    * boundary-engineered jitter fixture — passes, and (b) it is the
+    * ONLY entry in the whole surface whose OUTPUT columns are
+    * DECIMAL-typed. Hypothesis under test: the divergence is in the
+    * driver comparator's DECIMAL materialization (pyarrow-decimal vs
+    * duckdb-decimal in its hash path), not in the aggregate's value.
+    * This twin keeps the IDENTICAL plan — same integer-cents
+    * derivation, same in-plan DECIMAL(18,2) aggregation — and only
+    * changes the FINAL projection to hash-robust types: each decimal
+    * aggregate rendered BOTH as exact BIGINT cents (per-column
+    * comparable, localizes any value divergence) and as a VARCHAR
+    * rendering (scale-2 decimal → plain string is engine-identical).
+    * Green twin + red original ⇒ comparator-decimal confirmed; red
+    * twin ⇒ the cents columns name the divergent aggregate. */
+  def opDecimalAggCents(spark: SparkSession, sfDir: String): DataFrame =
+    opDecimalAgg(spark, sfDir)
+      .select(col("o_orderstatus"), col("n_orders"),
+        (col("total_price").cast("decimal(34,2)") * lit(100)).cast("bigint")
+          .as("total_cents"),
+        col("total_price").cast("string").as("total_str"),
+        (col("min_price").cast("decimal(34,2)") * lit(100)).cast("bigint")
+          .as("min_cents"),
+        col("min_price").cast("string").as("min_str"),
+        (col("max_price").cast("decimal(34,2)") * lit(100)).cast("bigint")
+          .as("max_cents"),
+        col("max_price").cast("string").as("max_str"),
+        col("avg_price"))
+      .orderBy("o_orderstatus")
+
+  private val opDecimalAggCentsSql: String =
+    s"""SELECT o_orderstatus, n_orders,
+       |  (total_price * 100)::BIGINT AS total_cents,
+       |  total_price::VARCHAR AS total_str,
+       |  (min_price * 100)::BIGINT AS min_cents,
+       |  min_price::VARCHAR AS min_str,
+       |  (max_price * 100)::BIGINT AS max_cents,
+       |  max_price::VARCHAR AS max_str,
+       |  avg_price
+       |FROM ($opDecimalAggSql)
+       |ORDER BY o_orderstatus""".stripMargin
+
   /** MOVING MEDIAN — an exact order statistic over a sliding window
     * frame (`percentile(…) OVER (ROWS 5 PRECEDING)`), the robust
     * alternative to the moving average every monitoring pipeline wants
@@ -1694,6 +1738,7 @@ object Relational {
     "op_corr_matrix" -> (opCorrMatrix _),
     "op_window_range" -> (opWindowRange _),
     "op_decimal_agg" -> (opDecimalAgg _),
+    "op_decimal_agg_cents" -> (opDecimalAggCents _),
     "op_observe_metrics" -> (opObserveMetrics _),
     "op_join_full" -> (opJoinFull _),
     "op_window_median" -> (opWindowMedian _),
@@ -1758,6 +1803,7 @@ object Relational {
     "op_corr_matrix" -> opCorrMatrixSql,
     "op_window_range" -> opWindowRangeSql,
     "op_decimal_agg" -> opDecimalAggSql,
+    "op_decimal_agg_cents" -> opDecimalAggCentsSql,
     "op_observe_metrics" -> opObserveMetricsSql,
     "op_join_full" -> opJoinFullSql,
     "op_window_median" -> opWindowMedianSql,

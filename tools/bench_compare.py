@@ -66,10 +66,15 @@ def main():
         for r, q in rows:
             so, sn = s_old.get(q), s_new.get(q)
             overlap = ""
-            if so and sn:
+            # 'samples' values are per-pass LISTS ([[p1...],[p2...]]);
+            # flatten before min/max — comparing the nested lists
+            # lexicographically (r9 bug) degenerates on any empty pass.
+            fo = [x for a in (so or []) for x in (a if isinstance(a, list) else [a])]
+            fn = [x for a in (sn or []) for x in (a if isinstance(a, list) else [a])]
+            if fo and fn:
                 # sample ranges overlapping => the move is within observed
                 # same-round variance, i.e. plausibly host noise
-                overlap = "overlap=yes(noise?)" if min(sn) <= max(so) and min(so) <= max(sn) \
+                overlap = "overlap=yes(noise?)" if min(fn) <= max(fo) and min(fo) <= max(fn) \
                     else "overlap=no(real)"
             print(f"{label} {q}: {old[q]:.2f} -> {new[q]:.2f} ({r:.2f}x) "
                   f"old_samples={so} new_samples={sn} {overlap}")
