@@ -44,11 +44,20 @@ import org.apache.spark.sql.SparkSession
   * Round 9: the previous driver artifact (BENCH_FULL.json as committed)
   * is read at startup; lines whose pass-1 median moved >1.5x vs it get
   * pass-2 priority at full reps (a cross-pass-confirmed move is a
-  * finding, an unconfirmed one is noise), funded by skipping the
-  * warm-up execution on the tail the previous artifact measured
-  * <0.3 s. Cross-round comparison is computed by
-  * tools/bench_compare.py from the committed BENCH_FULL.json blobs.
-  * Degradation counters ride in the protocol string of both JSONs.
+  * finding, an unconfirmed one is noise). Cross-round comparison is
+  * computed by tools/bench_compare.py from the committed
+  * BENCH_FULL.json blobs. Degradation counters ride in the protocol
+  * string of both JSONs.
+  * Round 10 (r9 verdict items 3+5): the r9 "skip warm-up on the
+  * sub-0.3 s tail" experiment is REVERTED — at the driver it measured
+  * that whole tail 3.5-5.7x high with disjoint sample ranges
+  * (cross-protocol numbers are incomparable, so every future round
+  * would have "regressed" on it); warm-up runs again on every
+  * multi-rep line. And MOVED lines now get a RESERVED confirm slot:
+  * pass 2's 85%-budget gate extends to 95% for them (degrading to
+  * warm-up + 1 rep past 85%), so a moved line is never shipped
+  * cross-pass-unconfirmed just because pass 1 ate the budget — the r9
+  * driver run confirmed only 2 of 21 moved lines.
   *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
@@ -123,10 +132,10 @@ object Bench {
       .map(_.toDouble).getOrElse(1500.0)
     val tWall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
-    def measure(name: String, reps: Int, warmup: Boolean = true): Seq[Double] = {
+    def measure(name: String, reps: Int): Seq[Double] = {
       val fn = SparkEntry.queries(name)
       val samples = try {
-        if (warmup) run(fn(spark, sfDir)) // warm-up
+        run(fn(spark, sfDir)) // warm-up (always — r9's selective skip distorted the tail)
         Seq.fill(reps)(time(run(fn(spark, sfDir))))
       } catch { case _: Throwable => Seq.empty[Double] }
       // drop this query's scratch-persisted relations so their blocks
@@ -136,13 +145,15 @@ object Bench {
     }
     // Previous DRIVER artifact's full per-query map: BENCH_FULL.json as
     // committed at the last round's driver bench — read BEFORE this run
-    // overwrites the file. Used to (a) skip the warm-up execution on the
-    // sub-0.3 s tail (median-of-3 discards the first rep's codegen spike
-    // anyway) and (b) steer pass-2 budget toward lines that MOVED vs the
-    // last driver run (round-8 verdict item 4: at 347 entries, pass 2
-    // covered 2 lines — exactly the regime where phantom regressions and
-    // phantom "zero regressions" flourish). tools/bench_compare.py makes
-    // the cross-round claim itself computable from the artifacts.
+    // overwrites the file. Used to steer pass-2 budget toward lines that
+    // MOVED vs the last driver run (round-8 verdict item 4: at 347
+    // entries, pass 2 covered 2 lines — exactly the regime where phantom
+    // regressions and phantom "zero regressions" flourish).
+    // tools/bench_compare.py makes the cross-round claim itself
+    // computable from the artifacts. (The r9 use of this map to skip
+    // warm-up on the <0.3 s tail is gone — r9 verdict item 3: the
+    // no-warmup numbers were 3.5-5.7x high and cross-protocol
+    // incomparable.)
     val prev: Map[String, Double] = try {
       import org.json4s._
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -166,17 +177,9 @@ object Bench {
     // reports failed for the pass, never aborts the bench)
     val cache1 = cacheMaterialize()
     var p1Short = 0
-    var p1NoWarm = 0
     val pass1: Map[String, Seq[Double]] = names.map { name =>
       val reps = if (elapsedSec > 0.6 * budgetSec) { p1Short += 1; 1 } else Reps
-      // sub-0.3 s tail (per the previous driver artifact): skip the
-      // untimed warm-up execution — at median-of-3 the first rep's
-      // codegen/materialization spike is discarded by the median, and
-      // the ~130 freed executions fund pass-2 coverage of moved lines.
-      // Never skipped at 1 rep (the single sample would carry compile).
-      val warm = reps < Reps || !prev.get(name).exists(p => p >= 0 && p < 0.3)
-      if (!warm) p1NoWarm += 1
-      name -> measure(name, reps, warmup = warm)
+      name -> measure(name, reps)
     }.toMap
     // a line MOVED if its pass-1 median differs >1.5x (either direction,
     // >0.3 s absolute) from the previous driver artifact — these get
@@ -206,7 +209,15 @@ object Bench {
       // MOVED lines first (they are the cross-round findings pass 2
       // exists to confirm or kill), then expensive-first as before
       p2Eligible.sortBy(n => (!movedLine(n), -medianOf(pass1(n)))).flatMap { name =>
-        if (elapsedSec > 0.85 * budgetSec) { p2Skipped += 1; None }
+        val moved = movedLine(name)
+        // RESERVED confirm slot for moved lines (round-10, r9 item 5):
+        // the 85% gate closed pass 2 after 2 of 21 moved lines at the
+        // r9 driver — a moved line with no second pass is exactly the
+        // unfalsifiable regression this pass exists to kill. Moved
+        // lines keep measuring until 95% of budget, degrading to
+        // warm-up + 1 rep past 85% (one confirm sample beats none).
+        val gate = if (moved) 0.95 else 0.85
+        if (elapsedSec > gate * budgetSec) { p2Skipped += 1; None }
         else {
           // ≥2 s lines (the ones the adaptive pass can flag) and moved
           // lines get the full warmup+median-of-3; the rest of the
@@ -214,7 +225,8 @@ object Bench {
           // confirmation sample at half the cost (round-8, item 6)
           val m1 = medianOf(pass1(name))
           val reps =
-            if (m1 >= 2.0 || m1 < 0 || movedLine(name)) Reps
+            if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
+            else if (m1 >= 2.0 || m1 < 0 || moved) Reps
             else { p2OneRep += 1; 1 }
           Some(name -> measure(name, reps))
         }
@@ -302,8 +314,7 @@ object Bench {
     // how many queries it actually covered.
     val protocol =
       s"pass1=${names.size}q(warmup+median-of-$Reps" +
-      (if (p1Short > 0) s";$p1Short@1rep" else "") +
-      (if (p1NoWarm > 0) s";$p1NoWarm@nowarm" else "") + ");" +
+      (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}eligible" +
       s"(moved:$movedCovered-of-${movedLines.size}," +
       s"small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
