@@ -68,6 +68,21 @@ final class Serve private (spark: SparkSession, resultsDir: String,
       case c => c.toString
     }
 
+  /** HTML entity-escape for text interpolated into HTML markup
+    * (attribute values and element bodies). [[esc]] is a JSON escaper —
+    * a backslash has no escaping power in HTML, so `\"` still closes an
+    * attribute and `<` still opens a tag; HTML contexts need entities
+    * (same rule as the generated page's client-side `esc`). */
+  private def escHtml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
+
   /** Fingerprint of a segment's current result generation: the reduce
     * republishes with fresh UUID part names, so the (path, size) set
     * changes on every republish. */
@@ -120,7 +135,7 @@ final class Serve private (spark: SparkSession, resultsDir: String,
   private def dashboardHtml: String = {
     val segOptions = segments.map { s =>
       val title = s.toLowerCase.capitalize
-      s"""<option value="${esc(s)}">${esc(title)}</option>"""
+      s"""<option value="${escHtml(s)}">${escHtml(title)}</option>"""
     }.mkString("\n      ")
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>Top Unshipped Orders</title>

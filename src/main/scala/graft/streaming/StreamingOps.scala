@@ -552,7 +552,10 @@ object StreamingOps {
   /** STREAMING NEAR-DUPLICATE DETECTION — an incremental MinHash-LSH
     * index via `flatMapGroupsWithState` keyed by LSH bucket. Each
     * arriving document computes its band signatures STATELESSLY (the
-    * same KM affine minhash as batch [[graft.operators.Dedup]], as an
+    * same full-range affine minhash family as batch
+    * [[graft.operators.Dedup]] (a·h+b mod 2⁶¹−1 — NOT the weak-range
+    * Kirsch-Mitzenmacher form the Dedup scaladoc documents as the
+    * failed r9 attempt), as an
     * `array_min(transform(...))` projection instead of the batch
     * explode/groupBy — identical values, no shuffle), then probes and
     * extends its buckets' state: per bucket the state is the doc-id

@@ -121,16 +121,26 @@ def _connect_once(sf_dir):
 # kind "money" gets the half-cent-boundary branch (the decimal-cast
 # divergence class), "ulp" a +/-1-ulp nudge only (fraction columns like
 # discount/tax, where half-CENT boundaries are meaningless but every
-# revenue fold must still be fixed-association robust)
+# revenue fold must still be fixed-association robust), "int" a +/-1
+# step on integer quantities (moves values onto div/bucket/predicate
+# boundaries — the floor-div vs int-div and bin-edge class), "ts" snaps
+# timestamps onto calendar boundaries (exact midnight / hour / minute,
+# and 1 us BEFORE midnight, i.e. 23:59:59.999999 of the prior day —
+# the date_trunc / window-edge / ts->date cast tie-break class).
+# Never jitter join/group KEYS: the gate perturbs measures so oracle
+# and engine still see identical relations, only boundary-valued ones.
 JITTER_MONEY = {
-    "orders": ("o_orderkey", [("o_totalprice", "money")]),
+    "orders": ("o_orderkey", [("o_totalprice", "money"),
+                              ("o_orderdate", "ts")]),
     "lineitem": ("l_orderkey * 8 + l_linenumber",
                  [("l_extendedprice", "money"), ("l_discount", "ulp"),
-                  ("l_tax", "ulp"), ("l_quantity", "ulp")]),
-    "part": ("p_partkey", [("p_retailprice", "money")]),
+                  ("l_tax", "ulp"), ("l_quantity", "ulp"),
+                  ("l_shipdate", "ts")]),
+    "part": ("p_partkey", [("p_retailprice", "money"), ("p_size", "int")]),
     "supplier": ("s_suppkey", [("s_acctbal", "money")]),
     "customer": ("c_custkey", [("c_acctbal", "money")]),
-    "events": ("event_id", [("value", "money")]),
+    "events": ("event_id", [("value", "money"), ("ts", "ts")]),
+    "documents": ("doc_id", [("n_chars", "int")]),
 }
 
 JITTER_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -154,7 +164,13 @@ def make_jitter(src, dst, seed=9):
         if t in JITTER_MONEY:
             key, jit_cols = JITTER_MONEY[t]
             kinds = dict(jit_cols)
-            cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{rd}'").fetchall()]
+            described = con.sql(f"DESCRIBE SELECT * FROM '{rd}'").fetchall()
+            cols = [r[0] for r in described]
+            types = {r[0]: r[1] for r in described}
+            # legacy scale fixtures store ts as BIGINT nanos — the
+            # calendar-snap branch needs a real timestamp type; skip there
+            kinds = {c: k for c, k in kinds.items()
+                     if k != "ts" or types.get(c, "").startswith("TIMESTAMP")}
 
             def branch(c, j):
                 # j offsets the hash per column so the same row perturbs
@@ -166,6 +182,25 @@ def make_jitter(src, dst, seed=9):
                         WHEN 1 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
                         WHEN 2 THEN nextafter({c}, 1e300)
                         WHEN 3 THEN nextafter({c}, -1e300)
+                        ELSE {c} END AS {c}"""
+                if kinds[c] == "int":
+                    # +/-1 step, floored at 1 (quantities stay valid) —
+                    # lands values on div-bucket and predicate boundaries.
+                    # Cast back to the SOURCE type: the +/- arithmetic
+                    # widens (INTEGER -> BIGINT) and the engine reads the
+                    # copy with the fixture's fixed schema.
+                    return f"""(CASE {h} % 4
+                        WHEN 0 THEN {c} + 1
+                        WHEN 1 THEN greatest({c} - 1, 1)
+                        ELSE {c} END)::{types[c]} AS {c}"""
+                if kinds[c] == "ts":
+                    # calendar-boundary snaps; exact midnight and
+                    # 1 us before it are the date_trunc/window tie cases
+                    return f"""CASE {h} % 8
+                        WHEN 0 THEN date_trunc('day', {c})
+                        WHEN 1 THEN date_trunc('day', {c}) - INTERVAL 1 MICROSECOND
+                        WHEN 2 THEN date_trunc('hour', {c})
+                        WHEN 3 THEN date_trunc('minute', {c})
                         ELSE {c} END AS {c}"""
                 return f"""CASE {h} % 4
                     WHEN 0 THEN nextafter({c}, 1e300)
