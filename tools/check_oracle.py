@@ -299,6 +299,15 @@ def main():
             print("  duck :", want[bad].head(3).to_dict("records"))
             n_fail += 1
             continue
+        # DECIMAL OUTPUT columns pass THIS gate but hash-fail the round
+        # driver's comparator (pyarrow materializes Decimal objects,
+        # duckdb .df() float64 — see tools/decimal_comparator_probe.py;
+        # op_decimal_agg is three-rounds red on exactly this). Flag any
+        # NEW entry in the class before it costs a driver round.
+        decs = [c for c, t in zip(got.columns, got_t) if "DECIMAL" in str(t)]
+        if decs and name != "op_decimal_agg":
+            print(f"WARN {name}: DECIMAL output columns {decs} — "
+                  "driver-comparator hash-hostile; render as cents/VARCHAR")
         print(f"PASS {name} ({len(got)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
