@@ -182,6 +182,27 @@ class PipelineSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("dashboard HTML entity-escapes operator-supplied segment names") {
+    val root = s"$base/serve-esc"
+    wipe(root)
+    // segment names are operator config, not request input — but the
+    // HTML context still needs entities, not JSON backslashes (r9
+    // advice: esc() gave '\"', which has no escaping power in HTML)
+    val hostile = """AUTO"><script>alert(1)</script>&x"""
+    val srv = Serve.start(spark, s"$root/results", Seq(hostile))
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val body = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${srv.port}/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(!body.contains("<script>alert"), "raw segment text reached HTML")
+      assert(!body.contains("""value="AUTO">"""), "quote terminated the attribute")
+      assert(body.contains("&lt;script&gt;") && body.contains("&quot;&gt;")
+        && body.contains("&amp;x"), body.take(400))
+    } finally srv.stop()
+  }
+
   test("retry/backoff: an injected transient failure mid-cycle (staged, not drained) heals on retry without manual restart, exactly once") {
     val root = s"$base/retry-heal"
     wipe(root)
