@@ -154,6 +154,54 @@ class CrashMatrixSpec extends SparkSpec {
     assert(DeltaLog.lastTxnVersion(spark, tbl, "other") == 3L)
   }
 
+  test("real stream restart through window B: crash AFTER the sink commit, " +
+    "engine redelivers the batch from its checkpoint, txn skips it") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshDir("stream-restart")
+    val src = freshDir("stream-src")
+    val ckpt = s"$tbl/_engine_ckpt"
+    import spark.implicits._
+    // 4 source files -> 4 micro-batches under maxFilesPerTrigger=1
+    (0 until 4).foreach { i =>
+      (i * 10 until i * 10 + 10).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    @volatile var crashed = false
+    def run(inject: Boolean): Unit = {
+      val q = spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val committed = DeltaLog.appendBatch(spark, tbl, "s", id, batch.coalesce(1))
+          if (inject && id == 2L && !crashed) {
+            crashed = true
+            assert(committed, "window under test is commit-then-die")
+            throw new RuntimeException(
+              "injected death after sink commit, before engine offset commit")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (!inject) throw e
+      }
+    }
+    run(inject = true)
+    assert(crashed, "the injected crash must have fired")
+    // the sink committed batch 2 even though the engine never recorded it
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "s") == 2L)
+    // restart from the SAME engine checkpoint: Spark redelivers batch 2
+    // with its original id (the contract the txn action exists for)
+    run(inject = false)
+    assert(DeltaLog.lastTxnVersion(spark, tbl, "s") == 3L)
+    val ks = DeltaLog.read(spark, tbl).select(col("k")).as[Long].collect().toSeq.sorted
+    assert(ks == (0L until 40L), s"rows lost or doubled across the restart: ${ks.size}")
+  }
+
   test("maintenance between crash and restart: OPTIMIZE and OVERWRITE " +
     "never resurrect a redelivered batch; new batches land on top") {
     import spark.implicits._
