@@ -924,6 +924,11 @@ object Analytics {
     * not the data — the property that makes the method scale. */
   def mlBestSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val bins = Tables.part(spark, sfDir)
+      // the hist method keeps MISSING rows out of the split histogram
+      // (the scorer routes them via default_left — see XgbEnsemble);
+      // unfiltered, a null bin sorts FIRST into Spark's prefix sums and
+      // LAST into DuckDB's (r10 null-jitter gate)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
       .groupBy(expr("cast(floor(p_retailprice / 5) as bigint)").as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("sy"))
     val wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -951,7 +956,9 @@ object Analytics {
     """WITH bins AS (
       |  SELECT floor(p_retailprice / 5)::BIGINT AS bin, count(*)::BIGINT AS n,
       |    sum(p_size)::BIGINT AS sy
-      |  FROM part GROUP BY 1),
+      |  FROM part
+      |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      |  GROUP BY 1),
       |cum AS (
       |  SELECT *,
       |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1159,7 +1166,12 @@ object Analytics {
       .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
         Seq("doc_id"))
       .groupBy("cluster_rep")
-      .agg(expr("min_by(doc_id, struct(-n_chars, doc_id))").as("best_doc"),
+      // the argmax ordinal is null-totalized (coalesce to −1): a doc of
+      // UNKNOWN length never beats a known one, and an all-unknown
+      // cluster falls back to lowest doc_id. Unpinned, Spark's struct
+      // compare put null ordinals FIRST (they won min_by) while the
+      // oracle's DESC sort put them last — r10 null-jitter gate
+      .agg(expr("min_by(doc_id, struct(-coalesce(n_chars, -1L), doc_id))").as("best_doc"),
         max(col("n_chars")).as("best_chars"),
         max(col("cluster_size")).as("cluster_size"))
       .orderBy("cluster_rep")
@@ -1171,7 +1183,7 @@ object Analytics {
        |ranked AS (
        |  SELECT comp.cluster_rep, comp.doc_id, n_chars, cluster_size,
        |    row_number() OVER (PARTITION BY comp.cluster_rep
-       |      ORDER BY n_chars DESC, comp.doc_id) AS rn
+       |      ORDER BY coalesce(n_chars, -1) DESC, comp.doc_id) AS rn
        |  FROM comp
        |  JOIN documents d ON d.doc_id = comp.doc_id
        |  JOIN sz ON sz.cr = comp.cluster_rep)

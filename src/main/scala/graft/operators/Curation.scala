@@ -868,6 +868,11 @@ object Curation {
     val wRank = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
     val wSrc = Window.partitionBy("source")
     Tables.documents(spark, sfDir)
+      // an unknown length can neither be ranked nor clipped: excluded
+      // here and in the oracle. Unfiltered, the null rows shift the
+      // rank-selected p05/p95 row positions differently per engine
+      // (Spark ASC nulls first, DuckDB last) — r10 null-jitter gate
+      .filter(col("n_chars").isNotNull)
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("n", count(lit(1)).over(wSrc))
       .withColumn("lo", max(when(col("rk") === ceil(col("n") * 0.05).cast("long"),
@@ -893,7 +898,7 @@ object Curation {
       |  SELECT source, doc_id, n_chars,
       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS rk,
       |    count(*) OVER (PARTITION BY source)::BIGINT AS n
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       |th AS (
       |  SELECT *,
       |    max(CASE WHEN rk = ceil(n * 0.05)::BIGINT THEN n_chars END)

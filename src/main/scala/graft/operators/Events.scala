@@ -920,7 +920,10 @@ object Events {
     }.reduce(_ + _)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        (num / den).as("ewma_cents"))
+        // a null value occupies its lag slot but contributes no weight;
+        // an all-missing window (den = 0) yields NULL, not an ANSI
+        // divide-by-zero (r10 null-jitter gate)
+        when(den > lit(0.0), num / den).as("ewma_cents"))
       .withColumn("ewma", col("ewma_cents") / 100.0)
       .drop("ewma_cents")
       .orderBy("user_id", "ts", "event_id")
@@ -936,7 +939,8 @@ object Events {
     val den = weights.zipWithIndex.map { case (wt, i) =>
       s"CASE WHEN ${lagc(i)} IS NOT NULL THEN $wt ELSE 0.0 END"
     }.mkString(" + ")
-    s"""SELECT event_id, user_id, ts, value, (($num) / ($den)) / 100.0 AS ewma
+    s"""SELECT event_id, user_id, ts, value,
+       |  CASE WHEN ($den) > 0.0 THEN (($num) / ($den)) / 100.0 END AS ewma
        |FROM (SELECT event_id, user_id, ts, value,
        |        round(value * 100)::BIGINT AS c FROM events) t
        |ORDER BY user_id, ts, event_id""".stripMargin

@@ -119,6 +119,11 @@ object MlPrep {
   def mlDiscretize(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
     Tables.orders(spark, sfDir)
+      // a missing feature has no quantile: drop it here and in the
+      // oracle (imputation is a separate upstream choice) — an unpinned
+      // null would land in bin 1 on Spark (ASC nulls first) and bin 4
+      // on DuckDB (nulls last); r10 null-jitter gate
+      .filter(col("o_totalprice").isNotNull)
       .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
       .withColumn("bin", ntile(4).over(w).cast("long"))
       .groupBy("o_orderpriority", "bin")
@@ -132,7 +137,8 @@ object MlPrep {
       |  min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
       |FROM (SELECT o_orderpriority, cents,
       |    ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS bin
-      |  FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS cents FROM orders))
+      |  FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+      |        WHERE o_totalprice IS NOT NULL))
       |GROUP BY o_orderpriority, bin ORDER BY o_orderpriority, bin""".stripMargin
 
   /** LEARNING CURVE — "how much data does the model need": the

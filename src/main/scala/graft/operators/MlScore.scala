@@ -120,7 +120,8 @@ object MlScore {
     * the reference checkout and is overridable via GRAFT_XGB_MODEL. */
   private[operators] object Xgb {
     final case class Tree(cls: Int, left: Array[Int], right: Array[Int],
-                          featIdx: Array[Int], cond: Array[Double])
+                          featIdx: Array[Int], cond: Array[Double],
+                          defLeft: Array[Boolean])
     final case class Model(numClass: Int, baseScore: Double,
                            featNames: Seq[String], trees: Seq[Tree])
 
@@ -141,7 +142,8 @@ object MlScore {
       val trees = (0 until ts.size).map { i =>
         val t = ts.get(i)
         Tree(info(i), ints(t.get("left_children")), ints(t.get("right_children")),
-          ints(t.get("split_indices")), dbls(t.get("split_conditions")))
+          ints(t.get("split_indices")), dbls(t.get("split_conditions")),
+          ints(t.get("default_left")).map(_ != 0))
       }
       val feats = (0 until learner.get("feature_names").size)
         .map(learner.get("feature_names").get(_).asText)
@@ -162,7 +164,8 @@ object MlScore {
         m.numClass, m.baseScore,
         m.trees.map(_.cls).toArray, offsets.init.toArray,
         reb.flatMap(_._1).toArray, reb.flatMap(_._2).toArray,
-        m.trees.flatMap(_.featIdx).toArray, m.trees.flatMap(_.cond).toArray)
+        m.trees.flatMap(_.featIdx).toArray, m.trees.flatMap(_.cond).toArray,
+        m.trees.flatMap(_.defLeft).toArray)
     }
   }
 
@@ -179,12 +182,19 @@ object MlScore {
 
   /** One XGBoost tree as a dialect-neutral CASE expression (text, for
     * the DuckDB oracle). `feature < threshold → left` is the xgboost
-    * split rule; features here are non-null so default_left never
-    * fires. */
+    * split rule; a NULL (missing) feature routes to the node's
+    * `default_left` child — the artifact's learned missing direction,
+    * mirrored in the native walk's NaN branch (XgbEnsemble.score).
+    * Without the explicit IS NULL arm, SQL's three-valued CASE would
+    * silently take ELSE (always right) on missing. */
   private def treeSqlXgb(t: Xgb.Tree, feats: Seq[String], i: Int = 0): String =
     if (t.left(i) < 0) dlit(t.cond(i))
-    else s"(CASE WHEN ${feats(t.featIdx(i))} < ${dlit(t.cond(i))} " +
-      s"THEN ${treeSqlXgb(t, feats, t.left(i))} ELSE ${treeSqlXgb(t, feats, t.right(i))} END)"
+    else {
+      val dflt = if (t.defLeft(i)) t.left(i) else t.right(i)
+      s"(CASE WHEN ${feats(t.featIdx(i))} IS NULL THEN ${treeSqlXgb(t, feats, dflt)} " +
+        s"WHEN ${feats(t.featIdx(i))} < ${dlit(t.cond(i))} " +
+        s"THEN ${treeSqlXgb(t, feats, t.left(i))} ELSE ${treeSqlXgb(t, feats, t.right(i))} END)"
+    }
 
   private def argmaxSql(n: Int): String =
     (0 until n - 1).map { c =>
@@ -211,7 +221,10 @@ object MlScore {
       .withColumn("s_suppkey", col("p_partkey") % nSupp)
       .join(broadcast(supp), "s_suppkey")
       .withColumn("m", graft.plans.XgbScore.xgbMargins(
-        col("p_partkey").cast("double"), col("s_acctbal"), Xgb.ensemble))
+        col("p_partkey").cast("double"),
+        // SQL NULL -> NaN, xgboost's missing encoding; the walk routes
+        // NaN to each node's default_left child (never through `<`)
+        coalesce(col("s_acctbal"), lit(Double.NaN)), Xgb.ensemble))
       .select(col("p_partkey"),
         (expr("array_position(m, array_max(m))") - 1L).cast("long").as("pred_class"),
         expr("array_max(m)").as("pred_margin"))

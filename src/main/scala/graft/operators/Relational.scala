@@ -474,9 +474,18 @@ object Relational {
     * (rank−1)/(n−1) and cume_dist's peers/n are then each ONE IEEE
     * division on identical integers in both engines. One exchange on
     * c_mktsegment, one in-partition sort, all three functions in the
-    * same window pass. */
+    * same window pass.
+    *
+    * NULL PLACEMENT IS PINNED EXPLICITLY (`asc_nulls_last` /
+    * `NULLS LAST`): the engines' ASC defaults DISAGREE — Spark sorts
+    * nulls FIRST, DuckDB LAST — so an unpinned window order silently
+    * hands every rank/ntile a different population the moment the
+    * ordering column can be null (found by the r10 null-jitter gate;
+    * an unknown balance ranking below all known ones is also the
+    * sane analytics semantics). */
   def opWindowDist(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey"))
     Tables.customer(spark, sfDir)
       .withColumn("pr", percent_rank().over(w))
       .withColumn("cd", cume_dist().over(w))
@@ -491,7 +500,7 @@ object Relational {
       |  cume_dist() OVER w AS cd,
       |  (ntile(4) OVER w)::BIGINT AS quartile
       |FROM customer
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS LAST, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
   /** LISTAGG / string_agg with a GUARANTEED element order (the form
@@ -543,7 +552,14 @@ object Relational {
     * global window, every data-sized stage partitioned. */
   def opSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // dominance is undefined on a missing dimension: a part with
+    // unknown price or size can neither dominate nor join the frontier.
+    // The oracle's SQL drops such rows IMPLICITLY (null never
+    // equi-joins, null comparisons filter false); the engine filter
+    // makes the same semantics explicit — and keeps the bounded bucket
+    // collect null-free (r10 null-jitter gate: getLong on a null bkt)
     val parts = Tables.part(spark, sfDir)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
     val perPrice = parts.groupBy("p_retailprice")
       .agg(max(col("p_size")).as("price_max_size"))
       .withColumn("bkt", floor(col("p_retailprice") / 100.0))

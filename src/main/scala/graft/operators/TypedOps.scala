@@ -51,7 +51,14 @@ object TypedOps {
 
   def opTypedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the typed boundary DECLARES its non-null contract: Line's
+    // primitive Double fields cannot hold SQL NULL (the encoder throws
+    // NOT_NULL_ASSERT_VIOLATION — r10 null-jitter gate), so rows with
+    // missing measures are filtered explicitly here and in the oracle,
+    // the same WHERE a typed pipeline stage publishes as its input
+    // precondition
     val ds = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .as[Line]
     ds.groupByKey(_.l_returnflag)
@@ -66,7 +73,9 @@ object TypedOps {
     """SELECT l_returnflag, count(*) AS n_items,
       |  sum(round(l_quantity * 100)::BIGINT)::BIGINT / 100.0 AS sum_qty,
       |  (sum(round(l_extendedprice * 100)::BIGINT)::BIGINT / 100.0) / count(*) AS avg_price
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_typed_agg" -> (opTypedAgg _))

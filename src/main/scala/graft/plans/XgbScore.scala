@@ -29,7 +29,8 @@ final class XgbEnsemble(
     val left: Array[Int],      // left child (global index), -1 = leaf
     val right: Array[Int],     // right child (global index)
     val featIdx: Array[Int],   // feature ordinal of split node
-    val cond: Array[Double])   // split threshold, or LEAF VALUE at leaves
+    val cond: Array[Double],   // split threshold, or LEAF VALUE at leaves
+    val defLeft: Array[Boolean]) // default child for MISSING at split node
     extends Serializable {
 
   /** Margins per class: base_score + per-class tree sums, accumulated
@@ -37,7 +38,11 @@ final class XgbEnsemble(
     * the artifact order per class, so the float64 additions happen in
     * the same sequence as the oracle's left-to-right SQL sum and the
     * margins are bit-exact across engines. `feature < threshold → left`
-    * is the xgboost split rule (features non-null, default_left moot). */
+    * is the xgboost split rule; a MISSING feature (encoded NaN, the
+    * xgboost convention — the caller coalesces SQL NULL to NaN) routes
+    * to the node's `default_left` child, exactly the artifact's learned
+    * missing direction. A bare `NaN < cond` would silently route every
+    * missing value right — the r10 null-jitter gate caught that class. */
   def score(x0: Double, x1: Double): Array[Double] = {
     val m = new Array[Double](numClass)
     java.util.Arrays.fill(m, base)
@@ -46,7 +51,8 @@ final class XgbEnsemble(
       var i = offset(t)
       while (left(i) >= 0) {
         val f = if (featIdx(i) == 0) x0 else x1
-        i = if (f < cond(i)) left(i) else right(i)
+        i = if (java.lang.Double.isNaN(f)) (if (defLeft(i)) left(i) else right(i))
+            else if (f < cond(i)) left(i) else right(i)
       }
       m(treeCls(t)) += cond(i)
       t += 1

@@ -137,11 +137,18 @@ object FormatRoundtrips {
         col("n_with_price"), col("null_key_check"), col("price_check"))
   }
 
+  // the v2 population proxy is `o_orderkey % 2 = 1` AND a present
+  // price: a v2 row whose o_totalprice is NULL in the base table reads
+  // back NULL from the merged scan exactly like a v1 row, and the
+  // engine's count(col)/isNull split classifies by VALUE presence, not
+  // producer version (r10 null-jitter gate caught the proxy drift)
   private val opSchemaMergeSql: String =
     s"""SELECT 'evo' AS fmt, count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
-       |  count(*) FILTER (o_orderkey % 2 = 1)::BIGINT AS n_with_price,
-       |  sum(o_orderkey % $P) FILTER (o_orderkey % 2 = 0)::BIGINT AS null_key_check,
+       |  count(*) FILTER (o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL)::BIGINT
+       |    AS n_with_price,
+       |  sum(o_orderkey % $P) FILTER (o_orderkey % 2 = 0 OR o_totalprice IS NULL)::BIGINT
+       |    AS null_key_check,
        |  sum(round(o_totalprice * 100)::BIGINT % $P)
        |    FILTER (o_orderkey % 2 = 1)::BIGINT AS price_check
        |FROM orders""".stripMargin

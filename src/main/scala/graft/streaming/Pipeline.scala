@@ -349,7 +349,12 @@ object Pipeline {
       .withColumn("op",
         when(col("k1").isNull, lit("delete"))
           .when(col("k0").isNull, lit("insert"))
-          .when(col("p0") =!= col("p1"), lit("update")))
+          // NULL-SAFE change detection (NOT p0 <=> p1): plain =!= is
+          // three-valued — value→NULL and NULL→value transitions
+          // evaluate to NULL and silently vanish from the change set,
+          // and NULL→NULL would never mean "changed". The SQL-standard
+          // twin is IS DISTINCT FROM (r10 null-jitter gate)
+          .when(!(col("p0") <=> col("p1")), lit("update")))
       .filter(col("op").isNotNull)
       .groupBy("op")
       .agg(count(lit(1)).as("n_rows"),
@@ -373,7 +378,11 @@ object Pipeline {
        |  SELECT 'update', count(*)::BIGINT,
        |    sum(o_orderkey % $P)::BIGINT,
        |    sum(round((o_totalprice + 1.0) * 100)::BIGINT % $P)::BIGINT
-       |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0) d
+       |  -- the +1.0 modification leaves a NULL price NULL, so those
+       |  -- rows are NOT updates under IS DISTINCT FROM semantics
+       |  FROM orders
+       |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+       |    AND o_totalprice IS NOT NULL) d
        |WHERE n_rows > 0 ORDER BY op""".stripMargin
 
   /** EXACTLY-ONCE STREAMING INGESTION INTO A TRANSACTIONAL TABLE — the

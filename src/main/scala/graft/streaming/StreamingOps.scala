@@ -195,10 +195,14 @@ object StreamingOps {
       |ORDER BY user_id, event_type""".stripMargin
 
   /** Event row for the arbitrary-stateful path (fixed-point cents so the
-    * per-group fold is order-insensitive and exact). */
+    * per-group fold is order-insensitive and exact). A MISSING value is
+    * carried as the Long.MinValue sentinel (primitive case-class fields
+    * can't hold SQL NULL; the encoder throws — r10 null-jitter gate):
+    * it counts toward n_events but adds no cents, the same semantics as
+    * SQL's null-skipping sum next to count(*). */
   case class UserEvent(user_id: Long, cents: Long)
-  case class UserState(n: Long, cents: Long)
-  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+  case class UserState(n: Long, nn: Long, cents: Long)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: java.lang.Double)
 
   /** Custom stateful streaming via `flatMapGroupsWithState` — the
     * arbitrary-state API (the shape a custom sessionizer / online
@@ -213,14 +217,21 @@ object StreamingOps {
   def opStreamStateful(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val updateFn = (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) => {
-      var s = state.getOption.getOrElse(UserState(0L, 0L))
-      rows.foreach(r => s = UserState(s.n + 1, s.cents + r.cents))
+      var s = state.getOption.getOrElse(UserState(0L, 0L, 0L))
+      rows.foreach { r =>
+        s = if (r.cents == Long.MinValue) UserState(s.n + 1, s.nn, s.cents)
+        else UserState(s.n + 1, s.nn + 1, s.cents + r.cents)
+      }
       state.update(s)
-      Iterator(UserTotals(userId, s.n, s.cents / 100.0))
+      // all-missing user -> NULL total, exactly SQL's sum() over no
+      // non-null inputs (count(*) still counts every event)
+      Iterator(UserTotals(userId, s.n,
+        if (s.nn > 0) (s.cents / 100.0): java.lang.Double else null))
     }
     val totals = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+        coalesce(round(col("value") * 100).cast("long"),
+          lit(Long.MinValue)).as("cents"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateFn)
@@ -745,11 +756,17 @@ object StreamingOps {
       |SELECT event_type, cusum::BIGINT AS max_cusum, h AS peak_hour
       |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** MISSING values ride as the Long.MinValue sentinel in `cents` (and
+    * nullable boxed `value` for pass-through): a missing event OCCUPIES
+    * its lag slot in the ring but contributes neither weight nor value
+    * — the exact batch-window semantics (coalesce(lag·w, 0) over a
+    * window that still counts the row as a position), so the shared
+    * oracle keeps verifying both forms (r10 null-jitter gate). */
   case class EwmaEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
-      value: Double, cents: Long)
+      value: java.lang.Double, cents: Long)
   case class EwmaBuf(recent: List[Long])
   case class EwmaOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
-      value: Double, ewma: Double)
+      value: java.lang.Double, ewma: java.lang.Double)
 
   /** STREAMING EWMA — the continuous twin of
     * [[graft.operators.Events.opEwma]]'s 10-term dyadic-weight moving
@@ -776,11 +793,15 @@ object StreamingOps {
         var num = 0.0
         var den = 0.0
         weights.zipWithIndex.foreach { case (wt, i) =>
-          // mirrors the batch form's coalesce(lag*w, 0.0) ascending fold
-          num += (if (i < vals.length) vals(i) * wt else 0.0)
-          den += (if (i < vals.length) wt else 0.0)
+          // mirrors the batch form's coalesce(lag*w, 0.0) ascending
+          // fold; sentinel slots (missing values) add nothing
+          if (i < vals.length && vals(i) != Long.MinValue) {
+            num += vals(i) * wt
+            den += wt
+          }
         }
-        out += EwmaOut(e.event_id, userId, e.ts, e.value, (num / den) / 100.0)
+        out += EwmaOut(e.event_id, userId, e.ts, e.value,
+          if (den > 0.0) ((num / den) / 100.0): java.lang.Double else null)
         recent = (e.cents :: recent).take(9)
       }
       state.update(EwmaBuf(recent))
@@ -788,7 +809,8 @@ object StreamingOps {
     }
     val res = Tables.eventsStream(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        round(col("value") * 100).cast("long").as("cents"))
+        coalesce(round(col("value") * 100).cast("long"),
+          lit(Long.MinValue)).as("cents"))
       .as[EwmaEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)

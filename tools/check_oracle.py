@@ -147,7 +147,7 @@ JITTER_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings"]
 
 
-def make_jitter(src, dst, seed=9):
+def make_jitter(src, dst, seed=9, nulls=False):
     """Write a boundary-engineered copy of the fixture to dst.
 
     Branches (keyed on a deterministic hash so the fixture is stable
@@ -155,7 +155,15 @@ def make_jitter(src, dst, seed=9):
     double closest to x.xx5 — sub-cent precision straddling the
     half-cent rounding boundary); 1/2 -> +/-1 ulp (nextafter); else
     unchanged. Sign is preserved (acctbal can be negative; both
-    engines round halves away from zero, which the check verifies)."""
+    engines round halves away from zero, which the check verifies).
+
+    With nulls=True, an OUTER slice (hash % 13 == 6) of every jittered
+    measure column goes NULL before the kind branch — the null-
+    semantics divergence family: Spark orders NULLS FIRST on ASC where
+    DuckDB defaults NULLS LAST, so any top-k / rank / lag whose key can
+    go null selects different rows; aggregates/arithmetic skip or
+    propagate nulls identically in both engines, so everything else
+    must stay green. Keys are still never perturbed."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in JITTER_TABLES:
@@ -176,13 +184,27 @@ def make_jitter(src, dst, seed=9):
                 # j offsets the hash per column so the same row perturbs
                 # different columns differently
                 h = f"hash(({key}) + {seed} + {j})"
+                if nulls and kinds[c] != "ts":
+                    # the null slice wraps the kind branch: ~1/13 of the
+                    # column goes NULL, the rest still boundary-jitters.
+                    # MEASURES only — a null EVENT TIME is malformed
+                    # input that event-time semantics (watermarks,
+                    # sessionization, as-of) quarantine upstream, not
+                    # data the two engines owe each other an answer on;
+                    # a null measure is data every 100 TB corpus has.
+                    inner = branch_kind(c, h)
+                    return (f"(CASE WHEN {h} % 13 = 6 THEN NULL "
+                            f"ELSE {inner} END) AS {c}")
+                return f"{branch_kind(c, h)} AS {c}"
+
+            def branch_kind(c, h):
                 if kinds[c] == "money":
                     return f"""CASE {h} % 8
                         WHEN 0 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
                         WHEN 1 THEN (round({c}*100)::BIGINT * 2 + 1) / 200.0
                         WHEN 2 THEN nextafter({c}, 1e300)
                         WHEN 3 THEN nextafter({c}, -1e300)
-                        ELSE {c} END AS {c}"""
+                        ELSE {c} END"""
                 if kinds[c] == "int":
                     # +/-1 step, floored at 1 (quantities stay valid) —
                     # lands values on div-bucket and predicate boundaries.
@@ -192,7 +214,7 @@ def make_jitter(src, dst, seed=9):
                     return f"""(CASE {h} % 4
                         WHEN 0 THEN {c} + 1
                         WHEN 1 THEN greatest({c} - 1, 1)
-                        ELSE {c} END)::{types[c]} AS {c}"""
+                        ELSE {c} END)::{types[c]}"""
                 if kinds[c] == "ts":
                     # calendar-boundary snaps; exact midnight and
                     # 1 us before it are the date_trunc/window tie cases
@@ -201,11 +223,11 @@ def make_jitter(src, dst, seed=9):
                         WHEN 1 THEN date_trunc('day', {c}) - INTERVAL 1 MICROSECOND
                         WHEN 2 THEN date_trunc('hour', {c})
                         WHEN 3 THEN date_trunc('minute', {c})
-                        ELSE {c} END AS {c}"""
+                        ELSE {c} END"""
                 return f"""CASE {h} % 4
                     WHEN 0 THEN nextafter({c}, 1e300)
                     WHEN 1 THEN nextafter({c}, -1e300)
-                    ELSE {c} END AS {c}"""
+                    ELSE {c} END"""
             sel = ", ".join(
                 branch(c, 1000 * list(kinds).index(c)) if c in kinds else c
                 for c in cols)
@@ -225,8 +247,10 @@ def make_jitter(src, dst, seed=9):
 
 def main():
     if sys.argv[1] == "--make-jitter":
+        rest = [a for a in sys.argv[4:] if a != "--nulls"]
         make_jitter(sys.argv[2], sys.argv[3],
-                    int(sys.argv[4]) if len(sys.argv) > 4 else 9)
+                    int(rest[0]) if rest else 9,
+                    nulls="--nulls" in sys.argv)
         return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])

@@ -34,6 +34,19 @@ case "$CMD" in
           [ $# -gt 0 ] && FILTER=$(echo "$@" | tr ' ' ',')
           SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$JFIX" "$JOUT" $FILTER
           python3 tools/check_oracle.py "$JOUT" "$JFIX" "$@" ;;
+  nulls)  # null-semantics gate: the jitter fixture PLUS a NULL slice in
+          # every jittered MEASURE column (never keys, never event time)
+          # — catches three-valued-logic divergence (ASC null placement,
+          # null-safe equality, missing-value routing). Usage:
+          #   tools/run.sh nulls [srcSf] [workDir] [query ...]
+          shift 3 2>/dev/null || shift $#
+          NFIX="$OUT/fixture"; NOUT="$OUT/vout"
+          rm -rf "$NFIX" "$NOUT"
+          python3 tools/check_oracle.py --make-jitter "$SF" "$NFIX" 9 --nulls
+          FILTER=""
+          [ $# -gt 0 ] && FILTER=$(echo "$@" | tr ' ' ',')
+          SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.Verify "$NFIX" "$NOUT" $FILTER
+          python3 tools/check_oracle.py "$NOUT" "$NFIX" "$@" ;;
   pipeline) rm -rf target/pipe/main
           SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" $JAVA graft.streaming.PipelineMain "$SF" "$(pwd)/target/pipe/main" "${3:-4}" "${4:-2}" ;;
   *) echo "unknown cmd $CMD"; exit 2 ;;
