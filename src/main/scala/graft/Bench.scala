@@ -58,6 +58,21 @@ import org.apache.spark.sql.SparkSession
   * warm-up + 1 rep past 85%), so a moved line is never shipped
   * cross-pass-unconfirmed just because pass 1 ate the budget — the r9
   * driver run confirmed only 2 of 21 moved lines.
+  * Round 11 (r10 verdict item 2): NO ≥1 s LINE SHIPS AS A SINGLETON.
+  * When pass 1's 60%-budget degradation leaves a ≥1 s line with one
+  * sample (in r10 that was the whole alphabet-tail pipe_* machinery
+  * tier — 124-152 lines, ~25 of which then compared as disjoint
+  * singletons against r9's singletons and printed as "real" moves),
+  * pass 2 now fills them FIRST after the moved lines (warm-up + 1
+  * confirm sample each — cheap, and 2 samples beats 1 for
+  * falsifiability) and keeps filling until 95% of budget, before any
+  * general expensive-first re-measuring. tools/bench_compare.py
+  * additionally labels any remaining 1-sample-vs-1-sample move
+  * `unconfirmable` instead of `no(real)`. Also r11 (r10 verdict item
+  * 3): ConfirmSeeds pre-seeds named lines from the verdict into the
+  * moved set (full-rep pass-2 confirm) — this round gr_random_walk +
+  * gr_pagerank, the two multi-rep disjoint movers the r10 run could
+  * not attribute.
   *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
@@ -185,11 +200,23 @@ object Bench {
     // >0.3 s absolute) from the previous driver artifact — these get
     // pass-2 priority and full reps: a cross-pass-confirmed move is a
     // finding; an unconfirmed one is host noise wearing a trend coat
-    def movedLine(n: String): Boolean = prev.get(n).exists { p =>
+    // Verdict-named confirm seeds (r10 item 3): lines a verdict flagged
+    // as unattributed movers get a full-rep pass-2 confirm THIS round
+    // regardless of what pass 1 sees — either they re-land at their old
+    // level (host window confirmed) or they stay high with samples to
+    // attribute. Update per round from the verdict; empty when none.
+    val confirmSeeds = Set("gr_random_walk", "gr_pagerank")
+    def movedLine(n: String): Boolean = confirmSeeds.contains(n) || prev.get(n).exists { p =>
       val m = medianOf(pass1(n))
       m >= 0 && p > 0 &&
         math.max(m / p, p / m) > 1.5 && math.abs(m - p) > 0.3
     }
+    // r10 verdict item 2: a ≥1 s line that pass 1 degraded to a single
+    // sample must get a second sample (cross-pass, so also a second
+    // JVM/plan state) before it ships — singleton-vs-singleton
+    // cross-round comparisons are unfalsifiable on a 2-4x-swing host.
+    def singletonFill(n: String): Boolean =
+      pass1(n).size == 1 && medianOf(pass1(n)) >= 1.0 && !movedLine(n)
     // pass 2: expensive-first, budget-gated. Sub-0.3 s lines are
     // INELIGIBLE by design (round-8, verdict item 6): timer jitter and
     // JVM hiccups dominate those medians, so a re-pass there buys no
@@ -202,36 +229,45 @@ object Bench {
     }
     val p2Small = names.size - p2Eligible.size
     val movedLines = p2Eligible.filter(movedLine)
+    val fillLines = p2Eligible.filter(singletonFill)
     val cache2 = cacheMaterialize()
     var p2Skipped = 0
     var p2OneRep = 0
     val pass2: Map[String, Seq[Double]] =
       // MOVED lines first (they are the cross-round findings pass 2
-      // exists to confirm or kill), then expensive-first as before
-      p2Eligible.sortBy(n => (!movedLine(n), -medianOf(pass1(n)))).flatMap { name =>
+      // exists to confirm or kill), then SINGLETON-FILL lines (≥1 s
+      // lines pass 1 left with one sample — r11, r10 item 2: they must
+      // not ship unfalsifiable), then expensive-first as before
+      p2Eligible.sortBy(n =>
+        (!movedLine(n), !singletonFill(n), -medianOf(pass1(n)))).flatMap { name =>
         val moved = movedLine(name)
+        val fill = singletonFill(name)
         // RESERVED confirm slot for moved lines (round-10, r9 item 5):
         // the 85% gate closed pass 2 after 2 of 21 moved lines at the
         // r9 driver — a moved line with no second pass is exactly the
         // unfalsifiable regression this pass exists to kill. Moved
         // lines keep measuring until 95% of budget, degrading to
         // warm-up + 1 rep past 85% (one confirm sample beats none).
-        val gate = if (moved) 0.95 else 0.85
+        // Singleton-fill lines share the 95% gate (their one extra
+        // sample IS the point), always at 1 rep.
+        val gate = if (moved || fill) 0.95 else 0.85
         if (elapsedSec > gate * budgetSec) { p2Skipped += 1; None }
         else {
           // ≥2 s lines (the ones the adaptive pass can flag) and moved
-          // lines get the full warmup+median-of-3; the rest of the
-          // 0.3-2 s middle tier gets warmup+1 — a cross-pass
-          // confirmation sample at half the cost (round-8, item 6)
+          // lines get the full warmup+median-of-3; singleton-fill and
+          // the rest of the 0.3-2 s middle tier get warmup+1 — a
+          // cross-pass confirmation sample at half the cost (r8 item 6)
           val m1 = medianOf(pass1(name))
           val reps =
-            if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
+            if (fill) { p2OneRep += 1; 1 }
+            else if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
             else if (m1 >= 2.0 || m1 < 0 || moved) Reps
             else { p2OneRep += 1; 1 }
           Some(name -> measure(name, reps))
         }
       }.toMap
     val movedCovered = movedLines.count(pass2.contains)
+    val fillCovered = fillLines.count(pass2.contains)
     val passes: Seq[(Double, Map[String, Seq[Double]])] =
       Seq((cache1, pass1), (cache2, pass2))
     // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
@@ -316,7 +352,9 @@ object Bench {
       s"pass1=${names.size}q(warmup+median-of-$Reps" +
       (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}eligible" +
-      s"(moved:$movedCovered-of-${movedLines.size}," +
+      s"(moved:$movedCovered-of-${movedLines.size}" +
+      s"[seeded:${confirmSeeds.size}]," +
+      s"singleton-fill:$fillCovered-of-${fillLines.size}," +
       s"small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
       s"pass3=${thirdSamples.size}q-of-${flagged.size}flagged(budget-skip:$p3Skipped);" +
       s"reported=min-of-pass-medians;" +

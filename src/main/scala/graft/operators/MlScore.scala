@@ -185,15 +185,21 @@ object MlScore {
     * split rule; a NULL (missing) feature routes to the node's
     * `default_left` child — the artifact's learned missing direction,
     * mirrored in the native walk's NaN branch (XgbEnsemble.score).
-    * Without the explicit IS NULL arm, SQL's three-valued CASE would
-    * silently take ELSE (always right) on missing. */
+    * Each subtree renders exactly ONCE (2^depth nodes, not the naive
+    * 3^depth of a separate IS NULL arm duplicating the default child):
+    * default_left folds missing into the left predicate
+    * (`IS NULL OR feat < cond`); default_right needs nothing extra —
+    * three-valued `NULL < cond` is NULL, so CASE already takes ELSE
+    * (the right child) on missing. */
   private def treeSqlXgb(t: Xgb.Tree, feats: Seq[String], i: Int = 0): String =
     if (t.left(i) < 0) dlit(t.cond(i))
     else {
-      val dflt = if (t.defLeft(i)) t.left(i) else t.right(i)
-      s"(CASE WHEN ${feats(t.featIdx(i))} IS NULL THEN ${treeSqlXgb(t, feats, dflt)} " +
-        s"WHEN ${feats(t.featIdx(i))} < ${dlit(t.cond(i))} " +
-        s"THEN ${treeSqlXgb(t, feats, t.left(i))} ELSE ${treeSqlXgb(t, feats, t.right(i))} END)"
+      val feat = feats(t.featIdx(i))
+      val goLeft =
+        if (t.defLeft(i)) s"$feat IS NULL OR $feat < ${dlit(t.cond(i))}"
+        else s"$feat < ${dlit(t.cond(i))}"
+      s"(CASE WHEN $goLeft THEN ${treeSqlXgb(t, feats, t.left(i))} " +
+        s"ELSE ${treeSqlXgb(t, feats, t.right(i))} END)"
     }
 
   private def argmaxSql(n: Int): String =

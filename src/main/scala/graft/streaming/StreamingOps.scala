@@ -194,12 +194,21 @@ object StreamingOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** NULL-cents sentinel for the primitive `cents` fields of
+    * [[UserEvent]] and [[EwmaEvent]] (primitive case-class fields
+    * can't hold SQL NULL; the encoder throws — r10 null-jitter gate).
+    * CONTRACT: a genuine cents value equal to Long.MinValue
+    * (−9.22e16 cents ≈ −9.2e13 dollars) would collide and be treated
+    * as missing — unreachable for money columns derived from float64
+    * prices (|v| < 2^53 cents), but the assumption lives HERE, once,
+    * and every coalesce/comparison site references this name. */
+  private val MissingCents = Long.MinValue
+
   /** Event row for the arbitrary-stateful path (fixed-point cents so the
     * per-group fold is order-insensitive and exact). A MISSING value is
-    * carried as the Long.MinValue sentinel (primitive case-class fields
-    * can't hold SQL NULL; the encoder throws — r10 null-jitter gate):
-    * it counts toward n_events but adds no cents, the same semantics as
-    * SQL's null-skipping sum next to count(*). */
+    * carried as the [[MissingCents]] sentinel: it counts toward
+    * n_events but adds no cents, the same semantics as SQL's
+    * null-skipping sum next to count(*). */
   case class UserEvent(user_id: Long, cents: Long)
   case class UserState(n: Long, nn: Long, cents: Long)
   case class UserTotals(user_id: Long, n_events: Long, total_value: java.lang.Double)
@@ -219,7 +228,7 @@ object StreamingOps {
     val updateFn = (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) => {
       var s = state.getOption.getOrElse(UserState(0L, 0L, 0L))
       rows.foreach { r =>
-        s = if (r.cents == Long.MinValue) UserState(s.n + 1, s.nn, s.cents)
+        s = if (r.cents == MissingCents) UserState(s.n + 1, s.nn, s.cents)
         else UserState(s.n + 1, s.nn + 1, s.cents + r.cents)
       }
       state.update(s)
@@ -231,7 +240,7 @@ object StreamingOps {
     val totals = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"),
         coalesce(round(col("value") * 100).cast("long"),
-          lit(Long.MinValue)).as("cents"))
+          lit(MissingCents)).as("cents"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateFn)
@@ -756,7 +765,7 @@ object StreamingOps {
       |SELECT event_type, cusum::BIGINT AS max_cusum, h AS peak_hour
       |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin
 
-  /** MISSING values ride as the Long.MinValue sentinel in `cents` (and
+  /** MISSING values ride as the [[MissingCents]] sentinel in `cents` (and
     * nullable boxed `value` for pass-through): a missing event OCCUPIES
     * its lag slot in the ring but contributes neither weight nor value
     * — the exact batch-window semantics (coalesce(lag·w, 0) over a
@@ -795,7 +804,7 @@ object StreamingOps {
         weights.zipWithIndex.foreach { case (wt, i) =>
           // mirrors the batch form's coalesce(lag*w, 0.0) ascending
           // fold; sentinel slots (missing values) add nothing
-          if (i < vals.length && vals(i) != Long.MinValue) {
+          if (i < vals.length && vals(i) != MissingCents) {
             num += vals(i) * wt
             den += wt
           }
@@ -810,7 +819,7 @@ object StreamingOps {
     val res = Tables.eventsStream(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         coalesce(round(col("value") * 100).cast("long"),
-          lit(Long.MinValue)).as("cents"))
+          lit(MissingCents)).as("cents"))
       .as[EwmaEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)

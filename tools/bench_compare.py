@@ -61,6 +61,7 @@ def main():
             imp.append((r, q))
     print(f"== {len(common)} like-for-like, {len(added)} added, {len(removed)} removed "
           f"(threshold {thr}x, min 0.3s absolute) ==")
+    n_unconf = 0
     for label, rows in (("REGRESSION", sorted(reg, reverse=True)),
                         ("improvement", sorted(imp))):
         for r, q in rows:
@@ -72,12 +73,26 @@ def main():
             fo = [x for a in (so or []) for x in (a if isinstance(a, list) else [a])]
             fn = [x for a in (sn or []) for x in (a if isinstance(a, list) else [a])]
             if fo and fn:
+                # Two DISJOINT SINGLETONS carry no variance information at
+                # all — "disjoint" is then a property of two point draws
+                # from a 2-4x-swing host, not of the plans (r10 verdict
+                # item 2: ~25 uniform moves on untouched code shipped as
+                # "no(real)" from exactly this shape). Label them
+                # unconfirmable instead of real.
+                if len(fo) < 2 and len(fn) < 2:
+                    overlap = "overlap=unconfirmable(1v1-singletons)"
+                    n_unconf += 1
                 # sample ranges overlapping => the move is within observed
                 # same-round variance, i.e. plausibly host noise
-                overlap = "overlap=yes(noise?)" if min(fn) <= max(fo) and min(fo) <= max(fn) \
-                    else "overlap=no(real)"
+                elif min(fn) <= max(fo) and min(fo) <= max(fn):
+                    overlap = "overlap=yes(noise?)"
+                else:
+                    overlap = "overlap=no(real)"
             print(f"{label} {q}: {old[q]:.2f} -> {new[q]:.2f} ({r:.2f}x) "
                   f"old_samples={so} new_samples={sn} {overlap}")
+    if n_unconf:
+        print(f"{n_unconf} flagged moves are 1-sample-vs-1-sample: unconfirmable, "
+              f"not evidence of a real move in either direction")
     if not reg:
         print("zero regressions above threshold")
     if removed:

@@ -146,6 +146,19 @@ JITTER_MONEY = {
 JITTER_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings"]
 
+# --nulls extension (r11, r10 verdict item 6): the array/string
+# three-valued-logic surfaces. Under --nulls, an outer slice of these
+# CONTENT columns goes NULL (hash % 13 == 6) and a second disjoint
+# slice goes EMPTY ('' / [] — hash % 13 == 7): NULL-vs-empty is its own
+# divergence family (length(NULL) vs length(''), split/shingle folds,
+# zip_with/aggregate over NULL vs zero-length arrays, hash_embed of a
+# missing text). Keys (doc_id, vec_id) and grouping labels are never
+# touched — same discipline as the measure-column slice.
+NULLS_CONTENT = {
+    "documents": ("doc_id", [("text", "NULL", "''")]),
+    "embeddings": ("vec_id", [("embedding", "NULL", "[]::FLOAT[]")]),
+}
+
 
 def make_jitter(src, dst, seed=9, nulls=False):
     """Write a boundary-engineered copy of the fixture to dst.
@@ -166,6 +179,20 @@ def make_jitter(src, dst, seed=9, nulls=False):
     must stay green. Keys are still never perturbed."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+
+    def content_exprs(t):
+        """Column -> CASE expr for the --nulls array/string slices."""
+        if not nulls or t not in NULLS_CONTENT:
+            return {}
+        key, cols = NULLS_CONTENT[t]
+        out = {}
+        for j, (c, null_v, empty_v) in enumerate(cols):
+            h = f"hash(({key}) + {seed} + {2000 + 1000 * j})"
+            out[c] = (f"(CASE WHEN {h} % 13 = 6 THEN {null_v} "
+                      f"WHEN {h} % 13 = 7 THEN {empty_v} "
+                      f"ELSE {c} END) AS {c}")
+        return out
+
     for t in JITTER_TABLES:
         p = f"{src}/{t}.parquet"
         rd = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -176,9 +203,15 @@ def make_jitter(src, dst, seed=9, nulls=False):
             cols = [r[0] for r in described]
             types = {r[0]: r[1] for r in described}
             # legacy scale fixtures store ts as BIGINT nanos — the
-            # calendar-snap branch needs a real timestamp type; skip there
-            kinds = {c: k for c, k in kinds.items()
-                     if k != "ts" or types.get(c, "").startswith("TIMESTAMP")}
+            # calendar-snap branch needs a real timestamp type; skip there,
+            # LOUDLY: a silently-dropped ts entry shrinks the gate's
+            # calendar-boundary coverage without any visible signal
+            for c, k in list(kinds.items()):
+                if k == "ts" and not types.get(c, "").startswith("TIMESTAMP"):
+                    print(f"jitter {t}: NOTICE ts-kind column {c} skipped "
+                          f"(type {types.get(c)}, not TIMESTAMP) — no "
+                          f"calendar-boundary branch for it in this fixture")
+                    del kinds[c]
 
             def branch(c, j):
                 # j offsets the hash per column so the same row perturbs
@@ -228,9 +261,17 @@ def make_jitter(src, dst, seed=9, nulls=False):
                     WHEN 0 THEN nextafter({c}, 1e300)
                     WHEN 1 THEN nextafter({c}, -1e300)
                     ELSE {c} END"""
+            cexp = content_exprs(t)
             sel = ", ".join(
-                branch(c, 1000 * list(kinds).index(c)) if c in kinds else c
+                branch(c, 1000 * list(kinds).index(c)) if c in kinds
+                else cexp.get(c, c)
                 for c in cols)
+            con.sql(f"COPY (SELECT {sel} FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        elif content_exprs(t):
+            cexp = content_exprs(t)
+            cols = [r[0] for r in
+                    con.sql(f"DESCRIBE SELECT * FROM '{rd}'").fetchall()]
+            sel = ", ".join(cexp.get(c, c) for c in cols)
             con.sql(f"COPY (SELECT {sel} FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         else:
             con.sql(f"COPY (SELECT * FROM '{rd}') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
@@ -241,8 +282,26 @@ def make_jitter(src, dst, seed=9, nulls=False):
                 f"SELECT count(*) FROM '{dst}/{t}.parquet' "
                 f"WHERE round({c}*1000) % 10 = 5 OR round({c}*1000) % 10 = -5"
             ).fetchone()[0]
-        print(f"jitter {t}: written" + (f", {n_half} half-cent boundary values" if n_half else ""))
+        content = ""
+        if nulls and t in NULLS_CONTENT:
+            for c, _, empty_v in NULLS_CONTENT[t][1]:
+                n_null, n_empty = con.sql(
+                    f"SELECT count(*) FILTER ({c} IS NULL), "
+                    f"count(*) FILTER ({c} IS NOT NULL AND len({c}) = 0) "
+                    f"FROM '{dst}/{t}.parquet'").fetchone()
+                content += f", {c}: {n_null} NULL / {n_empty} empty"
+        print(f"jitter {t}: written"
+              + (f", {n_half} half-cent boundary values" if n_half else "")
+              + content)
     con.close()
+
+
+# Entries allowed to ship DECIMAL-typed OUTPUT columns despite the
+# driver comparator's decimal materialization mismatch. Every entry
+# must cite a reason — an empty set is the expected steady state since
+# the r11 conversion rendered op_decimal_agg as cents+VARCHAR (the
+# capability still aggregates in the decimal domain IN-plan).
+DECIMAL_OK = frozenset()
 
 
 def main():
@@ -326,10 +385,11 @@ def main():
         # DECIMAL OUTPUT columns pass THIS gate but hash-fail the round
         # driver's comparator (pyarrow materializes Decimal objects,
         # duckdb .df() float64 — see tools/decimal_comparator_probe.py;
-        # op_decimal_agg is three-rounds red on exactly this). Flag any
-        # NEW entry in the class before it costs a driver round.
+        # op_decimal_agg was four-rounds red on exactly this until its
+        # r11 conversion to cents+VARCHAR). Flag any NEW entry in the
+        # class before it costs a driver round.
         decs = [c for c, t in zip(got.columns, got_t) if "DECIMAL" in str(t)]
-        if decs and name != "op_decimal_agg":
+        if decs and name not in DECIMAL_OK:
             print(f"WARN {name}: DECIMAL output columns {decs} — "
                   "driver-comparator hash-hostile; render as cents/VARCHAR")
         print(f"PASS {name} ({len(got)} rows)")
