@@ -159,7 +159,12 @@ object Analytics {
     * projection (WholeStageCodegen `Generate`), so no join and no
     * shuffle — row expansion is pipelined with the scan; the slice
     * bounds the fan-out per row, which is what keeps an explode
-    * predictable when a 100 TB corpus has pathological documents. */
+    * predictable when a 100 TB corpus has pathological documents.
+    * NULL semantics (r11 nulls gate): Spark's generator emits ZERO
+    * rows for a NULL array (`posexplode(split(NULL))`); the oracle
+    * must coalesce the series bound because DuckDB's `least`
+    * SKIPS NULL arguments (`least(4, len(NULL)) = 4`), which would
+    * fabricate 4 all-NULL token rows per NULL document. */
   def opExplodeLateral(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -170,7 +175,7 @@ object Analytics {
   private val opExplodeLateralSql: String =
     """SELECT doc_id, pos::BIGINT AS pos, tok FROM (
       |  SELECT doc_id, unnest(list_transform(
-      |      generate_series(1, least(4, len(toks))),
+      |      generate_series(1, least(4, coalesce(len(toks), 0))),
       |      i -> {'pos': i, 'tok': toks[i]}), recursive := true)
       |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))
       |ORDER BY doc_id, pos""".stripMargin

@@ -141,18 +141,27 @@ object Pq {
     // query-scoped persist (consumed by encode AND probe tables);
     // released by the harness between queries — see [[Scratch]]
     val sv = Scratch.persist(subvecs(spark, sfDir))
+    // The codebook's key set is data-derived: init takes the first K
+    // vec_ids, and a quarantined (NULL/empty-embedding) vector among
+    // them leaves its (m, k) slot UNTRAINED — iterate the PRESENT keys,
+    // never `0 until K` (the r11 widened nulls gate threw `key not
+    // found: (0,8)` on exactly that). The oracle's c0 CTE has the same
+    // data-derived key set, so both sides encode against identical
+    // centroid sets; on clean fixtures all K slots exist.
+    def ksFor(m: Int): Seq[Int] =
+      cents.keysIterator.collect { case (mm, k) if mm == m => k }.toSeq.sorted
     // encode: per (vec, m) the argmin-L2 code, via one inlined
-    // struct-array min over the K centroid literals (map-side, no join)
+    // struct-array min over the trained centroid literals (map-side, no join)
     def codeExpr(m: Int): String =
-      (0 until K).map { k =>
+      ksFor(m).map { k =>
         s"struct(${d2S("sub", cents((m, k)))} as d2, $k as k)"
       }.mkString("array_min(array(", ", ", ")).k")
     val codeBranches = (0 until M).map(m => s"WHEN m = $m THEN (${codeExpr(m)})")
       .mkString("CASE ", " ", " END")
     val codes = sv.select(col("vec_id"), col("m"), expr(codeBranches).cast("int").as("code"))
-    // probe tables: fixed-point subspace distance to EVERY (m, k)
+    // probe tables: fixed-point subspace distance to EVERY trained (m, k)
     def tableExpr(m: Int): String =
-      (0 until K).map { k =>
+      ksFor(m).map { k =>
         s"struct($k as k, cast(round(${d2S("sub", cents((m, k)))} * 1048576.0) as bigint) as dq)"
       }.mkString("array(", ", ", ")")
     val tableBranches = (0 until M).map(m => s"WHEN m = $m THEN (${tableExpr(m)})")

@@ -202,7 +202,12 @@ object TextAnalysis {
     * are trained over — GPT-2-style alpha runs / digit runs / single
     * punctuation, ASCII classes so Java and DuckDB regex agree): token
     * counts per class + length stats per document. The per-row
-    * `regexp_extract_all` is codegen'd; no shuffle at all. */
+    * `regexp_extract_all` is codegen'd; no shuffle at all.
+    * NULL semantics (r11 nulls gate): a NULL text propagates NULL
+    * through every stat (Spark `aggregate(NULL, …)` is NULL; the
+    * oracle's empty-list coalesce-to-0 must therefore be guarded by an
+    * IS NULL arm so it doesn't coerce missing text to 0); an EMPTY
+    * text is a real document with 0 tokens on both sides. */
   def taBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("toks", expr("regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)"))
@@ -220,7 +225,9 @@ object TextAnalysis {
       |  len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::BIGINT AS n_alpha,
       |  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::BIGINT AS n_num,
       |  len(list_filter(toks, t -> NOT regexp_matches(t, '^[A-Za-z0-9]')))::BIGINT AS n_punct,
-      |  coalesce(list_sum(list_transform(toks, t -> len(t))), 0)::BIGINT AS n_chars_tok
+      |  (CASE WHEN toks IS NULL THEN NULL
+      |        ELSE coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+      |   END)::BIGINT AS n_chars_tok
       |FROM (SELECT doc_id,
       |        regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1) AS toks
       |      FROM documents) t

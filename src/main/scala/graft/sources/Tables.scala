@@ -118,5 +118,25 @@ object Tables {
     spark.readStream.schema(Schemas.documents).parquet(s"$sfDir/documents.parqu[e]t")
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** The VALIDATED vector corpus — ingest-time quarantine contract
+    * (r11, r10 verdict item 6). A NULL or zero-length embedding is
+    * malformed input for every vector operation downstream (norms
+    * divide by zero, PQ subspace extraction indexes past the end,
+    * typed encoders throw on non-null fields), so it is filtered HERE,
+    * once, rather than defensively in 29 call sites — the same
+    * park-malformed-rows-at-ingest behavior a 100 TB embedding
+    * pipeline needs, where a fraction of upstream encoder failures is
+    * a certainty, not an edge case. `size(col) > 0` is three-valued:
+    * NULL arrays yield NULL → filtered, zero-length yield false →
+    * filtered. The oracle side applies the IDENTICAL predicate via the
+    * shadowing CTE [[graft.SparkEntry.oracleSql]] injects
+    * (`len(embedding) > 0` — both engines agree on NULL/len semantics
+    * here; the widened `tools/run.sh nulls` gate pins it). On clean
+    * fixtures the filter matches every row and AQE/pushdown make it
+    * free (IsNotNull reaches the parquet scan). */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) > 0)
 }

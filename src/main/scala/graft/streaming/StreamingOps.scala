@@ -136,14 +136,21 @@ object StreamingOps {
 
   /** Stateful streaming exact dedup: `dropDuplicates` on the content
     * hash over the documents stream — first occurrence wins, state keyed
-    * by md5. Append mode: each distinct content emits exactly once. (The
-    * fixture has no exact duplicates, so the emitted SET is the whole
-    * corpus and the oracle is deterministic even though first-wins tie-
-    * breaking is arrival-order-dependent in general; a long-running
-    * deployment bounds the state with `dropDuplicatesWithinWatermark`.) */
+    * by md5. Append mode: each distinct content emits exactly once.
+    * The emitted relation is the distinct CONTENT-KEY SET: WHICH doc_id
+    * survives a duplicate group is arrival-order-dependent (inside a
+    * micro-batch `dropDuplicates` is a `first()` aggregate over shuffle
+    * partitions), so a duplicate-bearing corpus — e.g. the r11 nulls
+    * fixture, where 48 NULL-text and 44 empty-text docs collapse to one
+    * NULL key and one md5('') key — makes the winner nondeterministic;
+    * the key set itself is exact. `md5(NULL)` is NULL in both engines
+    * and dedup state treats NULL keys as equal; the ordering pins
+    * NULLS LAST (Spark's ASC default is nulls-first, DuckDB's is
+    * nulls-last). A long-running deployment bounds the state with
+    * `dropDuplicatesWithinWatermark`. */
   def opStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val dedup = Tables.documentsStream(spark, sfDir)
-      .select(col("doc_id"), md5(col("text")).as("content_key"))
+      .select(md5(col("text")).as("content_key"))
       .dropDuplicates("content_key")
     spark.catalog.dropTempView("graft_stream_dedup")
     withStreamPartitions(spark) {
@@ -154,11 +161,12 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
-    spark.table("graft_stream_dedup").orderBy("doc_id")
+    spark.table("graft_stream_dedup").orderBy(asc_nulls_last("content_key"))
   }
 
   private val opStreamDedupSql: String =
-    """SELECT doc_id, md5(text) AS content_key FROM documents ORDER BY doc_id""".stripMargin
+    """SELECT DISTINCT md5(text) AS content_key FROM documents
+      |ORDER BY content_key NULLS LAST""".stripMargin
 
   /** BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`:
     * the form a 100 TB deployment actually runs. Plain `dropDuplicates`
