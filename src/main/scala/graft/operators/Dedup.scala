@@ -164,12 +164,26 @@ object Dedup {
     * yields the same (9, 4) every prior round verified. */
   private def wideParams: (Int, Int) = LshParams.lshParams(Corpus.documents)
 
-  /** Document-frequency cap for ddNgramJaccard candidate generation
-    * (anti-join threshold; see its scaladoc for the exactness bound).
-    * Far above every fixture shingle's df (max 24 at sf0.1), so the
-    * naive-form oracle stays byte-identical; at corpus scale it bounds
-    * the candidate join linearly. */
-  private val NgramDfCap = 50L
+  /** PPJoin prefix under the global ASCENDING-(df, hash) order, shared
+    * by [[ddNgramJaccard]] and [[ddContainment]]. Input: one row per
+    * (doc_id, n = |shingle set|, g = shingle hash); output: the rows
+    * whose rank within their document — ordered by corpus document
+    * frequency, ties by hash — is ≤ n − ceil(0.8·n) + 1. EXACT for any
+    * fixed total order (prefix theorem), and frequency order is the one
+    * that bounds the candidate join at scale: hot shingles rank last
+    * and fall in suffixes, which generate no candidates. Replaced the
+    * r2–r10 fixed df-cap (50) that the r11 x100 duplicate-cluster gate
+    * caught dropping real pairs. The df aggregate and the per-document
+    * rank ride shuffles the pair pipeline already performs (shingle key
+    * for the candidate join, doc key for verification). */
+  private def dfOrderedPrefix(ex: DataFrame): DataFrame = {
+    val dfRel = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    ex.join(dfRel, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+      .select("doc_id", "n", "g")
+  }
 
   /** Per-(session, sfDir) cache of the verified LSH pair relation: the
     * dedup pipeline computes pairs ONCE and feeds every consumer
@@ -362,17 +376,22 @@ object Dedup {
     *
     * Scale bound (round-2 verdict: the candidate join is O(Σ df²) in
     * per-shingle document frequency — quadratic in a hot shingle's df):
-    * prefix shingles with df > [[NgramDfCap]] are EXCLUDED from
-    * candidate generation (never from verification), the standard
-    * df-cap. Candidate pairs are then ≤ cap × (distinct prefix
-    * shingles) — linear in corpus size — at the cost of missing only
-    * pairs ALL of whose shared prefix shingles are boilerplate
-    * (df > cap); near-dup pairs share ~n·(1-t) prefix shingles, so a
-    * loss requires every one of them to be corpus-hot. The cap provably
-    * does not bite at fixture scale (measured max prefix df: 7 at
-    * sf0.01, 24 at sf0.1 — the naive-form oracle stays byte-identical);
-    * at 100 TB it is the difference between a bounded join and a
-    * df²-shaped one. */
+    * the global prefix order is ASCENDING DOCUMENT FREQUENCY (ties by
+    * hash) — the canonical PPJoin ordering — so each document's prefix
+    * carries its RAREST shingles and a corpus-hot boilerplate shingle
+    * enters a prefix only for documents that own almost nothing rarer.
+    * This replaces r2–r10's fixed df-CAP (prefix shingles with
+    * df > 50 excluded from candidate generation): the cap was provably
+    * inert at fixture df (max prefix df 7 at sf0.01, 24 at sf0.1) but
+    * the r11 x100 gate caught it BITING at 100× — the duplicate-cluster
+    * fixture pushes real shingles past any fixed cap, and the capped
+    * candidate set lost 15 of the oracle's 2500 pairs. The frequency
+    * order keeps the EXACT-result guarantee (the prefix theorem holds
+    * under any fixed total order) at every scale while bounding the
+    * join better than the cap did: hot shingles sit in suffixes, which
+    * never generate candidates. Cost is one df aggregation plus a
+    * per-document rank — both keyed on shuffles the pipeline already
+    * does. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Hash every shingle set ONCE into a sorted md5 array and persist it:
     // the relation is consumed four times (both prefix sides, both
@@ -392,18 +411,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix length uses integer ceil(0.8n) = (4n+4) div 5 — float 0.8·n
     // rounds UP at exact multiples of 5, which would shorten the prefix
-    // and lose pairs.
-    val rawPrefix = hs
-      .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
-      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("pfx")).as("g"))
-    // df-cap (see scaladoc): drop corpus-hot shingles from candidate
-    // generation so no single shingle can contribute df² pairs. One
-    // partial-agg count per shingle + an equi-join back — both keyed on
-    // the shingle, the same shuffle the candidate join needs anyway.
-    val hot = rawPrefix.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap)
-      .select("g")
-    val prefix = rawPrefix.join(hot, Seq("g"), "left_anti")
+    // and lose pairs. The prefix is the FIRST n-ceil(t·n)+1 shingles in
+    // ascending (df, hash) order (see scaladoc): rank per document with
+    // a window keyed by doc_id — the same shuffle key verification uses.
+    val prefix = dfOrderedPrefix(
+      hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g")))
     // AllPairs length filter: J(A,B) >= t forces |A|/|B| ∈ [t, 1/t] —
     // candidates whose set sizes can't reach the threshold never join.
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -452,10 +464,11 @@ object Dedup {
     * variant, which may prefix-filter both sides). No length filter
     * applies — |B| ≫ |A| is exactly the case worth finding.
     *
-    * Scale: candidates = Σ_g pfx_df(g) · idx_df(g). The [[NgramDfCap]]
-    * anti-join caps the candidate join's per-shingle fan-out on both
-    * sides (provably inert at fixture df — the naive-form oracle stays
-    * byte-identical); verification touches candidates only. */
+    * Scale: candidates = Σ_g pfx_df(g) · idx_df(g). The prefix order is
+    * ascending (df, hash) ([[dfOrderedPrefix]]) so pfx_df of a hot
+    * shingle is tiny — only documents with nothing rarer prefix it —
+    * which bounds the sum without the fixed df-cap the r11 x100 gate
+    * caught dropping pairs; verification touches candidates only. */
   def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
     // shingle hashes as 16-byte BINARY (unhex(md5)) rather than 32-char
     // hex strings: halves the persisted relation and every exploded
@@ -466,18 +479,17 @@ object Dedup {
     val hs = Scratch.persist(Text.shingled(spark, sfDir)
       .select(col("doc_id"), expr("array_sort(transform(sh, s -> unhex(md5(s))))").as("hs")))
     val sized = hs.select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
-    // contained-side prefix: n - ceil(0.8n) + 1 = n - (4n+4) div 5 + 1
-    val prefix = sized
-      .withColumn("pfx", expr("slice(hs, 1, size(hs) - ((size(hs) * 4 + 4) div 5) + 1)"))
-      .select(col("doc_id"), col("n"), explode(col("pfx")).as("g"))
     // container-side index: EVERY shingle
     val index = sized
       .select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
-    val hot = index.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap).select("g")
-    val pfxCold = prefix.join(hot, Seq("g"), "left_anti")
-    val idxCold = index.join(hot, Seq("g"), "left_anti")
-    val cand = pfxCold.as("a").join(idxCold.as("b"),
+    // contained-side prefix: first n - ceil(0.8n) + 1 shingles in the
+    // global ascending-(df, hash) order (see dfOrderedPrefix — the
+    // r2-r10 fixed df-cap dropped 30 of the x100 oracle's 2500 pairs;
+    // frequency-ordered prefixes keep exactness at every scale). The
+    // asymmetry stands: only the contained side prefixes, the container
+    // side indexes all its shingles.
+    val prefix = dfOrderedPrefix(index)
+    val cand = prefix.as("a").join(index.as("b"),
         col("a.g") === col("b.g") &&
           (col("a.n") < col("b.n") ||
             (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))

@@ -85,8 +85,13 @@ def connect(sf_dir, retries=4):
 def _connect_once(sf_dir):
     con = duckdb.connect()
     # large scale fixtures need spill + an explicit cap (the container's
-    # cgroup limit confuses duckdb's autodetection into tiny allocations)
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # cgroup limit confuses duckdb's autodetection into tiny allocations).
+    # The spill dir is per-process unless overridden: two concurrent
+    # comparers sharing one dir delete each other's temp files (observed
+    # at the r11 x100/x10 concurrent runs — IOException mid-query).
+    spill = os.environ.get("GRAFT_DUCKDB_SPILL",
+                           f"/tmp/duckdb_spill_{os.getpid()}")
+    con.sql(f"SET temp_directory='{spill}'")
     con.sql("SET memory_limit='24GB'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
