@@ -81,10 +81,18 @@ object MlPrep {
   /** Smoothed target encoding: replace a categorical with the
     * shrunk-toward-prior mean of the target (smoothing m=10), the
     * standard high-cardinality categorical encoder. Money stays exact
-    * integer cents; the encoded value evaluates as ONE double division
-    * of exact int64 products — `(sum*N_g + m*S_g) / ((n+m)*N_g)` —
-    * so both engines produce the identical bit pattern. Group sums are
-    * one shuffle; the global prior is a one-row broadcast join (the
+    * integer cents through the AGGREGATES; the encoded value
+    * `(sum·N_g + m·S_g) / ((n+m)·N_g·100)` evaluates in the DOUBLE
+    * domain with a pinned op sequence — each cast and IEEE op is
+    * exactly specified, so both engines produce the identical bit
+    * pattern at any scale. (The r2–r10 form multiplied the int64s
+    * first "for exactness"; the r11 x100 gate caught `sum_cents · g_n`
+    * at ≈6.9e18 overflowing int64 one decade beyond the proven
+    * fixtures — products of two data-proportional aggregates can never
+    * stay in a fixed-width integer. Double products round, but they
+    * round IDENTICALLY in both engines given the same operand order,
+    * which is what the compare actually needs.) Group sums are one
+    * shuffle; the global prior is a one-row broadcast join (the
     * scalar-subquery shape — nothing data-sized moves). */
   def mlTargetEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = Tables.orders(spark, sfDir)
@@ -94,7 +102,9 @@ object MlPrep {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       .crossJoin(broadcast(global))
       .withColumn("encoded_dollars",
-        expr("cast(sum_cents * g_n + 10 * g_sum as double) / (cast((n + 10) * g_n as double) * 100.0)"))
+        expr("(cast(sum_cents as double) * cast(g_n as double) " +
+          "+ cast(10 as double) * cast(g_sum as double)) " +
+          "/ ((cast(n + 10 as double) * cast(g_n as double)) * cast(100 as double))"))
       .select("o_orderpriority", "n", "sum_cents", "encoded_dollars")
       .orderBy("o_orderpriority")
   }
@@ -103,8 +113,10 @@ object MlPrep {
     """WITH c AS (SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents FROM orders),
       |g AS (SELECT sum(cents)::BIGINT AS g_sum, count(*)::BIGINT AS g_n FROM c)
       |SELECT o_orderpriority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
-      |  (sum(cents)::BIGINT * any_value(g_n) + 10 * any_value(g_sum))::DOUBLE
-      |    / (((count(*) + 10) * any_value(g_n))::DOUBLE * 100.0) AS encoded_dollars
+      |  (sum(cents)::BIGINT::DOUBLE * any_value(g_n)::DOUBLE
+      |     + 10::DOUBLE * any_value(g_sum)::DOUBLE)
+      |    / (((count(*) + 10)::DOUBLE * any_value(g_n)::DOUBLE) * 100::DOUBLE)
+      |    AS encoded_dollars
       |FROM c CROSS JOIN g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Equal-frequency discretization (quartile binning) of a continuous
