@@ -194,10 +194,20 @@ object PipelineMain {
     }
   }
 
-  /** Final maintenance + reduce + serve, under the lock. Fact tables
-    * compact here because no further appends target them — without a
-    * transactional format, compaction must quiesce a table first; the
-    * static dim already compacted mid-run on the reference's cadence.
+  /** Final maintenance + reduce + serve, under the lock. EVERY ingested
+    * table compacts here because no further appends target any of them —
+    * without a transactional format, compaction must quiesce a table
+    * first. The dim also compacts mid-run on the reference's cadence
+    * (runCycles' compactEvery), but that boundary only coincides with
+    * the LAST append when nCycles % compactEvery == 0, and live mode
+    * has no mid-run compaction at all — so relying on the cadence left
+    * a finished run with `customer` still under a streaming sink log
+    * (found by the r11 live-mode chaos soak: CONTROL and chaos runs
+    * both kept `tables/customer/_spark_metadata` after a clean finish,
+    * leaving the dir unreadable-as-plain-parquet to external tools and
+    * the next drain pinned to a stale checkpoint lineage). Compaction
+    * is idempotent on an already-compacted table, so the unconditional
+    * finish-time pass costs one small rewrite at most.
     * ([[Manifest]] is the compaction-under-append form.) Idempotent:
     * a second invocation re-compacts a plain parquet dir and
     * re-overwrites the served results. */
@@ -206,7 +216,7 @@ object PipelineMain {
       val staging = s"$workDir/staging"
       val tables = s"$workDir/tables"
       val ckpt = s"$workDir/ckpt"
-      compact(spark, staging, tables, ckpt, Seq("orders", "lineitem"))
+      compact(spark, staging, tables, ckpt, Seq("orders", "lineitem", "customer"))
       publishResults(spark, workDir)
     }
 

@@ -326,6 +326,13 @@ class PipelineSpec extends SparkSpec {
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").foreach { seg =>
       assert(spark.read.parquet(s"$root/results/$seg").count() == 50)
     }
+    // live mode never compacts mid-run, so the finish-time pass is the
+    // ONLY thing retiring the streaming sink logs — a clean finish must
+    // leave every table plain-parquet (r11 live-soak finding)
+    Seq("orders", "lineitem", "customer").foreach { t =>
+      assert(!Files.exists(Paths.get(s"$root/tables/$t/_spark_metadata")),
+        s"$t still under a streaming sink log after a clean live finish")
+    }
   }
 
   test("live + serve: service is up during ingestion, flips healthy on the mid-run republish, and serves the final generation without restart") {

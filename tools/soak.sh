@@ -8,7 +8,14 @@
 # row-identical to the control; any drift (lost rows, duplicated rows,
 # diverging top-50s) fails loud here.
 #
-# Usage: tools/soak.sh [sfDir] [nBatches] [nKills] [seed]
+# Usage: tools/soak.sh [sfDir] [nBatches] [nKills] [seed] [--live]
+# With --live every run (control, chaos, final) uses PipelineMain's
+# long-lived mode: resident Trigger.ProcessingTime ingestion streams +
+# a 2 s generator cadence, so SIGKILLs land INSIDE micro-batch commits
+# of the resident streams (the r10 crash matrix's windows, hit at
+# random wall-clock points under load) rather than between batch-mode
+# drains. All runs share the mode so end states are compared
+# like-for-like.
 # Writes /tmp/soak_report.txt and exits nonzero on any mismatch.
 set -e
 cd "$(dirname "$0")/.."
@@ -16,6 +23,8 @@ SF="${1:-/root/testdata/sf0.001}"
 N="${2:-6}"
 KILLS="${3:-8}"
 SEED="${4:-11}"
+MODE=""
+[ "${5:-}" = "--live" ] && MODE="--live"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA="java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
@@ -23,8 +32,8 @@ WORK="$(pwd)/target/pipe/soak"
 CTRL="$(pwd)/target/pipe/soak_ctrl"
 rm -rf "$WORK" "$CTRL"
 
-echo "== soak: control run (uninterrupted, $N batches) =="
-SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$CTRL" "$N" 2 \
+echo "== soak: control run (uninterrupted, $N batches${MODE:+, live}) =="
+SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$CTRL" "$N" 2 $MODE \
   > /tmp/soak_ctrl.log 2>&1
 
 # Deterministic pseudo-random kill delays (seconds) from the seed, so a
@@ -37,7 +46,7 @@ echo "== soak: $KILLS chaos runs, kill delays: $DELAYS =="
 i=0
 for d in $DELAYS; do
   i=$((i + 1))
-  SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$WORK" "$N" 2 \
+  SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$WORK" "$N" 2 $MODE \
     > "/tmp/soak_chaos_$i.log" 2>&1 &
   pid=$!
   sleep "$d"
@@ -50,7 +59,7 @@ for d in $DELAYS; do
 done
 
 echo "== soak: final clean run (crash-repair + finish) =="
-SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$WORK" "$N" 2 \
+SPARK_GRAFT_CPUS=8 $JAVA graft.streaming.PipelineMain "$SF" "$WORK" "$N" 2 $MODE \
   > /tmp/soak_final.log 2>&1
 
 echo "== soak: comparing chaos end-state vs control =="
