@@ -1799,22 +1799,25 @@ object Analytics {
       .select(col("m_edges"), col("n_communities"), col("q_scaled"), col("q"))
   }
 
+  // CTEs pinned MATERIALIZED: `labeled` is referenced four times and
+  // DuckDB's default inlining recomputes the canon self-join for each —
+  // the r11 x100 gate's spill-to-death class (see Graph.grPagerankSql)
   private val grModularitySql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |canon AS (
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |canon AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |labeled AS (
+      |labeled AS MATERIALIZED (
       |  SELECT src, dst, ps.p_brand AS b_src, pd.p_brand AS b_dst
       |  FROM canon
       |  JOIN part ps ON ps.p_partkey = src
       |  JOIN part pd ON pd.p_partkey = dst),
-      |m AS (SELECT count(*)::BIGINT AS m FROM labeled),
-      |e_in AS (
+      |m AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM labeled),
+      |e_in AS MATERIALIZED (
       |  SELECT b_src AS brand, count(*)::BIGINT AS e_in
       |  FROM labeled WHERE b_src = b_dst GROUP BY 1),
-      |d_tot AS (
+      |d_tot AS MATERIALIZED (
       |  SELECT brand, count(*)::BIGINT AS d_tot FROM (
       |    SELECT b_src AS brand FROM labeled
       |    UNION ALL SELECT b_dst FROM labeled)

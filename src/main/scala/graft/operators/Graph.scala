@@ -65,22 +65,31 @@ object Graph {
     rank.orderBy(col("score").desc, col("p")).limit(25)
   }
 
+  /** Every CTE in the iterative oracle chains below is pinned
+    * `MATERIALIZED`: DuckDB inlines multi-referenced CTEs by default,
+    * and a chain where step k references step k-1 twice (directly and
+    * through its message CTE) re-expands to 2^k copies of the base
+    * edge self-join — semantically identical, but the r11 x100 gate
+    * watched the conductance oracle spill 76 GB and time out where the
+    * MATERIALIZED form computes every (tiny) iteration table once and
+    * finishes in ~4 s. Oracle-side only; the Spark plans iterate over
+    * persisted DataFrames and never had the blow-up. */
   private val grPagerankSql: String = {
     val iterCtes = (1 to Iters).map { k =>
-      s"""c$k AS (SELECT e.dst AS p, sum(r${k - 1}.score // e.deg)::BIGINT AS inflow
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS p, sum(r${k - 1}.score // e.deg)::BIGINT AS inflow
          |  FROM e JOIN r${k - 1} ON r${k - 1}.p = e.src GROUP BY 1),
-         |r$k AS (SELECT n.p,
+         |r$k AS MATERIALIZED (SELECT n.p,
          |    (${15L * Scale / 100L} + (85 * coalesce(c$k.inflow, 0)) // 100)::BIGINT AS score
          |  FROM n LEFT JOIN c$k ON c$k.p = n.p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH raw AS (
+    s"""WITH raw AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |d AS (SELECT src, count(*)::BIGINT AS deg FROM raw GROUP BY 1),
-       |e AS (SELECT raw.src, raw.dst, d.deg FROM raw JOIN d ON d.src = raw.src),
-       |n AS (SELECT src AS p FROM d),
-       |r0 AS (SELECT p, $Scale::BIGINT AS score FROM n),
+       |d AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM raw GROUP BY 1),
+       |e AS MATERIALIZED (SELECT raw.src, raw.dst, d.deg FROM raw JOIN d ON d.src = raw.src),
+       |n AS MATERIALIZED (SELECT src AS p FROM d),
+       |r0 AS MATERIALIZED (SELECT p, $Scale::BIGINT AS score FROM n),
        |$iterCtes
        |SELECT p, score FROM r$Iters
        |ORDER BY score DESC, p LIMIT 25""".stripMargin
@@ -424,21 +433,21 @@ object Graph {
     * the SQL twin of [[labelPropState]]. */
   private val labelPropCtesSql: String = {
     val iterCtes = (1 to Iters).map { k =>
-      s"""m$k AS (SELECT e.dst AS p, min(l${k - 1}.lbl)::BIGINT AS nbr_min
+      s"""m$k AS MATERIALIZED (SELECT e.dst AS p, min(l${k - 1}.lbl)::BIGINT AS nbr_min
          |  FROM e JOIN l${k - 1} ON l${k - 1}.p = e.src GROUP BY 1),
-         |l$k AS (SELECT n.p,
+         |l$k AS MATERIALIZED (SELECT n.p,
          |    least(l${k - 1}.lbl, coalesce(m$k.nbr_min, l${k - 1}.lbl))::BIGINT AS lbl
          |  FROM n JOIN l${k - 1} ON l${k - 1}.p = n.p
          |    LEFT JOIN m$k ON m$k.p = n.p)""".stripMargin
     }.mkString(",\n")
-    s"""raw AS (
+    s"""raw AS MATERIALIZED (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |e AS (SELECT src, dst FROM raw),
-       |n AS (SELECT DISTINCT src AS p FROM raw),
-       |l0 AS (SELECT p, p AS lbl FROM n),
+       |e AS MATERIALIZED (SELECT src, dst FROM raw),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS p FROM raw),
+       |l0 AS MATERIALIZED (SELECT p, p AS lbl FROM n),
        |$iterCtes""".stripMargin
   }
 
@@ -450,12 +459,12 @@ object Graph {
 
   private val grConductanceSql: String =
     s"""WITH $labelPropCtesSql,
-       |lab AS (SELECT p, lbl FROM l$Iters),
-       |deg AS (SELECT src AS p, count(*)::BIGINT AS deg FROM e GROUP BY 1),
-       |vol AS (SELECT lbl, count(*)::BIGINT AS n_members, sum(deg)::BIGINT AS vol
+       |lab AS MATERIALIZED (SELECT p, lbl FROM l$Iters),
+       |deg AS MATERIALIZED (SELECT src AS p, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |vol AS MATERIALIZED (SELECT lbl, count(*)::BIGINT AS n_members, sum(deg)::BIGINT AS vol
        |  FROM lab JOIN deg USING (p) GROUP BY 1),
-       |tot AS (SELECT sum(vol)::BIGINT AS vol_total FROM vol),
-       |cut AS (SELECT la.lbl,
+       |tot AS MATERIALIZED (SELECT sum(vol)::BIGINT AS vol_total FROM vol),
+       |cut AS MATERIALIZED (SELECT la.lbl,
        |    sum(CASE WHEN lb.lbl <> la.lbl THEN 1 ELSE 0 END)::BIGINT AS cut
        |  FROM e JOIN lab la ON la.p = e.src JOIN lab lb ON lb.p = e.dst
        |  GROUP BY 1)
@@ -499,15 +508,15 @@ object Graph {
 
   private val grRandomWalkSql: String = {
     def stepCte(k: Int): String =
-      s"""w$k AS (SELECT walk_id,
+      s"""w$k AS MATERIALIZED (SELECT walk_id,
          |  min_by(dst, ('0x' || substr(md5(cur::VARCHAR || ':$k:' || dst::VARCHAR),
          |    1, 15))::BIGINT) AS cur
          |  FROM w${k - 1} JOIN raw ON raw.src = w${k - 1}.cur GROUP BY walk_id)""".stripMargin
-    s"""WITH raw AS (
+    s"""WITH raw AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |w0 AS (
+       |w0 AS MATERIALIZED (
        |  SELECT src AS walk_id, src AS cur
        |  FROM (SELECT DISTINCT src FROM raw ORDER BY src LIMIT 10) s),
        |${stepCte(1)},

@@ -107,9 +107,19 @@ object MakeScale {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
       dst, "orders", 16)
 
+    // c_name derives from the REMAPPED key (the fixture's own convention:
+    // every c_name == printf('Customer#%09d', c_custkey)) rather than
+    // copying verbatim — verbatim copies gave every customer `copies`
+    // identical-name clones, so name-similarity operators (op_fuzzy_join)
+    // grew quadratically in copies (202M result rows at x100, an
+    // 11-billion-pair naive oracle) instead of linearly in corpus size:
+    // the exact "same keys N× hotter" anti-model the header forbids, the
+    // name analogue of the documents.text / embeddings salting above.
     write(withCopies(spark, cust, copies).select(
-      remap("c_custkey", ckS), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")), dst, "customer", 8)
+      remap("c_custkey", ckS),
+      format_string("Customer#%09d", col("c_custkey") + k * ckS).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      dst, "customer", 8)
 
     write(withCopies(spark, part, copies).select(
       remap("p_partkey", pkS), col("p_name"), col("p_brand"), col("p_type"),

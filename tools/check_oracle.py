@@ -92,7 +92,19 @@ def _connect_once(sf_dir):
     spill = os.environ.get("GRAFT_DUCKDB_SPILL",
                            f"/tmp/duckdb_spill_{os.getpid()}")
     con.sql(f"SET temp_directory='{spill}'")
-    con.sql("SET memory_limit='24GB'")
+    # default sized for the shipped fixtures; the x100 gr_* oracles
+    # (recursive CTEs over 100x edges) spill tens of GB under 24GB —
+    # raise via env for a serial big-fixture run instead of letting
+    # concurrent comparers exhaust /tmp (the r11 ENOSPC failure mode)
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+    # fewer threads shrink per-thread operator state and the radix
+    # partitions an out-of-core join writes; the big-fixture gr_* oracles
+    # tip into a ~76 GB spill cascade when the working set just misses
+    # the memory grant (r11), and halving threads is the lever that
+    # keeps them in-memory
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # testdata ships single-file tables; Spark-written fixtures
