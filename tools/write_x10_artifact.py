@@ -15,7 +15,10 @@ def main():
     out = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_x10.json"
     queries = {}
     for line in open(log_path):
-        m = re.match(r"^(PASS|FAIL) (\S+)(?: \((\d+) rows\))?(.*)", line.strip())
+        # FAIL lines read "FAIL name: err" — the colon is line syntax,
+        # not part of the name; capturing it forked phantom entries when
+        # a later retry PASS line used the bare name (r11)
+        m = re.match(r"^(PASS|FAIL) ([^\s:]+):?(?: \((\d+) rows\))?(.*)", line.strip())
         if not m:
             continue
         status, name, rows, rest = m.groups()
