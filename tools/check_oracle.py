@@ -25,6 +25,7 @@ is weaker than "passes on a copy engineered to sit on the boundaries".
 import glob
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -96,7 +97,13 @@ def _connect_once(sf_dir):
     # (recursive CTEs over 100x edges) spill tens of GB under 24GB —
     # raise via env for a serial big-fixture run instead of letting
     # concurrent comparers exhaust /tmp (the r11 ENOSPC failure mode)
-    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+    # validate before interpolating into SET (r12 advice): a typo like
+    # '64 GB' otherwise surfaces as an opaque DuckDB error mid-gate
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    if not re.fullmatch(r"\d+(\.\d+)?(KB|MB|GB|TB|KiB|MiB|GiB|TiB)", mem, re.IGNORECASE):
+        sys.exit(f"GRAFT_DUCKDB_MEM={mem!r} is not a DuckDB size literal "
+                 "(expected e.g. 24GB, 60GB, 1.5TB — no spaces)")
+    con.sql(f"SET memory_limit='{mem}'")
     # fewer threads shrink per-thread operator state and the radix
     # partitions an out-of-core join writes; the big-fixture gr_* oracles
     # tip into a ~76 GB spill cascade when the working set just misses

@@ -19,12 +19,18 @@
 # Writes /tmp/soak_report.txt and exits nonzero on any mismatch.
 set -e
 cd "$(dirname "$0")/.."
-SF="${1:-/root/testdata/sf0.001}"
-N="${2:-6}"
-KILLS="${3:-8}"
-SEED="${4:-11}"
+# --live may appear at ANY position (r12 advice: pinning it to $5 forced
+# spelling out all defaults, and an earlier --live was silently consumed
+# as a positional value, running batch mode with e.g. SF='--live')
 MODE=""
-[ "${5:-}" = "--live" ] && MODE="--live"
+POS=()
+for a in "$@"; do
+  if [ "$a" = "--live" ]; then MODE="--live"; else POS+=("$a"); fi
+done
+SF="${POS[0]:-/root/testdata/sf0.001}"
+N="${POS[1]:-6}"
+KILLS="${POS[2]:-8}"
+SEED="${POS[3]:-11}"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA="java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"

@@ -17,8 +17,11 @@ def main():
     for line in open(log_path):
         # FAIL lines read "FAIL name: err" — the colon is line syntax,
         # not part of the name; capturing it forked phantom entries when
-        # a later retry PASS line used the bare name (r11)
-        m = re.match(r"^(PASS|FAIL) ([^\s:]+):?(?: \((\d+) rows\))?(.*)", line.strip())
+        # a later retry PASS line used the bare name (r11). Lazy \S+?
+        # with an optional TRAILING colon (r12 advice): the r11 class
+        # [^\s:]+ silently truncated any name that itself contained a
+        # colon, which would merge or fork entries without warning.
+        m = re.match(r"^(PASS|FAIL) (\S+?):?(?: \((\d+) rows\))?( .*)?$", line.strip())
         if not m:
             continue
         status, name, rows, rest = m.groups()
