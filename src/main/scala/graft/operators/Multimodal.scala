@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing (north-star extension surface, SURVEY §7.5):
-  * media as opaque `binary` columns with typed metadata, stub decode /
+  * media as opaque `binary` columns with typed metadata, decode /
   * feature-extraction, and frame sampling.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic fake (documented below); everything Spark-side — binary
-  * column handling, schema, batch iteration shape, partition parallelism —
-  * is real and tested. Swapping [[stubDecode]] for a JNI/ONNX decoder
-  * changes no plan shape.
+  * The container has no image/audio codec LIBRARIES, but two media
+  * formats are simple enough to parse in pure JVM code — binary PPM
+  * (P6) images and RIFF/WAV PCM audio — so since r12 the decode path is
+  * REAL: [[parsePpm]]/[[parseWav]] are honest binary parsers (header
+  * grammar with comments, chunk walking with odd-size padding,
+  * little-endian signed samples), [[decodeFeatures]] dispatches on the
+  * magic bytes, and the oracled [[mmDecode]] entry verifies decoded
+  * content against DuckDB's independent recomputation. Compressed
+  * formats (JPEG/FLAC/H.264) would slot into the same
+  * [[decodeFeatures]] dispatch without changing any plan shape;
+  * [[stubDecode]] remains only as the unknown-format fallback.
   *
   * Scale: per-row projection and a generate (explode) — no shuffles at
   * all; media bytes stay columnar in parquet and are never collected.
@@ -96,15 +102,105 @@ object Multimodal {
       |              240 + n_chars % 240 AS height FROM documents) a) b
       |ORDER BY doc_id""".stripMargin
 
-  // ----- mapPartitions batch-decode path (ScalaTest-verified; the
-  // ----- iterator shape a real decoder plugs into) -------------------
+  // ----- real pure-JVM media codecs + the mapPartitions batch-decode
+  // ----- path (ScalaTest-verified) -----------------------------------
 
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, features: Array[Float])
 
-  /** STUB decoder: a real implementation would decode image/audio bytes
-    * here (???-equivalent); this deterministic fake hashes byte windows
-    * into an 8-dim feature vector so the batching/plumbing is testable. */
+  /** Decoded binary PPM (P6): dims, sample depth, raw RGB bytes. */
+  case class PpmImage(width: Int, height: Int, maxval: Int, pixels: Array[Byte])
+
+  /** Decoded RIFF/WAV PCM: format fields + 16-bit signed samples. */
+  case class WavAudio(sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+                      samples: Array[Short])
+
+  /** Binary PPM (P6) parser — the real Netpbm grammar, not a fixed
+    * offset: after the `P6` magic, three ASCII integers (width, height,
+    * maxval) separated by arbitrary whitespace, with `#`-to-end-of-line
+    * comments allowed anywhere a token separator can appear; EXACTLY one
+    * whitespace byte after maxval, then `width*height*3` raw bytes (one
+    * per sample for maxval < 256). Truncated or oversized payloads and
+    * out-of-range maxval are rejected — a decoder that "works" on well-
+    * formed files only is how corrupt lake objects poison a pipeline. */
+  def parsePpm(bytes: Array[Byte]): PpmImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 ppm")
+    var pos = 2
+    def isWs(b: Byte): Boolean = b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    def nextInt(): Int = {
+      var scanning = true
+      while (scanning) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else scanning = false
+      }
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"ppm: expected digit at offset $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mv = nextInt()
+    require(w > 0 && h > 0, s"ppm: bad dimensions ${w}x$h")
+    require(mv > 0 && mv < 65536, s"ppm: bad maxval $mv")
+    require(pos < bytes.length && isWs(bytes(pos)), "ppm: missing separator after maxval")
+    pos += 1 // exactly ONE whitespace byte before the raster, per spec
+    val n = w * h * 3 * (if (mv < 256) 1 else 2)
+    require(bytes.length - pos == n,
+      s"ppm: raster is ${bytes.length - pos} bytes, expected $n")
+    PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
+  }
+
+  /** RIFF/WAV PCM parser — a real chunk walker: validates the
+    * RIFF/WAVE container and declared size, then iterates `(fourcc,
+    * size-LE-u32, payload, pad-to-even)` chunks, skipping unknown ones
+    * (LIST/INFO junk is normal in the wild), until both `fmt ` (must be
+    * PCM, 16-bit) and `data` are found. Samples decode as little-endian
+    * SIGNED 16-bit — the two byte-order/sign mistakes a naive reader
+    * makes are exactly what [[mmDecode]]'s signed content_sum pins. */
+  def parseWav(bytes: Array[Byte]): WavAudio = {
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | (bytes(p + 1) & 0xffL) << 8 |
+        (bytes(p + 2) & 0xffL) << 16 | (bytes(p + 3) & 0xffL) << 24
+    def u16(p: Int): Int = (bytes(p) & 0xff) | (bytes(p + 1) & 0xff) << 8
+    def fourcc(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      "not a RIFF/WAVE file")
+    require(u32(4) == bytes.length - 8,
+      s"wav: RIFF size ${u32(4)} != ${bytes.length - 8}")
+    var pos = 12
+    var rate = -1; var ch = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = fourcc(pos); val size = u32(pos + 4).toInt
+      val body = pos + 8
+      require(body + size <= bytes.length, s"wav: chunk '$id' overruns file")
+      if (id == "fmt ") {
+        require(size >= 16 && u16(body) == 1, "wav: not integer PCM")
+        ch = u16(body + 2); rate = u32(body + 4).toInt; bits = u16(body + 14)
+        require(bits == 16, s"wav: only 16-bit PCM supported, got $bits")
+      } else if (id == "data") {
+        require(size % 2 == 0, "wav: odd data size for 16-bit samples")
+        samples = new Array[Short](size / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((bytes(body + 2 * i) & 0xff) |
+            (bytes(body + 2 * i + 1) << 8))).toShort
+          i += 1
+        }
+      } // any other chunk (LIST, JUNK, ...) is skipped
+      pos = body + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    require(rate > 0 && samples != null, "wav: missing fmt or data chunk")
+    WavAudio(rate, ch, bits, samples)
+  }
+
+  /** Fallback feature extractor for bytes in no known format: hashes
+    * byte windows into an 8-dim vector (deterministic, shape-compatible
+    * with the real decoders' output). */
   def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0
@@ -112,19 +208,152 @@ object Multimodal {
     f
   }
 
+  /** Magic-byte dispatch to the real decoders: 8-dim features from
+    * decoded CONTENT (dims/rate + per-channel sums), not raw bytes.
+    * PPM → [w, h, maxval, ΣR, ΣG, ΣB, n_pixels, 0];
+    * WAV → [rate, channels, bits, n_samples, Σ|s|, Σs, 0, 0];
+    * anything else → [[stubDecode]]. */
+  def extractFeatures(bytes: Array[Byte]): Array[Float] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      val img = parsePpm(bytes)
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i + 2 < img.pixels.length) {
+        r += img.pixels(i) & 0xff; g += img.pixels(i + 1) & 0xff
+        b += img.pixels(i + 2) & 0xff; i += 3
+      }
+      Array(img.width.toFloat, img.height.toFloat, img.maxval.toFloat,
+        r.toFloat, g.toFloat, b.toFloat, (img.width * img.height).toFloat, 0f)
+    } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') {
+      val a = parseWav(bytes)
+      var abs = 0L; var sum = 0L
+      a.samples.foreach { s => abs += math.abs(s.toLong); sum += s.toLong }
+      Array(a.sampleRate.toFloat, a.nChannels.toFloat, a.bitsPerSample.toFloat,
+        a.samples.length.toFloat, abs.toFloat, sum.toFloat, 0f, 0f)
+    } else stubDecode(bytes)
+
   /** Partition-parallel batch decode over binary media columns: the Spark
     * plumbing (typed Dataset, per-partition iteration, no driver
-    * collection) for a decode/feature-extract stage. */
+    * collection) for the decode/feature-extract stage; the per-row decode
+    * is the REAL [[extractFeatures]] dispatch. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         var ck = 0L
         r.media.foreach(b => ck = ck * 31 + (b & 0xff))
-        MediaFeatures(r.doc_id, r.media.length.toLong, ck, stubDecode(r.media))
+        MediaFeatures(r.doc_id, r.media.length.toLong, ck, extractFeatures(r.media))
       }
     }
   }
+
+  /** Deterministic P6 writer (content-addressed: raster byte j of doc d
+    * is `(d*7 + j*13) % 256`), with a comment line in the header so the
+    * parser's comment handling is exercised by every row. */
+  def synthPpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# graft doc $docId\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = w * h * 3
+    val out = java.util.Arrays.copyOf(header, header.length + n)
+    var j = 0
+    while (j < n) {
+      out(header.length + j) = ((docId * 7 + j.toLong * 13) % 256).toByte; j += 1
+    }
+    out
+  }
+
+  /** Deterministic 16-bit mono PCM writer (sample i of doc d is
+    * `(d*31 + i*17) % 4001 - 2000`, so ~half the samples are negative)
+    * with a LIST junk chunk of ODD size between fmt and data, so the
+    * parser's chunk-skip and pad-to-even logic is exercised by every
+    * row. Layout: 12 (RIFF) + 24 (fmt) + 14 (LIST+pad) + 8 + 2n. */
+  def synthWav(docId: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    val out = new Array[Byte](58 + 2 * nSamples)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(out.length - 8).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("LIST".getBytes(ascii)).putInt(5).put("junk!".getBytes(ascii)).put(0.toByte)
+    bb.put("data".getBytes(ascii)).putInt(2 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(((docId * 31 + i.toLong * 17) % 4001 - 2000).toShort); i += 1
+    }
+    out
+  }
+
+  case class DecodedMedia(doc_id: Long, fmt: String, dim1: Long, dim2: Long,
+                          depth: Long, n_units: Long, byte_len: Long, content_sum: Long)
+
+  /** REAL DECODE, ORACLED (r11 verdict, next-round item 3): per doc,
+    * synthesize content-addressed media bytes on the EXECUTORS (even
+    * ids: a P6 image sized by the id; odd ids: mono 16-bit WAV), run
+    * them through the real [[parsePpm]]/[[parseWav]] binary parsers
+    * (dispatching on magic bytes, not on how the row was built), and
+    * emit the decoded header fields + a content checksum. DuckDB
+    * recomputes every column INDEPENDENTLY from the generation
+    * formulas — the serialized header length via string construction,
+    * the content sum via an explicit per-sample list fold — so a writer
+    * bug (wrong header, wrong RIFF size) shifts byte_len and a parser
+    * bug (comment handling, raster offset, chunk padding, endianness,
+    * sign extension) shifts content_sum or the decoded dims.
+    * dim1/dim2 are (width, height) for images and (sample_rate,
+    * channels) for audio; depth is maxval / bits-per-sample.
+    *
+    * Scale: generate + parse are per-row map-side work inside one
+    * mapPartitions (media bytes never leave the executor, exactly the
+    * production decode shape); the only shuffle is the output sort. */
+  def mmDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val bytes =
+          if (id % 2 == 0) synthPpm(id, (4 + id % 13).toInt, (3 + id % 11).toInt)
+          else synthWav(id, (32 + id % 97).toInt, (8000 + (id % 5) * 4000).toInt)
+        if (bytes(0) == 'P') {
+          val img = parsePpm(bytes)
+          var s = 0L
+          img.pixels.foreach(b => s += (b & 0xff))
+          DecodedMedia(id, "ppm", img.width.toLong, img.height.toLong,
+            img.maxval.toLong, img.width.toLong * img.height,
+            bytes.length.toLong, s)
+        } else {
+          val a = parseWav(bytes)
+          var s = 0L
+          a.samples.foreach(x => s += x)
+          DecodedMedia(id, "wav", a.sampleRate.toLong, a.nChannels.toLong,
+            a.bitsPerSample.toLong, a.samples.length.toLong,
+            bytes.length.toLong, s)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS is_img,
+      |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+      |    32 + doc_id % 97 AS n_samp,
+      |    8000 + (doc_id % 5) * 4000 AS rate
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN is_img THEN 'ppm' ELSE 'wav' END AS fmt,
+      |  (CASE WHEN is_img THEN w ELSE rate END)::BIGINT AS dim1,
+      |  (CASE WHEN is_img THEN h ELSE 1 END)::BIGINT AS dim2,
+      |  (CASE WHEN is_img THEN 255 ELSE 16 END)::BIGINT AS depth,
+      |  (CASE WHEN is_img THEN w * h ELSE n_samp END)::BIGINT AS n_units,
+      |  (CASE WHEN is_img THEN length('P6' || chr(10) || '# graft doc ' ||
+      |          doc_id::VARCHAR || chr(10) || w::VARCHAR || ' ' ||
+      |          h::VARCHAR || chr(10) || '255' || chr(10)) + w * h * 3
+      |        ELSE 58 + 2 * n_samp END)::BIGINT AS byte_len,
+      |  (CASE WHEN is_img THEN list_sum(list_transform(
+      |          generate_series(0, w * h * 3 - 1), j -> (doc_id * 7 + j * 13) % 256))
+      |        ELSE list_sum(list_transform(
+      |          generate_series(0, n_samp - 1), i -> (doc_id * 31 + i * 17) % 4001 - 2000))
+      |   END)::BIGINT AS content_sum
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** ViT PATCH/TOKEN ACCOUNTING — the budget arithmetic a multimodal
     * training pipeline runs per image BEFORE any decode: 16×16 patch
@@ -267,6 +496,7 @@ object Multimodal {
       |FROM groups GROUP BY n_members ORDER BY n_members""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -275,6 +505,7 @@ object Multimodal {
     "mm_dedup_bytes" -> (mmDedupBytes _))
 
   val oracles: Map[String, String] = Map(
+    "mm_decode" -> mmDecodeSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
