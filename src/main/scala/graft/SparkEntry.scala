@@ -10,8 +10,10 @@ import graft.streaming.{Pipeline, StreamingOps}
   * `queries` is the union of every operator module's surface; each entry
   * with a DuckDB-expressible semantics also appears in `oracleSql` with
   * IDENTICAL column names/aliases (the driver's compare sorts columns by
-  * name before hashing). Nondeterministic ops (true uuid4, rand) are
-  * exercised in ScalaTest invariants instead, per the contract.
+  * name before hashing). Nondeterministic ops (true uuid4, rand) generate
+  * their nondeterministic columns in-plan but project them onto
+  * deterministic invariants the oracle CAN pin (count/uniqueness/format/
+  * bounds — r12); per-value properties stay in ScalaTest (SynthSpec).
   */
 object SparkEntry {
 

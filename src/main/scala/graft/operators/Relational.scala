@@ -1441,24 +1441,82 @@ object Relational {
     spark.read.parquet(out).orderBy(col("revenue").desc, col("l_orderkey"))
   }
 
-  /** True uuid4 generation (E4, reference pipeline/data.py:76-79):
-    * nondeterministic by nature — no DuckDB oracle (driver records the
-    * rows-only check); shape/uniqueness invariants live in ScalaTest
-    * (SURVEY §5 contract for nondeterministic ops). */
-  def opUuidGen(spark: SparkSession, sfDir: String): DataFrame =
+  /** Per-row uuid4 projection (the raw nondeterministic column);
+    * SynthSpec checks the per-value properties no oracle can. */
+  private[graft] def uuidGenRows(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), expr("uuid()").as("o_uuid"))
-      .orderBy("o_orderkey")
 
-  /** Seeded random price perturbation (E3, reference pipeline/data.py:101-103):
-    * `rand(seed)` is deterministic for a fixed partition layout but not
-    * across engines — no oracle; bounds/determinism invariants in
-    * ScalaTest. */
-  def opRandPerturb(spark: SparkSession, sfDir: String): DataFrame =
+  /** True uuid4 generation (E4, reference pipeline/data.py:76-79),
+    * oracled via DETERMINISTIC INVARIANTS (r12 — the r11 gate's last
+    * two rows-only entries): the per-row `uuid()` column is still
+    * generated in-plan for every order, then projected onto properties
+    * a cross-engine oracle CAN pin — row-count preservation, global
+    * uniqueness, 36-char length and RFC-4122 v4 format for EVERY row.
+    * A duplicate, malformed, truncated, or missing uuid each shift a
+    * distinct count. Per-value shape/uniqueness stay in SynthSpec on
+    * [[uuidGenRows]]; the deterministic content-addressed twin is
+    * op_synth_uuid. */
+  def opUuidGen(spark: SparkSession, sfDir: String): DataFrame =
+    uuidGenRows(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_uuid")).as("n_distinct"),
+        sum(when(length(col("o_uuid")) === 36, 1L).otherwise(0L)).as("n_len36"),
+        sum(when(col("o_uuid").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+          1L).otherwise(0L)).as("n_v4_format"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+
+  private[graft] val opUuidGenSql: String =
+    """SELECT count(*) AS n_rows, count(*) AS n_distinct,
+      |  count(*) AS n_len36, count(*) AS n_v4_format,
+      |  count(DISTINCT o_orderkey) AS n_keys
+      |FROM orders""".stripMargin
+
+  /** Per-row seeded perturbation (the raw rand column); SynthSpec
+    * checks bounds + within-session determinism per value. */
+  private[graft] def randPerturbRows(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         (rand(42) * col("l_extendedprice")).as("price_noised"))
-      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Seeded random price perturbation (E3, reference
+    * pipeline/data.py:101-103), oracled via DETERMINISTIC INVARIANTS
+    * (r12): `rand(seed)` is reproducible for a fixed partition layout
+    * but not across engines, so the oracle pins what IS engine-free —
+    * row count, null propagation (a null price must yield a null noised
+    * price and nothing else may), every non-null noised value inside
+    * [0, price) (sign-aware, so a jittered/negative domain still
+    * checks), and non-degeneracy: the mean noise ratio must sit in
+    * [0.45, 0.55], which a constant-0, constant-1, or unseeded-skew
+    * rand fails (±0.05 is >12σ at the smallest fixture's ~6k rows).
+    * Per-value determinism stays in SynthSpec on [[randPerturbRows]];
+    * the content-addressed deterministic twin is op_synth_noise. */
+  def opRandPerturb(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = col("l_extendedprice"); val x = col("price_noised")
+    val inBounds =
+      (p.isNotNull && x.isNotNull) &&
+        ((p >= 0 && x >= 0 && (x < p || (p === 0 && x === 0))) ||
+          (p < 0 && x <= 0 && x > p))
+    randPerturbRows(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(p.isNull, 1L).otherwise(0L)).as("n_null_price"),
+        sum(when(x.isNull, 1L).otherwise(0L)).as("n_null_noised"),
+        sum(when(inBounds, 1L).otherwise(0L)).as("n_in_bounds"),
+        when(sum(when(p.isNotNull && (p =!= 0), 1L).otherwise(0L)) === 0
+          || avg(x / p).between(0.45, 0.55), 1L).otherwise(0L)
+          .as("noise_centered"))
+  }
+
+  private[graft] val opRandPerturbSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_price,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_noised,
+      |  sum(CASE WHEN l_extendedprice IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_in_bounds,
+      |  1::BIGINT AS noise_centered
+      |FROM lineitem""".stripMargin
 
   /** Z-order (Morton) key over (o_custkey, order date) — the
     * multi-dimensional data-layout primitive: interleaving the bits of
@@ -1834,6 +1892,8 @@ object Relational {
     "op_display_format" -> (opDisplayFormat _))
 
   val oracles: Map[String, String] = Map(
+    "op_uuid_gen" -> opUuidGenSql,
+    "op_rand_perturb" -> opRandPerturbSql,
     "op_quarantine" -> opQuarantineSql,
     "op_table_stats" -> opTableStatsSql,
     "op_profile" -> opProfileSql,
