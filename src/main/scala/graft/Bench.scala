@@ -58,6 +58,49 @@ import org.apache.spark.sql.SparkSession
   * warm-up + 1 rep past 85%), so a moved line is never shipped
   * cross-pass-unconfirmed just because pass 1 ate the budget — the r9
   * driver run confirmed only 2 of 21 moved lines.
+  * Round 12 (r11 verdict item 1: wall was 91% of the driver budget on
+  * a GOOD host — one bad window re-creates the r6 rc-124 death or
+  * silently strips the falsifiability passes): pass 2's general tier
+  * previously had UNBOUNDED appetite ("re-measure expensive-first
+  * until 85% of budget"), so every protocol saving was re-spent by
+  * design and elapsed always tracked the budget. The run now has a
+  * FINITE GOAL it can complete under budget — the falsifiability
+  * contract the rounds converged on, stated directly:
+  *   (a) MACHINERY tier (pipe_* / op_stream_*: streaming/Delta
+  *       lifecycle queries that rebuild their scratch state every run
+  *       — wipe + re-stage + fresh stream/commit cycle — so a same-
+  *       pass repeat re-measures the same rebuilt fixed cost and the
+  *       session cache plays no part): pass 1 runs warm-up + ONE rep
+  *       (the warm-up doubles as the per-plan codegen compile), and
+  *       pass 2 ALWAYS adds one cross-pass confirm sample, without a
+  *       warm-up (nothing to re-warm — scratch is rebuilt inside the
+  *       run; codegen is JVM-warm from pass 1). Two cross-pass
+  *       samples beat three same-pass ones on a 2-4x-window host, at
+  *       3/4 the cost.
+  *   (b) every non-machinery ≥1 s line pass 1 degraded to a single
+  *       sample gets a fill sample (the r11 singleton rule); and pass
+  *       1 itself is PREV-INFORMED: lines the previous driver artifact
+  *       measured under 1.5 s run warm-up + 2 (their job in pass 1 is
+  *       ROUTING into the goal tiers, and two samples route
+  *       identically through the 1.5x/2 s thresholds; a line that
+  *       actually moved re-enters full scrutiny via movedLine and the
+  *       second-pass tier), while the ≥1.5 s head and unknown lines
+  *       keep warm-up + median-of-3;
+  *   (c) every non-machinery ≥2 s line gets a SECOND-PASS median
+  *       (warm-up + 1) so the adaptive pass can adjudicate it — r11
+  *       left this to the open-ended tier, which budget-skipped 177
+  *       lines and pushed the whole ≥2 s head onto pass 3;
+  *   (d) moved lines keep their reserved full-rep confirm;
+  *   (e) the adaptive third pass is unchanged.
+  * The 0.3-2 s non-machinery middle tier ships on its pass-1
+  * median-of-3 BY DESIGN (counted as `exempt`, not as budget
+  * degradation): three same-pass samples already falsify at the
+  * magnitude those lines can move. With the goal bounded, a run that
+  * meets it ENDS — budget-skip counters at zero mean goal-complete —
+  * and the default self-limit drops to 1150 s, so the consumer's
+  * 1500 s kill-timeout holds ~350 s of host-noise headroom instead of
+  * ~140 (a slow window sheds coverage at 1150 exactly as the r7
+  * degradation design intends, instead of riding to the cliff edge).
   * Round 11 (r10 verdict item 2): NO ≥1 s LINE SHIPS AS A SINGLETON.
   * When pass 1's 60%-budget degradation leaves a ≥1 s line with one
   * sample (in r10 that was the whole alphabet-tail pipe_* machinery
@@ -143,14 +186,25 @@ object Bench {
     //  - the adaptive third pass only runs inside 90% of budget.
     // Degradation counters ride in the protocol string, so a
     // degraded artifact is visibly degraded, never silently weaker.
+    // r12: default self-limit 1150 s (was 1500 — the consumer's kill
+    // timeout). With the pass-2 goal bounded, a NORMAL host window
+    // completes the full protocol at ~1100 s and the budget never
+    // engages (`goal-complete` in the protocol string); a 1.3x slow
+    // window now sheds load at 1150 instead of riding the consumer's
+    // timeout to within 140 s of death (r11 elapsed 1361/1500; r6 died
+    // at this boundary). The env override remains for dev runs.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .map(_.toDouble).getOrElse(1500.0)
+      .map(_.toDouble).getOrElse(1150.0)
     val tWall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
-    def measure(name: String, reps: Int): Seq[Double] = {
+    def measure(name: String, reps: Int, warmup: Boolean = true): Seq[Double] = {
       val fn = SparkEntry.queries(name)
       val samples = try {
-        run(fn(spark, sfDir)) // warm-up (always — r9's selective skip distorted the tail)
+        // warm-up always in pass 1 (r9's selective skip distorted the
+        // tail); pass-2 machinery fills skip it by design (r12 — see
+        // the machinery-tier scaladoc: scratch rebuilds inside the run,
+        // codegen is JVM-warm)
+        if (warmup) run(fn(spark, sfDir))
         Seq.fill(reps)(time(run(fn(spark, sfDir))))
       } catch { case _: Throwable => Seq.empty[Double] }
       // drop this query's scratch-persisted relations so their blocks
@@ -158,6 +212,12 @@ object Bench {
       graft.operators.Scratch.release()
       samples
     }
+    // MACHINERY tier (r12): streaming/Delta lifecycle queries that
+    // rebuild all scratch state per run — same-pass reps re-measure the
+    // same rebuilt fixed cost, so their second sample comes from pass 2
+    // (cross-pass, the stronger estimator on this host) at 1 rep.
+    def machinery(name: String): Boolean =
+      name.startsWith("pipe_") || name.startsWith("op_stream_")
     // Previous DRIVER artifact's full per-query map: BENCH_FULL.json as
     // committed at the last round's driver bench — read BEFORE this run
     // overwrites the file. Used to steer pass-2 budget toward lines that
@@ -192,8 +252,28 @@ object Bench {
     // reports failed for the pass, never aborts the bench)
     val cache1 = cacheMaterialize()
     var p1Short = 0
+    var p1Mach = 0
+    var p1Two = 0
     val pass1: Map[String, Seq[Double]] = names.map { name =>
-      val reps = if (elapsedSec > 0.6 * budgetSec) { p1Short += 1; 1 } else Reps
+      // r12: pass 1 is the CALIBRATED FIRST ESTIMATE that routes lines
+      // into the goal tiers; the confirmation duty lives in passes 2-3.
+      // Lines the previous DRIVER artifact measured under 1.5 s run at
+      // warm-up + 2 (two samples route identically through the 1.5x
+      // moved / 2 s second-pass thresholds; a line that actually blew
+      // up re-enters full scrutiny via movedLine + the second-pass
+      // tier + the adaptive pass). The ≥1.5 s head, new lines, and
+      // lines with no prev entry keep warm-up + median-of-3.
+      // degradation gate 50% (r12, was 60%): on a slow window pass 1
+      // must shed ITS OWN tail rather than starve the goal tiers —
+      // run 3 of the r12 rework burned to 870 s in pass 1 and lost 30
+      // fills + the whole second tier to the budget
+      val reps =
+        if (machinery(name)) { p1Mach += 1; 1 }
+        else if (elapsedSec > 0.5 * budgetSec) { p1Short += 1; 1 }
+        else prev.get(name) match {
+          case Some(p) if p >= 0 && p < 1.5 => p1Two += 1; 2
+          case _ => Reps
+        }
       name -> measure(name, reps)
     }.toMap
     // a line MOVED if its pass-1 median differs >1.5x (either direction,
@@ -205,69 +285,85 @@ object Bench {
     // regardless of what pass 1 sees — either they re-land at their old
     // level (host window confirmed) or they stay high with samples to
     // attribute. Update per round from the verdict; empty when none.
-    val confirmSeeds = Set("gr_random_walk", "gr_pagerank")
+    // r12: empty — the r11 seeds (gr_random_walk, gr_pagerank) both
+    // re-landed confirmed at the r11 driver. This round's intentional
+    // movers (the pipe_* cycle-count cuts) self-flag via the prev-
+    // artifact compare and get their full-rep confirms that way.
+    val confirmSeeds = Set.empty[String]
     def movedLine(n: String): Boolean = confirmSeeds.contains(n) || prev.get(n).exists { p =>
       val m = medianOf(pass1(n))
       m >= 0 && p > 0 &&
         math.max(m / p, p / m) > 1.5 && math.abs(m - p) > 0.3
     }
-    // r10 verdict item 2: a ≥1 s line that pass 1 degraded to a single
-    // sample must get a second sample (cross-pass, so also a second
-    // JVM/plan state) before it ships — singleton-vs-singleton
-    // cross-round comparisons are unfalsifiable on a 2-4x-swing host.
-    def singletonFill(n: String): Boolean =
-      pass1(n).size == 1 && medianOf(pass1(n)) >= 1.0 && !movedLine(n)
-    // pass 2: expensive-first, budget-gated. Sub-0.3 s lines are
-    // INELIGIBLE by design (round-8, verdict item 6): timer jitter and
-    // JVM hiccups dominate those medians, so a re-pass there buys no
-    // falsifiability while starving the 1-3 s middle tier of the budget
-    // it needs — they ship on their pass-1 median and are counted as
-    // p2small (a design choice), never as p2skip (budget degradation).
-    // Failed pass-1 queries (median -1) stay eligible for the retry.
-    val p2Eligible = names.filter { n =>
-      val m = medianOf(pass1(n)); m >= 0.3 || m < 0 || movedLine(n)
+    // r10 verdict item 2 + r12 machinery tier: a line that pass 1 left
+    // with a single sample gets a cross-pass fill sample before it
+    // ships — ALWAYS for machinery (their pass-1 rep count is 1 by
+    // design), and for any other ≥1 s line pass 1 degraded.
+    def fillLine(n: String): Boolean =
+      pass1(n).size == 1 && !movedLine(n) &&
+        (machinery(n) || medianOf(pass1(n)) >= 1.0)
+    // r12: the SECOND-PASS tier replaces the old open-ended
+    // expensive-first re-measure — every non-machinery ≥2 s line (the
+    // magnitude the adaptive pass can flag) gets a second-pass median
+    // at warm-up + 1, and failed pass-1 lines get their full-rep
+    // retry. Everything below 2 s that pass 1 measured at full reps
+    // ships on its pass-1 median BY DESIGN (`exempt` — three same-pass
+    // samples already falsify at that magnitude; sub-0.3 s lines are
+    // jitter-dominated, r8 item 6). This is the whole goal: a run
+    // that covers moved + fill + second-pass has MET the protocol and
+    // ends, leaving the budget gap as host-noise headroom.
+    def secondPassLine(n: String): Boolean = {
+      val m = medianOf(pass1(n))
+      !machinery(n) && !movedLine(n) && !fillLine(n) && (m >= 2.0 || m < 0)
     }
-    val p2Small = names.size - p2Eligible.size
+    val p2Eligible = names.filter(n => movedLine(n) || fillLine(n) || secondPassLine(n))
+    val p2Exempt = names.size - p2Eligible.size
     val movedLines = p2Eligible.filter(movedLine)
-    val fillLines = p2Eligible.filter(singletonFill)
+    val fillLines = p2Eligible.filter(fillLine)
+    val secondLines = p2Eligible.filter(secondPassLine)
     val cache2 = cacheMaterialize()
     var p2Skipped = 0
     var p2OneRep = 0
     val pass2: Map[String, Seq[Double]] =
-      // MOVED lines first (they are the cross-round findings pass 2
-      // exists to confirm or kill), then SINGLETON-FILL lines (≥1 s
-      // lines pass 1 left with one sample — r11, r10 item 2: they must
-      // not ship unfalsifiable), then expensive-first as before
+      // FILL lines first (r12 reorder: no singleton may ship — that is
+      // the falsifiability FLOOR, and at ~1 rep each the whole tier
+      // costs less than three moved confirms), then MOVED lines (the
+      // cross-round findings pass 2 exists to confirm or kill), then
+      // the second-pass tier, expensive-first
       p2Eligible.sortBy(n =>
-        (!movedLine(n), !singletonFill(n), -medianOf(pass1(n)))).flatMap { name =>
+        (!fillLine(n), !movedLine(n), -medianOf(pass1(n)))).flatMap { name =>
         val moved = movedLine(name)
-        val fill = singletonFill(name)
+        val fill = fillLine(name)
         // RESERVED confirm slot for moved lines (round-10, r9 item 5):
-        // the 85% gate closed pass 2 after 2 of 21 moved lines at the
-        // r9 driver — a moved line with no second pass is exactly the
-        // unfalsifiable regression this pass exists to kill. Moved
-        // lines keep measuring until 95% of budget, degrading to
-        // warm-up + 1 rep past 85% (one confirm sample beats none).
-        // Singleton-fill lines share the 95% gate (their one extra
-        // sample IS the point), always at 1 rep.
-        val gate = if (moved || fill) 0.95 else 0.85
+        // moved + fill lines keep measuring until 95% of budget (their
+        // one sample IS the point); the second-pass tier stops at 92%
+        // (r12: with the goal bounded the %-gates are safety rails, not
+        // schedulers — on a normal window every tier completes well
+        // before them; see the pass-3 gate note below).
+        val gate = if (moved || fill) 0.95 else 0.92
         if (elapsedSec > gate * budgetSec) { p2Skipped += 1; None }
         else {
-          // ≥2 s lines (the ones the adaptive pass can flag) and moved
-          // lines get the full warmup+median-of-3; singleton-fill and
-          // the rest of the 0.3-2 s middle tier get warmup+1 — a
-          // cross-pass confirmation sample at half the cost (r8 item 6)
           val m1 = medianOf(pass1(name))
           val reps =
             if (fill) { p2OneRep += 1; 1 }
+            // a MACHINERY moved line confirms with one clean steady
+            // sample (r12): same-pass reps would re-measure the same
+            // rebuilt scratch lifecycle, and the cross-pass pair
+            // (pass-1 sample + this) is the estimator that matters
+            else if (moved && machinery(name)) { p2OneRep += 1; 1 }
             else if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
-            else if (m1 >= 2.0 || m1 < 0 || moved) Reps
-            else { p2OneRep += 1; 1 }
-          Some(name -> measure(name, reps))
+            else if (moved || m1 < 0) Reps // full confirm / failed retry
+            else { p2OneRep += 1; 1 } // second-pass tier: warm-up + 1
+          // machinery fills/confirms skip the warm-up (scratch rebuilds
+          // inside the run; codegen is JVM-warm from pass 1) — their
+          // sample is a clean steady-state run at half the cost
+          Some(name -> measure(name, reps,
+            warmup = !((fill || moved) && machinery(name))))
         }
       }.toMap
     val movedCovered = movedLines.count(pass2.contains)
     val fillCovered = fillLines.count(pass2.contains)
+    val secondCovered = secondLines.count(pass2.contains)
     val passes: Seq[(Double, Map[String, Seq[Double]])] =
       Seq((cache1, pass1), (cache2, pass2))
     // Locale.ROOT: a de_DE/fr_FR default locale would print "0,1234"
@@ -300,8 +396,13 @@ object Bench {
     // warm conditions as pass 2.
     val flagged = flaggedIn(basePassMedians)
     var p3Skipped = 0
+    // gate 97% (r12, was 90%): the adaptive pass is the LAST adjudicator
+    // for ≥2 s disagreements — on a slow window it should run into the
+    // final budget slice rather than vanish while pass 2's cheaper
+    // tiers consumed its slot (run 2 of the r12 rework lost all 19
+    // flagged lines to the old 90% gate).
     val thirdSamples: Map[String, Seq[Double]] = flagged.flatMap { n =>
-      if (elapsedSec > 0.9 * budgetSec) { p3Skipped += 1; None }
+      if (elapsedSec > 0.97 * budgetSec) { p3Skipped += 1; None }
       else Some(n -> measure(n, Reps))
     }.toMap
     val passMedians: Seq[(String, Seq[Double])] = basePassMedians.map { case (n, ms) =>
@@ -349,15 +450,18 @@ object Bench {
     // only recoverable from the degraded counters). Each pass states
     // how many queries it actually covered.
     val protocol =
-      s"pass1=${names.size}q(warmup+median-of-$Reps" +
+      s"pass1=${names.size}q(warmup+median-of-$Reps;$p1Mach-mach@1rep" +
+      (if (p1Two > 0) s";$p1Two-prevsmall@2rep" else "") +
       (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
-      s"pass2=${pass2.size}q-of-${p2Eligible.size}eligible" +
+      s"pass2=${pass2.size}q-of-${p2Eligible.size}goal" +
       s"(moved:$movedCovered-of-${movedLines.size}" +
       s"[seeded:${confirmSeeds.size}]," +
-      s"singleton-fill:$fillCovered-of-${fillLines.size}," +
-      s"small-skip:$p2Small,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
+      s"fill:$fillCovered-of-${fillLines.size}," +
+      s"second:$secondCovered-of-${secondLines.size}," +
+      s"exempt:$p2Exempt,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
       s"pass3=${thirdSamples.size}q-of-${flagged.size}flagged(budget-skip:$p3Skipped);" +
       s"reported=min-of-pass-medians;" +
+      (if (p2Skipped == 0 && p3Skipped == 0) "goal-complete;" else "") +
       s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s"
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"xrun_ratios":$ratiosJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")

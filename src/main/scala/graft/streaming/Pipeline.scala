@@ -77,8 +77,13 @@ object Pipeline {
     // second cycle: facts grow, the static dim is skipped (T5)
     Synthesize.cycle(spark, sfDir, staging, tables, batchId = 1, nBatches = 2)
     Ingest.drainAll(spark, staging, tables, ckpt, schemas)
-    // third drain with nothing staged: the idempotent no-op (T3/T5)
-    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    // third drain with nothing staged: the idempotent no-op (T3/T5).
+    // The no-op property is per-stream and the three streams are the
+    // same machinery, so ONE table's no-op drain proves it (r12,
+    // bench-budget item: was all three — two stream lifecycles of pure
+    // fixed cost per run)
+    Ingest.drainAll(spark, staging, tables, ckpt,
+      Map("orders" -> Schemas.stagedOrders))
 
     val ord = spark.read.parquet(s"$tables/orders")
     val li = spark.read.parquet(s"$tables/lineitem")
@@ -190,9 +195,11 @@ object Pipeline {
     * reruns the whole reduction daily): a Q1-style pricing summary kept
     * up to date batch-by-batch as data arrives, never rescanning history.
     *
-    * Mechanics: the lineitem fixture is staged as 4 disjoint source
-    * files; a file stream with `maxFilesPerTrigger=1` drains them as 4
-    * micro-batches under `Trigger.AvailableNow`; `foreachBatch` computes
+    * Mechanics: the lineitem fixture is staged as 3 disjoint source
+    * files (r12: was 4 — init + merge + re-merge is the minimal
+    * convergence proof); a file stream with `maxFilesPerTrigger=1`
+    * drains them as 3 micro-batches under `Trigger.AvailableNow`;
+    * `foreachBatch` computes
     * the BATCH-LOCAL partial aggregate (integer cents, so the merge is
     * exact and commutative — batch arrival order cannot matter) and
     * merges it into the running result via full-outer-join + add,
@@ -201,7 +208,7 @@ object Pipeline {
     * version rather than double-counting (exactly-once on top of
     * at-least-once delivery).
     *
-    * The output pins `n_batches = 4`: if the source coalesced files
+    * The output pins `n_batches = 3`: if the source coalesced files
     * into fewer batches (i.e. the computation silently degenerated to
     * a full recompute) the oracle compare fails loudly. The oracle
     * recomputes the same summary from the fixture in one statement —
@@ -212,16 +219,16 @@ object Pipeline {
     wipe(spark, base)
     val src = s"$base/src"
     val res = s"$base/res"
-    // Scratch-persisted: the 4 staged slices would otherwise each
-    // re-scan and re-project the full lineitem (4 scans; cached, the
-    // three later writes read executor memory).
+    // Scratch-persisted: the 3 staged slices would otherwise each
+    // re-scan and re-project the full lineitem (3 scans; cached, the
+    // two later writes read executor memory).
     val li = graft.operators.Scratch.persist(Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_linestatus"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"),
         round(col("l_extendedprice") * 100).cast("long").as("price_c"),
         col("l_orderkey")))
-    (0 until 4).foreach { b =>
-      li.filter(col("l_orderkey") % 4 === b).coalesce(1)
+    (0 until 3).foreach { b =>
+      li.filter(col("l_orderkey") % 3 === b).coalesce(1)
         .write.mode("append").parquet(src)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -275,7 +282,7 @@ object Pipeline {
     """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
       |  sum(round(l_quantity * 100)::BIGINT)::BIGINT / 100.0 AS sum_qty,
       |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT / 100.0 AS sum_base_price,
-      |  4::BIGINT AS n_batches
+      |  3::BIGINT AS n_batches
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -409,8 +416,10 @@ object Pipeline {
     val src = s"$base/src"
     val tbl = s"$base/orders"
     val ord = Tables.orders(spark, sfDir)
-    (0 until 4).foreach { b =>
-      ord.filter(col("o_orderkey") % 4 === b).coalesce(1)
+    // three source files -> three micro-batches per run (r12: was 4;
+    // replay idempotence needs >1 batch, not any particular count)
+    (0 until 3).foreach { b =>
+      ord.filter(col("o_orderkey") % 3 === b).coalesce(1)
         .write.mode("append").parquet(src)
     }
     def runStream(ckpt: String): Unit = {
@@ -442,7 +451,7 @@ object Pipeline {
     s"""SELECT count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
-       |  2::BIGINT AS n_files, 3::BIGINT AS last_batch
+       |  2::BIGINT AS n_files, 2::BIGINT AS last_batch
        |FROM orders""".stripMargin
 
   /** MANIFEST-LEVEL DATA SKIPPING, proven as an oracle query: four
@@ -1505,16 +1514,23 @@ object Pipeline {
     wipe(spark, base)
     val tbl = s"$base/orders"
     // the checkpoint/replay/cleanup machinery under test is column-count
-    // independent; carry only the two checksummed columns so the 12
-    // commit cycles don't pay 3x the write volume for nothing
+    // independent; carry only the two checksummed columns so the commit
+    // cycles don't pay 3x the write volume for nothing. Six commits at
+    // checkpointEvery=4 (r12, bench-budget item: was 12 at the protocol
+    // default of 10 — every semantic is cadence-independent) still cover
+    // the full lifecycle: checkpoint lands at v3, the duplicate batch's
+    // txn marker (batch 2, committed BEFORE the checkpoint) must be
+    // carried THROUGH the checkpoint to be seen, cleanup retires v0-v2,
+    // and the table reads both at v3 (parquet state alone) and at v5
+    // (checkpoint + 2-commit tail).
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
-    (0 until 12).foreach { i =>
+    (0 until 6).foreach { i =>
       DeltaLog.appendBatch(spark, tbl, "ckpt-sink", i.toLong,
-        ord.filter(col("o_orderkey") % 12 === i).repartition(1))
+        ord.filter(col("o_orderkey") % 6 === i).repartition(1), checkpointEvery = 4)
     }
     val ckptV = DeltaLog.checkpointVersions(spark, tbl).last
-    val dupSkipped = !DeltaLog.appendBatch(spark, tbl, "ckpt-sink", 5L,
-      ord.filter(col("o_orderkey") % 12 === 5).repartition(1))
+    val dupSkipped = !DeltaLog.appendBatch(spark, tbl, "ckpt-sink", 2L,
+      ord.filter(col("o_orderkey") % 6 === 2).repartition(1), checkpointEvery = 4)
     DeltaLog.cleanupLog(spark, tbl)
     def summary(v: Long): DataFrame =
       DeltaLog.read(spark, tbl, v)
@@ -1529,27 +1545,27 @@ object Pipeline {
   }
 
   private val pipeDeltaCheckpointSql: String =
-    s"""SELECT 9::BIGINT AS version, count(*) AS n_rows,
+    s"""SELECT 3::BIGINT AS version, count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
-       |  9::BIGINT AS ckpt_version, 1::BIGINT AS dup_skipped
-       |FROM orders WHERE o_orderkey % 12 <= 9
+       |  3::BIGINT AS ckpt_version, 1::BIGINT AS dup_skipped
+       |FROM orders WHERE o_orderkey % 6 <= 3
        |UNION ALL
-       |SELECT 11::BIGINT, count(*),
+       |SELECT 5::BIGINT, count(*),
        |  sum(o_orderkey % $P)::BIGINT,
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT,
-       |  9::BIGINT, 1::BIGINT
+       |  3::BIGINT, 1::BIGINT
        |FROM orders
        |ORDER BY version""".stripMargin
 
   /** DELTA MAINTENANCE LIFECYCLE ([[DeltaLog.optimize]] /
     * [[DeltaLog.vacuum]]): the reference compacts and vacuums its Delta
     * tables on every cycle (reference pipeline/preprocess.py:74-75);
-    * this is that cycle in the public format. Eight small appends
-    * fragment the table; OPTIMIZE bin-packs the 8 live files into 2
+    * this is that cycle in the public format. Six small appends
+    * fragment the table; OPTIMIZE bin-packs the 6 live files into 2
     * with a dataChange=false commit (content provably unchanged — the
     * oracle hashes it); VACUUM at zero retention physically reclaims
-    * the 8 tombstoned originals, leaving exactly the 2 optimized files
+    * the 6 tombstoned originals, leaving exactly the 2 optimized files
     * on disk. The result exposes live-file AND disk-file counts, so a
     * vacuum that deleted a live file (content loss) or kept tombstones
     * (no reclamation) both fail the gate.
@@ -1563,8 +1579,10 @@ object Pipeline {
     wipe(spark, base)
     val tbl = s"$base/orders"
     val ord = Tables.orders(spark, sfDir)
-    (0 until 8).foreach { i =>
-      DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 8 === i).repartition(1))
+    // six fragmenting appends (r12: was 8 — the bin-pack/vacuum
+    // semantics are file-count independent above targetFiles)
+    (0 until 6).foreach { i =>
+      DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 6 === i).repartition(1))
     }
     val (nIn, nOut) = DeltaLog.optimize(spark, tbl, targetFiles = 2)
     val nVacuumed = DeltaLog.vacuum(spark, tbl, retentionMs = 0L)
@@ -1584,8 +1602,8 @@ object Pipeline {
     s"""SELECT count(*) AS n_rows,
        |  sum(o_orderkey % $P)::BIGINT AS key_check,
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
-       |  8::BIGINT AS files_before, 2::BIGINT AS files_after,
-       |  8::BIGINT AS files_vacuumed, 2::BIGINT AS files_on_disk
+       |  6::BIGINT AS files_before, 2::BIGINT AS files_after,
+       |  6::BIGINT AS files_vacuumed, 2::BIGINT AS files_on_disk
        |FROM orders""".stripMargin
 
   /** From-scratch generation (S1): 10k-row orders-shaped table from
