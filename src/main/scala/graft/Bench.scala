@@ -81,15 +81,17 @@ import org.apache.spark.sql.SparkSession
   *       sample gets a fill sample (the r11 singleton rule); and pass
   *       1 itself is PREV-INFORMED: lines the previous driver artifact
   *       measured under 1.5 s run warm-up + 2 (their job in pass 1 is
-  *       ROUTING into the goal tiers, and two samples route
-  *       identically through the 1.5x/2 s thresholds; a line that
-  *       actually moved re-enters full scrutiny via movedLine and the
-  *       second-pass tier), while the ≥1.5 s head and unknown lines
-  *       keep warm-up + median-of-3;
-  *   (c) every non-machinery ≥2 s line gets a SECOND-PASS median
-  *       (warm-up + 1) so the adaptive pass can adjudicate it — r11
-  *       left this to the open-ended tier, which budget-skipped 177
-  *       lines and pushed the whole ≥2 s head onto pass 3;
+  *       ROUTING into the goal tiers, and two samples is also the
+  *       FLOOR for flagging a cross-round move — a 1-sample median vs
+  *       a 3-sample prev mints phantom moves wholesale on a bad
+  *       window), while the ≥1.5 s head and unknown lines keep
+  *       warm-up + median-of-3;
+  *   (c) every non-machinery ≥2 s line gets a SECOND-PASS median (one
+  *       clean no-warm-up rep: by pass 2 codegen is compiled and
+  *       caches are hot, so the sample's bias is far below the 1.25x
+  *       confirm threshold) so the adaptive pass can adjudicate it —
+  *       r11 left this to the open-ended tier, which budget-skipped
+  *       177 lines and pushed the whole ≥2 s head onto pass 3;
   *   (d) moved lines keep their reserved full-rep confirm;
   *   (e) the adaptive third pass is unchanged.
   * The 0.3-2 s non-machinery middle tier ships on its pass-1
@@ -254,6 +256,7 @@ object Bench {
     var p1Short = 0
     var p1Mach = 0
     var p1Two = 0
+    var p1NoWarm = 0
     val pass1: Map[String, Seq[Double]] = names.map { name =>
       // r12: pass 1 is the CALIBRATED FIRST ESTIMATE that routes lines
       // into the goal tiers; the confirmation duty lives in passes 2-3.
@@ -266,15 +269,29 @@ object Bench {
       // degradation gate 50% (r12, was 60%): on a slow window pass 1
       // must shed ITS OWN tail rather than starve the goal tiers —
       // run 3 of the r12 rework burned to 870 s in pass 1 and lost 30
-      // fills + the whole second tier to the budget
+      // fills + the whole second tier to the budget. Prev-small lines
+      // at warm-up + 2, NOT + 1: run 6 of the rework measured the
+      // single-sample variant minting 29 phantom moved lines on a bad
+      // window (the r10 singleton disease) — two samples is the floor
+      // for any line allowed to flag a cross-round move.
+      // LAST-RESORT survival gate (r12, run 7: a 1.5x window pushed
+      // pass 1 alone to 1263 s — a 2x window would cross the
+      // consumer's kill line): past 85% of budget the remaining pass-1
+      // lines run ONE un-warmed execution. The sample is biased high
+      // by first-execution codegen (the measured r9 effect) — but it
+      // is visibly counted (p1NoWarm), excluded from move-flagging by
+      // the ≥2-sample rule, and an alive artifact with a biased tail
+      // beats a dead one (r6).
+      val noWarm = elapsedSec > 0.85 * budgetSec
+      if (noWarm) p1NoWarm += 1
       val reps =
         if (machinery(name)) { p1Mach += 1; 1 }
-        else if (elapsedSec > 0.5 * budgetSec) { p1Short += 1; 1 }
+        else if (noWarm || elapsedSec > 0.5 * budgetSec) { p1Short += 1; 1 }
         else prev.get(name) match {
           case Some(p) if p >= 0 && p < 1.5 => p1Two += 1; 2
           case _ => Reps
         }
-      name -> measure(name, reps)
+      name -> measure(name, reps, warmup = !noWarm)
     }.toMap
     // a line MOVED if its pass-1 median differs >1.5x (either direction,
     // >0.3 s absolute) from the previous driver artifact — these get
@@ -290,11 +307,21 @@ object Bench {
     // movers (the pipe_* cycle-count cuts) self-flag via the prev-
     // artifact compare and get their full-rep confirms that way.
     val confirmSeeds = Set.empty[String]
-    def movedLine(n: String): Boolean = confirmSeeds.contains(n) || prev.get(n).exists { p =>
-      val m = medianOf(pass1(n))
-      m >= 0 && p > 0 &&
-        math.max(m / p, p / m) > 1.5 && math.abs(m - p) > 0.3
-    }
+    // r12: only lines with ≥2 pass-1 samples may flag a move — run 6
+    // of the rework proved a 1-sample median vs a 3-sample prev mints
+    // phantom moves wholesale on a bad window (29 flagged at once).
+    // Machinery lines are excluded too: their pass-1 count is 1 by
+    // design, their cross-pass (pass-1, fill) pair is the estimator,
+    // and cross-round attribution for them is tools/bench_compare.py's
+    // job with its noise labels. A degraded ≥1 s line that truly
+    // jumped still surfaces through the fill rule this round and flags
+    // as moved next round (when its prev entry reflects the jump).
+    def movedLine(n: String): Boolean = confirmSeeds.contains(n) ||
+      (!machinery(n) && pass1(n).size >= 2 && prev.get(n).exists { p =>
+        val m = medianOf(pass1(n))
+        m >= 0 && p > 0 &&
+          math.max(m / p, p / m) > 1.5 && math.abs(m - p) > 0.3
+      })
     // r10 verdict item 2 + r12 machinery tier: a line that pass 1 left
     // with a single sample gets a cross-pass fill sample before it
     // ships — ALWAYS for machinery (their pass-1 rep count is 1 by
@@ -353,12 +380,17 @@ object Bench {
             else if (moved && machinery(name)) { p2OneRep += 1; 1 }
             else if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
             else if (moved || m1 < 0) Reps // full confirm / failed retry
-            else { p2OneRep += 1; 1 } // second-pass tier: warm-up + 1
-          // machinery fills/confirms skip the warm-up (scratch rebuilds
-          // inside the run; codegen is JVM-warm from pass 1) — their
-          // sample is a clean steady-state run at half the cost
+            else { p2OneRep += 1; 1 } // second-pass tier: 1 clean rep
+          // machinery fills/confirms AND second-pass samples skip the
+          // warm-up: by pass 2 every plan's codegen is compiled (the
+          // r9-measured no-warmup inflation was pass-1 FIRST-execution
+          // compile cost on sub-0.3 s lines), session caches are
+          // materialized, and a ≤10% first-sample bias on a ≥2 s line
+          // sits far below the 1.25x confirm threshold — pass 3 remains
+          // the full warm-up + median-of-3 adjudicator for disagreements
+          val secondTier = !fill && !moved && m1 >= 0
           Some(name -> measure(name, reps,
-            warmup = !((fill || moved) && machinery(name))))
+            warmup = !(((fill || moved) && machinery(name)) || secondTier)))
         }
       }.toMap
     val movedCovered = movedLines.count(pass2.contains)
@@ -452,7 +484,8 @@ object Bench {
     val protocol =
       s"pass1=${names.size}q(warmup+median-of-$Reps;$p1Mach-mach@1rep" +
       (if (p1Two > 0) s";$p1Two-prevsmall@2rep" else "") +
-      (if (p1Short > 0) s";$p1Short@1rep" else "") + ");" +
+      (if (p1Short > 0) s";$p1Short@1rep" else "") +
+      (if (p1NoWarm > 0) s";$p1NoWarm-nowarm" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}goal" +
       s"(moved:$movedCovered-of-${movedLines.size}" +
       s"[seeded:${confirmSeeds.size}]," +
