@@ -341,7 +341,11 @@ object Bench {
     // ends, leaving the budget gap as host-noise headroom.
     def secondPassLine(n: String): Boolean = {
       val m = medianOf(pass1(n))
-      !machinery(n) && !movedLine(n) && !fillLine(n) && (m >= 2.0 || m < 0)
+      // m < 0 (a pass-1 throw) gets the full-rep retry REGARDLESS of
+      // tier — a failed machinery line has zero samples, so neither
+      // the fill rule (exactly 1) nor the machinery exclusion may
+      // strand it as an unretried -1
+      !movedLine(n) && !fillLine(n) && ((!machinery(n) && m >= 2.0) || m < 0)
     }
     val p2Eligible = names.filter(n => movedLine(n) || fillLine(n) || secondPassLine(n))
     val p2Exempt = names.size - p2Eligible.size
