@@ -16,10 +16,13 @@ import graft.sources.Tables
   * grammar with comments, chunk walking with odd-size padding,
   * little-endian signed samples), [[decodeFeatures]] dispatches on the
   * magic bytes, and the oracled [[mmDecode]] entry verifies decoded
-  * content against DuckDB's independent recomputation. Compressed
-  * formats (JPEG/FLAC/H.264) would slot into the same
-  * [[decodeFeatures]] dispatch without changing any plan shape;
-  * [[stubDecode]] remains only as the unknown-format fallback.
+  * content against DuckDB's independent recomputation. Since r13 the
+  * dispatch also covers a COMPRESSED format: [[parsePng]] is a real PNG
+  * decoder (crc'd chunk walk, java.util.zip zlib inflate, all five
+  * scanline filters), oracled by [[mmDecodePng]]. Other compressed
+  * formats (JPEG/FLAC/H.264) would slot into the same dispatch without
+  * changing any plan shape; [[stubDecode]] remains as the
+  * unknown-format / corrupt-input fallback (see [[extractFeatures]]).
   *
   * Scale: per-row projection and a generate (explode) — no shuffles at
   * all; media bytes stay columnar in parquet and are never collected.
@@ -137,18 +140,25 @@ object Multimodal {
       }
       require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
         s"ppm: expected digit at offset $pos")
-      var v = 0
+      // Accumulate in Long: `v * 10 + digit` in Int wraps on adversarial
+      // headers, and a wrapped-but-positive value that happens to match
+      // the payload length would accept garbage dimensions.
+      var v = 0L
+      var digits = 0
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
-        v = v * 10 + (bytes(pos) - '0'); pos += 1
+        v = v * 10 + (bytes(pos) - '0'); digits += 1; pos += 1
+        require(digits <= 9, "ppm: integer token too long")
       }
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val mv = nextInt()
     require(w > 0 && h > 0, s"ppm: bad dimensions ${w}x$h")
     require(mv > 0 && mv < 65536, s"ppm: bad maxval $mv")
     require(pos < bytes.length && isWs(bytes(pos)), "ppm: missing separator after maxval")
     pos += 1 // exactly ONE whitespace byte before the raster, per spec
-    val n = w * h * 3 * (if (mv < 256) 1 else 2)
+    val n64 = w.toLong * h * 3 * (if (mv < 256) 1 else 2)
+    require(n64 < Int.MaxValue, s"ppm: raster size $n64 overflows")
+    val n = n64.toInt
     require(bytes.length - pos == n,
       s"ppm: raster is ${bytes.length - pos} bytes, expected $n")
     PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
@@ -175,9 +185,15 @@ object Multimodal {
     var rate = -1; var ch = -1; var bits = -1
     var samples: Array[Short] = null
     while (pos + 8 <= bytes.length) {
-      val id = fourcc(pos); val size = u32(pos + 4).toInt
+      val id = fourcc(pos)
+      // Validate the declared size UNSIGNED before any Int truncation: a
+      // size >= 2^31 truncated to a negative Int passes `body + size <=
+      // length` and can move `pos` backward (size == -8 leaves it fixed),
+      // hanging the executor on corrupt input instead of rejecting it.
+      val size64 = u32(pos + 4)
       val body = pos + 8
-      require(body + size <= bytes.length, s"wav: chunk '$id' overruns file")
+      require(body.toLong + size64 <= bytes.length, s"wav: chunk '$id' overruns file")
+      val size = size64.toInt
       if (id == "fmt ") {
         require(size >= 16 && u16(body) == 1, "wav: not integer PCM")
         ch = u16(body + 2); rate = u32(body + 4).toInt; bits = u16(body + 14)
@@ -211,27 +227,163 @@ object Multimodal {
   /** Magic-byte dispatch to the real decoders: 8-dim features from
     * decoded CONTENT (dims/rate + per-channel sums), not raw bytes.
     * PPM → [w, h, maxval, ΣR, ΣG, ΣB, n_pixels, 0];
+    * PNG → [w, h, bit_depth, color_type, Σpixels, n_pixels, 0, 0];
     * WAV → [rate, channels, bits, n_samples, Σ|s|, Σs, 0, 0];
-    * anything else → [[stubDecode]]. */
+    * anything else → [[stubDecode]].
+    *
+    * Corrupt-input policy: a blob that merely STARTS with a known magic
+    * (text beginning "P6", a truncated RIFF) must not fail the whole
+    * Spark job — the parsers' rejections are caught here and the row
+    * degrades to the [[stubDecode]] byte-hash features, so one bad lake
+    * object costs one garbage feature vector, not the pipeline. Callers
+    * that want hard-fail semantics (the oracled [[mmDecode]] over
+    * self-synthesized bytes) call the parsers directly. */
   def extractFeatures(bytes: Array[Byte]): Array[Float] =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
-      val img = parsePpm(bytes)
-      var r = 0L; var g = 0L; var b = 0L
-      var i = 0
-      while (i + 2 < img.pixels.length) {
-        r += img.pixels(i) & 0xff; g += img.pixels(i + 1) & 0xff
-        b += img.pixels(i + 2) & 0xff; i += 3
+    try {
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+        val img = parsePpm(bytes)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i + 2 < img.pixels.length) {
+          r += img.pixels(i) & 0xff; g += img.pixels(i + 1) & 0xff
+          b += img.pixels(i + 2) & 0xff; i += 3
+        }
+        Array(img.width.toFloat, img.height.toFloat, img.maxval.toFloat,
+          r.toFloat, g.toFloat, b.toFloat, (img.width * img.height).toFloat, 0f)
+      } else if (bytes.length >= 8 && isPngMagic(bytes)) {
+        val img = parsePng(bytes)
+        var s = 0L
+        img.pixels.foreach(b => s += (b & 0xff))
+        Array(img.width.toFloat, img.height.toFloat, img.bitDepth.toFloat,
+          img.colorType.toFloat, s.toFloat, (img.width * img.height).toFloat, 0f, 0f)
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') {
+        val a = parseWav(bytes)
+        var abs = 0L; var sum = 0L
+        a.samples.foreach { s => abs += math.abs(s.toLong); sum += s.toLong }
+        Array(a.sampleRate.toFloat, a.nChannels.toFloat, a.bitsPerSample.toFloat,
+          a.samples.length.toFloat, abs.toFloat, sum.toFloat, 0f, 0f)
+      } else stubDecode(bytes)
+    } catch {
+      case _: IllegalArgumentException => stubDecode(bytes)
+    }
+
+  // ----- PNG: the first COMPRESSED codec in the dispatch (r12 verdict
+  // ----- item 4) — zlib inflate via java.util.zip, pure JVM ------------
+
+  /** Decoded PNG: IHDR fields + fully-defiltered raw sample bytes
+    * (RGB triplets for color type 2, single bytes for grayscale 0). */
+  case class PngImage(width: Int, height: Int, bitDepth: Int, colorType: Int,
+                      pixels: Array[Byte])
+
+  private val PngSig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def isPngMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i))
+
+  /** PNG parser — the real format end to end, pure JVM: 8-byte
+    * signature; big-endian `(len, fourcc, payload, crc32)` chunks with
+    * EVERY crc verified (java.util.zip.CRC32 over type+payload, the
+    * public polynomial); IHDR grammar (8-bit depth, color type 0/2,
+    * deflate compression, no interlace); all IDAT payloads concatenated
+    * into ONE zlib stream (chunk boundaries are arbitrary, per spec) and
+    * inflated with java.util.zip.Inflater; then per-scanline defiltering
+    * of all five filter types — None/Sub/Up/Average/Paeth, including
+    * Paeth's exact tie-breaking order and Average's floor of the
+    * left/up mean. Truncated streams, bad crcs, unknown filters, and
+    * inflated sizes that disagree with the IHDR dims are all rejected —
+    * the same corrupt-lake-object contract as [[parsePpm]]/[[parseWav]].
+    * Ancillary chunks (tEXt, pHYs, ...) are skipped like WAV's LIST. */
+  def parsePng(bytes: Array[Byte]): PngImage = {
+    require(isPngMagic(bytes), "not a png")
+    def be32(p: Int): Long =
+      (bytes(p) & 0xffL) << 24 | (bytes(p + 1) & 0xffL) << 16 |
+        (bytes(p + 2) & 0xffL) << 8 | (bytes(p + 3) & 0xffL)
+    def fourcc(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    var pos = 8
+    var w = -1; var h = -1; var depth = -1; var ctype = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= bytes.length) {
+      val size64 = be32(pos) // validate unsigned before truncation, as in parseWav
+      val id = fourcc(pos + 4)
+      val body = pos + 8
+      require(body.toLong + size64 + 4 <= bytes.length, s"png: chunk '$id' overruns file")
+      val size = size64.toInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + size)
+      require(crc.getValue == be32(body + size), s"png: bad crc on chunk '$id'")
+      id match {
+        case "IHDR" =>
+          require(size == 13, "png: IHDR must be 13 bytes")
+          w = be32(body).toInt; h = be32(body + 4).toInt
+          depth = bytes(body + 8) & 0xff; ctype = bytes(body + 9) & 0xff
+          require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+            s"png: bad dimensions ${w}x$h")
+          require(depth == 8, s"png: only 8-bit depth supported, got $depth")
+          require(ctype == 0 || ctype == 2, s"png: only gray/rgb supported, got $ctype")
+          require((bytes(body + 10) & 0xff) == 0, "png: unknown compression method")
+          require((bytes(body + 11) & 0xff) == 0, "png: unknown filter method")
+          require((bytes(body + 12) & 0xff) == 0, "png: interlace not supported")
+        case "IDAT" =>
+          require(w > 0, "png: IDAT before IHDR")
+          idat.write(bytes, body, size)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks (tEXt, pHYs, gAMA, ...) skipped
       }
-      Array(img.width.toFloat, img.height.toFloat, img.maxval.toFloat,
-        r.toFloat, g.toFloat, b.toFloat, (img.width * img.height).toFloat, 0f)
-    } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
-      bytes(2) == 'F' && bytes(3) == 'F') {
-      val a = parseWav(bytes)
-      var abs = 0L; var sum = 0L
-      a.samples.foreach { s => abs += math.abs(s.toLong); sum += s.toLong }
-      Array(a.sampleRate.toFloat, a.nChannels.toFloat, a.bitsPerSample.toFloat,
-        a.samples.length.toFloat, abs.toFloat, sum.toFloat, 0f, 0f)
-    } else stubDecode(bytes)
+      pos = body + size + 4
+    }
+    require(sawEnd, "png: missing IEND")
+    require(idat.size > 0, "png: missing IDAT")
+    val bpp = if (ctype == 2) 3 else 1 // bytes per pixel at depth 8
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per scanline
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || inf.finished(), "png: truncated or stalled zlib stream")
+        got += n
+      }
+      require(got == raw.length && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0),
+        s"png: inflated $got bytes, expected ${raw.length}")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"png: corrupt zlib stream: ${e.getMessage}")
+    } finally inf.end()
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val rowIn = y * (stride + 1)
+      val rowOut = y * stride
+      val filter = raw(rowIn) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + 1 + x) & 0xff
+        val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth: closest of left/up/upLeft to p, ties left>up>upLeft
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case f => throw new IllegalArgumentException(s"png: unknown filter $f on row $y")
+        }
+        out(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, depth, ctype, out)
+  }
 
   /** Partition-parallel batch decode over binary media columns: the Spark
     * plumbing (typed Dataset, per-partition iteration, no driver
@@ -281,6 +433,77 @@ object Multimodal {
       bb.putShort(((docId * 31 + i.toLong * 17) % 4001 - 2000).toShort); i += 1
     }
     out
+  }
+
+  /** Deterministic RGB-8 PNG writer (content-addressed: sample byte j of
+    * doc d is `(d*11 + j*19) % 251`), with scanline y FILTERED with type
+    * `y % 5` — so one image exercises None, Sub, Up, Average, AND Paeth,
+    * and a decoder that mis-inverts any filter (or mis-handles Paeth's
+    * tie order / Average's floor) shifts the decoded content sum. The
+    * zlib stream comes from java.util.zip.Deflater; chunk crcs from
+    * java.util.zip.CRC32. The IDAT payload is split in two chunks when
+    * possible, pinning the concatenate-before-inflate requirement. */
+  def synthPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val pix = new Array[Byte](stride * h)
+    var j = 0
+    while (j < pix.length) { pix(j) = ((docId * 11 + j.toLong * 19) % 251).toByte; j += 1 }
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pix(y * stride + x) & 0xff
+        val left = if (x >= 3) pix(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= 3) pix((y - 1) * stride + x - 3) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zlen = 0
+    while (!defl.finished()) zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(b => out.write(b))
+    def chunk(id: String, payload: Array[Byte], off: Int, len: Int): Unit = {
+      def be32(v: Long): Unit = { out.write((v >> 24).toInt & 0xff)
+        out.write((v >> 16).toInt & 0xff); out.write((v >> 8).toInt & 0xff)
+        out.write(v.toInt & 0xff) }
+      be32(len.toLong)
+      val tag = id.getBytes("US-ASCII")
+      out.write(tag, 0, 4)
+      out.write(payload, off, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag, 0, 4); crc.update(payload, off, len)
+      be32(crc.getValue)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr, 0, 13)
+    val split = if (zlen > 1) zlen / 2 else zlen
+    chunk("IDAT", zbuf, 0, split)
+    if (split < zlen) chunk("IDAT", zbuf, split, zlen - split)
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
   }
 
   case class DecodedMedia(doc_id: Long, fmt: String, dim1: Long, dim2: Long,
@@ -354,6 +577,55 @@ object Multimodal {
       |          generate_series(0, n_samp - 1), i -> (doc_id * 31 + i * 17) % 4001 - 2000))
       |   END)::BIGINT AS content_sum
       |FROM m ORDER BY doc_id""".stripMargin
+
+  case class DecodedPng(doc_id: Long, width: Long, height: Long, depth: Long,
+                        color_type: Long, n_pixels: Long, content_sum: Long)
+
+  /** COMPRESSED-CODEC DECODE, ORACLED (r12 verdict item 4): per doc,
+    * synthesize a real RGB-8 PNG on the executors ([[synthPng]]: zlib-
+    * deflated, crc'd chunks, scanline y filtered with type y%5 so all
+    * five PNG filters appear in every image, IDAT split in two), run it
+    * through the full [[parsePng]] decode path — crc verification, IDAT
+    * concatenation, Inflater, per-scanline defilter — and emit the IHDR
+    * fields plus the decoded-content sum. DuckDB recomputes the content
+    * sum INDEPENDENTLY from the generation formula
+    * `(doc_id*11 + j*19) % 251` via an explicit per-sample list fold, so
+    * any mis-inverted filter (Sub/Up/Average/Paeth, Paeth tie order,
+    * Average floor), any zlib mishandling, and any raster-offset bug
+    * shifts content_sum; dims/depth/color_type pin the IHDR grammar.
+    * byte_len is deliberately NOT a column — a compressed stream's
+    * length is not oracle-expressible, and pinning it would just test
+    * the Deflater version.
+    *
+    * Scale: identical shape to [[mmDecode]] — synthesize + decode are
+    * per-row map-side work, bytes never leave the executor, the only
+    * shuffle is the output sort. */
+  def mmDecodePng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 6).toInt; val h = (2 + id % 5).toInt
+        val img = parsePng(synthPng(id, w, h))
+        var s = 0L
+        img.pixels.foreach(b => s += (b & 0xff))
+        DecodedPng(id, img.width.toLong, img.height.toLong, img.bitDepth.toLong,
+          img.colorType.toLong, img.width.toLong * img.height, s)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodePngSql: String =
+    """SELECT doc_id,
+      |  (3 + doc_id % 6)::BIGINT AS width,
+      |  (2 + doc_id % 5)::BIGINT AS height,
+      |  8::BIGINT AS depth,
+      |  2::BIGINT AS color_type,
+      |  ((3 + doc_id % 6) * (2 + doc_id % 5))::BIGINT AS n_pixels,
+      |  list_sum(list_transform(
+      |    generate_series(0, (3 + doc_id % 6) * (2 + doc_id % 5) * 3 - 1),
+      |    j -> (doc_id * 11 + j * 19) % 251))::BIGINT AS content_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** ViT PATCH/TOKEN ACCOUNTING — the budget arithmetic a multimodal
     * training pipeline runs per image BEFORE any decode: 16×16 patch
@@ -497,6 +769,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
+    "mm_decode_png" -> (mmDecodePng _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -506,6 +779,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
+    "mm_decode_png" -> mmDecodePngSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -1505,8 +1505,11 @@ object Relational {
         sum(when(p.isNull, 1L).otherwise(0L)).as("n_null_price"),
         sum(when(x.isNull, 1L).otherwise(0L)).as("n_null_noised"),
         sum(when(inBounds, 1L).otherwise(0L)).as("n_in_bounds"),
+        // Average only over NONZERO prices: 0.0/0.0 is NaN (not null) for
+        // doubles, and one NaN poisons avg into failing between() even
+        // though the zero rows are legitimately excluded from centering.
         when(sum(when(p.isNotNull && (p =!= 0), 1L).otherwise(0L)) === 0
-          || avg(x / p).between(0.45, 0.55), 1L).otherwise(0L)
+          || avg(when(p =!= 0, x / p)).between(0.45, 0.55), 1L).otherwise(0L)
           .as("noise_centered"))
   }
 

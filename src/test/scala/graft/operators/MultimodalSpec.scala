@@ -95,11 +95,82 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseWav(noData.array()))
   }
 
+  test("parsePng: roundtrip across shapes — all five filters inverted exactly") {
+    for (id <- Seq(0L, 1L, 7L, 123456L); w <- Seq(1, 3, 8); h <- Seq(1, 5, 11)) {
+      // synthPng filters row y with type y%5, so h >= 5 covers
+      // None/Sub/Up/Average/Paeth in one image; h < 5 covers the
+      // y=0 edge cases (Up/Paeth with no prior row)
+      val img = Multimodal.parsePng(Multimodal.synthPng(id, w, h))
+      assert(img.width == w && img.height == h)
+      assert(img.bitDepth == 8 && img.colorType == 2)
+      assert(img.pixels.length == w * h * 3)
+      (0 until w * h * 3).foreach { j =>
+        assert((img.pixels(j) & 0xff) == ((id * 11 + j.toLong * 19) % 251).toInt,
+          s"pixel $j of ${w}x$h id=$id")
+      }
+    }
+  }
+
+  test("parsePng: rejects corrupt containers, bad crcs, corrupt zlib") {
+    val good = Multimodal.synthPng(42L, 4, 5)
+    intercept[IllegalArgumentException](Multimodal.parsePng(good.take(8))) // sig only
+    intercept[IllegalArgumentException](Multimodal.parsePng(good.dropRight(1))) // truncated
+    // flip one raster-affecting byte inside the first IDAT payload:
+    // crc must catch it (find IDAT, corrupt payload byte, keep length)
+    val flipped = good.clone()
+    val idatAt = (8 until good.length - 4).find(p =>
+      good(p) == 'I' && good(p + 1) == 'D' && good(p + 2) == 'A' && good(p + 3) == 'T').get
+    flipped(idatAt + 4) = (flipped(idatAt + 4) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](Multimodal.parsePng(flipped))
+    // a structurally-valid file whose zlib stream is garbage: rebuild
+    // the IDAT chunk with junk payload and a CORRECT crc
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, idatAt - 4) // up to IDAT length field
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(junk.length)
+    out.write(bb.array()); out.write("IDAT".getBytes("US-ASCII")); out.write(junk)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(junk)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    // IEND from the original (last 12 bytes)
+    out.write(good, good.length - 12, 12)
+    intercept[IllegalArgumentException](Multimodal.parsePng(out.toByteArray))
+  }
+
+  test("parsers terminate and reject on adversarial sizes (no hang, no overflow)") {
+    // WAV: declared chunk size >= 2^31 used to truncate to a negative
+    // Int, pass the overrun check, and leave pos unchanged — an
+    // executor-hanging infinite loop on corrupt lake bytes
+    val evil = Multimodal.synthWav(1L, 4, 8000).clone()
+    // first chunk is fmt_ at offset 12; poison its size field to 0xFFFFFFF8 (-8 as Int)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte; evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    // fix the RIFF size check is unaffected (header untouched); must REJECT, not hang
+    intercept[IllegalArgumentException](Multimodal.parseWav(evil))
+    // PPM: a 15-digit dimension token used to wrap Int silently
+    intercept[IllegalArgumentException](
+      Multimodal.parsePpm("P6\n999999999999999 2\n255\n".getBytes))
+    // PPM: w*h*3 wrapping Int (dims individually fine)
+    intercept[IllegalArgumentException](
+      Multimodal.parsePpm("P6\n99999 99999\n255\n".getBytes))
+  }
+
+  test("extractFeatures: corrupt inputs degrade to stub, never throw") {
+    // text that merely starts with a known magic must not fail the job
+    val fakePpm = "P6 this is just text, not an image at all".getBytes("US-ASCII")
+    assert(Multimodal.extractFeatures(fakePpm).sameElements(Multimodal.stubDecode(fakePpm)))
+    val fakeRiff = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    assert(Multimodal.extractFeatures(fakeRiff).sameElements(Multimodal.stubDecode(fakeRiff)))
+    val truncPng = Multimodal.synthPng(3L, 4, 4).dropRight(3)
+    assert(Multimodal.extractFeatures(truncPng).sameElements(Multimodal.stubDecode(truncPng)))
+  }
+
   test("extractFeatures: dispatches on magic bytes; stub is the fallback") {
     val img = Multimodal.extractFeatures(Multimodal.synthPpm(3L, 4, 3))
     assert(img(0) == 4f && img(1) == 3f && img(2) == 255f && img(6) == 12f)
     val wav = Multimodal.extractFeatures(Multimodal.synthWav(3L, 16, 8000))
     assert(wav(0) == 8000f && wav(1) == 1f && wav(2) == 16f && wav(3) == 16f)
+    val png = Multimodal.extractFeatures(Multimodal.synthPng(3L, 4, 3))
+    assert(png(0) == 4f && png(1) == 3f && png(2) == 8f && png(3) == 2f && png(5) == 12f)
     val bytes = "hello multimodal".getBytes("UTF-8")
     assert(Multimodal.extractFeatures(bytes).sameElements(Multimodal.stubDecode(bytes)))
     assert(Multimodal.stubDecode(Array.emptyByteArray).forall(_ == 0.0f))
