@@ -119,6 +119,41 @@ import org.apache.spark.sql.SparkSession
   * gr_pagerank, the two multi-rep disjoint movers the r10 run could
   * not attribute.
   *
+  * Round 13 (r12 verdict item 1: the r12 driver artifact shipped 40
+  * flagged moves with ZERO confirms — `moved:0-of-40` — because pass 2
+  * spent its budget on singleton fills before any moved-line confirm;
+  * on a degraded window the fills themselves only reached 7-of-74, so
+  * the ordering bought nothing and cost the round its falsifiability):
+  *   (a) pass-2 order is now MOVED → fill → second tier (moved lines
+  *       are the cross-round findings pass 2 exists to adjudicate; a
+  *       starved fill ships as a singleton that bench_compare already
+  *       labels `unconfirmable`, but a starved move ships as a claimed
+  *       regression with no evidence either way);
+  *   (b) the moved tier degrades PROACTIVELY, not reactively: before
+  *       pass 2 starts, the full-rep confirm cost of the whole moved
+  *       set is estimated from pass-1 medians (≈4x each), and when it
+  *       exceeds half the remaining budget-to-95% — the degraded-window
+  *       signature: many phantom moves, each inflated — EVERY moved
+  *       line confirms with one clean no-warm-up rep instead of the
+  *       first few getting full reps and the rest getting nothing.
+  *       One cross-pass sample per move adjudicates all of them
+  *       (re-lands at prev → window noise; stays at pass-1 → real),
+  *       which is the `moved:K-of-K` contract the r12 artifact broke;
+  *   (c) default self-limit 1150 → 1300 s: r12 elapsed 1115/1150 with
+  *       112 budget-skips — the limit was the binding constraint, not
+  *       the protocol. 1300 keeps ~180 s of true headroom against the
+  *       consumer's 1500 s kill (worst post-gate overshoot is one
+  *       full-rep line, ~60 s) while funding ~150 s more goal coverage
+  *       on a degraded window;
+  *   (d) medians of EVEN sample counts are the mean of the two middle
+  *       samples (was: the larger one — which biased the r12 prev-small
+  *       warmup+2 tier and its moved-line ratios systematically high);
+  *   (e) `xrun_ratios` is retired from BENCH_FULL.json: under the
+  *       goal-bounded protocol most lines have one pass median, so the
+  *       field read as cross-run confirmation that never happened
+  *       (r12: 1.0 everywhere). run_medians + samples carry the
+  *       falsifiability record.
+  *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
   * and json-parses the result line out of it. A line carrying medians +
@@ -195,8 +230,10 @@ object Bench {
     // window now sheds load at 1150 instead of riding the consumer's
     // timeout to within 140 s of death (r11 elapsed 1361/1500; r6 died
     // at this boundary). The env override remains for dev runs.
+    // r13: 1150 → 1300 (see scaladoc (c) — r12's limit bound before the
+    // protocol did; 1300 still holds ~180 s against the consumer's kill)
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .map(_.toDouble).getOrElse(1150.0)
+      .map(_.toDouble).getOrElse(1300.0)
     val tWall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tWall0) / 1e9
     def measure(name: String, reps: Int, warmup: Boolean = true): Seq[Double] = {
@@ -248,8 +285,17 @@ object Bench {
     def cacheMaterialize(): Double =
       try time(graft.operators.Dedup.materializePairCache(spark, sfDir))
       catch { case _: Throwable => -1.0 }
+    // r13 (ADVICE): even sample counts report the MEAN of the two middle
+    // samples — `sorted(n/2)` returned the larger one, biasing the
+    // warmup+2 prev-small tier and its moved-line ratios systematically
+    // high relative to the 3-sample prev they are compared against.
     def medianOf(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+      if (xs.isEmpty) -1.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     // pass 1: every query, in name order (guarded: a query that throws
     // reports failed for the pass, never aborts the bench)
     val cache1 = cacheMaterialize()
@@ -302,11 +348,15 @@ object Bench {
     // regardless of what pass 1 sees — either they re-land at their old
     // level (host window confirmed) or they stay high with samples to
     // attribute. Update per round from the verdict; empty when none.
-    // r12: empty — the r11 seeds (gr_random_walk, gr_pagerank) both
-    // re-landed confirmed at the r11 driver. This round's intentional
-    // movers (the pipe_* cycle-count cuts) self-flag via the prev-
-    // artifact compare and get their full-rep confirms that way.
-    val confirmSeeds = Set.empty[String]
+    // r13: the four biggest r12 flagged-but-unconfirmed movers, each
+    // judge-re-timed at/near its r11 level (VERDICT r12 performance
+    // section: cu_canonical_select 9.72→3.6-3.8, dd_semdedup 5.31→
+    // 2.0-2.8, dd_ngram_jaccard 6.20→2.8-4.3, ann_margin 2.96→1.1-1.3).
+    // Seeding gives them the named full-rep driver confirm the r12
+    // artifact owed; they would flag as down-moves vs the inflated
+    // committed prev anyway, but the seed makes the record explicit.
+    val confirmSeeds = Set(
+      "cu_canonical_select", "dd_semdedup", "dd_ngram_jaccard", "ann_margin")
     // r12: only lines with ≥2 pass-1 samples may flag a move — run 6
     // of the rework proved a 1-sample median vs a 3-sample prev mints
     // phantom moves wholesale on a bad window (29 flagged at once).
@@ -355,14 +405,27 @@ object Bench {
     val cache2 = cacheMaterialize()
     var p2Skipped = 0
     var p2OneRep = 0
+    // PROACTIVE moved-tier degradation (r13, scaladoc (b)): when the
+    // full-rep confirm bill for the WHOLE moved set (≈4x the pass-1
+    // median each: warm-up + 3 reps) exceeds half the budget left
+    // before the 95% gate — the degraded-window signature of r12's 40
+    // simultaneous phantom moves, each inflated — every moved line
+    // confirms with one clean no-warm-up rep instead. All K moves get
+    // their cross-pass adjudication sample; none ships evidence-free.
+    val movedFullCost = movedLines
+      .map(n => 4 * math.max(0.1, medianOf(pass1(n)))).sum
+    val movedDegrade =
+      movedFullCost > 0.5 * math.max(0.0, 0.95 * budgetSec - elapsedSec)
     val pass2: Map[String, Seq[Double]] =
-      // FILL lines first (r12 reorder: no singleton may ship — that is
-      // the falsifiability FLOOR, and at ~1 rep each the whole tier
-      // costs less than three moved confirms), then MOVED lines (the
-      // cross-round findings pass 2 exists to confirm or kill), then
-      // the second-pass tier, expensive-first
+      // MOVED lines first (r13 reorder, scaladoc (a): r12 shipped
+      // moved:0-of-40 because fills ran first and a degraded window ate
+      // the budget — an unconfirmed move is a claimed regression with
+      // no evidence, while a starved fill at worst ships a singleton
+      // that bench_compare labels `unconfirmable`), then FILL lines
+      // (the no-singleton falsifiability floor), then the second-pass
+      // tier; expensive-first within each tier
       p2Eligible.sortBy(n =>
-        (!fillLine(n), !movedLine(n), -medianOf(pass1(n)))).flatMap { name =>
+        (!movedLine(n), !fillLine(n), -medianOf(pass1(n)))).flatMap { name =>
         val moved = movedLine(name)
         val fill = fillLine(name)
         // RESERVED confirm slot for moved lines (round-10, r9 item 5):
@@ -375,26 +438,28 @@ object Bench {
         if (elapsedSec > gate * budgetSec) { p2Skipped += 1; None }
         else {
           val m1 = medianOf(pass1(name))
+          val degradedMove = moved &&
+            (machinery(name) || movedDegrade || elapsedSec > 0.85 * budgetSec)
           val reps =
             if (fill) { p2OneRep += 1; 1 }
-            // a MACHINERY moved line confirms with one clean steady
-            // sample (r12): same-pass reps would re-measure the same
-            // rebuilt scratch lifecycle, and the cross-pass pair
-            // (pass-1 sample + this) is the estimator that matters
-            else if (moved && machinery(name)) { p2OneRep += 1; 1 }
-            else if (moved && elapsedSec > 0.85 * budgetSec) { p2OneRep += 1; 1 }
+            // a degraded moved confirm is one clean steady sample:
+            // machinery BY DESIGN (same-pass reps re-measure the same
+            // rebuilt scratch; the cross-pass pair is the estimator),
+            // everything else only under the proactive/late budget
+            // degradation above
+            else if (degradedMove) { p2OneRep += 1; 1 }
             else if (moved || m1 < 0) Reps // full confirm / failed retry
             else { p2OneRep += 1; 1 } // second-pass tier: 1 clean rep
-          // machinery fills/confirms AND second-pass samples skip the
-          // warm-up: by pass 2 every plan's codegen is compiled (the
-          // r9-measured no-warmup inflation was pass-1 FIRST-execution
-          // compile cost on sub-0.3 s lines), session caches are
-          // materialized, and a ≤10% first-sample bias on a ≥2 s line
-          // sits far below the 1.25x confirm threshold — pass 3 remains
-          // the full warm-up + median-of-3 adjudicator for disagreements
+          // machinery fills, degraded moved confirms, AND second-pass
+          // samples skip the warm-up: by pass 2 every plan's codegen is
+          // compiled (the r9-measured no-warmup inflation was pass-1
+          // FIRST-execution compile cost on sub-0.3 s lines), session
+          // caches are materialized, and a ≤10% first-sample bias on a
+          // ≥2 s line sits far below the 1.25x confirm threshold —
+          // pass 3 remains the full warm-up + median-of-3 adjudicator
           val secondTier = !fill && !moved && m1 >= 0
           Some(name -> measure(name, reps,
-            warmup = !(((fill || moved) && machinery(name)) || secondTier)))
+            warmup = !((fill && machinery(name)) || degradedMove || secondTier)))
         }
       }.toMap
     val movedCovered = movedLines.count(pass2.contains)
@@ -406,9 +471,10 @@ object Bench {
     // and corrupt the JSON line
     def fmt(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // failed queries report -1 (NOT their elapsed-until-throw time, and
-    // NOT in the total) so a broken query can never read as a speedup
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    // NOT in the total) so a broken query can never read as a speedup.
+    // Same even-count fix as medianOf (r13) — this duplicate existed
+    // with the biased form and disagreed with the routing median.
+    def median(xs: Seq[Double]): Double = medianOf(xs)
     // per query: pass medians [m1, m2]; reported = min (steady state),
     // failed in EITHER ATTEMPTED pass → -1 (a flaky query is a failed
     // query; a pass-2 budget skip is NOT an attempt and leaves the
@@ -450,8 +516,6 @@ object Bench {
     val reported = passMedians.map { case (n, ms) =>
       n -> (if (ms.exists(_ < 0)) -1.0 else ms.min)
     }
-    def xrunRatio(ms: Seq[Double]): Double =
-      if (ms.exists(_ <= 0)) -1.0 else ms.max / ms.min
     // host-noise flags: ≥ 2 s lines whose min stayed unconfirmed even
     // after the adaptive pass
     val noise = passMedians.filter { case (n, ms) =>
@@ -469,8 +533,9 @@ object Bench {
     val runMediansJson = (("cache_materialize" -> cacheSecs) +: passMedians)
       .map { case (k, ms) => s"\"$k\":" + ms.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val ratiosJson = passMedians
-      .map { case (k, ms) => s"\"$k\":${fmt(xrunRatio(ms))}" }.mkString("{", ",", "}")
+    // xrun_ratios retired (r13, scaladoc (e)): under the goal-bounded
+    // protocol most lines carry ONE pass median, so the field was 1.0
+    // everywhere — confirmation theater. run_medians + samples remain.
     val samplesJson = names.map { n =>
       val passArrays = passes.map { case (_, rs) =>
         rs.getOrElse(n, Seq.empty).map(fmt).mkString("[", ",", "]")
@@ -492,7 +557,7 @@ object Bench {
       (if (p1NoWarm > 0) s";$p1NoWarm-nowarm" else "") + ");" +
       s"pass2=${pass2.size}q-of-${p2Eligible.size}goal" +
       s"(moved:$movedCovered-of-${movedLines.size}" +
-      s"[seeded:${confirmSeeds.size}]," +
+      s"[seeded:${confirmSeeds.count(names.contains)}${if (movedDegrade) ";degraded-1rep" else ""}]," +
       s"fill:$fillCovered-of-${fillLines.size}," +
       s"second:$secondCovered-of-${secondLines.size}," +
       s"exempt:$p2Exempt,budget-skip:$p2Skipped,1rep:$p2OneRep);" +
@@ -500,7 +565,7 @@ object Bench {
       s"reported=min-of-pass-medians;" +
       (if (p2Skipped == 0 && p3Skipped == 0) "goal-complete;" else "") +
       s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s"
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"xrun_ratios":$ratiosJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below is self-sufficient
     // Budgeted stdout line: aggregates + slowest-first medians until the

@@ -77,17 +77,42 @@ object DeltaLog {
         .foldLeft(-1L)(math.max),
       checkpointVersions(spark, table).foldLeft(-1L)(math.max))
 
-  /** Versions with a classic single-file checkpoint, ascending. The
-    * LISTING is authoritative (the protocol lets `_last_checkpoint` be
-    * stale or missing); the hint file is emitted for foreign readers
-    * and consumed opportunistically. */
+  private val SinglePartCkpt = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartCkpt = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  /** All checkpoint files per version — the classic single-file
+    * `<v>.checkpoint.parquet` (what [[checkpoint]] writes) AND the
+    * multi-part `<v>.checkpoint.<i>.<n>.parquet` form foreign Delta
+    * writers emit past a size threshold (PROTOCOL.md "Checkpoints":
+    * parts are 1-indexed, all n must be read together). A multi-part
+    * set counts only when COMPLETE — exactly parts 1..n present — so a
+    * torn copy or an in-flight foreign write can never seed replay;
+    * when both forms exist at one version the single file wins (either
+    * is a total snapshot; one file is one read). r13, closing the
+    * foreign-checkpoint-interop gap: replay previously recognized only
+    * the single-file name, silently falling back to O(history) JSON —
+    * or failing outright on a retention-cleaned foreign table. */
+  private def checkpointFiles(spark: SparkSession, table: String): Map[Long, Seq[String]] = {
+    val byName = Fs.listFiles(spark, logDir(table), _.endsWith(".parquet"))
+      .map(f => new org.apache.hadoop.fs.Path(f._1).getName -> f._1)
+    val singles = byName.collect { case (SinglePartCkpt(v), p) => v.toLong -> p }
+    val multis = byName.collect {
+      case (MultiPartCkpt(v, i, n), p) => (v.toLong, i.toInt, n.toInt, p)
+    }
+    val complete = multis.groupBy(_._1).collect {
+      case (v, parts) if parts.map(_._3).distinct.size == 1 &&
+          parts.map(_._2).sorted.toSeq == (1 to parts.head._3).toSeq =>
+        v -> parts.sortBy(_._2).map(_._4).toSeq
+    }
+    complete.toMap ++ singles.map { case (v, p) => v -> Seq(p) }.toMap
+  }
+
+  /** Versions with a complete checkpoint (single-file or multi-part),
+    * ascending. The LISTING is authoritative (the protocol lets
+    * `_last_checkpoint` be stale or missing); the hint file is emitted
+    * for foreign readers and consumed opportunistically. */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] =
-    Fs.listFiles(spark, logDir(table),
-        n => n.endsWith(".checkpoint.parquet") &&
-          n.dropRight(".checkpoint.parquet".length).forall(_.isDigit))
-      .map(f => new org.apache.hadoop.fs.Path(f._1).getName
-        .dropRight(".checkpoint.parquet".length).toLong)
-      .sorted
+    checkpointFiles(spark, table).keys.toSeq.sorted
 
   /** DESCRIBE HISTORY — the per-version audit every lakehouse exposes:
     * add/remove action counts, rows added (summed from add-action
@@ -184,11 +209,14 @@ object DeltaLog {
     require(latest >= 0, s"no Delta log at $table")
     val v = if (upTo < 0) latest else upTo
     require(v <= latest, s"version $v > latest $latest at $table")
-    val ckpt = checkpointVersions(spark, table).filter(_ <= v).lastOption
+    val ckptFiles = checkpointFiles(spark, table)
+    val ckpt = ckptFiles.keys.filter(_ <= v).toSeq.sorted.lastOption
     val st = State(v, scala.collection.mutable.LinkedHashMap.empty, None,
       scala.collection.mutable.LinkedHashMap.empty, scala.collection.mutable.LinkedHashMap.empty)
     ckpt.foreach { cv =>
-      spark.read.parquet(s"${logDir(table)}/${checkpointName(cv)}")
+      // single-file or all parts of a multi-part set; action-per-row
+      // either way, so one multi-path read seeds the same state
+      spark.read.parquet(ckptFiles(cv): _*)
         .toJSON.collect().foreach(st.applyLine)
     }
     for (i <- (ckpt.map(_ + 1).getOrElse(0L)) to v; line <- readCommit(spark, table, i))
@@ -774,9 +802,11 @@ object DeltaLog {
       val stale = Fs.listFiles(spark, logDir(table), { n =>
         (n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) &&
           n.dropRight(5).toLong < cv) ||
-        (n.endsWith(".checkpoint.parquet") &&
-          n.dropRight(".checkpoint.parquet".length).forall(_.isDigit) &&
-          n.dropRight(".checkpoint.parquet".length).toLong < cv)
+        (n match { // single-file AND multi-part checkpoint forms
+          case SinglePartCkpt(v) => v.toLong < cv
+          case MultiPartCkpt(v, _, _) => v.toLong < cv
+          case _ => false
+        })
       })
       stale.foreach { case (f, _) => Fs.deleteIfExists(spark, f) }
       stale.size

@@ -100,7 +100,8 @@ object PipelineMain {
       else {
         runPipeline(spark, sfDir, workDir, nCycles, compactEvery)
         if (wantServe)
-          Some(Serve.start(spark, s"$workDir/results", Segments, port = servePort))
+          Some(Serve.start(spark, s"$workDir/results", Segments, port = servePort,
+            watchdogMs = 1000L))
         else None
       }
     srv.foreach { s =>
@@ -290,7 +291,12 @@ object PipelineMain {
       repair(spark, tables, ckpt)
       schemas.keys.foreach(t => Fs.mkdirs(spark, s"$staging/$t"))
     }
-    val srv = if (serve) Some(Serve.start(spark, s"$workDir/results", Segments, servePort))
+    // supervised (r13): runLive is the resident deployment form, so its
+    // service carries the watchdog — a dead listener redeploys on the
+    // same port while ingestion streams continue (reference
+    // dashboard.py:52-61's health-check + redeploy loop)
+    val srv = if (serve) Some(Serve.start(spark, s"$workDir/results", Segments, servePort,
+                 watchdogMs = 500L))
               else None
     srv.foreach(onServe) // hand the running server out BEFORE the loop (test seam / supervisor registration)
     val queries = schemas.map { case (t, s) =>

@@ -389,6 +389,64 @@ class PipelineSpec extends SparkSpec {
     } finally if (runner.isAlive) runner.join(120000)
   }
 
+  test("live + serve: watchdog redeploys a killed server mid-run while streams continue") {
+    val root = s"$base/live-watchdog"
+    wipe(root)
+    @volatile var srvOpt: Option[Serve] = None
+    @volatile var failure: Option[Throwable] = None
+    val runner = new Thread(() => {
+      try PipelineMain.runLive(spark, sf, root, nBatches = 2,
+        cadenceMs = 1500L, processingTimeMs = 300L, serve = true, publishEvery = 1,
+        onServe = s => srvOpt = Some(s))
+      catch { case e: Throwable => failure = Some(e) }
+    })
+    runner.start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def health(port: Int): Option[Int] =
+      try Some(http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode())
+      catch { case _: java.io.IOException => None }
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (srvOpt.isEmpty && runner.isAlive && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val srv = srvOpt.getOrElse(fail("runLive(serve=true) never started the server"))
+      try {
+        // confirm the listener answers (200 or 503 — transport-alive is
+        // what the watchdog probes), then KILL it behind the
+        // supervisor's back: the dashboard-process-death scenario
+        val port = srv.port
+        assert(health(port).nonEmpty, "server never answered before the kill")
+        srv.simulateCrash()
+        // the watchdog must redeploy on the SAME port while the run is
+        // still going; probe until it answers again
+        val recoverBy = System.currentTimeMillis() + 30000
+        var recovered = false
+        while (!recovered && System.currentTimeMillis() < recoverBy) {
+          recovered = health(port).nonEmpty
+          if (!recovered) Thread.sleep(100)
+        }
+        assert(recovered, "watchdog never redeployed the killed server")
+        assert(srv.restarts >= 1, "recovery did not come from the watchdog")
+        runner.join(120000)
+        assert(!runner.isAlive, "runLive did not complete")
+        failure.foreach(throw _)
+        // streams continued through the kill: the full fixture landed
+        // exactly once and the REDEPLOYED server serves the final rows
+        assert(spark.read.parquet(s"$root/tables/orders").count() ==
+          Tables.orders(spark, sf).count(), "kill+redeploy disturbed ingestion")
+        assert(health(port).contains(200), "redeployed server not healthy after run")
+        val rows = http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/results/AUTOMOBILE")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        assert(rows.count(_ == '{') == 50, "final generation not served after redeploy")
+      } finally srv.stop()
+    } finally if (runner.isAlive) runner.join(120000)
+  }
+
   test("serve: mid-republish window serves the cached last generation, never a torn read") {
     val root = s"$base/serve-stale"
     wipe(root)
