@@ -1625,7 +1625,116 @@ object Pipeline {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  /** dbgen-FIDELITY pipeline roundtrip (r12 verdict item 5): one
+    * generation cycle with [[Synthesize.cycle]]'s `fidelity` flag —
+    * fact rows from the [[Synthesize.dbgenOrders]]/[[Synthesize.dbgenLineitem]]
+    * generators carrying dbgen's value skew (sparse custkeys, Zipf-like
+    * part popularity, ship dates correlated to order dates) — staged as
+    * JSON-lines, drained through the streaming ingest, and checksummed.
+    * Every generated value is a pure hash of the row id, so DuckDB
+    * REGENERATES the entire synthetic corpus (row_number over the
+    * fixture's orders supplies ids 1..N) and recomputes the post-ingest
+    * state bit-exactly: the `orders`/`lineitem` rows pin the whole
+    * generate→stage→drain path over skewed data, and the `skew` row
+    * pins the DISTRIBUTION CLAIMS themselves as invariant aggregates —
+    * distinct part count, hottest-part count, hot-share per-mille
+    * (integer div, engine-identical), and the sparse-custkey invariant
+    * (multiples of 3 must never appear: price_check = 0). */
+  def pipeDbgenFidelity(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/dbgen_${sfName(sfDir)}"
+    wipe(spark, base)
+    val staging = s"$base/staging"
+    val tables = s"$base/tables"
+    val ckpt = s"$base/ckpt"
+    val schemas = Map(
+      "orders" -> Schemas.stagedOrders,
+      "lineitem" -> Schemas.stagedLineitem,
+      "customer" -> Schemas.customer)
+    Synthesize.cycle(spark, sfDir, staging, tables, batchId = 0, nBatches = 1,
+      fidelity = true)
+    Ingest.drainAll(spark, staging, tables, ckpt, schemas)
+    val ord = spark.read.parquet(s"$tables/orders")
+    val li = spark.read.parquet(s"$tables/lineitem")
+    val mod3 = ord.agg(
+      sum(when(col("o_custkey") % 3 === 0, 1L).otherwise(0L)).as("mod3_hits"))
+    val skew = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("cnt")).as("key_check"),
+        expr("(max(cnt) * 1000) div sum(cnt)").as("time_check"))
+      .crossJoin(mod3) // 1-row × 1-row: the sparse-custkey invariant rides along
+      .select(lit("skew").as("tbl"), col("n_rows"), col("key_check"),
+        col("time_check"), col("mod3_hits").as("price_check"))
+    summarize(li, "lineitem",
+      Text.hash60SparkSql("l_orderkey"),
+      "unix_micros(l_ship_time)",
+      "cast(round(l_extendedprice * 100) as bigint)")
+      .unionAll(summarize(ord, "orders",
+        Text.hash60SparkSql("o_orderkey"),
+        "unix_micros(o_order_time)",
+        "cast(round(o_totalprice * 100) as bigint)"))
+      .unionAll(skew)
+      .orderBy("tbl")
+  }
+
+  /** DuckDB regeneration of the whole dbgen-fidelity corpus + staging
+    * transforms, from the generation formulas alone. */
+  private val pipeDbgenFidelitySql: String = {
+    def h(tag: String, key: String) = Text.hash60DuckSql(s"'$tag:' || $key")
+    val hid = (t: String) => h(t, "id::VARCHAR")
+    val hk = (t: String) => h(t, "o_orderkey::VARCHAR || ':' || ln::VARCHAR")
+    val ordTime = Synthesize.affineDuck("o_orderdate", Synthesize.OrdTgtLo, Synthesize.OrdTgtHi)
+    val shipTime = Synthesize.affineDuck("l_shipdate", Synthesize.ShipTgtLo, Synthesize.ShipTgtHi)
+    val liNoise = Synthesize.noiseDuck("o_orderkey::VARCHAR || ':' || ln::VARCHAR")
+    s"""WITH dims AS (
+       |  SELECT greatest(1, 2 * (SELECT count(*) FROM customer) // 3) AS tt,
+       |         (SELECT count(*) FROM part) AS pp,
+       |         (SELECT count(*) FROM supplier) AS ss),
+       |ids AS (SELECT row_number() OVER () AS id FROM orders),
+       |o AS (
+       |  SELECT id AS o_orderkey,
+       |    ((${hid("dbc")}) % tt) + ((${hid("dbc")}) % tt) // 2 + 1 AS o_custkey,
+       |    (100000 + (${hid("dbp")}) % 400000)::DOUBLE / 100.0 AS o_totalprice,
+       |    TIMESTAMP '1995-01-01 00:00:00'
+       |      + ((${hid("dbd")}) % 2255) * INTERVAL 1 DAY AS o_orderdate
+       |  FROM ids, dims),
+       |lbase AS (
+       |  SELECT o_orderkey, o_orderdate,
+       |    unnest(generate_series(1, (1 + (${h("dbl", "o_orderkey::VARCHAR")}) % 7)::INT)) AS ln
+       |  FROM o),
+       |l AS (
+       |  SELECT o_orderkey, ln, o_orderdate,
+       |    1 + (((((${hk("dbpk")}) % 1073741824) * ((${hk("dbpk")}) % 1073741824))
+       |         // 1073741824) * (SELECT pp FROM dims)) // 1073741824 AS l_partkey,
+       |    (1 + (${hk("dbq")}) % 50)::DOUBLE AS l_quantity,
+       |    o_orderdate + (1 + (${hk("dbsd")}) % 121) * INTERVAL 1 DAY AS l_shipdate
+       |  FROM lbase),
+       |l2 AS (
+       |  SELECT *, l_quantity *
+       |    ((90000 + (l_partkey // 10) % 20001 + 100 * (l_partkey % 1000))::DOUBLE / 100.0)
+       |    AS l_extendedprice
+       |  FROM l)
+       |SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+       |  sum((${Text.hash60DuckSql("md5('order:' || o_orderkey::VARCHAR)")}) % $P)::BIGINT AS key_check,
+       |  sum(epoch_us($shipTime) % $P)::BIGINT AS time_check,
+       |  sum(round(($liNoise) * l_extendedprice * 100)::BIGINT % $P)::BIGINT AS price_check
+       |FROM l2
+       |UNION ALL
+       |SELECT 'orders', count(*),
+       |  sum((${Text.hash60DuckSql("md5('order:' || o_orderkey::VARCHAR)")}) % $P)::BIGINT,
+       |  sum(epoch_us($ordTime) % $P)::BIGINT,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT
+       |FROM o
+       |UNION ALL
+       |SELECT 'skew', count(*),
+       |  max(cnt)::BIGINT,
+       |  ((max(cnt) * 1000) // sum(cnt))::BIGINT,
+       |  (SELECT sum(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END) FROM o)::BIGINT
+       |FROM (SELECT l_partkey, count(*)::BIGINT AS cnt FROM l2 GROUP BY 1) g
+       |ORDER BY tbl""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dbgen_fidelity" -> (pipeDbgenFidelity _),
     "pipe_ingest_roundtrip" -> (pipeIngestRoundtrip _),
     "pipe_compact_roundtrip" -> (pipeCompactRoundtrip _),
     "pipe_txn_compact" -> (pipeTxnCompact _),
@@ -1659,6 +1768,7 @@ object Pipeline {
     "op_synth_table" -> (opSynthTable _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_dbgen_fidelity" -> pipeDbgenFidelitySql,
     "pipe_ingest_roundtrip" -> pipeIngestRoundtripSql,
     "pipe_compact_roundtrip" -> pipeCompactRoundtripSql,
     "pipe_txn_compact" -> pipeTxnCompactSql,

@@ -90,9 +90,12 @@ object Synthesize {
         expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, cast(id % 2400 as int), 0, 0, 0)").as("o_orderdate"))
 
   /** Staged orders batch: uuid key + affine order time. `batchMod`
-    * selects the cycle's slice (o_orderkey % nBatches == batchId). */
-  def stagedOrders(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int): DataFrame =
-    Tables.orders(spark, sfDir)
+    * selects the cycle's slice (o_orderkey % nBatches == batchId).
+    * `src` defaults to the fixture; [[dbgenOrders]] is the
+    * dbgen-fidelity source (same schema). */
+  def stagedOrders(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int,
+                   src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(Tables.orders(spark, sfDir))
       .filter(col("o_orderkey") % nBatches === batchId)
       .select(
         md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_orderkey"),
@@ -102,12 +105,16 @@ object Synthesize {
 
   /** Staged lineitem batch: J3 keymap join + E3 noise + E2 ship-time
     * remap. The keymap is derived, not stored — md5 is content-addressed,
-    * so the join result is verifiable against recomputation. */
-  def stagedLineitem(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int): DataFrame = {
-    val keymap = Tables.orders(spark, sfDir)
+    * so the join result is verifiable against recomputation.
+    * `srcOrders`/`srcLineitem` default to the fixture tables;
+    * [[dbgenOrders]]/[[dbgenLineitem]] are the dbgen-fidelity pair. */
+  def stagedLineitem(spark: SparkSession, sfDir: String, batchId: Int, nBatches: Int,
+                     srcOrders: Option[DataFrame] = None,
+                     srcLineitem: Option[DataFrame] = None): DataFrame = {
+    val keymap = srcOrders.getOrElse(Tables.orders(spark, sfDir))
       .select(col("o_orderkey"),
         md5(concat(lit("order:"), col("o_orderkey").cast("string"))).as("o_orderkey_new"))
-    Tables.lineitem(spark, sfDir)
+    srcLineitem.getOrElse(Tables.lineitem(spark, sfDir))
       .filter(col("l_orderkey") % nBatches === batchId)
       .join(keymap, col("l_orderkey") === col("o_orderkey"))
       .select(
@@ -118,6 +125,97 @@ object Synthesize {
           col("l_extendedprice")).as("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
         expr(affineS("l_shipdate", ShipTgtLo, ShipTgtHi)).as("l_ship_time"))
+  }
+
+  // ----- dbgen-FIDELITY generation (r12 verdict item 5) ----------------
+
+  /** Scale knobs for [[dbgenOrders]]/[[dbgenLineitem]], read once from
+    * the fixture parquet footers (count() on a bare scan is a
+    * footer-metadata read, no data pass). */
+  final case class DbgenDims(orders: Long, customers: Long, parts: Long, suppliers: Long)
+
+  def dbgenDims(spark: SparkSession, sfDir: String): DbgenDims = DbgenDims(
+    Tables.orders(spark, sfDir).count(),
+    Tables.customer(spark, sfDir).count(),
+    Tables.part(spark, sfDir).count(),
+    Tables.supplier(spark, sfDir).count())
+
+  /** dbgen-fidelity ORDERS (reference pipeline/data.py:39-53 runs
+    * DuckDB `dbgen`; the affine fixture remap reproduces its schema but
+    * not its value distributions — SURVEY §2.1 S1's declared gap,
+    * closed here behind the [[cycle]] `fidelity` flag): `spark.range`
+    * synthesis in the fixture schema carrying dbgen's distribution
+    * features, every value a pure hash of the row id so DuckDB
+    * regenerates the identical table:
+    *  - SPARSE customer keys — o_custkey skips every multiple of 3
+    *    (dbgen leaves a third of customers order-less; the
+    *    anti-correlation TPC-H q13/q22 are built on), via the integer
+    *    map raw + raw div 2 + 1 over raw < 2C/3;
+    *  - uniform order dates over 1995-01-01 + [0, 2255) days (dbgen's
+    *    7-year span minus its 151-day end guard, shifted into the
+    *    staging affine's source window).
+    * Scale shape: `range(n)` partitions across executors, no driver
+    * data, no source files — the 100 TB generation form. */
+  def dbgenOrders(spark: SparkSession, d: DbgenDims): DataFrame = {
+    val twoThirds = math.max(1L, 2 * d.customers / 3)
+    def h(tag: String) = Text.hash60SparkSql(s"concat('$tag:', cast(id as string))")
+    spark.range(1, d.orders + 1).select(
+      col("id").as("o_orderkey"),
+      expr(s"(${h("dbc")} % $twoThirds) + (${h("dbc")} % $twoThirds) div 2 + 1")
+        .as("o_custkey"),
+      expr(s"element_at(array('O','F','P'), cast(${h("dbs")} % 3 as int) + 1)")
+        .as("o_orderstatus"),
+      expr(s"cast(100000 + ${h("dbp")} % 400000 as double) / 100.0D").as("o_totalprice"),
+      expr(s"timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, " +
+        s"cast(${h("dbd")} % 2255 as int), 0, 0, 0)").as("o_orderdate"),
+      expr("element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), " +
+        s"cast(${h("dbo")} % 5 as int) + 1)").as("o_orderpriority"))
+  }
+
+  /** dbgen-fidelity LINEITEM from a [[dbgenOrders]] frame — the two
+    * distribution features the fixture remap can never synthesize:
+    *  - ZIPF-LIKE part popularity: l_partkey = 1 + floor(P·u²) with u
+    *    the hash-uniform, computed ENTIRELY in 30-bit integer
+    *    arithmetic (h30² div 2^30, then ·P div 2^30 — no pow/exp, so
+    *    both engines are bit-identical): pdf ∝ 1/√rank, the hot-part
+    *    skew the skewed-TPCH literature models with Zipf and a 100 TB
+    *    pipeline must survive (AQE skew-join / salting territory);
+    *  - CORRELATED dates: l_shipdate = o_orderdate + [1, 121] days —
+    *    dbgen's own L_SHIPDATE = O_ORDERDATE + random(1,121), making
+    *    ship time a CHILD of order time instead of an independent
+    *    uniform (q4/q12-class predicates live on this correlation);
+    *  - 1-7 lines per order (dbgen's O_LINECOUNT), quantity 1-50, and
+    *    extendedprice = quantity × dbgen's exact part-price formula
+    *    ((90000 + pk/10 % 20001 + 100·(pk % 1000)) / 100).
+    * The explode is `sequence(1, n)` per order — map-side, no shuffle;
+    * the whole generator is one narrow stage over range(n). */
+  def dbgenLineitem(orders: DataFrame, d: DbgenDims): DataFrame = {
+    def h(tag: String) =
+      Text.hash60SparkSql(s"concat('$tag:', cast(o_orderkey as string), ':', cast(l_linenumber as string))")
+    val hl = Text.hash60SparkSql("concat('dbl:', cast(o_orderkey as string))")
+    orders.select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("l_linenumber",
+        explode(expr(s"sequence(1, cast(1 + $hl % 7 as int))")))
+      .withColumn("l_partkey",
+        expr(s"1 + ((((${h("dbpk")} % 1073741824) * (${h("dbpk")} % 1073741824)) " +
+          s"div 1073741824) * ${d.parts}) div 1073741824"))
+      .select(
+        col("o_orderkey").as("l_orderkey"),
+        col("l_partkey"),
+        expr(s"1 + ${h("dbsk")} % ${d.suppliers}").as("l_suppkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        expr(s"cast(1 + ${h("dbq")} % 50 as double)").as("l_quantity"),
+        (expr(s"cast(1 + ${h("dbq")} % 50 as double)") *
+          expr("cast(90000 + (l_partkey div 10) % 20001 + 100 * (l_partkey % 1000) as double) / 100.0D"))
+          .as("l_extendedprice"),
+        expr(s"cast(${h("dbdi")} % 11 as double) / 100.0D").as("l_discount"),
+        expr(s"cast(${h("dbtx")} % 9 as double) / 100.0D").as("l_tax"),
+        expr(s"element_at(array('R','A','N'), cast(${h("dbrf")} % 3 as int) + 1)")
+          .as("l_returnflag"),
+        expr(s"element_at(array('O','F'), cast(${h("dbls")} % 2 as int) + 1)")
+          .as("l_linestatus"),
+        expr(s"o_orderdate + make_interval(0, 0, 0, cast(1 + ${h("dbsd")} % 121 as int), 0, 0, 0)")
+          .as("l_shipdate"))
   }
 
   /** Write one staged batch as timestamped JSON-lines files into
@@ -148,11 +246,29 @@ object Synthesize {
   /** Synthesize one generation cycle into the staging dir: the two fact
     * tables always; the static dim only when neither staged nor already
     * ingested into `tablesDir` (T5 idempotent skip). Mirrors the
-    * reference's per-cycle `generate` flow (reference pipeline/data.py:126-132). */
+    * reference's per-cycle `generate` flow (reference pipeline/data.py:126-132).
+    *
+    * `fidelity = true` (r12 verdict item 5) draws the fact rows from the
+    * [[dbgenOrders]]/[[dbgenLineitem]] generators instead of fixture
+    * slices, so the staged batches carry dbgen's value skew — sparse
+    * customer keys, Zipf-like part popularity, ship dates correlated to
+    * order dates — through the SAME staging transforms (uuid keymap,
+    * affine remap, price noise; the affine map is monotonic, so the
+    * date correlation survives it). The dim still stages from the
+    * fixture: dbgen custkeys land inside [1, customers], so downstream
+    * joins are unchanged. */
   def cycle(spark: SparkSession, sfDir: String, stagingDir: String, tablesDir: String,
-            batchId: Int, nBatches: Int): Unit = {
-    writeStaged(stagedOrders(spark, sfDir, batchId, nBatches), stagingDir, "orders", batchId)
-    writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches), stagingDir, "lineitem", batchId)
+            batchId: Int, nBatches: Int, fidelity: Boolean = false): Unit = {
+    val (srcOrd, srcLi) =
+      if (fidelity) {
+        val d = dbgenDims(spark, sfDir)
+        val o = dbgenOrders(spark, d)
+        (Some(o), Some(dbgenLineitem(o, d)))
+      } else (None, None)
+    writeStaged(stagedOrders(spark, sfDir, batchId, nBatches, srcOrd),
+      stagingDir, "orders", batchId)
+    writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches, srcOrd, srcLi),
+      stagingDir, "lineitem", batchId)
     // staged/ingested = actual FILES present: live mode pre-creates the
     // staging roots, and FileStreamSink creates the table dir at query
     // start before any commit — bare-directory existence would skip the

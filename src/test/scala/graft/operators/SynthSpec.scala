@@ -32,6 +32,39 @@ class SynthSpec extends SparkSpec {
       "seeded rand not deterministic across identical runs")
   }
 
+  test("dbgen-fidelity generators: sparse custkeys, Zipf-like part skew, correlated dates") {
+    import org.apache.spark.sql.functions._
+    val d = graft.streaming.Synthesize.dbgenDims(spark, sf)
+    val o = graft.streaming.Synthesize.dbgenOrders(spark, d)
+    val l = graft.streaming.Synthesize.dbgenLineitem(o, d)
+    // sparse custkeys: never a multiple of 3, always inside [1, customers]
+    assert(o.filter(col("o_custkey") % 3 === 0).count() == 0,
+      "dbgen custkeys must skip multiples of 3")
+    val (loC, hiC) = {
+      val r = o.agg(min("o_custkey"), max("o_custkey")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(loC >= 1 && hiC <= d.customers, s"custkey range [$loC,$hiC] outside fixture dim")
+    // Zipf-like part popularity: the hot decile of parts carries far
+    // more than its uniform share (u^2 inverse-CDF => bottom-rank-10%
+    // of keys holds ~sqrt(0.1) ~ 31.6% of rows)
+    val n = l.count()
+    val hotDecile = l.filter(col("l_partkey") <= math.max(1L, d.parts / 10)).count()
+    assert(hotDecile.toDouble / n > 0.25,
+      s"hot decile share ${hotDecile.toDouble / n} — no skew generated")
+    assert(l.agg(max("l_partkey")).first().getLong(0) <= d.parts)
+    // correlated dates: EVERY ship date is order date + [1, 121] days
+    val bad = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("delta_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .filter(col("delta_days") < 1 || col("delta_days") > 121)
+      .count()
+    assert(bad == 0, s"$bad lineitems break the dbgen ship-date correlation")
+    // lines per order within dbgen's 1..7
+    val lpo = l.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .agg(min("c"), max("c")).first()
+    assert(lpo.getLong(0) >= 1 && lpo.getLong(1) <= 7)
+  }
+
   test("op_uuid_gen / op_rand_perturb: invariant aggregates all green") {
     val u = Relational.opUuidGen(spark, sf).collect().head
     val n = u.getLong(u.fieldIndex("n_rows"))
