@@ -195,7 +195,11 @@ class PlanSpec extends SparkSpec {
         // column broadcast onto the 100-row result — scalar-subquery
         // shape (r8 advice: the cap's approximation must ride in the
         // published row)
-        "dd_lsh_multiprobe")
+        "dd_lsh_multiprobe",
+        // pipe_dbgen_fidelity: the ONE-ROW sparse-custkey invariant
+        // aggregate broadcast onto the ONE-ROW skew aggregate —
+        // scalar-subquery shape (r13)
+        "pipe_dbgen_fidelity")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
