@@ -111,10 +111,15 @@ object Corpus {
     * executor-core floor; AQE coalesce (on by default) still shrinks
     * small exchanges below this number. */
   def shufflePartitions(spark: SparkSession, sfDir: String): Int = {
-    val floor = spark.sparkContext.defaultParallelism
-    val target = 2L << 20
-    val byBytes = try (dirBytes(spark, sfDir) / target).toInt
-    catch { case _: Throwable => 0 }
-    math.min(4096, math.max(floor, byBytes))
+    // dev/measurement override (r13): pin the count to isolate
+    // partition-granularity effects from data-size effects in scale
+    // experiments (never set in the driver's runs)
+    sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+      val floor = spark.sparkContext.defaultParallelism
+      val target = 2L << 20
+      val byBytes = try (dirBytes(spark, sfDir) / target).toInt
+      catch { case _: Throwable => 0 }
+      math.min(4096, math.max(floor, byBytes))
+    }
   }
 }
