@@ -214,6 +214,171 @@ object Multimodal {
     WavAudio(rate, ch, bits, samples)
   }
 
+  // ----- GIF: the second compressed codec — LZW, a different
+  // ----- compression family from PNG's DEFLATE, pure JVM (r13) --------
+
+  /** Decoded GIF frame: dims, palette bit depth, RGB bytes (palette
+    * applied). */
+  case class GifImage(width: Int, height: Int, palBits: Int, pixels: Array[Byte])
+
+  def isGifMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** GIF87a/89a parser — the real format end to end, pure JVM: logical
+    * screen descriptor, global/local color tables, extension-block
+    * skipping (sub-block chains), and a full VARIABLE-WIDTH LZW decoder
+    * (LSB-first bit packing, clear/end codes, dictionary growth with
+    * code-width bumps at powers of two up to 12 bits, the
+    * just-assigned-code `code == dictSize` case, and mid-stream CLEAR
+    * resets). Interlaced images, out-of-palette indices, truncated
+    * streams, and pixel counts that disagree with the descriptor are
+    * rejected — the corrupt-lake-object contract shared with the other
+    * parsers. First image frame only (animation frames would loop the
+    * same block walk). */
+  def parseGif(bytes: Array[Byte]): GifImage = {
+    require(isGifMagic(bytes), "not a gif")
+    def u16(p: Int): Int = (bytes(p) & 0xff) | (bytes(p + 1) & 0xff) << 8
+    require(bytes.length >= 14, "gif: truncated header")
+    var pos = 13
+    val packed = bytes(10) & 0xff
+    var palette: Array[Byte] = null
+    var palBits = 0
+    if ((packed & 0x80) != 0) {
+      palBits = (packed & 7) + 1
+      val len = 3 * (1 << palBits)
+      require(pos + len <= bytes.length, "gif: global color table overruns file")
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => throw new IllegalArgumentException("gif: trailer before any image")
+        case 0x21 => // extension: label + sub-block chain
+          pos += 2
+          while ({ require(pos < bytes.length, "gif: truncated extension")
+                   val n = bytes(pos) & 0xff; pos += 1 + n; n != 0 }) ()
+        case 0x2c =>
+          require(pos + 10 <= bytes.length, "gif: truncated image descriptor")
+          val w = u16(pos + 5); val h = u16(pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          require((ipacked & 0x40) == 0, "gif: interlace not supported")
+          require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+            s"gif: bad dimensions ${w}x$h")
+          pos += 10
+          if ((ipacked & 0x80) != 0) { // local color table overrides
+            palBits = (ipacked & 7) + 1
+            val len = 3 * (1 << palBits)
+            require(pos + len <= bytes.length, "gif: local color table overruns file")
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+            pos += len
+          }
+          require(palette != null, "gif: no color table")
+          require(pos < bytes.length, "gif: missing lzw code size")
+          val minCode = bytes(pos) & 0xff; pos += 1
+          require(minCode >= 2 && minCode <= 11, s"gif: bad lzw min code $minCode")
+          val data = new java.io.ByteArrayOutputStream()
+          while ({ require(pos < bytes.length, "gif: truncated image data")
+                   val n = bytes(pos) & 0xff; pos += 1
+                   require(pos + n <= bytes.length, "gif: image sub-block overruns file")
+                   data.write(bytes, pos, n); pos += n; n != 0 }) ()
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+          val nPal = 1 << palBits
+          val out = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < idx.length) {
+            val i = idx(j) & 0xff
+            require(i < nPal, s"gif: pixel index $i outside $nPal-color palette")
+            out(3 * j) = palette(3 * i); out(3 * j + 1) = palette(3 * i + 1)
+            out(3 * j + 2) = palette(3 * i + 2)
+            j += 1
+          }
+          return GifImage(w, h, palBits, out)
+        case b => throw new IllegalArgumentException(f"gif: unknown block 0x$b%02x")
+      }
+    }
+    throw new IllegalArgumentException("gif: no image block")
+  }
+
+  /** GIF-variant LZW: LSB-first codes of growing width (min+1 .. 12),
+    * CLEAR resets the dictionary, END terminates; exactly `expected`
+    * indices must decode. */
+  private[operators] def lzwDecode(data: Array[Byte], minCode: Int,
+                                   expected: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var got = 0
+    var dictSize = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def nextCode(): Int = {
+      require(bitPos + width <= totalBits, "gif: lzw stream truncated")
+      var v = 0; var i = 0
+      while (i < width) {
+        v |= ((data((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1) << i
+        i += 1
+      }
+      bitPos += width; v
+    }
+    // walk code -> root via prefix links; returns the FIRST byte and
+    // appends the string to out
+    def emit(code: Int): Byte = {
+      var sp = 0; var c = code
+      while (c >= clear) { // dictionary entry (clear/end never stored)
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      val first = c.toByte
+      require(got + sp + 1 <= expected, "gif: lzw decodes more pixels than the descriptor")
+      out(got) = first; got += 1
+      while (sp > 0) { sp -= 1; out(got) = stack(sp); got += 1 }
+      first
+    }
+    var done = false
+    while (!done) {
+      val code = nextCode()
+      if (code == clear) { dictSize = end + 1; width = minCode + 1; prev = -1 }
+      else if (code == end) done = true
+      else if (prev == -1) {
+        require(code < clear, s"gif: first code after clear must be a literal, got $code")
+        emit(code); prev = code
+      } else {
+        require(code <= dictSize, s"gif: code $code beyond dictionary $dictSize")
+        if (code == dictSize) {
+          // the KwKwK case: the code being defined right now —
+          // string(prev) + first(prev); add the entry, then emit it
+          require(dictSize < 4096, "gif: dictionary overflow")
+          var c = prev
+          while (c >= clear) c = prefix(c)
+          prefix(dictSize) = prev; suffix(dictSize) = c.toByte
+          dictSize += 1
+          emit(code)
+        } else {
+          // common case: emit first, then add (prev, first-of-emitted)
+          val first = emit(code)
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev; suffix(dictSize) = first
+            dictSize += 1
+          }
+        }
+        if (dictSize == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+      if (got == expected && !done) {
+        // next code must be END (possibly after a benign CLEAR)
+        val c2 = nextCode()
+        require(c2 == end || c2 == clear, "gif: data after full raster")
+        done = true
+      }
+    }
+    require(got == expected, s"gif: decoded $got of $expected pixels")
+    out
+  }
+
   /** Fallback feature extractor for bytes in no known format: hashes
     * byte windows into an 8-dim vector (deterministic, shape-compatible
     * with the real decoders' output). */
@@ -228,6 +393,7 @@ object Multimodal {
     * decoded CONTENT (dims/rate + per-channel sums), not raw bytes.
     * PPM → [w, h, maxval, ΣR, ΣG, ΣB, n_pixels, 0];
     * PNG → [w, h, bit_depth, color_type, Σpixels, n_pixels, 0, 0];
+    * GIF → [w, h, pal_bits, Σpixels, n_pixels, 0, 0, 0];
     * WAV → [rate, channels, bits, n_samples, Σ|s|, Σs, 0, 0];
     * anything else → [[stubDecode]].
     *
@@ -256,6 +422,12 @@ object Multimodal {
         img.pixels.foreach(b => s += (b & 0xff))
         Array(img.width.toFloat, img.height.toFloat, img.bitDepth.toFloat,
           img.colorType.toFloat, s.toFloat, (img.width * img.height).toFloat, 0f, 0f)
+      } else if (bytes.length >= 6 && isGifMagic(bytes)) {
+        val img = parseGif(bytes)
+        var s = 0L
+        img.pixels.foreach(b => s += (b & 0xff))
+        Array(img.width.toFloat, img.height.toFloat, img.palBits.toFloat,
+          s.toFloat, (img.width.toLong * img.height).toFloat, 0f, 0f, 0f)
       } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F') {
         val a = parseWav(bytes)
@@ -578,6 +750,73 @@ object Multimodal {
       |   END)::BIGINT AS content_sum
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Deterministic GIF89a writer (content-addressed: pixel j of doc d
+    * indexes palette slot `(d*13 + j*23) % 97` in a 128-color global
+    * table whose entry i is `((i*3)%256, (i*5+1)%256, (i*7+2)%256)`),
+    * LZW-encoded with LITERAL-ONLY codes while mirroring the decoder's
+    * dictionary bookkeeping exactly — the dictionary the decoder builds
+    * is never referenced, but its SIZE drives the code-width schedule
+    * (8→9→10→... bumps at powers of two) and forces a mid-stream CLEAR
+    * before the 4096 ceiling, so every decode exercises variable-width
+    * reads, width growth, and reset handling. A comment extension
+    * rides between the palette and the image so the block-skip path
+    * runs on every row; the stream is split into ≤255-byte sub-blocks
+    * per the format. */
+  def synthGif(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val minCode = 7; val clear = 1 << minCode; val end = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      cur |= code << nbits; nbits += width
+      while (nbits >= 8) { bits.write(cur & 0xff); cur >>= 8; nbits -= 8 }
+    }
+    var dictSize = end + 1
+    var prevExists = false
+    put(clear)
+    var j = 0
+    val n = w * h
+    while (j < n) {
+      put(((docId * 13 + j.toLong * 23) % 97).toInt)
+      if (prevExists) {
+        if (dictSize < 4096) {
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        if (dictSize >= 4095) {
+          put(clear); width = minCode + 1; dictSize = end + 1; prevExists = false
+        }
+      } else prevExists = true
+      j += 1
+    }
+    put(end)
+    if (nbits > 0) bits.write(cur & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16le(w); u16le(h)
+    out.write(0x80 | (minCode - 1)) // global table, 2^7 = 128 entries
+    out.write(0); out.write(0)      // bg index, aspect
+    var i = 0
+    while (i < clear) {
+      out.write((i * 3) % 256); out.write((i * 5 + 1) % 256); out.write((i * 7 + 2) % 256)
+      i += 1
+    }
+    out.write(0x21); out.write(0xfe) // comment extension, 2 sub-blocks
+    out.write(3); out.write("doc".getBytes("US-ASCII"), 0, 3); out.write(0)
+    out.write(0x2c); u16le(0); u16le(0); u16le(w); u16le(h); out.write(0)
+    out.write(minCode)
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val nblk = math.min(255, z.length - off)
+      out.write(nblk); out.write(z, off, nblk); off += nblk
+    }
+    out.write(0)    // data terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   case class DecodedPng(doc_id: Long, width: Long, height: Long, depth: Long,
                         color_type: Long, n_pixels: Long, content_sum: Long)
 
@@ -625,6 +864,53 @@ object Multimodal {
       |  list_sum(list_transform(
       |    generate_series(0, (3 + doc_id % 6) * (2 + doc_id % 5) * 3 - 1),
       |    j -> (doc_id * 11 + j * 19) % 251))::BIGINT AS content_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  case class DecodedGif(doc_id: Long, width: Long, height: Long, pal_bits: Long,
+                        n_pixels: Long, content_sum: Long)
+
+  /** SECOND COMPRESSED CODEC, ORACLED (r13): per doc, synthesize a real
+    * GIF89a on the executors ([[synthGif]]: 128-color global palette,
+    * comment extension, LITERAL-ONLY LZW whose width schedule and
+    * mid-stream CLEARs mirror the decoder's dictionary growth), run it
+    * through the full [[parseGif]] read path — block walk, extension
+    * skip, variable-width LZW with resets, palette application — and
+    * emit the descriptor fields plus the decoded-RGB content sum.
+    * DuckDB recomputes the sum INDEPENDENTLY from the palette and
+    * index formulas via a per-pixel list fold, so a bit-packing,
+    * width-bump, clear-reset, or palette-lookup bug shifts
+    * content_sum. Dims up to 40×15 push the dictionary past 512
+    * entries — the 10-bit code path — inside the oracled corpus (the
+    * spec drives it past 4095 for the reset path). LZW is a different
+    * compression family from PNG's DEFLATE, so the two compressed
+    * entries fail independently. Same scale shape as the other decode
+    * entries: per-row map work, bytes never leave the executor. */
+  def mmDecodeGif(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + (id % 10) * 4).toInt; val h = (3 + (id % 7) * 2).toInt
+        val img = parseGif(synthGif(id, w, h))
+        var s = 0L
+        img.pixels.foreach(b => s += (b & 0xff))
+        DecodedGif(id, img.width.toLong, img.height.toLong, img.palBits.toLong,
+          img.width.toLong * img.height, s)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodeGifSql: String =
+    """SELECT doc_id,
+      |  (4 + (doc_id % 10) * 4)::BIGINT AS width,
+      |  (3 + (doc_id % 7) * 2)::BIGINT AS height,
+      |  7::BIGINT AS pal_bits,
+      |  ((4 + (doc_id % 10) * 4) * (3 + (doc_id % 7) * 2))::BIGINT AS n_pixels,
+      |  list_sum(list_transform(
+      |    generate_series(0, (4 + (doc_id % 10) * 4) * (3 + (doc_id % 7) * 2) - 1),
+      |    j -> (((doc_id * 13 + j * 23) % 97) * 3) % 256
+      |       + (((doc_id * 13 + j * 23) % 97) * 5 + 1) % 256
+      |       + (((doc_id * 13 + j * 23) % 97) * 7 + 2) % 256))::BIGINT AS content_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** ViT PATCH/TOKEN ACCOUNTING — the budget arithmetic a multimodal
@@ -770,6 +1056,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_decode_png" -> (mmDecodePng _),
+    "mm_decode_gif" -> (mmDecodeGif _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -780,6 +1067,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,
+    "mm_decode_gif" -> mmDecodeGifSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -154,6 +154,58 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parsePpm("P6\n99999 99999\n255\n".getBytes))
   }
 
+  test("parseGif: LZW roundtrip across shapes — width growth, KwKwK-free literal streams, mid-stream clear") {
+    // small shapes: 9-bit codes at most; 40x15 crosses 512 entries
+    // (10-bit); 70x70 = 4900 px crosses the 4095 ceiling, forcing the
+    // encoder's mid-stream CLEAR and the decoder's reset path
+    for (id <- Seq(0L, 1L, 7L, 123456L); (w, h) <- Seq((4, 3), (40, 15), (70, 70))) {
+      val img = Multimodal.parseGif(Multimodal.synthGif(id, w, h))
+      assert(img.width == w && img.height == h && img.palBits == 7)
+      assert(img.pixels.length == w * h * 3)
+      (0 until w * h).foreach { j =>
+        val idx = ((id * 13 + j.toLong * 23) % 97).toInt
+        assert((img.pixels(3 * j) & 0xff) == (idx * 3) % 256, s"R pixel $j id=$id ${w}x$h")
+        assert((img.pixels(3 * j + 1) & 0xff) == (idx * 5 + 1) % 256)
+        assert((img.pixels(3 * j + 2) & 0xff) == (idx * 7 + 2) % 256)
+      }
+    }
+  }
+
+  test("lzwDecode: the KwKwK case decodes (a stream a literal-only encoder never emits)") {
+    // hand-build min=2: clear=4, end=5. Stream: CLEAR, 1, 6 — code 6 is
+    // the entry being defined (string(1)+first(1) = [1,1]) — then END.
+    // widths: 3 bits after clear; after the KwKwK add dict=7, width
+    // stays 3 (bump at 8). Bits LSB-first: 100 (4), 001 (1), 011 (6), 101 (5)
+    val codes = Seq(4, 1, 6, 5)
+    var cur = 0; var n = 0
+    val bb = new java.io.ByteArrayOutputStream()
+    codes.foreach { c => cur |= c << n; n += 3; while (n >= 8) { bb.write(cur & 0xff); cur >>= 8; n -= 8 } }
+    if (n > 0) bb.write(cur & 0xff)
+    val out = Multimodal.lzwDecode(bb.toByteArray, 2, 3)
+    assert(out.toSeq == Seq[Byte](1, 1, 1))
+  }
+
+  test("parseGif: rejects corrupt containers") {
+    val good = Multimodal.synthGif(42L, 8, 5)
+    intercept[IllegalArgumentException](Multimodal.parseGif(good.take(12))) // truncated header
+    intercept[IllegalArgumentException](Multimodal.parseGif(good.dropRight(8))) // truncated data
+    // interlace flag set in the image descriptor
+    val inter = good.clone()
+    // descriptor offset is structural, not searched: 13-byte header +
+    // 384-byte global table + 7-byte comment extension (0x2c also
+    // occurs as palette DATA, so a byte scan finds the wrong offset)
+    val imgAt = 13 + 3 * 128 + 7
+    assert((good(imgAt) & 0xff) == 0x2c, "descriptor offset drifted")
+    inter(imgAt + 9) = (inter(imgAt + 9) | 0x40).toByte
+    intercept[IllegalArgumentException](Multimodal.parseGif(inter))
+    // unknown block type where a descriptor should be
+    val junk = good.clone(); junk(imgAt) = 0x7f.toByte
+    intercept[IllegalArgumentException](Multimodal.parseGif(junk))
+    // trailer before any image
+    val noImg = good.take(imgAt) :+ 0x3b.toByte
+    intercept[IllegalArgumentException](Multimodal.parseGif(noImg))
+  }
+
   test("extractFeatures: corrupt inputs degrade to stub, never throw") {
     // text that merely starts with a known magic must not fail the job
     val fakePpm = "P6 this is just text, not an image at all".getBytes("US-ASCII")
@@ -171,6 +223,8 @@ class MultimodalSpec extends SparkSpec {
     assert(wav(0) == 8000f && wav(1) == 1f && wav(2) == 16f && wav(3) == 16f)
     val png = Multimodal.extractFeatures(Multimodal.synthPng(3L, 4, 3))
     assert(png(0) == 4f && png(1) == 3f && png(2) == 8f && png(3) == 2f && png(5) == 12f)
+    val gif = Multimodal.extractFeatures(Multimodal.synthGif(3L, 4, 3))
+    assert(gif(0) == 4f && gif(1) == 3f && gif(2) == 7f && gif(4) == 12f)
     val bytes = "hello multimodal".getBytes("UTF-8")
     assert(Multimodal.extractFeatures(bytes).sameElements(Multimodal.stubDecode(bytes)))
     assert(Multimodal.stubDecode(Array.emptyByteArray).forall(_ == 0.0f))
