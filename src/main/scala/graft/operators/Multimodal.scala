@@ -164,13 +164,16 @@ object Multimodal {
     PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
   }
 
-  /** RIFF/WAV PCM parser — a real chunk walker: validates the
+  /** RIFF/WAV parser — a real chunk walker: validates the
     * RIFF/WAVE container and declared size, then iterates `(fourcc,
     * size-LE-u32, payload, pad-to-even)` chunks, skipping unknown ones
-    * (LIST/INFO junk is normal in the wild), until both `fmt ` (must be
-    * PCM, 16-bit) and `data` are found. Samples decode as little-endian
-    * SIGNED 16-bit — the two byte-order/sign mistakes a naive reader
-    * makes are exactly what [[mmDecode]]'s signed content_sum pins. */
+    * (LIST/INFO junk is normal in the wild), until both `fmt ` and
+    * `data` are found. Two format codes decode: 1 (integer PCM,
+    * 16-bit — samples as little-endian SIGNED 16-bit, the two
+    * byte-order/sign mistakes a naive reader makes being exactly what
+    * [[mmDecode]]'s signed content_sum pins) and 7 (G.711 μ-law,
+    * 8-bit COMPANDED — expanded to 16-bit magnitudes with the
+    * standard bias-132 formula, pinned by [[mmDecodeMulaw]]). */
   def parseWav(bytes: Array[Byte]): WavAudio = {
     def u32(p: Int): Long =
       (bytes(p) & 0xffL) | (bytes(p + 1) & 0xffL) << 8 |
@@ -182,7 +185,7 @@ object Multimodal {
     require(u32(4) == bytes.length - 8,
       s"wav: RIFF size ${u32(4)} != ${bytes.length - 8}")
     var pos = 12
-    var rate = -1; var ch = -1; var bits = -1
+    var fmt = -1; var rate = -1; var ch = -1; var bits = -1
     var samples: Array[Short] = null
     while (pos + 8 <= bytes.length) {
       val id = fourcc(pos)
@@ -195,17 +198,36 @@ object Multimodal {
       require(body.toLong + size64 <= bytes.length, s"wav: chunk '$id' overruns file")
       val size = size64.toInt
       if (id == "fmt ") {
-        require(size >= 16 && u16(body) == 1, "wav: not integer PCM")
+        require(size >= 16, "wav: fmt chunk too short")
+        fmt = u16(body)
+        require(fmt == 1 || fmt == 7, s"wav: unsupported format code $fmt")
         ch = u16(body + 2); rate = u32(body + 4).toInt; bits = u16(body + 14)
-        require(bits == 16, s"wav: only 16-bit PCM supported, got $bits")
+        if (fmt == 1) require(bits == 16, s"wav: only 16-bit PCM supported, got $bits")
+        else require(bits == 8, s"wav: mu-law must be 8-bit, got $bits")
       } else if (id == "data") {
-        require(size % 2 == 0, "wav: odd data size for 16-bit samples")
-        samples = new Array[Short](size / 2)
-        var i = 0
-        while (i < samples.length) {
-          samples(i) = (((bytes(body + 2 * i) & 0xff) |
-            (bytes(body + 2 * i + 1) << 8))).toShort
-          i += 1
+        require(fmt != -1, "wav: data before fmt")
+        if (fmt == 1) {
+          require(size % 2 == 0, "wav: odd data size for 16-bit samples")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = (((bytes(body + 2 * i) & 0xff) |
+              (bytes(body + 2 * i + 1) << 8))).toShort
+            i += 1
+          }
+        } else {
+          // G.711 mu-law expansion (the COMPANDED audio codec, r13):
+          // complement, split sign/exponent/mantissa, and expand with
+          // the standard bias-132 formula — ((132 + 8m) << e) - 132,
+          // negated when the sign bit is set. Max magnitude 32124.
+          samples = new Array[Short](size)
+          var i = 0
+          while (i < size) {
+            val u = (~bytes(body + i)) & 0xff
+            val mag = ((132 + ((u & 0x0f) << 3)) << ((u >> 4) & 7)) - 132
+            samples(i) = (if ((u & 0x80) != 0) -mag else mag).toShort
+            i += 1
+          }
         }
       } // any other chunk (LIST, JUNK, ...) is skipped
       pos = body + size + (size & 1) // RIFF pads odd chunks to even
@@ -866,6 +888,74 @@ object Multimodal {
       |    j -> (doc_id * 11 + j * 19) % 251))::BIGINT AS content_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic G.711 μ-law mono WAV writer (format code 7, 8-bit:
+    * byte i of doc d is `(d*37 + i*41) % 256`) — fixed 44-byte layout
+    * (12 RIFF + 24 fmt + 8 data header), no junk chunk, so byte_len is
+    * closed-form for the oracle. */
+  def synthWavMulaw(docId: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + nSamples)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(out.length - 8).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(7).putShort(1).putInt(rate).putInt(rate).putShort(1).putShort(8)
+    bb.put("data".getBytes(ascii)).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) { bb.put(((docId * 37 + i.toLong * 41) % 256).toByte); i += 1 }
+    // RIFF pads odd chunks to even — our container simply ends after
+    // data, and parseWav's walker tolerates the final chunk being last
+    out
+  }
+
+  case class DecodedMulaw(doc_id: Long, rate: Long, n_samples: Long,
+                          byte_len: Long, content_sum: Long, abs_sum: Long)
+
+  /** COMPANDED AUDIO DECODE, ORACLED (r13): per doc, synthesize an
+    * 8-bit G.711 μ-law WAV on the executors and run it through the same
+    * [[parseWav]] chunk walker as PCM — the format-code dispatch, the
+    * expansion formula (complement, sign/exponent/mantissa split,
+    * bias-132 reconstruction), and the sign handling are all pinned by
+    * DuckDB recomputing both the signed content sum and the absolute
+    * sum per sample from the generation formula with integer shifts.
+    * byte_len IS oracled here (unlike PNG/GIF): μ-law is fixed-rate
+    * companding, one byte per sample, so the container length is
+    * closed-form. */
+  def mmDecodeMulaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (24 + id % 61).toInt
+        val bytes = synthWavMulaw(id, n, 8000)
+        val a = parseWav(bytes)
+        var s = 0L; var abs = 0L
+        a.samples.foreach { x => s += x; abs += math.abs(x.toLong) }
+        DecodedMulaw(id, a.sampleRate.toLong, a.samples.length.toLong,
+          bytes.length.toLong, s, abs)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodeMulawSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, 24 + doc_id % 61 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(generate_series(0, n - 1), i ->
+      |      255 - ((doc_id * 37 + i * 41) % 256)) AS u
+      |  FROM m),
+      |e AS (
+      |  SELECT doc_id, n,
+      |    list_transform(u, x ->
+      |      CASE WHEN x >= 128 THEN -(((132 + (x % 16) * 8) << ((x // 16) % 8)) - 132)
+      |           ELSE ((132 + (x % 16) * 8) << ((x // 16) % 8)) - 132 END) AS samp
+      |  FROM s)
+      |SELECT doc_id, 8000::BIGINT AS rate, n::BIGINT AS n_samples,
+      |  (44 + n)::BIGINT AS byte_len,
+      |  list_sum(samp)::BIGINT AS content_sum,
+      |  list_sum(list_transform(samp, v -> abs(v)))::BIGINT AS abs_sum
+      |FROM e ORDER BY doc_id""".stripMargin
+
   case class DecodedGif(doc_id: Long, width: Long, height: Long, pal_bits: Long,
                         n_pixels: Long, content_sum: Long)
 
@@ -1057,6 +1147,7 @@ object Multimodal {
     "mm_decode" -> (mmDecode _),
     "mm_decode_png" -> (mmDecodePng _),
     "mm_decode_gif" -> (mmDecodeGif _),
+    "mm_decode_mulaw" -> (mmDecodeMulaw _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1068,6 +1159,7 @@ object Multimodal {
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_gif" -> mmDecodeGifSql,
+    "mm_decode_mulaw" -> mmDecodeMulawSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

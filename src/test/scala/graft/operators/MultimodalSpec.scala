@@ -84,6 +84,28 @@ class MultimodalSpec extends SparkSpec {
       (one(dataOff + 1) & 0xff) == ((-2000 >> 8) & 0xff))
   }
 
+  test("parseWav: G.711 mu-law expansion — format dispatch, bias formula, sign, extremes") {
+    val a = Multimodal.parseWav(Multimodal.synthWavMulaw(9L, 33, 8000))
+    assert(a.sampleRate == 8000 && a.nChannels == 1 && a.bitsPerSample == 8)
+    assert(a.samples.length == 33)
+    (0 until 33).foreach { i =>
+      val u = 255 - ((9L * 37 + i.toLong * 41) % 256).toInt
+      val mag = ((132 + (u & 0x0f) * 8) << ((u >> 4) & 7)) - 132
+      val want = if ((u & 0x80) != 0) -mag else mag
+      assert(a.samples(i) == want.toShort, s"sample $i")
+    }
+    // the codec's extremes: encoded 0x00 expands to -32124 (max
+    // negative), encoded 0xFF to 0 — pin them with a hand-built file
+    val two = Multimodal.synthWavMulaw(0L, 2, 8000)
+    two(44) = 0x00.toByte; two(45) = 0xff.toByte
+    val ext = Multimodal.parseWav(two)
+    assert(ext.samples(0) == -32124 && ext.samples(1) == 0)
+    // mu-law must be 8-bit: a fmt chunk claiming 16 rejects
+    val bad = Multimodal.synthWavMulaw(1L, 4, 8000)
+    bad(34) = 16.toByte // bits-per-sample field in fmt
+    intercept[IllegalArgumentException](Multimodal.parseWav(bad))
+  }
+
   test("parseWav: rejects corrupt containers") {
     val good = Multimodal.synthWav(5L, 8, 8000)
     intercept[IllegalArgumentException](Multimodal.parseWav(good.dropRight(1))) // RIFF size wrong
