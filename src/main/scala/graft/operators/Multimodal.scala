@@ -1003,6 +1003,89 @@ object Multimodal {
       |       + (((doc_id * 13 + j * 23) % 97) * 7 + 2) % 256))::BIGINT AS content_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  case class MixedDecoded(doc_id: Long, fmt: String, feat_sum: Long)
+
+  /** HETEROGENEOUS DISPATCH, ORACLED (r13 capstone of the decode
+    * family): every doc synthesizes a DIFFERENT format by `id % 5`
+    * (PPM, PCM WAV, PNG, GIF, μ-law WAV) and flows through
+    * [[extractFeatures]] — the PRODUCTION magic-byte dispatch, not the
+    * parsers directly — in one distributed pass; the emitted value is
+    * the feature-vector sum (every feature is an exact small integer,
+    * so the fold is lossless). DuckDB recomputes each format's
+    * features from its generation formulas in one CASE — a dispatch
+    * bug (wrong parser for a magic, a format falling to the stub)
+    * shifts exactly the affected residue class. This is the
+    * production shape for a real media lake: one typed pipeline over
+    * mixed bytes, no per-format branching above the dispatch. */
+  def mmDecodeMixed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (fmt, bytes) = (id % 5) match {
+          case 0 => ("ppm", synthPpm(id, (4 + id % 13).toInt, (3 + id % 11).toInt))
+          case 1 => ("pcm", synthWav(id, (32 + id % 97).toInt, (8000 + (id % 5) * 4000).toInt))
+          case 2 => ("png", synthPng(id, (3 + id % 6).toInt, (2 + id % 5).toInt))
+          case 3 => ("gif", synthGif(id, (4 + (id % 10) * 4).toInt, (3 + (id % 7) * 2).toInt))
+          case _ => ("ulaw", synthWavMulaw(id, (24 + id % 61).toInt, 8000))
+        }
+        val f = extractFeatures(bytes)
+        MixedDecoded(id, fmt, f.foldLeft(0L)((a, x) => a + x.toLong))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodeMixedSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'pcm'
+      |      WHEN 2 THEN 'png' WHEN 3 THEN 'gif' ELSE 'ulaw' END AS fmt,
+      |    CASE doc_id % 5
+      |    WHEN 0 THEN -- ppm: w + h + 255 + sum(all samples) + w*h
+      |      (4 + doc_id % 13) + (3 + doc_id % 11) + 255
+      |      + (4 + doc_id % 13) * (3 + doc_id % 11)
+      |      + list_sum(list_transform(
+      |          generate_series(0, (4 + doc_id % 13) * (3 + doc_id % 11) * 3 - 1),
+      |          j -> (doc_id * 7 + j * 13) % 256))
+      |    WHEN 1 THEN -- pcm wav: rate + 1 + 16 + n + sum|s| + sum(s)
+      |      12000 + 1 + 16 + (32 + doc_id % 97)
+      |      + list_sum(list_transform(generate_series(0, 32 + doc_id % 97 - 1),
+      |          i -> abs((doc_id * 31 + i * 17) % 4001 - 2000)))
+      |      + list_sum(list_transform(generate_series(0, 32 + doc_id % 97 - 1),
+      |          i -> (doc_id * 31 + i * 17) % 4001 - 2000))
+      |    WHEN 2 THEN -- png: w + h + 8 + 2 + sum(pixels) + w*h
+      |      (3 + doc_id % 6) + (2 + doc_id % 5) + 8 + 2
+      |      + (3 + doc_id % 6) * (2 + doc_id % 5)
+      |      + list_sum(list_transform(
+      |          generate_series(0, (3 + doc_id % 6) * (2 + doc_id % 5) * 3 - 1),
+      |          j -> (doc_id * 11 + j * 19) % 251))
+      |    WHEN 3 THEN -- gif: w + h + 7 + sum(rgb) + w*h
+      |      (4 + (doc_id % 10) * 4) + (3 + (doc_id % 7) * 2) + 7
+      |      + (4 + (doc_id % 10) * 4) * (3 + (doc_id % 7) * 2)
+      |      + list_sum(list_transform(
+      |          generate_series(0, (4 + (doc_id % 10) * 4) * (3 + (doc_id % 7) * 2) - 1),
+      |          j -> (((doc_id * 13 + j * 23) % 97) * 3) % 256
+      |             + (((doc_id * 13 + j * 23) % 97) * 5 + 1) % 256
+      |             + (((doc_id * 13 + j * 23) % 97) * 7 + 2) % 256))
+      |    ELSE -- mu-law wav: 8000 + 1 + 8 + n + sum|s| + sum(s)
+      |      8000 + 1 + 8 + (24 + doc_id % 61)
+      |      + list_sum(list_transform(generate_series(0, 24 + doc_id % 61 - 1), i ->
+      |          abs(CASE WHEN 255 - ((doc_id * 37 + i * 41) % 256) >= 128
+      |            THEN -(((132 + ((255 - ((doc_id * 37 + i * 41) % 256)) % 16) * 8)
+      |                   << (((255 - ((doc_id * 37 + i * 41) % 256)) // 16) % 8)) - 132)
+      |            ELSE ((132 + ((255 - ((doc_id * 37 + i * 41) % 256)) % 16) * 8)
+      |                 << (((255 - ((doc_id * 37 + i * 41) % 256)) // 16) % 8)) - 132 END)))
+      |      + list_sum(list_transform(generate_series(0, 24 + doc_id % 61 - 1), i ->
+      |          CASE WHEN 255 - ((doc_id * 37 + i * 41) % 256) >= 128
+      |            THEN -(((132 + ((255 - ((doc_id * 37 + i * 41) % 256)) % 16) * 8)
+      |                   << (((255 - ((doc_id * 37 + i * 41) % 256)) // 16) % 8)) - 132)
+      |            ELSE ((132 + ((255 - ((doc_id * 37 + i * 41) % 256)) % 16) * 8)
+      |                 << (((255 - ((doc_id * 37 + i * 41) % 256)) // 16) % 8)) - 132 END))
+      |    END AS feat_sum
+      |  FROM documents)
+      |SELECT doc_id, fmt, feat_sum::BIGINT AS feat_sum
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** ViT PATCH/TOKEN ACCOUNTING — the budget arithmetic a multimodal
     * training pipeline runs per image BEFORE any decode: 16×16 patch
     * grid over the (stub) dimensions, tokens = patches·frames + 1 CLS,
@@ -1148,6 +1231,7 @@ object Multimodal {
     "mm_decode_png" -> (mmDecodePng _),
     "mm_decode_gif" -> (mmDecodeGif _),
     "mm_decode_mulaw" -> (mmDecodeMulaw _),
+    "mm_decode_mixed" -> (mmDecodeMixed _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1160,6 +1244,7 @@ object Multimodal {
     "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_mulaw" -> mmDecodeMulawSql,
+    "mm_decode_mixed" -> mmDecodeMixedSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -21,9 +21,14 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[Multimodal.MediaRow]
       .map { r =>
-        if (r.doc_id % 3 == 0) Multimodal.MediaRow(r.doc_id, Multimodal.synthPpm(r.doc_id, 5, 4))
-        else if (r.doc_id % 3 == 1) Multimodal.MediaRow(r.doc_id, Multimodal.synthWav(r.doc_id, 40, 8000))
-        else r
+        (r.doc_id % 6) match {
+          case 0 => Multimodal.MediaRow(r.doc_id, Multimodal.synthPpm(r.doc_id, 5, 4))
+          case 1 => Multimodal.MediaRow(r.doc_id, Multimodal.synthWav(r.doc_id, 40, 8000))
+          case 2 => Multimodal.MediaRow(r.doc_id, Multimodal.synthPng(r.doc_id, 4, 6))
+          case 3 => Multimodal.MediaRow(r.doc_id, Multimodal.synthGif(r.doc_id, 6, 5))
+          case 4 => Multimodal.MediaRow(r.doc_id, Multimodal.synthWavMulaw(r.doc_id, 30, 8000))
+          case _ => r // raw text bytes: the unknown-format stub fallback
+        }
       }
     val got = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
     val local = media.collect()
