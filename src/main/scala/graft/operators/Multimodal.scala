@@ -304,6 +304,13 @@ object Multimodal {
                    val n = bytes(pos) & 0xff; pos += 1
                    require(pos + n <= bytes.length, "gif: image sub-block overruns file")
                    data.write(bytes, pos, n); pos += n; n != 0 }) ()
+          // Allocation bound BEFORE decoding: an LZW code is >= 3 bits
+          // and emits at most 4096 bytes (the longest dictionary
+          // string), so the raster can't exceed ~10923x the data bytes
+          // — corrupt u16 dims reject here instead of allocating
+          // hundreds of MB (the PNG bound's twin, same fuzz finding).
+          require(w.toLong * h <= data.size.toLong * 10924 + 16,
+            s"gif: declared ${w}x$h exceeds any possible LZW expansion of ${data.size} bytes")
           val idx = lzwDecode(data.toByteArray, minCode, w * h)
           val nPal = 1 << palBits
           val out = new Array[Byte](w * h * 3)
@@ -531,6 +538,14 @@ object Multimodal {
     require(idat.size > 0, "png: missing IDAT")
     val bpp = if (ctype == 2) 3 else 1 // bytes per pixel at depth 8
     val stride = w * bpp
+    // Allocation bound BEFORE allocating: DEFLATE expands at most
+    // ~1032x (one distance-1 length-258 match per 2 bits), so declared
+    // dims that imply more output than the IDAT payload could possibly
+    // inflate to are corrupt — without this, one flipped bit in the
+    // 4-byte IHDR width allocates gigabytes before the stream-length
+    // check ever runs (found by the byte-flip fuzz spec).
+    require((stride + 1).toLong * h <= idat.size.toLong * 1040 + 1024,
+      s"png: declared ${w}x$h exceeds any possible inflation of ${idat.size} IDAT bytes")
     val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per scanline
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

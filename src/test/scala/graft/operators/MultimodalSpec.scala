@@ -233,6 +233,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseGif(noImg))
   }
 
+  test("byte-flip fuzz: every single-byte corruption of every format parses or degrades — no hang, no escape, no giant alloc") {
+    // the production contract over arbitrary lake bytes, swept
+    // systematically: flip one bit (low and high) at EVERY position of
+    // a valid file in each format; extractFeatures must return 8
+    // features every time — either a successful (possibly different)
+    // decode or the stub fallback — never an uncaught exception, an
+    // unbounded allocation (the IHDR/descriptor dim-flip class), or a
+    // non-terminating loop (the WAV chunk-size class)
+    val files = Seq(
+      Multimodal.synthPpm(5L, 6, 4),
+      Multimodal.synthWav(5L, 24, 8000),
+      Multimodal.synthPng(5L, 4, 5),
+      Multimodal.synthGif(5L, 8, 6),
+      Multimodal.synthWavMulaw(5L, 20, 8000))
+    var parsedSome = 0
+    for (f <- files; pos <- f.indices; delta <- Seq(0x01, 0x80)) {
+      val c = f.clone()
+      c(pos) = (c(pos) ^ delta).toByte
+      val feats = Multimodal.extractFeatures(c)
+      assert(feats != null && feats.length == 8,
+        s"contract broken at pos=$pos delta=$delta of ${f.length}-byte file")
+      parsedSome += 1
+    }
+    assert(parsedSome == files.map(_.length).sum * 2)
+  }
+
   test("extractFeatures: corrupt inputs degrade to stub, never throw") {
     // text that merely starts with a known magic must not fail the job
     val fakePpm = "P6 this is just text, not an image at all".getBytes("US-ASCII")
