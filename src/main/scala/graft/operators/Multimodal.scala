@@ -408,6 +408,360 @@ object Multimodal {
     out
   }
 
+  // ----- JPEG (baseline, grayscale): the third compressed codec —
+  // ----- entropy coding (canonical Huffman + bit unstuffing + DC
+  // ----- prediction), a third family after DEFLATE and LZW (r13) ----
+
+  /** Decoded baseline JPEG: dims, the DEQUANTIZED coefficient blocks
+    * (zigzag order, DC prediction applied — the lossless layer the
+    * oracle pins), and the IDCT'd pixels (the numeric layer JpegSpec
+    * pins). */
+  case class JpegImage(width: Int, height: Int, blocks: Array[Array[Int]],
+                       pixels: Array[Byte])
+
+  def isJpegMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+
+  /** Zigzag index order (public JPEG constant): zigzag position k lives
+    * at natural position ZigzagNat(k) = row*8 + col. */
+  private val ZigzagNat: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    // walk anti-diagonals, alternating direction
+    for (s <- 0 until 15) {
+      val range = if (s % 2 == 0) (math.min(s, 7) to math.max(0, s - 7) by -1)
+                  else (math.max(0, s - 7) to math.min(s, 7))
+      for (r <- range) { out(k) = r * 8 + (s - r); k += 1 }
+    }
+    out
+  }
+
+  /** Annex K luminance Huffman tables (public JPEG standard constants).
+    * The decoder never assumes them — it builds from the file's own
+    * DHT — but the writer emits the standard ones. */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.range(0, 12)
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman codes from (bits-per-length, values) — JPEG's
+    * own construction: ascending code within a length, shifted left at
+    * each length boundary. Returns symbol → (code, length). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) { out += vals(vi) -> ((code, len)); code += 1; vi += 1; i += 1 }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Baseline JPEG parser — the real marker + entropy grammar, pure
+    * JVM: SOI, APPn/COM skip, DQT (8-bit tables), SOF0 (8-bit
+    * precision, ONE grayscale component, no subsampling — the
+    * documented scope; SOF2 progressive et al. reject), DHT (canonical
+    * Huffman built from the FILE's tables, never assumed), SOS, then
+    * the entropy-coded scan: bitwise canonical-Huffman decode with
+    * 0xFF00 byte unstuffing, DC category/EXTEND prediction across
+    * blocks, AC (run,size) symbols with ZRL and EOB, dequantization,
+    * de-zigzag, and a double-precision IDCT with level shift + clamp.
+    * Truncated scans, unknown Huffman codes, coefficient overruns past
+    * index 63, and missing segments all reject — the corrupt-lake
+    * contract of the other parsers. */
+  def parseJpeg(bytes: Array[Byte]): JpegImage = {
+    require(isJpegMagic(bytes), "not a jpeg")
+    var pos = 2
+    def u16(p: Int): Int = (bytes(p) & 0xff) << 8 | (bytes(p + 1) & 0xff)
+    var qt: Array[Int] = null
+    var w = -1; var h = -1
+    var dcCodes: Map[(Int, Int), Int] = null // (len, code) -> symbol
+    var acCodes: Map[(Int, Int), Int] = null
+    var scanAt = -1
+    while (scanAt < 0) {
+      require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
+      require((bytes(pos) & 0xff) == 0xff, f"jpeg: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      require(pos + 2 + len <= bytes.length, f"jpeg: segment 0x$m%02x overruns file")
+      val body = pos + 4
+      m match {
+        case 0xdb => // DQT (8-bit precision only)
+          var p = body
+          while (p < pos + 2 + len) {
+            require((bytes(p) & 0xf0) == 0, "jpeg: 16-bit quant tables unsupported")
+            require(p + 65 <= pos + 2 + len, "jpeg: truncated DQT")
+            if ((bytes(p) & 0x0f) == 0) qt = (1 to 64).map(i => bytes(p + i) & 0xff).toArray
+            p += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          require((bytes(body) & 0xff) == 8, "jpeg: only 8-bit precision")
+          h = u16(body + 1); w = u16(body + 3)
+          require(w > 0 && h > 0 && w.toLong * h < Int.MaxValue, s"jpeg: bad dims ${w}x$h")
+          require((bytes(body + 5) & 0xff) == 1, "jpeg: only single-component grayscale")
+          require((bytes(body + 7) & 0xff) == 0x11, "jpeg: subsampling unsupported")
+        case 0xc4 => // DHT, possibly several tables in one segment
+          var p = body
+          while (p < pos + 2 + len) {
+            val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
+            require(th == 0, "jpeg: only table id 0 used")
+            val bits = (1 to 16).map(i => bytes(p + i) & 0xff).toArray
+            val n = bits.sum
+            require(p + 17 + n <= pos + 2 + len, "jpeg: truncated DHT")
+            val vals = (0 until n).map(i => bytes(p + 17 + i) & 0xff).toArray
+            val dec = canonicalCodes(bits, vals).map { case (sym, (code, l)) => (l, code) -> sym }
+            if (tc == 0) dcCodes = dec else acCodes = dec
+            p += 17 + n
+          }
+        case 0xda => // SOS
+          require((bytes(body) & 0xff) == 1, "jpeg: one scan component expected")
+          scanAt = pos + 2 + len
+        case x if x >= 0xe0 && x <= 0xef => () // APPn
+        case 0xfe => () // COM
+        case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
+        case x => throw new IllegalArgumentException(f"jpeg: unsupported marker 0x$x%02x")
+      }
+      pos = pos + 2 + len
+    }
+    require(qt != null && w > 0 && dcCodes != null && acCodes != null,
+      "jpeg: missing DQT/SOF0/DHT before SOS")
+    // entropy-coded scan: bit reader with 0xFF00 unstuffing
+    var bp = scanAt; var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        require(bp < bytes.length, "jpeg: scan truncated")
+        var b = bytes(bp) & 0xff; bp += 1
+        if (b == 0xff) {
+          require(bp < bytes.length && bytes(bp) == 0, "jpeg: unexpected marker in scan")
+          bp += 1
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeSym(codes: Map[(Int, Int), Int]): Int = {
+      var code = 0; var len = 0
+      while (len <= 16) {
+        code = code << 1 | nextBit(); len += 1
+        codes.get((len, code)) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      throw new IllegalArgumentException("jpeg: invalid huffman code in scan")
+    }
+    def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def receive(s: Int): Int = { var v = 0; var i = 0; while (i < s) { v = v << 1 | nextBit(); i += 1 }; v }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nBlocks = bw * bh
+    val blocks = new Array[Array[Int]](nBlocks)
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val zz = new Array[Int](64)
+      val s = decodeSym(dcCodes)
+      require(s <= 11, s"jpeg: DC category $s out of range")
+      pred += extend(receive(s), s)
+      zz(0) = pred * qt(0)
+      var k = 1
+      var eob = false
+      while (!eob && k < 64) {
+        val rs = decodeSym(acCodes)
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (rs == 0x00) eob = true // EOB
+          else if (rs == 0xf0) { k += 16; require(k <= 64, "jpeg: ZRL past block end") } // ZRL
+          else throw new IllegalArgumentException(f"jpeg: bad AC symbol 0x$rs%02x")
+        } else {
+          k += run
+          require(k < 64, "jpeg: AC coefficient past block end")
+          zz(k) = extend(receive(size), size) * qt(k)
+          k += 1
+        }
+      }
+      blocks(b) = zz
+      b += 1
+    }
+    // IDCT per block (double math, deterministic in the JVM; JpegSpec
+    // pins the numerics — the ORACLE pins only the lossless layers)
+    val pixels = new Array[Byte](w * h)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    var bi = 0
+    while (bi < nBlocks) {
+      val zz = blocks(bi)
+      val nat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { nat(ZigzagNat(k)) = zz(k); k += 1 }
+      val bx = (bi % bw) * 8; val by = (bi / bw) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              sum += cu * cv * nat(u * 8 + v) * cosT(y)(u) * cosT(x)(v)
+              v += 1
+            }
+            u += 1
+          }
+          val px = math.round(sum / 4.0 + 128.0).toInt
+          if (by + y < h && bx + x < w)
+            pixels((by + y) * w + (bx + x)) = math.max(0, math.min(255, px)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      bi += 1
+    }
+    JpegImage(w, h, blocks, pixels)
+  }
+
+  /** Deterministic baseline-JPEG writer (grayscale, one 8-row band of
+    * `nBlocks` blocks, all-ones quant table so coefficients survive
+    * quantization exactly): block b of doc d carries DC
+    * `(d*7 + b*13) % 61 - 30` (difference-coded across blocks, the DC
+    * prediction chain) and two ACs — zigzag 1: `(d*11 + b*17) % 19 - 9`
+    * and zigzag 19: `(d*5 + b*23) % 15 - 7` — the 17-zero gap forcing a
+    * ZRL (15,0) symbol whenever zigzag-1 is nonzero, and an 18-gap ZRL
+    * when it rounds to zero, so both run paths appear across ids.
+    * Standard Annex K Huffman tables ride in DHT segments; scan bytes
+    * are 0xFF-stuffed; the tail byte pads with 1s. */
+  def synthJpeg(docId: Long, nBlocks: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      payload.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0 JFIF
+    m(0xdb, 0 +: Array.fill(64)(1)) // DQT id 0, all ones
+    val w = 8 * nBlocks
+    m(0xc0, Array(8, 0, 8, (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0)) // SOF0 8 x w, gray
+    m(0xc4, 0x00 +: (DcBits ++ DcVals)) // DHT DC0
+    m(0xc4, 0x10 +: (AcBits ++ AcVals)) // DHT AC0
+    m(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    val dcEnc = canonicalCodes(DcBits, DcVals)
+    val acEnc = canonicalCodes(AcBits, AcVals)
+    val scan = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = bitBuf << 1 | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          scan.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) scan.write(0) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoded(enc: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = enc(sym); putBits(c, l)
+    }
+    def putMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val dc = ((docId * 7 + b * 13) % 61).toInt - 30
+      val v1 = ((docId * 11 + b * 17) % 19).toInt - 9
+      val v19 = ((docId * 5 + b * 23) % 15).toInt - 7
+      val diff = dc - pred; pred = dc
+      val s = category(diff)
+      putCoded(dcEnc, s); putMagnitude(diff, s)
+      // ACs in zigzag order with honest run-lengths over the zeros
+      var lastNz = 0
+      for ((k, v) <- Seq(1 -> v1, 19 -> v19) if v != 0) {
+        var run = k - lastNz - 1
+        while (run > 15) { putCoded(acEnc, 0xf0); run -= 16 } // ZRL
+        putCoded(acEnc, run << 4 | category(v)); putMagnitude(v, category(v))
+        lastNz = k
+      }
+      putCoded(acEnc, 0x00) // EOB (block never fills to 63)
+      b += 1
+    }
+    if (bitCnt > 0) { // pad the tail byte with 1s
+      bitBuf = bitBuf << (8 - bitCnt) | ((1 << (8 - bitCnt)) - 1)
+      scan.write(bitBuf & 0xff)
+      if ((bitBuf & 0xff) == 0xff) scan.write(0)
+    }
+    scan.toByteArray.foreach(x => out.write(x & 0xff))
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  case class DecodedJpeg(doc_id: Long, width: Long, height: Long, n_blocks: Long,
+                         dc_sum: Long, ac_sum: Long)
+
+  /** THIRD COMPRESSED CODEC, ORACLED ON ITS LOSSLESS LAYERS (r13): per
+    * doc, synthesize a baseline grayscale JPEG on the executors and run
+    * the full [[parseJpeg]] read path. The oracle pins everything
+    * DETERMINISTIC BY FORMAT: dims from SOF0, block count, and the
+    * dequantized coefficient sums — which transit the canonical-Huffman
+    * build from the file's DHT, bitwise decode with 0xFF unstuffing,
+    * DC category/EXTEND prediction across the whole scan, AC
+    * (run,size)/ZRL/EOB handling, and dequantization. A single mis-read
+    * bit desynchronizes the entire remaining scan, so dc_sum/ac_sum are
+    * maximally sensitive. The IDCT (the only lossy/numeric stage) is
+    * pinned by JpegSpec against closed-form blocks instead — a float
+    * pipeline has no cross-engine bit-exact oracle, and pretending
+    * otherwise would just pin libm versions. */
+  def mmDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (2 + id % 5).toInt
+        val img = parseJpeg(synthJpeg(id, n))
+        var dc = 0L; var ac = 0L
+        img.blocks.foreach { zz =>
+          dc += zz(0)
+          var k = 1
+          while (k < 64) { ac += zz(k); k += 1 }
+        }
+        DecodedJpeg(id, img.width.toLong, img.height.toLong,
+          img.blocks.length.toLong, dc, ac)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val mmDecodeJpegSql: String =
+    """SELECT doc_id,
+      |  (8 * (2 + doc_id % 5))::BIGINT AS width,
+      |  8::BIGINT AS height,
+      |  (2 + doc_id % 5)::BIGINT AS n_blocks,
+      |  list_sum(list_transform(generate_series(0, (2 + doc_id % 5)::INT - 1),
+      |    b -> (doc_id * 7 + b * 13) % 61 - 30))::BIGINT AS dc_sum,
+      |  (list_sum(list_transform(generate_series(0, (2 + doc_id % 5)::INT - 1),
+      |     b -> (doc_id * 11 + b * 17) % 19 - 9))
+      |   + list_sum(list_transform(generate_series(0, (2 + doc_id % 5)::INT - 1),
+      |     b -> (doc_id * 5 + b * 23) % 15 - 7)))::BIGINT AS ac_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Fallback feature extractor for bytes in no known format: hashes
     * byte windows into an 8-dim vector (deterministic, shape-compatible
     * with the real decoders' output). */
@@ -451,6 +805,15 @@ object Multimodal {
         img.pixels.foreach(b => s += (b & 0xff))
         Array(img.width.toFloat, img.height.toFloat, img.bitDepth.toFloat,
           img.colorType.toFloat, s.toFloat, (img.width * img.height).toFloat, 0f, 0f)
+      } else if (bytes.length >= 2 && isJpegMagic(bytes)) {
+        val img = parseJpeg(bytes)
+        var dc = 0L; var ac = 0L; var ps = 0L
+        img.blocks.foreach { zz =>
+          dc += zz(0); var k = 1; while (k < 64) { ac += zz(k); k += 1 }
+        }
+        img.pixels.foreach(p => ps += (p & 0xff))
+        Array(img.width.toFloat, img.height.toFloat, img.blocks.length.toFloat,
+          dc.toFloat, ac.toFloat, ps.toFloat, 0f, 0f)
       } else if (bytes.length >= 6 && isGifMagic(bytes)) {
         val img = parseGif(bytes)
         var s = 0L
@@ -1247,6 +1610,7 @@ object Multimodal {
     "mm_decode_gif" -> (mmDecodeGif _),
     "mm_decode_mulaw" -> (mmDecodeMulaw _),
     "mm_decode_mixed" -> (mmDecodeMixed _),
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1260,6 +1624,7 @@ object Multimodal {
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_mulaw" -> mmDecodeMulawSql,
     "mm_decode_mixed" -> mmDecodeMixedSql,
+    "mm_decode_jpeg" -> mmDecodeJpegSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
