@@ -17,12 +17,19 @@ import graft.sources.Tables
   * little-endian signed samples), [[decodeFeatures]] dispatches on the
   * magic bytes, and the oracled [[mmDecode]] entry verifies decoded
   * content against DuckDB's independent recomputation. Since r13 the
-  * dispatch also covers a COMPRESSED format: [[parsePng]] is a real PNG
-  * decoder (crc'd chunk walk, java.util.zip zlib inflate, all five
-  * scanline filters), oracled by [[mmDecodePng]]. Other compressed
-  * formats (JPEG/FLAC/H.264) would slot into the same dispatch without
-  * changing any plan shape; [[stubDecode]] remains as the
-  * unknown-format / corrupt-input fallback (see [[extractFeatures]]).
+  * dispatch covers THREE compression families on top of the raw
+  * formats: [[parsePng]] (DEFLATE — crc'd chunk walk, java.util.zip
+  * zlib inflate, all five scanline filters; oracled by
+  * [[mmDecodePng]]), [[parseGif]] (variable-width LZW with dictionary
+  * resets; [[mmDecodeGif]]), and [[parseJpeg]] (baseline JPEG — the
+  * canonical-Huffman entropy layer oracled by [[mmDecodeJpeg]], the
+  * IDCT pinned in JpegSpec), plus G.711 μ-law companding inside the
+  * WAV walker ([[mmDecodeMulaw]]) and the all-formats dispatch
+  * capstone [[mmDecodeMixed]]. Remaining formats (FLAC/H.264) would
+  * slot into the same dispatch without changing any plan shape;
+  * [[stubDecode]] remains as the unknown-format / corrupt-input
+  * fallback (see [[extractFeatures]]), and a byte-flip fuzz spec sweeps
+  * every format's container for hangs/escapes/unbounded allocations.
   *
   * Scale: per-row projection and a generate (explode) — no shuffles at
   * all; media bytes stay columnar in parquet and are never collected.
