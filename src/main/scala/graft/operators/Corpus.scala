@@ -113,8 +113,13 @@ object Corpus {
   def shufflePartitions(spark: SparkSession, sfDir: String): Int = {
     // dev/measurement override (r13): pin the count to isolate
     // partition-granularity effects from data-size effects in scale
-    // experiments (never set in the driver's runs)
-    sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+    // experiments (never set in the driver's runs). Parsed defensively
+    // (r14 ADVICE): a malformed/zero/negative value must not bypass the
+    // [1, 4096] envelope the derived path guarantees — clamp instead of
+    // letting NumberFormatException or an invalid partition count fail
+    // every query at runtime.
+    sys.env.get("GRAFT_SHUFFLE_PARTITIONS").flatMap(_.toIntOption)
+      .map(v => math.min(4096, math.max(1, v))).getOrElse {
       val floor = spark.sparkContext.defaultParallelism
       val target = 2L << 20
       val byBytes = try (dirBytes(spark, sfDir) / target).toInt

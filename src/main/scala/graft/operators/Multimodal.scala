@@ -419,12 +419,24 @@ object Multimodal {
   // ----- entropy coding (canonical Huffman + bit unstuffing + DC
   // ----- prediction), a third family after DEFLATE and LZW (r13) ----
 
-  /** Decoded baseline JPEG: dims, the DEQUANTIZED coefficient blocks
-    * (zigzag order, DC prediction applied — the lossless layer the
-    * oracle pins), and the IDCT'd pixels (the numeric layer JpegSpec
-    * pins). */
+  /** One frame component of a decoded JPEG: its SOF0 id, sampling
+    * factors, quant-table id, and DEQUANTIZED coefficient blocks in
+    * component raster order (zigzag layout, DC prediction applied). */
+  case class JpegComponent(id: Int, hSamp: Int, vSamp: Int, qId: Int,
+                           blocks: Array[Array[Int]])
+
+  /** Decoded baseline JPEG: dims, the DEQUANTIZED coefficient blocks of
+    * the FIRST (gray/luma) component (zigzag order, DC prediction
+    * applied — the lossless layer the oracle pins), the IDCT'd
+    * gray/luma pixels cropped to width x height (the numeric layer
+    * JpegSpec pins), and — r14 color support — every component's
+    * blocks plus the upsampled BT.601 RGB raster (empty for
+    * grayscale). Defaults keep the r13 grayscale call sites source-
+    * compatible. */
   case class JpegImage(width: Int, height: Int, blocks: Array[Array[Int]],
-                       pixels: Array[Byte])
+                       pixels: Array[Byte],
+                       components: Seq[JpegComponent] = Nil,
+                       rgb: Array[Byte] = Array.empty)
 
   def isJpegMagic(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
@@ -465,6 +477,30 @@ object Multimodal {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  /** Annex K chrominance Huffman tables (public JPEG standard
+    * constants, K.3.3.2) — emitted by [[synthJpegColor]] as DHT ids 1
+    * so the color path exercises per-component table ROUTING: a decoder
+    * that mixes up table ids desynchronizes the chroma scan
+    * immediately. */
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC = Array.range(0, 12)
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
   /** Canonical Huffman codes from (bits-per-length, values) — JPEG's
     * own construction: ascending code within a length, shifted left at
     * each length boundary. Returns symbol → (code, length). */
@@ -480,79 +516,141 @@ object Multimodal {
   }
 
   /** Baseline JPEG parser — the real marker + entropy grammar, pure
-    * JVM: SOI, APPn/COM skip, DQT (8-bit tables), SOF0 (8-bit
-    * precision, ONE grayscale component, no subsampling — the
-    * documented scope; SOF2 progressive et al. reject), DHT (canonical
-    * Huffman built from the FILE's tables, never assumed), SOS, then
-    * the entropy-coded scan: bitwise canonical-Huffman decode with
-    * 0xFF00 byte unstuffing, DC category/EXTEND prediction across
-    * blocks, AC (run,size) symbols with ZRL and EOB, dequantization,
-    * de-zigzag, and a double-precision IDCT with level shift + clamp.
+    * JVM: SOI, APPn/COM skip, DQT (8-bit tables, ids 0-3), SOF0 (8-bit
+    * precision, ONE grayscale component or THREE YCbCr components with
+    * 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling — r14; SOF2 progressive et
+    * al. reject), DHT (canonical Huffman built from the FILE's tables,
+    * never assumed — classes 0/1, ids 0-3), DRI restart intervals,
+    * SOS, then the MCU-interleaved entropy-coded scan: bitwise
+    * canonical-Huffman decode with 0xFF00 byte unstuffing, RSTn
+    * markers (byte realign + per-component DC prediction reset),
+    * per-component DC category/EXTEND prediction, AC (run,size)
+    * symbols with ZRL and EOB, per-component dequantization,
+    * de-zigzag, a double-precision IDCT per plane with level shift +
+    * clamp, chroma upsampling by replication, and BT.601 YCbCr→RGB.
     * Truncated scans, unknown Huffman codes, coefficient overruns past
-    * index 63, and missing segments all reject — the corrupt-lake
-    * contract of the other parsers. */
+    * index 63, missing segments, and UNDERSIZED SEGMENT BODIES (r14
+    * ADVICE: every marker validates its minimum body length before any
+    * fixed-offset read — a declared len of 2 with a fixed-layout body
+    * previously escaped as ArrayIndexOutOfBounds) all reject — the
+    * corrupt-lake contract of the other parsers. */
   def parseJpeg(bytes: Array[Byte]): JpegImage = {
     require(isJpegMagic(bytes), "not a jpeg")
     var pos = 2
     def u16(p: Int): Int = (bytes(p) & 0xff) << 8 | (bytes(p + 1) & 0xff)
-    var qt: Array[Int] = null
+    val qts = new Array[Array[Int]](4)
     var w = -1; var h = -1
-    var dcCodes: Map[(Int, Int), Int] = null // (len, code) -> symbol
-    var acCodes: Map[(Int, Int), Int] = null
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    val dcTabs = new Array[Map[(Int, Int), Int]](4) // (len, code) -> symbol
+    val acTabs = new Array[Map[(Int, Int), Int]](4)
+    var scanTabs: Array[(Int, Int)] = null // per component: (DC id, AC id)
+    var dri = 0
     var scanAt = -1
     while (scanAt < 0) {
       require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
       require((bytes(pos) & 0xff) == 0xff, f"jpeg: expected marker at $pos")
       val m = bytes(pos + 1) & 0xff
       val len = u16(pos + 2)
+      require(len >= 2, f"jpeg: segment 0x$m%02x declares impossible length $len")
       require(pos + 2 + len <= bytes.length, f"jpeg: segment 0x$m%02x overruns file")
       val body = pos + 4
+      val end = pos + 2 + len
       m match {
-        case 0xdb => // DQT (8-bit precision only)
+        case 0xdb => // DQT (8-bit precision only), several tables per segment
           var p = body
-          while (p < pos + 2 + len) {
+          while (p < end) {
+            require(p + 65 <= end, "jpeg: truncated DQT")
             require((bytes(p) & 0xf0) == 0, "jpeg: 16-bit quant tables unsupported")
-            require(p + 65 <= pos + 2 + len, "jpeg: truncated DQT")
-            if ((bytes(p) & 0x0f) == 0) qt = (1 to 64).map(i => bytes(p + i) & 0xff).toArray
+            val tq = bytes(p) & 0x0f
+            require(tq <= 3, "jpeg: quant table id out of range")
+            qts(tq) = (1 to 64).map(i => bytes(p + i) & 0xff).toArray
             p += 65
           }
         case 0xc0 => // SOF0 baseline
+          require(len >= 10, "jpeg: truncated SOF0")
           require((bytes(body) & 0xff) == 8, "jpeg: only 8-bit precision")
           h = u16(body + 1); w = u16(body + 3)
-          require(w > 0 && h > 0 && w.toLong * h < Int.MaxValue, s"jpeg: bad dims ${w}x$h")
-          require((bytes(body + 5) & 0xff) == 1, "jpeg: only single-component grayscale")
-          require((bytes(body + 7) & 0xff) == 0x11, "jpeg: subsampling unsupported")
+          // x4 bound: the padded planes + the 3-byte RGB raster must all
+          // index with Int arithmetic
+          require(w > 0 && h > 0 && w.toLong * h * 4 < Int.MaxValue, s"jpeg: bad dims ${w}x$h")
+          val nc = bytes(body + 5) & 0xff
+          require(nc == 1 || nc == 3, s"jpeg: $nc components unsupported (1=gray, 3=YCbCr)")
+          require(len >= 8 + 3 * nc, "jpeg: truncated SOF0 component specs")
+          compIds = new Array[Int](nc); compH = new Array[Int](nc)
+          compV = new Array[Int](nc); compQ = new Array[Int](nc)
+          var i = 0
+          while (i < nc) {
+            val p = body + 6 + 3 * i
+            compIds(i) = bytes(p) & 0xff
+            compH(i) = (bytes(p + 1) & 0xf0) >> 4; compV(i) = bytes(p + 1) & 0x0f
+            compQ(i) = bytes(p + 2) & 0xff
+            require(compQ(i) <= 3, "jpeg: quant table id out of range")
+            i += 1
+          }
+          if (nc == 1)
+            require(compH(0) == 1 && compV(0) == 1, "jpeg: grayscale subsampling unsupported")
+          else {
+            require(compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1,
+              "jpeg: chroma sampling factors must be 1x1")
+            require(compH(0) >= 1 && compH(0) <= 2 && compV(0) >= 1 && compV(0) <= 2,
+              "jpeg: luma sampling beyond 2x2 unsupported")
+          }
         case 0xc4 => // DHT, possibly several tables in one segment
           var p = body
-          while (p < pos + 2 + len) {
+          while (p < end) {
+            require(p + 17 <= end, "jpeg: truncated DHT") // class/id + 16 counts
             val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
-            require(th == 0, "jpeg: only table id 0 used")
+            require(tc <= 1, "jpeg: bad DHT table class")
+            require(th <= 3, "jpeg: DHT table id out of range")
             val bits = (1 to 16).map(i => bytes(p + i) & 0xff).toArray
             val n = bits.sum
-            require(p + 17 + n <= pos + 2 + len, "jpeg: truncated DHT")
+            require(p + 17 + n <= end, "jpeg: truncated DHT")
             val vals = (0 until n).map(i => bytes(p + 17 + i) & 0xff).toArray
             val dec = canonicalCodes(bits, vals).map { case (sym, (code, l)) => (l, code) -> sym }
-            if (tc == 0) dcCodes = dec else acCodes = dec
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
             p += 17 + n
           }
+        case 0xdd => // DRI restart interval
+          require(len >= 4, "jpeg: truncated DRI")
+          dri = u16(body)
         case 0xda => // SOS
-          require((bytes(body) & 0xff) == 1, "jpeg: one scan component expected")
-          scanAt = pos + 2 + len
+          require(compIds != null, "jpeg: SOS before SOF0")
+          require(len >= 3, "jpeg: truncated SOS")
+          val ns = bytes(body) & 0xff
+          require(ns == compIds.length, "jpeg: scan must cover all frame components")
+          require(len >= 6 + 2 * ns, "jpeg: truncated SOS component specs")
+          scanTabs = Array.tabulate(ns) { i =>
+            val p = body + 1 + 2 * i
+            require((bytes(p) & 0xff) == compIds(i), "jpeg: scan component order must match SOF0")
+            val t = bytes(p + 1) & 0xff
+            val td = (t & 0xf0) >> 4; val ta = t & 0x0f
+            require(td <= 3 && ta <= 3, "jpeg: scan huffman table id out of range")
+            (td, ta)
+          }
+          val sp = body + 1 + 2 * ns
+          require((bytes(sp) & 0xff) == 0 && (bytes(sp + 1) & 0xff) == 63 &&
+            (bytes(sp + 2) & 0xff) == 0, "jpeg: non-baseline spectral selection")
+          scanAt = end
         case x if x >= 0xe0 && x <= 0xef => () // APPn
         case 0xfe => () // COM
         case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
         case x => throw new IllegalArgumentException(f"jpeg: unsupported marker 0x$x%02x")
       }
-      pos = pos + 2 + len
+      pos = end
     }
-    require(qt != null && w > 0 && dcCodes != null && acCodes != null,
+    val nc = compIds.length
+    require(w > 0 && (0 until nc).forall(i => qts(compQ(i)) != null) &&
+      (0 until nc).forall(i => dcTabs(scanTabs(i)._1) != null && acTabs(scanTabs(i)._2) != null),
       "jpeg: missing DQT/SOF0/DHT before SOS")
     // entropy-coded scan: bit reader with 0xFF00 unstuffing
     var bp = scanAt; var bitBuf = 0; var bitCnt = 0
     def nextBit(): Int = {
       if (bitCnt == 0) {
         require(bp < bytes.length, "jpeg: scan truncated")
-        var b = bytes(bp) & 0xff; bp += 1
+        val b = bytes(bp) & 0xff; bp += 1
         if (b == 0xff) {
           require(bp < bytes.length && bytes(bp) == 0, "jpeg: unexpected marker in scan")
           bp += 1
@@ -575,21 +673,32 @@ object Multimodal {
     }
     def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     def receive(s: Int): Int = { var v = 0; var i = 0; while (i < s) { v = v << 1 | nextBit(); i += 1 }; v }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val nBlocks = bw * bh
-    val blocks = new Array[Array[Int]](nBlocks)
-    var pred = 0
-    var b = 0
-    while (b < nBlocks) {
+    // MCU grid: for the single-component scan the MCU is one block and
+    // this degenerates to the r13 ceil(w/8) x ceil(h/8) raster; for the
+    // interleaved 3-component scan each MCU carries Hc x Vc blocks per
+    // component and the component grids pad to the MCU boundary.
+    val maxH = compH.max; val maxV = compV.max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val compBw = Array.tabulate(nc)(i => mcusX * compH(i))
+    val compBh = Array.tabulate(nc)(i => mcusY * compV(i))
+    (0 until nc).foreach { i =>
+      require(compBw(i).toLong * 8 * compBh(i) * 8 <= Int.MaxValue,
+        "jpeg: padded plane exceeds array bounds")
+    }
+    val compBlocks = Array.tabulate(nc)(i => new Array[Array[Int]](compBw(i) * compBh(i)))
+    val preds = new Array[Int](nc)
+    def decodeBlock(ci: Int): Array[Int] = {
+      val qt = qts(compQ(ci))
       val zz = new Array[Int](64)
-      val s = decodeSym(dcCodes)
+      val s = decodeSym(dcTabs(scanTabs(ci)._1))
       require(s <= 11, s"jpeg: DC category $s out of range")
-      pred += extend(receive(s), s)
-      zz(0) = pred * qt(0)
+      preds(ci) += extend(receive(s), s)
+      zz(0) = preds(ci) * qt(0)
       var k = 1
       var eob = false
       while (!eob && k < 64) {
-        val rs = decodeSym(acCodes)
+        val rs = decodeSym(acTabs(scanTabs(ci)._2))
         val run = rs >> 4; val size = rs & 0x0f
         if (size == 0) {
           if (rs == 0x00) eob = true // EOB
@@ -602,15 +711,89 @@ object Multimodal {
           k += 1
         }
       }
-      blocks(b) = zz
-      b += 1
+      zz
     }
-    // IDCT per block (double math, deterministic in the JVM; JpegSpec
-    // pins the numerics — the ORACLE pins only the lossless layers)
+    val nMcus = mcusX * mcusY
+    var rstN = 0
+    var mcu = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        // restart boundary: discard the pad bits to the byte boundary,
+        // consume RSTn (cycling 0xd0..0xd7), reset every component's
+        // DC predictor — the spec's resynchronization contract
+        bitCnt = 0
+        require(bp + 2 <= bytes.length && (bytes(bp) & 0xff) == 0xff &&
+          (bytes(bp + 1) & 0xff) == (0xd0 + rstN % 8), "jpeg: missing restart marker")
+        bp += 2; rstN += 1
+        java.util.Arrays.fill(preds, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var ci = 0
+      while (ci < nc) {
+        var v = 0
+        while (v < compV(ci)) {
+          var hh = 0
+          while (hh < compH(ci)) {
+            compBlocks(ci)((my * compV(ci) + v) * compBw(ci) + (mx * compH(ci) + hh)) =
+              decodeBlock(ci)
+            hh += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // IDCT per component plane (double math, deterministic in the JVM;
+    // JpegSpec pins the numerics — the ORACLE pins only the lossless
+    // layers), crop the first plane to w x h, then for color upsample
+    // chroma by replication and convert BT.601 YCbCr -> RGB
+    val planes = Array.tabulate(nc)(i => idctPlane(compBlocks(i), compBw(i), compBh(i)))
     val pixels = new Array[Byte](w * h)
+    val pw0 = compBw(0) * 8
+    var y = 0
+    while (y < h) {
+      System.arraycopy(planes(0), y * pw0, pixels, y * w, w)
+      y += 1
+    }
+    val rgb =
+      if (nc == 1) Array.empty[Byte]
+      else {
+        val out = new Array[Byte](w * h * 3)
+        val pwCb = compBw(1) * 8; val pwCr = compBw(2) * 8
+        var yy = 0
+        while (yy < h) {
+          val cyB = yy * compV(1) / maxV; val cyR = yy * compV(2) / maxV
+          var x = 0
+          while (x < w) {
+            val lum = planes(0)(yy * pw0 + x) & 0xff
+            val cb = (planes(1)(cyB * pwCb + x * compH(1) / maxH) & 0xff) - 128
+            val cr = (planes(2)(cyR * pwCr + x * compH(2) / maxH) & 0xff) - 128
+            val o = (yy * w + x) * 3
+            out(o) = clamp255(math.round(lum + 1.402 * cr).toInt)
+            out(o + 1) = clamp255(math.round(lum - 0.344136 * cb - 0.714136 * cr).toInt)
+            out(o + 2) = clamp255(math.round(lum + 1.772 * cb).toInt)
+            x += 1
+          }
+          yy += 1
+        }
+        out
+      }
+    val comps = (0 until nc).map(i =>
+      JpegComponent(compIds(i), compH(i), compV(i), compQ(i), compBlocks(i)))
+    JpegImage(w, h, compBlocks(0), pixels, comps, rgb)
+  }
+
+  private def clamp255(v: Int): Byte = math.max(0, math.min(255, v)).toByte
+
+  /** IDCT of a component's blocks into its PADDED plane (bw*8 x bh*8
+    * bytes, level-shifted and clamped) — callers crop/sample. */
+  private def idctPlane(blocks: Array[Array[Int]], bw: Int, bh: Int): Array[Byte] = {
+    val pw = bw * 8
+    val out = new Array[Byte](pw * bh * 8)
     val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
     var bi = 0
-    while (bi < nBlocks) {
+    while (bi < blocks.length) {
       val zz = blocks(bi)
       val nat = new Array[Int](64)
       var k = 0
@@ -632,16 +815,14 @@ object Multimodal {
             }
             u += 1
           }
-          val px = math.round(sum / 4.0 + 128.0).toInt
-          if (by + y < h && bx + x < w)
-            pixels((by + y) * w + (bx + x)) = math.max(0, math.min(255, px)).toByte
+          out((by + y) * pw + (bx + x)) = clamp255(math.round(sum / 4.0 + 128.0).toInt)
           x += 1
         }
         y += 1
       }
       bi += 1
     }
-    JpegImage(w, h, blocks, pixels)
+    out
   }
 
   /** Deterministic baseline-JPEG writer (grayscale, one 8-row band of
@@ -672,7 +853,29 @@ object Multimodal {
     val dcEnc = canonicalCodes(DcBits, DcVals)
     val acEnc = canonicalCodes(AcBits, AcVals)
     val scan = new java.io.ByteArrayOutputStream()
-    var bitBuf = 0; var bitCnt = 0
+    val bw = new JpegBitWriter(scan)
+    var pred = 0
+    var b = 0
+    while (b < nBlocks) {
+      val dc = ((docId * 7 + b * 13) % 61).toInt - 30
+      val v1 = ((docId * 11 + b * 17) % 19).toInt - 9
+      val v19 = ((docId * 5 + b * 23) % 15).toInt - 7
+      putJpegBlock(bw, dcEnc, acEnc, dc - pred, Seq(1 -> v1, 19 -> v19))
+      pred = dc
+      b += 1
+    }
+    bw.flushOnes() // pad the tail byte with 1s
+    scan.toByteArray.foreach(x => out.write(x & 0xff))
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy-scan bit writer shared by the JPEG synths: MSB-first bit
+    * emission with 0xFF byte stuffing and a 1-padded flush (used at
+    * restart boundaries and at scan end — a padded 0xFF is stuffed so
+    * the reader's unstuffing sees it consistently). */
+  private final class JpegBitWriter(scan: java.io.ByteArrayOutputStream) {
+    private var bitBuf = 0; private var bitCnt = 0
     def putBits(v: Int, n: Int): Unit = {
       var i = n - 1
       while (i >= 0) {
@@ -685,37 +888,107 @@ object Multimodal {
         i -= 1
       }
     }
-    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
     def putCoded(enc: Map[Int, (Int, Int)], sym: Int): Unit = {
       val (c, l) = enc(sym); putBits(c, l)
     }
     def putMagnitude(v: Int, s: Int): Unit =
       if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
-    var pred = 0
-    var b = 0
-    while (b < nBlocks) {
-      val dc = ((docId * 7 + b * 13) % 61).toInt - 30
-      val v1 = ((docId * 11 + b * 17) % 19).toInt - 9
-      val v19 = ((docId * 5 + b * 23) % 15).toInt - 7
-      val diff = dc - pred; pred = dc
-      val s = category(diff)
-      putCoded(dcEnc, s); putMagnitude(diff, s)
-      // ACs in zigzag order with honest run-lengths over the zeros
-      var lastNz = 0
-      for ((k, v) <- Seq(1 -> v1, 19 -> v19) if v != 0) {
-        var run = k - lastNz - 1
-        while (run > 15) { putCoded(acEnc, 0xf0); run -= 16 } // ZRL
-        putCoded(acEnc, run << 4 | category(v)); putMagnitude(v, category(v))
-        lastNz = k
+    def flushOnes(): Unit =
+      if (bitCnt > 0) {
+        bitBuf = bitBuf << (8 - bitCnt) | ((1 << (8 - bitCnt)) - 1)
+        scan.write(bitBuf & 0xff)
+        if ((bitBuf & 0xff) == 0xff) scan.write(0)
+        bitBuf = 0; bitCnt = 0
       }
-      putCoded(acEnc, 0x00) // EOB (block never fills to 63)
-      b += 1
+  }
+
+  private def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode one block: DC difference (category + magnitude), then the
+    * given (zigzag index -> value) ACs with honest run lengths over the
+    * zeros, ZRL splitting for gaps > 15, and a closing EOB. */
+  private def putJpegBlock(bw: JpegBitWriter, dcEnc: Map[Int, (Int, Int)],
+                           acEnc: Map[Int, (Int, Int)], dcDiff: Int,
+                           acs: Seq[(Int, Int)]): Unit = {
+    val s = jpegCategory(dcDiff)
+    bw.putCoded(dcEnc, s); bw.putMagnitude(dcDiff, s)
+    var lastNz = 0
+    for ((k, v) <- acs if v != 0) {
+      var run = k - lastNz - 1
+      while (run > 15) { bw.putCoded(acEnc, 0xf0); run -= 16 } // ZRL
+      bw.putCoded(acEnc, run << 4 | jpegCategory(v)); bw.putMagnitude(v, jpegCategory(v))
+      lastNz = k
     }
-    if (bitCnt > 0) { // pad the tail byte with 1s
-      bitBuf = bitBuf << (8 - bitCnt) | ((1 << (8 - bitCnt)) - 1)
-      scan.write(bitBuf & 0xff)
-      if ((bitBuf & 0xff) == 0xff) scan.write(0)
+    bw.putCoded(acEnc, 0x00) // EOB (blocks never fill to 63)
+  }
+
+  /** Deterministic baseline COLOR JPEG writer (r14): 4:2:0 YCbCr, one
+    * row of `nMcus` 16x16 MCUs (4 luma + 1 Cb + 1 Cr blocks per MCU).
+    * LUMA quant table all-ONES (id 0), CHROMA all-TWOS (id 1) — the
+    * dequantized chroma sums are exactly 2x the raw coefficients, so a
+    * decoder routing the wrong quant table is off by a visible factor;
+    * Annex K LUMA Huffman tables as DHT ids 0, Annex K CHROMA tables as
+    * ids 1 — routing the wrong Huffman table desynchronizes the scan
+    * outright; and a DRI restart interval of 2 MCUs with cycling
+    * RST0..7 markers, byte-aligned 1-padding, and per-restart DC
+    * prediction resets. Luma block b (sequential across MCUs in scan
+    * order): DC `(d*7+b*13)%61-30`, zigzag-1 `(d*11+b*17)%19-9`,
+    * zigzag-19 `(d*5+b*23)%15-7` (single-ZRL path); Cb block m: DC
+    * `(d*3+m*29)%41-20`, zigzag-4 `(d*13+m*7)%17-8`; Cr block m: DC
+    * `(d*17+m*11)%37-18`, zigzag-33 `(d*19+m*23)%13-6` — a 32-zero gap
+    * forcing DOUBLE ZRL on the chroma table. */
+  def synthJpegColor(docId: Long, nMcus: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      payload.foreach(out.write)
     }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0 JFIF
+    m(0xdb, (0 +: Array.fill(64)(1)) ++ (1 +: Array.fill(64)(2))) // DQT ids 0 + 1
+    val w = 16 * nMcus
+    m(0xc0, Array(8, 0, 16, (w >> 8) & 0xff, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF0: 16 x w, YCbCr 4:2:0
+    m(0xc4, 0x00 +: (DcBits ++ DcVals)) // DHT DC0 (luma)
+    m(0xc4, 0x10 +: (AcBits ++ AcVals)) // DHT AC0 (luma)
+    m(0xc4, 0x01 +: (DcBitsC ++ DcValsC)) // DHT DC1 (chroma)
+    m(0xc4, 0x11 +: (AcBitsC ++ AcValsC)) // DHT AC1 (chroma)
+    m(0xdd, Array(0, 2)) // DRI: restart every 2 MCUs
+    m(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    val dcY = canonicalCodes(DcBits, DcVals); val acY = canonicalCodes(AcBits, AcVals)
+    val dcC = canonicalCodes(DcBitsC, DcValsC); val acC = canonicalCodes(AcBitsC, AcValsC)
+    val scan = new java.io.ByteArrayOutputStream()
+    val bw = new JpegBitWriter(scan)
+    val preds = new Array[Int](3)
+    var mcu = 0
+    while (mcu < nMcus) {
+      if (mcu > 0 && mcu % 2 == 0) { // restart boundary
+        bw.flushOnes()
+        scan.write(0xff); scan.write(0xd0 + (mcu / 2 - 1) % 8)
+        java.util.Arrays.fill(preds, 0)
+      }
+      var i = 0
+      while (i < 4) { // the MCU's 2x2 luma blocks, indexed sequentially
+        val b = mcu * 4 + i
+        val dc = ((docId * 7 + b * 13) % 61).toInt - 30
+        val v1 = ((docId * 11 + b * 17) % 19).toInt - 9
+        val v19 = ((docId * 5 + b * 23) % 15).toInt - 7
+        putJpegBlock(bw, dcY, acY, dc - preds(0), Seq(1 -> v1, 19 -> v19))
+        preds(0) = dc
+        i += 1
+      }
+      val dcb = ((docId * 3 + mcu * 29) % 41).toInt - 20
+      val v4 = ((docId * 13 + mcu * 7) % 17).toInt - 8
+      putJpegBlock(bw, dcC, acC, dcb - preds(1), Seq(4 -> v4))
+      preds(1) = dcb
+      val dcr = ((docId * 17 + mcu * 11) % 37).toInt - 18
+      val v33 = ((docId * 19 + mcu * 23) % 13).toInt - 6
+      putJpegBlock(bw, dcC, acC, dcr - preds(2), Seq(33 -> v33))
+      preds(2) = dcr
+      mcu += 1
+    }
+    bw.flushOnes()
     scan.toByteArray.foreach(x => out.write(x & 0xff))
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
@@ -767,6 +1040,70 @@ object Multimodal {
       |     b -> (doc_id * 11 + b * 17) % 19 - 9))
       |   + list_sum(list_transform(generate_series(0, (2 + doc_id % 5)::INT - 1),
       |     b -> (doc_id * 5 + b * 23) % 15 - 7)))::BIGINT AS ac_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  case class DecodedJpegColor(doc_id: Long, width: Long, height: Long,
+                              n_blocks_y: Long, dc_y: Long, ac_y: Long,
+                              dc_cb: Long, ac_cb: Long, dc_cr: Long, ac_cr: Long)
+
+  /** COLOR JPEG decode, oracled on its lossless layers (r14, verdict
+    * item 4): per doc, synthesize a 4:2:0 YCbCr baseline JPEG
+    * ([[synthJpegColor]]) on the executors and run the full
+    * [[parseJpeg]] read path. The per-CHANNEL dequantized coefficient
+    * sums transit everything the grayscale entry pins PLUS the color
+    * machinery: per-component quant/Huffman table ROUTING (ids 0 vs 1,
+    * wrong table = 2x-off sums or a desynchronized scan), the
+    * interleaved 4:2:0 MCU block order, per-component DC prediction
+    * chains, and DRI/RSTn restart handling (byte realignment +
+    * predictor resets — a decoder that misses one restart marker
+    * desynchronizes every later MCU). The IDCT/upsample/YCbCr float
+    * tier is pinned in JpegSpec, as for grayscale. */
+  def mmDecodeJpegColor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (1 + id % 4).toInt
+        val img = parseJpeg(synthJpegColor(id, n))
+        def sums(blocks: Array[Array[Int]]): (Long, Long) = {
+          var dc = 0L; var ac = 0L
+          blocks.foreach { zz =>
+            dc += zz(0)
+            var k = 1
+            while (k < 64) { ac += zz(k); k += 1 }
+          }
+          (dc, ac)
+        }
+        val (dy, ay) = sums(img.components(0).blocks)
+        val (dcb, acb) = sums(img.components(1).blocks)
+        val (dcr, acr) = sums(img.components(2).blocks)
+        DecodedJpegColor(id, img.width.toLong, img.height.toLong,
+          img.components(0).blocks.length.toLong, dy, ay, dcb, acb, dcr, acr)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  // chroma sums are 2x the raw coefficient formulas: the all-twos
+  // chroma quant table (id 1) scales every dequantized value
+  private val mmDecodeJpegColorSql: String =
+    """SELECT doc_id,
+      |  (16 * (1 + doc_id % 4))::BIGINT AS width,
+      |  16::BIGINT AS height,
+      |  (4 * (1 + doc_id % 4))::BIGINT AS n_blocks_y,
+      |  list_sum(list_transform(generate_series(0, 4 * (1 + doc_id % 4)::INT - 1),
+      |    b -> (doc_id * 7 + b * 13) % 61 - 30))::BIGINT AS dc_y,
+      |  (list_sum(list_transform(generate_series(0, 4 * (1 + doc_id % 4)::INT - 1),
+      |     b -> (doc_id * 11 + b * 17) % 19 - 9))
+      |   + list_sum(list_transform(generate_series(0, 4 * (1 + doc_id % 4)::INT - 1),
+      |     b -> (doc_id * 5 + b * 23) % 15 - 7)))::BIGINT AS ac_y,
+      |  (2 * list_sum(list_transform(generate_series(0, (1 + doc_id % 4)::INT - 1),
+      |    m -> (doc_id * 3 + m * 29) % 41 - 20)))::BIGINT AS dc_cb,
+      |  (2 * list_sum(list_transform(generate_series(0, (1 + doc_id % 4)::INT - 1),
+      |    m -> (doc_id * 13 + m * 7) % 17 - 8)))::BIGINT AS ac_cb,
+      |  (2 * list_sum(list_transform(generate_series(0, (1 + doc_id % 4)::INT - 1),
+      |    m -> (doc_id * 17 + m * 11) % 37 - 18)))::BIGINT AS dc_cr,
+      |  (2 * list_sum(list_transform(generate_series(0, (1 + doc_id % 4)::INT - 1),
+      |    m -> (doc_id * 19 + m * 23) % 13 - 6)))::BIGINT AS ac_cr
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Fallback feature extractor for bytes in no known format: hashes
@@ -836,7 +1173,12 @@ object Multimodal {
           a.samples.length.toFloat, abs.toFloat, sum.toFloat, 0f, 0f)
       } else stubDecode(bytes)
     } catch {
-      case _: IllegalArgumentException => stubDecode(bytes)
+      // NonFatal, not IllegalArgumentException alone (r14 ADVICE): the
+      // degrade-to-stub contract must hold for ANY parser escape — a
+      // crafted segment length can surface as ArrayIndexOutOfBounds or
+      // NegativeArraySize rather than the parsers' own requires, and
+      // one corrupt lake object must never kill the Spark job.
+      case scala.util.control.NonFatal(_) => stubDecode(bytes)
     }
 
   // ----- PNG: the first COMPRESSED codec in the dispatch (r12 verdict
@@ -914,9 +1256,16 @@ object Multimodal {
     // inflate to are corrupt — without this, one flipped bit in the
     // 4-byte IHDR width allocates gigabytes before the stream-length
     // check ever runs (found by the byte-flip fuzz spec).
-    require((stride + 1).toLong * h <= idat.size.toLong * 1040 + 1024,
+    val rawLen = (stride + 1).toLong * h
+    require(rawLen <= idat.size.toLong * 1040 + 1024,
       s"png: declared ${w}x$h exceeds any possible inflation of ${idat.size} IDAT bytes")
-    val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per scanline
+    // r14 ADVICE: the IHDR bound (w*h*3 < Int.MaxValue) does not bound
+    // (stride+1)*h — a w=1, h≈7.1e8 RGB file passes both earlier checks
+    // and the Int product overflows negative, escaping as
+    // NegativeArraySizeException. Allocate only after the Long check.
+    require(rawLen <= Int.MaxValue,
+      s"png: raster ${w}x$h with filter bytes exceeds array bounds")
+    val raw = new Array[Byte](rawLen.toInt) // +1 filter byte per scanline
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -1618,6 +1967,7 @@ object Multimodal {
     "mm_decode_mulaw" -> (mmDecodeMulaw _),
     "mm_decode_mixed" -> (mmDecodeMixed _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
+    "mm_decode_jpeg_color" -> (mmDecodeJpegColor _),
     "mm_histo_neardup" -> (mmHistoNeardup _),
     "mm_meta_extract" -> (mmMetaExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1632,6 +1982,7 @@ object Multimodal {
     "mm_decode_mulaw" -> mmDecodeMulawSql,
     "mm_decode_mixed" -> mmDecodeMixedSql,
     "mm_decode_jpeg" -> mmDecodeJpegSql,
+    "mm_decode_jpeg_color" -> mmDecodeJpegColorSql,
     "mm_histo_neardup" -> mmHistoNeardupSql,
     "mm_meta_extract" -> mmMetaExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

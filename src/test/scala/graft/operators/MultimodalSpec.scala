@@ -164,6 +164,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parsePng(out.toByteArray))
   }
 
+  test("parsePng: (stride+1)*h Int overflow rejects instead of NegativeArraySizeException (r14 ADVICE)") {
+    // w=1 RGB, h=715e6: passes the IHDR bound (w*h*3 = 2.145e9 just
+    // under Int.MaxValue) and the 1040x inflation bound (2.8 MB IDAT),
+    // but (stride+1)*h = 2.86e9 overflows Int — must reject, not throw
+    // NegativeArraySizeException out of the allocation
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(payload.length).array())
+      out.write(id.getBytes("US-ASCII")); out.write(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(id.getBytes("US-ASCII")); crc.update(payload)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(715000000).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", new Array[Byte](2800000))
+    chunk("IEND", Array.emptyByteArray)
+    val ex = intercept[IllegalArgumentException](Multimodal.parsePng(out.toByteArray))
+    assert(ex.getMessage.contains("exceeds array bounds"))
+    // and the production dispatch degrades it to stub features
+    assert(Multimodal.extractFeatures(out.toByteArray).length == 8)
+  }
+
   test("parsers terminate and reject on adversarial sizes (no hang, no overflow)") {
     // WAV: declared chunk size >= 2^31 used to truncate to a negative
     // Int, pass the overrun check, and leave pos unchanged — an
