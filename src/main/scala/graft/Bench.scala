@@ -154,6 +154,38 @@ import org.apache.spark.sql.SparkSession
   *       (r12: 1.0 everywhere). run_medians + samples carry the
   *       falsifiability record.
   *
+  * Round 14 (r13 verdict items 1+3: the r13 driver window was slow
+  * enough that pass 1 alone ate 1261 of 1300 s, the 85% survival gate
+  * stripped the warmup from the last 109 lines, and the artifact
+  * shipped FIRST-EXECUTION CODEGEN SPIKES as the medians of the
+  * expensive head — 12 phantom regressions, every one killed by the
+  * judge's warm re-times; ev_cuped 12.08 vs 0.56-0.76 warm):
+  *   (a) an unwarmed first rep can no longer ship as the median of any
+  *       line whose previous committed median is ≥ 0.3 s. The survival
+  *       gate is TIERED: at 85% of budget only lines with prev < 0.3 s
+  *       drop the warmup (their absolute bias is bounded and the
+  *       ≥2-sample rule already bars them from flagging moves); lines
+  *       with prev ≥ 0.3 s, no prev entry, or machinery keep the
+  *       warmup until 92%; past 92% (true survival — the alternative
+  *       is the consumer's kill and `parsed: null`) everything runs
+  *       unwarmed but the line lands in BENCH_FULL's per-line `nowarm`
+  *       LIST and gets pass-2 fill priority, so a spike can only reach
+  *       the artifact visibly tagged, never as a silent median;
+  *   (b) funded by shedding pass-1 prev-small reps 2 → 1 past 40% of
+  *       budget (their two samples only buy move-flagging precision,
+  *       which the head lines need more than the sub-1.5 s tier);
+  *   (c) every nowarm line joins the pass-2 fill tier regardless of
+  *       magnitude: one clean no-warmup cross-pass rep (codegen is
+  *       compiled by pass 1's own execution) replaces the spike via
+  *       reported = min-of-pass-medians;
+  *   (d) BENCH_FULL.json now carries `nowarm` (lines whose reported
+  *       median is STILL an unwarmed first rep after passes 2-3) and
+  *       `cache_consumers` (Dedup.pairCacheConsumers — lines whose
+  *       numbers are warm-cache reads by design), and
+  *       tools/bench_compare.py discounts flags on nowarm lines and
+  *       labels cache-consumer moves, so cross-round compares stop
+  *       minting phantom moves from measurement state (r13 item 3).
+  *
   * Output-size contract (root cause of rounds 1-3 recording
   * `parsed: None`): the consumer keeps only a ~2000-char TAIL of stdout
   * and json-parses the result line out of it. A line carrying medians +
@@ -303,6 +335,7 @@ object Bench {
     var p1Mach = 0
     var p1Two = 0
     var p1NoWarm = 0
+    val p1NoWarmNames = scala.collection.mutable.Set.empty[String]
     val pass1: Map[String, Seq[Double]] = names.map { name =>
       // r12: pass 1 is the CALIBRATED FIRST ESTIMATE that routes lines
       // into the goal tiers; the confirmation duty lives in passes 2-3.
@@ -320,21 +353,30 @@ object Bench {
       // single-sample variant minting 29 phantom moved lines on a bad
       // window (the r10 singleton disease) — two samples is the floor
       // for any line allowed to flag a cross-round move.
-      // LAST-RESORT survival gate (r12, run 7: a 1.5x window pushed
-      // pass 1 alone to 1263 s — a 2x window would cross the
-      // consumer's kill line): past 85% of budget the remaining pass-1
-      // lines run ONE un-warmed execution. The sample is biased high
-      // by first-execution codegen (the measured r9 effect) — but it
-      // is visibly counted (p1NoWarm), excluded from move-flagging by
-      // the ≥2-sample rule, and an alive artifact with a biased tail
-      // beats a dead one (r6).
-      val noWarm = elapsedSec > 0.85 * budgetSec
-      if (noWarm) p1NoWarm += 1
+      // TIERED survival gate (r14, scaladoc (a) — was: past 85% every
+      // remaining line ran un-warmed, which shipped the r13 artifact's
+      // 109 first-execution codegen spikes as medians): at 85% only
+      // lines the previous artifact measured under 0.3 s drop the
+      // warmup (bias bounded in absolute terms; the ≥2-sample rule
+      // bars them from flagging moves); everything else — the
+      // expensive head this gate exists to protect — keeps the warmup
+      // until 92%; past 92% all lines run un-warmed (an alive artifact
+      // beats a dead one, r6) but land in the per-line nowarm LIST,
+      // get pass-2 fill priority, and ship visibly tagged.
+      val cheapPrev = prev.get(name).exists(p => p >= 0 && p < 0.3)
+      val noWarm = (elapsedSec > 0.85 * budgetSec && cheapPrev) ||
+        elapsedSec > 0.92 * budgetSec
+      if (noWarm) { p1NoWarm += 1; p1NoWarmNames += name }
       val reps =
         if (machinery(name)) { p1Mach += 1; 1 }
         else if (noWarm || elapsedSec > 0.5 * budgetSec) { p1Short += 1; 1 }
         else prev.get(name) match {
-          case Some(p) if p >= 0 && p < 1.5 => p1Two += 1; 2
+          case Some(p) if p >= 0 && p < 1.5 =>
+            // r14, scaladoc (b): shed the prev-small second rep past
+            // 40% of budget — it funds the survival-gate warmups the
+            // head lines now keep
+            if (elapsedSec > 0.4 * budgetSec) { p1Short += 1; 1 }
+            else { p1Two += 1; 2 }
           case _ => Reps
         }
       name -> measure(name, reps, warmup = !noWarm)
@@ -348,15 +390,17 @@ object Bench {
     // regardless of what pass 1 sees — either they re-land at their old
     // level (host window confirmed) or they stay high with samples to
     // attribute. Update per round from the verdict; empty when none.
-    // r13: the four biggest r12 flagged-but-unconfirmed movers, each
-    // judge-re-timed at/near its r11 level (VERDICT r12 performance
-    // section: cu_canonical_select 9.72→3.6-3.8, dd_semdedup 5.31→
-    // 2.0-2.8, dd_ngram_jaccard 6.20→2.8-4.3, ann_margin 2.96→1.1-1.3).
-    // Seeding gives them the named full-rep driver confirm the r12
-    // artifact owed; they would flag as down-moves vs the inflated
-    // committed prev anyway, but the seed makes the record explicit.
+    // r14: the five r13 expensive-head lines the judge re-timed warm,
+    // every one a first-rep codegen spike in the r13 artifact (VERDICT
+    // r13 performance section: ev_cuped 12.08→0.56-0.76, ev_cohort_ltv
+    // 7.82→0.81-1.05, dd_minhash_lsh 2.07→0.12-0.17, gr_clustering_coef
+    // 18.62→4.5-4.9, dd_lsh_multiprobe 10.24→3.2-3.9). Seeding gives
+    // each the named full-rep driver confirm; they would flag as
+    // down-moves vs the inflated committed prev anyway, but the seed
+    // makes the record explicit.
     val confirmSeeds = Set(
-      "cu_canonical_select", "dd_semdedup", "dd_ngram_jaccard", "ann_margin")
+      "ev_cuped", "ev_cohort_ltv", "dd_minhash_lsh",
+      "gr_clustering_coef", "dd_lsh_multiprobe")
     // r12: only lines with ≥2 pass-1 samples may flag a move — run 6
     // of the rework proved a 1-sample median vs a 3-sample prev mints
     // phantom moves wholesale on a bad window (29 flagged at once).
@@ -375,10 +419,13 @@ object Bench {
     // r10 verdict item 2 + r12 machinery tier: a line that pass 1 left
     // with a single sample gets a cross-pass fill sample before it
     // ships — ALWAYS for machinery (their pass-1 rep count is 1 by
-    // design), and for any other ≥1 s line pass 1 degraded.
+    // design), for any other ≥1 s line pass 1 degraded, and (r14,
+    // scaladoc (c)) for every NOWARM line regardless of magnitude: its
+    // one sample is a first-execution spike, and one clean no-warmup
+    // cross-pass rep replaces it via reported = min-of-pass-medians.
     def fillLine(n: String): Boolean =
       pass1(n).size == 1 && !movedLine(n) &&
-        (machinery(n) || medianOf(pass1(n)) >= 1.0)
+        (machinery(n) || medianOf(pass1(n)) >= 1.0 || p1NoWarmNames(n))
     // r12: the SECOND-PASS tier replaces the old open-ended
     // expensive-first re-measure — every non-machinery ≥2 s line (the
     // magnitude the adaptive pass can flag) gets a second-pass median
@@ -450,16 +497,19 @@ object Bench {
             else if (degradedMove) { p2OneRep += 1; 1 }
             else if (moved || m1 < 0) Reps // full confirm / failed retry
             else { p2OneRep += 1; 1 } // second-pass tier: 1 clean rep
-          // machinery fills, degraded moved confirms, AND second-pass
-          // samples skip the warm-up: by pass 2 every plan's codegen is
-          // compiled (the r9-measured no-warmup inflation was pass-1
-          // FIRST-execution compile cost on sub-0.3 s lines), session
-          // caches are materialized, and a ≤10% first-sample bias on a
-          // ≥2 s line sits far below the 1.25x confirm threshold —
-          // pass 3 remains the full warm-up + median-of-3 adjudicator
+          // machinery + nowarm fills, degraded moved confirms, AND
+          // second-pass samples skip the warm-up: by pass 2 every
+          // plan's codegen is compiled (the r9-measured no-warmup
+          // inflation was pass-1 FIRST-execution compile cost on
+          // sub-0.3 s lines — and a nowarm line's pass-1 rep WAS that
+          // compile), session caches are materialized, and a ≤10%
+          // first-sample bias on a ≥2 s line sits far below the 1.25x
+          // confirm threshold — pass 3 remains the full warm-up +
+          // median-of-3 adjudicator
           val secondTier = !fill && !moved && m1 >= 0
           Some(name -> measure(name, reps,
-            warmup = !((fill && machinery(name)) || degradedMove || secondTier)))
+            warmup = !((fill && (machinery(name) || p1NoWarmNames(name))) ||
+              degradedMove || secondTier)))
         }
       }.toMap
     val movedCovered = movedLines.count(pass2.contains)
@@ -542,6 +592,15 @@ object Bench {
       } ++ thirdSamples.get(n).map(_.map(fmt).mkString("[", ",", "]"))
       s"\"$n\":" + passArrays.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // r14, scaladoc (d): lines whose REPORTED median is still an
+    // unwarmed first rep after passes 2-3 (fill/adjudication never
+    // landed — only possible when the budget died first), and the
+    // pair-cache consumer set, both for bench_compare's discounting
+    val nowarmReported = names.filter(n =>
+      p1NoWarmNames(n) && !pass2.contains(n) && !thirdSamples.contains(n))
+    val nowarmJson = nowarmReported.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cacheConsumersJson = graft.operators.Dedup.pairCacheConsumers.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // filtered dev-loop runs must not clobber the committed full map —
     // it is the prev-round reference the moved-line logic reads
     val fullPath = if (filter.isDefined) "BENCH_FULL_dev.json" else "BENCH_FULL.json"
@@ -565,7 +624,7 @@ object Bench {
       s"reported=min-of-pass-medians;" +
       (if (p2Skipped == 0 && p3Skipped == 0) "goal-complete;" else "") +
       s"budget=${budgetSec.toInt}s,elapsed=${elapsedSec.toInt}s"
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"samples":$samplesJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"run_medians":$runMediansJson,"samples":$samplesJson,"nowarm":$nowarmJson,"cache_consumers":$cacheConsumersJson,"sf":"$sfDir","n_queries":${names.size},"failed":$failed,"action":"noop-write","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below is self-sufficient
     // Budgeted stdout line: aggregates + slowest-first medians until the

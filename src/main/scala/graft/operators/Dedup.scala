@@ -217,6 +217,19 @@ object Dedup {
   def materializePairCache(spark: SparkSession, sfDir: String): Long =
     minhashPairs(spark, sfDir).count()
 
+  /** Registered queries whose PLANS READ the shared pair relation
+    * ([[minhashPairs]]) instead of recomputing it — their bench numbers
+    * are warm-cache READ timings by design ([[materializePairCache]] is
+    * the pipeline's own `cache_materialize` line). Bench publishes this
+    * set as `cache_consumers` in BENCH_FULL.json so cross-round compare
+    * tooling can attribute their moves to cache/order state rather
+    * than plan changes (r13 verdict item 3: dd_minhash_lsh swung
+    * 0.07 → 2.07 s across rounds on cache residue + a missing warmup,
+    * not on any plan change). */
+  val pairCacheConsumers: Set[String] = Set(
+    "dd_minhash_lsh", "dd_minhash_lsh_wide", "dd_cluster",
+    "dd_cluster_stats", "dd_minhash_recall")
+
   /** Drop every cached pair relation (unpersist + forget). The bench
     * keeps the cache session-lived BY DESIGN (cache_materialize is its
     * own line); the scale harness needs the opposite — each timed rep

@@ -39,33 +39,46 @@ def fullmap(d):
         raise SystemExit(
             "artifact is the truncated one-line JSON (top-20 + omitted); "
             "pass the BENCH_FULL.json blob (e.g. <commit>:BENCH_FULL.json)")
-    return q, d.get("samples") or {}
+    # r14 fields (absent in pre-r14 artifacts): `nowarm` = lines whose
+    # reported median is an unwarmed first-execution rep (codegen spike
+    # by construction — discount, don't adjudicate); `cache_consumers` =
+    # lines whose numbers are warm-pair-cache reads by design (moves are
+    # cache/order state, label them).
+    return q, d.get("samples") or {}, set(d.get("nowarm") or []), \
+        set(d.get("cache_consumers") or [])
 
 
 def main():
     old_spec, new_spec = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old, s_old = fullmap(load(old_spec))
-    new, s_new = fullmap(load(new_spec))
+    old, s_old, nw_old, cc_old = fullmap(load(old_spec))
+    new, s_new, nw_new, cc_new = fullmap(load(new_spec))
+    nowarm = nw_old | nw_new
+    cache_consumers = cc_old | cc_new
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
-    reg, imp = [], []
+    reg, imp, discounted = [], [], []
     for q in common:
         if old[q] <= 0:
             continue
         r = new[q] / old[q]
         if r > thr and new[q] - old[q] > 0.3:  # ignore sub-noise absolute moves
-            reg.append((r, q))
+            # a move where either side's median is a tagged unwarmed
+            # first rep is a measurement artifact by the artifact's own
+            # account — report it, never adjudicate it as a regression
+            (discounted if q in nowarm else reg).append((r, q))
         elif r < 1 / thr and old[q] - new[q] > 0.3:
-            imp.append((r, q))
+            (discounted if q in nowarm else imp).append((r, q))
     print(f"== {len(common)} like-for-like, {len(added)} added, {len(removed)} removed "
           f"(threshold {thr}x, min 0.3s absolute) ==")
     n_unconf = 0
     for label, rows in (("REGRESSION", sorted(reg, reverse=True)),
-                        ("improvement", sorted(imp))):
+                        ("improvement", sorted(imp)),
+                        ("nowarm(discounted)", sorted(discounted, reverse=True))):
         for r, q in rows:
             so, sn = s_old.get(q), s_new.get(q)
+            tag = "cache-consumer " if q in cache_consumers else ""
             overlap = ""
             # 'samples' values are per-pass LISTS ([[p1...],[p2...]]);
             # flatten before min/max — comparing the nested lists
@@ -89,10 +102,13 @@ def main():
                 else:
                     overlap = "overlap=no(real)"
             print(f"{label} {q}: {old[q]:.2f} -> {new[q]:.2f} ({r:.2f}x) "
-                  f"old_samples={so} new_samples={sn} {overlap}")
+                  f"old_samples={so} new_samples={sn} {tag}{overlap}")
     if n_unconf:
         print(f"{n_unconf} flagged moves are 1-sample-vs-1-sample: unconfirmable, "
               f"not evidence of a real move in either direction")
+    if discounted:
+        print(f"{len(discounted)} flagged moves discounted: one side's median is a "
+              f"tagged unwarmed first rep (artifact's own nowarm list)")
     if not reg:
         print("zero regressions above threshold")
     if removed:
