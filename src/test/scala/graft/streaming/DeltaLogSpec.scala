@@ -655,4 +655,101 @@ class DeltaLogSpec extends SparkSpec {
     // the string "7" cast to the schema's LONG; JSON null -> SQL NULL
     assert(got == Map(1L -> Some(7L), 2L -> Some(7L), 3L -> None))
   }
+
+  test("reader-feature refusal matrix: unsupported protocols refuse by NAME, never read wrong (r14)") {
+    def mkTable(tag: String, protocolLine: String, addExtra: String = ""): String = {
+      val tbl = freshDir(tag)
+      val s1 = writeParquetFile(tbl, "f1.parquet", Seq((1L, "a")))
+      writeLogFile(tbl, 0L, Seq(
+        protocolLine,
+        s"""{"metaData":{"id":"aaaa-bbbb","format":{"provider":"parquet","options":{}},"schemaString":"$handSchemaString","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true$addExtra}}"""))
+      tbl
+    }
+    // deletion vectors announced as a v3 reader feature: named refusal
+    val dvTbl = mkTable("refuse-dv",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val e1 = intercept[UnsupportedOperationException](DeltaLog.read(spark, dvTbl))
+    assert(e1.getMessage.contains("deletionVectors"))
+    // v3 with NO readerFeatures list: cannot prove support, refuse
+    val bareTbl = mkTable("refuse-v3bare",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""")
+    val e2 = intercept[UnsupportedOperationException](DeltaLog.snapshot(spark, bareTbl))
+    assert(e2.getMessage.contains("no readerFeatures"))
+    // reader version beyond the spec this reader implements
+    val v4Tbl = mkTable("refuse-v4",
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}""")
+    val e3 = intercept[UnsupportedOperationException](DeltaLog.read(spark, v4Tbl))
+    assert(e3.getMessage.contains("minReaderVersion=4"))
+    // file-level defense: a LIVE add carrying a deletion vector refuses
+    // even under a lying v1 protocol (reading the file as-is would
+    // resurrect its deleted rows)
+    val lyingTbl = mkTable("refuse-dvfile",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      ""","deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":1,"sizeInBytes":38,"cardinality":1}""")
+    val e4 = intercept[UnsupportedOperationException](DeltaLog.read(spark, lyingTbl))
+    assert(e4.getMessage.contains("deletion vector"))
+    // SUPPORTED v3 features pass: columnMapping + timestampNtz
+    val okTbl = mkTable("accept-v3",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"],"writerFeatures":["columnMapping"]}}""")
+    assert(DeltaLog.snapshot(spark, okTbl)._2 == Seq("f1.parquet"))
+  }
+
+  test("column-mapped foreign table (mode id): physical-name reads, logical output; native path and partitioned refuse (r14)") {
+    import org.apache.spark.sql.types._
+    val tbl = freshDir("colmap")
+    // data file carries Delta's PHYSICAL column names (col-<uuid> style)
+    val scratch = s"$tbl/.mk"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-9f8e7d6c", "col-1a2b3c4d")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Fs.listFiles(spark, scratch, _.endsWith(".parquet")).head
+    Fs.renameOrFail(spark, part._1, s"$tbl/m1.parquet")
+    Fs.deleteRec(spark, scratch)
+    // logical schema k,v with column-mapping field metadata, exactly as
+    // a mode-id writer emits it (numeric id + physicalName per field)
+    val mappedSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 1L)
+        .putString("delta.columnMapping.physicalName", "col-9f8e7d6c").build()),
+      StructField("v", StringType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 2L)
+        .putString("delta.columnMapping.physicalName", "col-1a2b3c4d").build())))
+    val schemaStr = mappedSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeLogFile(tbl, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cccc-dddd","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"m1.parquet","partitionValues":{},"size":${part._2},"modificationTime":1,"dataChange":true}}"""))
+    // read(): logical names out, physical columns resolved underneath
+    val got = DeltaLog.read(spark, tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(DeltaLog.read(spark, tbl).schema.fieldNames.toSeq == Seq("k", "v"))
+    // the native-scan path refuses by name rather than reading nulls
+    val en = intercept[UnsupportedOperationException](DeltaLog.readNative(spark, tbl))
+    assert(en.getMessage.contains("column-mapped"))
+    // our checkpoint must PRESERVE the foreign v2 protocol (not
+    // downgrade to our v1 announcement) and keep reading mapped
+    DeltaLog.checkpoint(spark, tbl)
+    DeltaLog.cleanupLog(spark, tbl)
+    val got2 = DeltaLog.read(spark, tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == got)
+    intercept[UnsupportedOperationException](DeltaLog.readNative(spark, tbl))
+    // mapped + partitioned: named refusal (physical-keyed
+    // partitionValues are out of scope, silence is not)
+    val ptbl = freshDir("colmap-part")
+    val ps = writeParquetFile(ptbl, "p1.parquet", Seq((1L, "a")))
+    val pSchema = StructType(mappedSchema.fields :+
+      StructField("p", StringType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 3L)
+        .putString("delta.columnMapping.physicalName", "col-55667788").build()))
+    val pStr = pSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeLogFile(ptbl, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"eeee-ffff","format":{"provider":"parquet","options":{}},"schemaString":"$pStr","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}""",
+      s"""{"add":{"path":"p1.parquet","partitionValues":{"col-55667788":"x"},"size":$ps,"modificationTime":1,"dataChange":true}}"""))
+    val ep = intercept[UnsupportedOperationException](DeltaLog.read(spark, ptbl))
+    assert(ep.getMessage.contains("column-mapped AND partitioned"))
+  }
 }
