@@ -25,15 +25,30 @@ object Text {
     * The equivalent oracle-side CTE is [[shingleCteSql]].
     *
     * Repartitions on doc_id ONLY when the input has fewer splits than
-    * cores (the single-small-file fixture), where shingle construction —
-    * per-row compute-heavy — would otherwise run on one core. At 100 TB
-    * the input has thousands of splits, the condition is false, and no
-    * shuffle of text payloads happens at all. */
+    * the needed width (the small-file fixtures), where shingle
+    * construction — per-row compute-heavy — would otherwise run on too
+    * few cores. At 100 TB the input has thousands of splits, the
+    * condition is false, and no shuffle of text payloads happens at all.
+    *
+    * The width is derived from the DOCUMENT COUNT (~512 docs per task),
+    * not from `spark.sql.shuffle.partitions` (r14, SCALE.md round-14):
+    * the shingle/md5/sort map stages over this relation are CPU-dense
+    * at tiny bytes, so the byte-based shuffle sizing under-resolves
+    * them — the r13/r14 x100n A/Bs measured a per-task cost CLIFF
+    * (p50 783 ms/task at 183 partitions vs 54 ms at 276, identical
+    * data) that made dd_containment's wall non-monotonic in the global
+    * partition count. Row-derived width pins these stages into the
+    * measured-fast regime independently of the byte-derived session
+    * value; at the verification fixtures (≤5k docs) it equals the core
+    * floor, leaving those plans byte-identical. */
   def shingled(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.documents(spark, sfDir)
+    graft.operators.Corpus.prime(spark, sfDir)
+    val width = math.min(4096L, math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      (graft.operators.Corpus.documents + 511L) / 512L)).toInt
     val spread =
-      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
-        raw.repartition(col("doc_id"))
+      if (raw.inputFiles.length < width) raw.repartition(width, col("doc_id"))
       else raw
     spread
       .select(col("doc_id"),

@@ -261,9 +261,11 @@ object Dedup {
   private def minhashLshPlan(spark: SparkSession, sfDir: String,
                              bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     // persisted: consumed three times (minhash explode + both
-    // verification sides) — see the ddNgramJaccard note
+    // verification sides) — see the ddNgramJaccard note; eager count for
+    // the same cold-cache race reason (Scratch.materialize scaladoc)
     val sh = Text.shingled(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     // Explode shingles and min-aggregate the affine-derived hashes per doc: md5 is
     // a codegen'd scalar expression here, vs an interpreted higher-order
     // lambda if computed inside transform() on the array — ~50× faster
@@ -422,6 +424,10 @@ object Dedup {
     val hs = Text.shingled(spark, sfDir)
       .select(col("doc_id"), expr("array_sort(transform(sh, s -> md5(s)))").as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: AQE launches the four consumer exchanges concurrently, and
+    // racing them onto COLD cache blocks stalls task slots on block
+    // locks (see Scratch.materialize — the dd_containment x100n finding)
+    hs.count()
     // Prefix length uses integer ceil(0.8n) = (4n+4) div 5 — float 0.8·n
     // rounds UP at exact multiples of 5, which would shorten the prefix
     // and lose pairs. The prefix is the FIRST n-ceil(t·n)+1 shingles in
@@ -489,7 +495,10 @@ object Dedup {
     // are monotone in byte value), so the global prefix order — and
     // therefore the candidate set and the verified result — is
     // IDENTICAL to the string form the oracle's naive SQL checks.
-    val hs = Scratch.persist(Text.shingled(spark, sfDir)
+    // EAGER materialization (r14): hs feeds four exchange subtrees that
+    // AQE launches concurrently; racing them onto a cold cache costs a
+    // non-monotonic 13-30 s vs 4 s at x100n (see Scratch.materialize)
+    val hs = Scratch.materialize(Text.shingled(spark, sfDir)
       .select(col("doc_id"), expr("array_sort(transform(sh, s -> unhex(md5(s))))").as("hs")))
     val sized = hs.select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
     // container-side index: EVERY shingle

@@ -33,6 +33,26 @@ object Scratch {
     p
   }
 
+  /** [[persist]] + EAGER materialization (one count action) — for
+    * relations consumed by SEVERAL exchange subtrees of the same query.
+    * AQE submits independent exchange-write jobs CONCURRENTLY, so a
+    * lazily-persisted multi-consumer relation is materialized under a
+    * RACE: every consumer stage's tasks contend on the cold cache
+    * blocks' locks, parked waiters occupy task slots while cores sit
+    * idle, and wall time becomes a function of scheduling interleave —
+    * measured on dd_containment at x100n as a 13-30 s vs 4 s swing that
+    * was non-monotonic in the shuffle-partition count (SCALE.md
+    * round-14; the r13 "partition-assignment luck" watch item was THIS,
+    * not key skew — StageProf showed max/p50 ≤ 2 on every stage).
+    * Materializing the blocks in one serial stage before the consumers
+    * fan out removes the race for the price of one extra pass over the
+    * (already-persisted) relation. */
+  def materialize(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   /** Unpersist every registered frame (non-blocking; safe if the
     * session that owned a frame is already stopped). */
   def release(): Unit = {

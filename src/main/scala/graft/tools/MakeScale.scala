@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   *
   * The tiny dims (region, nation) copy unscaled, like TPC-H itself.
   *
-  * Usage: MakeScale <srcSfDir> <dstDir> [copies=10]
+  * Usage: MakeScale <srcSfDir> <dstDir> [copies=10] [dense-events]
+  *
+  * `dense-events` (r14) switches to [[buildDenseEvents]]: the
+  * ORTHOGONAL scaling axis where per-user event density grows instead
+  * of the user count.
   */
 object MakeScale {
 
@@ -36,6 +40,7 @@ object MakeScale {
     val src = args(0)
     val dst = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val dense = args.lift(3).contains("dense-events")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +54,8 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, src, dst, copies)
+    if (dense) buildDenseEvents(spark, src, dst, copies)
+    else build(spark, src, dst, copies)
     spark.stop()
   }
 
@@ -164,5 +170,36 @@ object MakeScale {
 
     for (t <- Seq("region", "nation"))
       write(read(spark, src, t).withColumn("__k", lit(0L)), dst, t, 1)
+  }
+
+  /** DENSE-EVENTS fixture (r14, verdict optional item 8): scale the
+    * events table's PER-USER density one decade instead of the user
+    * count. Copy k keeps `user_id` UNCHANGED, remaps `event_id` into a
+    * disjoint space, and shifts `ts` by k·(span + 1 h) — each user
+    * accumulates `copies`× the history (copies× the rows per
+    * partitionBy(user_id) window/sort partition, copies× the sessions,
+    * copies× the funnel/path/attribution candidates per user), while
+    * every OTHER table copies byte-identically. [[build]] deliberately
+    * preserves per-key group sizes ("more users behaving the same");
+    * this is the orthogonal axis it cannot exercise — the per-user
+    * state growth that stresses window sorts, sessionization state,
+    * and streaming per-key stores. The ts shift places each copy's
+    * epoch strictly after the last (plus an hour of silence), so
+    * session boundaries, watermark semantics, and day-level rollups
+    * inside each epoch keep the fixture's own shape. */
+  def buildDenseEvents(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val ev = graft.sources.Tables.events(spark, src)
+    val evS = stride(ev, "event_id")
+    val span = ev.agg((unix_timestamp(max(col("ts"))) -
+      unix_timestamp(min(col("ts")))).as("s")).head().getLong(0) + 3600L
+    write(withCopies(spark, ev, copies).select(
+      (col("event_id") + k * evS).as("event_id"),
+      expr(s"timestampadd(SECOND, __k * $span, ts)").as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props")),
+      dst, "events", 16)
+    val files = Map("region" -> 1, "nation" -> 1, "customer" -> 8, "supplier" -> 4,
+      "part" -> 8, "orders" -> 16, "lineitem" -> 32, "documents" -> 8, "embeddings" -> 8)
+    for ((t, n) <- files.toSeq.sortBy(_._1))
+      write(read(spark, src, t).withColumn("__k", lit(0L)), dst, t, n)
   }
 }

@@ -26,6 +26,16 @@ object ScaleRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Sort-based shuffle writer for EVERY exchange (r14, SCALE.md
+      // round-14): the default bypassMergeThreshold=200 routes <=200-
+      // partition shuffles through the per-reducer-file writer — one
+      // file create per (map task x reducer), which on this host's
+      // filesystem dominated the dd_* map stages (dd_containment x100n:
+      // 11-30 s bypass vs 2.8-4.7 s sort writer, non-monotonic in the
+      // partition count because 183 vs 276 straddled the threshold).
+      // The single-spill-file sort writer is also the only writer that
+      // exists at real cluster reducer counts.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

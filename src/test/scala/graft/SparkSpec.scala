@@ -19,6 +19,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort-fallback default in every partition at any real scale; keep
     // the map-side hash aggregate hashed.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // sort-based shuffle writer always — see the Bench builder note
+    .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
