@@ -127,6 +127,11 @@ class DeltaStreamSource(
       val n = M.readTree(line)
       if (n.has("add")) {
         val a = n.get("add")
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+          throw new UnsupportedOperationException(
+            s"version $v of $table adds a file with a deletion vector; the " +
+              "streaming tail reads commit files whole and cannot mask its " +
+              "deleted rows (even under ignoreChanges)")
         if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
           adds += a.get("path").asText() -> a
       }

@@ -917,6 +917,61 @@ object Pipeline {
        |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check
        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin
 
+  /** DELTA DML — MERGE-ON-READ DELETE via deletion vectors
+    * ([[DeltaLog.deleteWhereDv]]), the protocol's `deletionVectors`
+    * table feature end-to-end: two OVERLAPPING deletes (keys divisible
+    * by 5, then by 7) write per-file roaring bitmaps instead of
+    * rewriting parquet — the second delete must UNION positions into
+    * each touched file's existing vector, not resurrect or
+    * double-count. The descriptors then survive a parquet checkpoint +
+    * log cleanup (the read at the end reconstructs from checkpoint
+    * alone), and a zero-retention VACUUM reclaims nothing, because
+    * DV'd files stay fully live. The oracle recomputes the surviving
+    * rows, the deleted count, and the touched-file count (= residue
+    * classes containing a deleted key, since the table is laid out one
+    * file per `o_orderkey % 3` class) straight from the fixture — a
+    * mask applied to the wrong file, an off-by-one row position, a
+    * bitmap that didn't round-trip the checkpoint, or a vacuumed live
+    * file all shift a value.
+    *
+    * Scale: THE reason DVs exist — a selective DELETE on a 100 TB
+    * table writes kilobytes of bitmap per touched file (executor-side)
+    * instead of rewriting terabytes; the read-side mask is an anti-join
+    * whose build side is bitmap-cardinality-sized (broadcast for
+    * selective deletes). */
+  def pipeDeltaDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"$scratchBase/ddv_${sfName(sfDir)}"
+    wipe(spark, base)
+    val tbl = s"$base/orders"
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    (0 until 3).foreach { i =>
+      DeltaLog.append(spark, tbl, ord.filter(col("o_orderkey") % 3 === i).repartition(1))
+    }
+    val (_, t1, d1) = DeltaLog.deleteWhereDv(spark, tbl, col("o_orderkey") % 5 === 0)
+    val (_, t2, d2) = DeltaLog.deleteWhereDv(spark, tbl, col("o_orderkey") % 7 === 0)
+    DeltaLog.checkpoint(spark, tbl)
+    DeltaLog.cleanupLog(spark, tbl)
+    val nVacuumed = DeltaLog.vacuum(spark, tbl, retentionMs = 0L)
+    DeltaLog.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr(s"o_orderkey % $P")).as("key_check"),
+        sum(expr(s"cast(round(o_totalprice * 100) as bigint) % $P")).as("price_check"))
+      .withColumn("rows_deleted", lit(d1 + d2))
+      .withColumn("files_with_dv", lit((t1 ++ t2).distinct.size.toLong))
+      .withColumn("files_vacuumed", lit(nVacuumed.toLong))
+  }
+
+  private val pipeDeltaDvSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(o_orderkey % $P)::BIGINT AS key_check,
+       |  sum(round(o_totalprice * 100)::BIGINT % $P)::BIGINT AS price_check,
+       |  (SELECT count(*) FROM orders
+       |    WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)::BIGINT AS rows_deleted,
+       |  (SELECT count(DISTINCT o_orderkey % 3) FROM orders
+       |    WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)::BIGINT AS files_with_dv,
+       |  0::BIGINT AS files_vacuumed
+       |FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0""".stripMargin
+
   /** DELTA DML — MERGE ([[DeltaLog.merge]]): the table holds the even
     * orderkeys; the merge source UPDATES the multiples of 4 (price
     * doubled) and INSERTS the odd keys. Whole-row upsert by key: the
@@ -1756,6 +1811,7 @@ object Pipeline {
     "pipe_delta_cdf" -> (pipeDeltaCdf _),
     "pipe_delta_to_delta" -> (pipeDeltaToDelta _),
     "pipe_delta_delete" -> (pipeDeltaDelete _),
+    "pipe_delta_dv" -> (pipeDeltaDv _),
     "pipe_delta_merge" -> (pipeDeltaMerge _),
     "pipe_scd2_delta" -> (pipeScd2Delta _),
     "pipe_stream_quarantine" -> (pipeStreamQuarantine _),
@@ -1790,6 +1846,7 @@ object Pipeline {
     "pipe_delta_cdf" -> pipeDeltaCdfSql,
     "pipe_delta_to_delta" -> pipeDeltaToDeltaSql,
     "pipe_delta_delete" -> pipeDeltaDeleteSql,
+    "pipe_delta_dv" -> pipeDeltaDvSql,
     "pipe_delta_merge" -> pipeDeltaMergeSql,
     "pipe_scd2_delta" -> graft.operators.Journeys.oracles("op_scd2"),
     "pipe_stream_quarantine" -> pipeStreamQuarantineSql,

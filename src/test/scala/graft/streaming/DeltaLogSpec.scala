@@ -666,11 +666,21 @@ class DeltaLogSpec extends SparkSpec {
         s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true$addExtra}}"""))
       tbl
     }
-    // deletion vectors announced as a v3 reader feature: named refusal
+    // deletionVectors announced as a v3 reader feature is a SUPPORTED
+    // capability (r14: read() applies vectors, deleteWhereDv writes
+    // them, reorgPurge materializes them) — with no live vector every
+    // path reads; the guard is FILE-level, exercised below and in
+    // DeletionVectorSpec
     val dvTbl = mkTable("refuse-dv",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
-    val e1 = intercept[UnsupportedOperationException](DeltaLog.read(spark, dvTbl))
-    assert(e1.getMessage.contains("deletionVectors"))
+    assert(DeltaLog.read(spark, dvTbl).count() == 1L)
+    assert(DeltaLog.readNative(spark, dvTbl).count() == 1L)
+    assert(DeltaLog.snapshot(spark, dvTbl)._2 == Seq("f1.parquet"))
+    // an unknown v3 feature still refuses by name
+    val vtTbl = mkTable("refuse-v2ckpt",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+    val e1 = intercept[UnsupportedOperationException](DeltaLog.read(spark, vtTbl))
+    assert(e1.getMessage.contains("v2Checkpoint"))
     // v3 with NO readerFeatures list: cannot prove support, refuse
     val bareTbl = mkTable("refuse-v3bare",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""")
@@ -681,14 +691,19 @@ class DeltaLogSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}""")
     val e3 = intercept[UnsupportedOperationException](DeltaLog.read(spark, v4Tbl))
     assert(e3.getMessage.contains("minReaderVersion=4"))
-    // file-level defense: a LIVE add carrying a deletion vector refuses
-    // even under a lying v1 protocol (reading the file as-is would
-    // resurrect its deleted rows)
+    // file-level defense: a LIVE add carrying a deletion vector makes
+    // the raw-consuming paths refuse even under a lying v1 protocol
+    // (reading the file as-is would resurrect its deleted rows);
+    // read() instead tries to APPLY it and fails loudly on the missing
+    // vector file rather than returning resurrected rows
     val lyingTbl = mkTable("refuse-dvfile",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       ""","deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":1,"sizeInBytes":38,"cardinality":1}""")
-    val e4 = intercept[UnsupportedOperationException](DeltaLog.read(spark, lyingTbl))
+    val e4 = intercept[UnsupportedOperationException](DeltaLog.readNative(spark, lyingTbl))
     assert(e4.getMessage.contains("deletion vector"))
+    val e4b = intercept[UnsupportedOperationException](DeltaLog.optimize(spark, lyingTbl))
+    assert(e4b.getMessage.contains("deletion vector"))
+    intercept[Exception](DeltaLog.read(spark, lyingTbl).count())
     // SUPPORTED v3 features pass: columnMapping + timestampNtz
     val okTbl = mkTable("accept-v3",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"],"writerFeatures":["columnMapping"]}}""")
