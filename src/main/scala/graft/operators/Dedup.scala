@@ -164,6 +164,114 @@ object Dedup {
     * yields the same (9, 4) every prior round verified. */
   private def wideParams: (Int, Int) = LshParams.lshParams(Corpus.documents)
 
+  /** INCREMENTAL MinHash dedup against a PERSISTED signature index —
+    * the production shape of near-dup at 100 TB: you never re-dedup the
+    * corpus you already ingested; each arriving batch is deduped against
+    * a stored LSH index in O(batch), then its own signatures are
+    * appended so the next batch sees it as history.
+    *
+    * The fixture split is deterministic: docs with `doc_id % 5 == 0`
+    * are "the arriving batch" (~20%), the rest are "history".
+    *
+    *  1. History's (band, sig, doc_id) rows are written to a DELTA
+    *     table via [[graft.streaming.DeltaLog.append]], partitioned by
+    *     band — the index is durable, transactional storage, not an
+    *     executor cache. At 100 TB this table is the standing artifact
+    *     between ingest jobs; band-partitioning prunes each probe to
+    *     1/b of the index files before any row is read.
+    *  2. The batch computes its OWN signatures only (shingle → minhash →
+    *     band over ~20% of the corpus) and equi-joins the index read at
+    *     the PINNED commit version (snapshot isolation: a concurrent
+    *     append can never half-appear mid-join) on (band, sig) —
+    *     candidate generation cost is O(batch × bucket), never
+    *     O(corpus²), and never recomputes a historical signature.
+    *  3. Within-batch candidates come from the batch's own buckets
+    *     (the index holds only history, so these are disjoint from 2).
+    *  4. Candidates verify by EXACT Jaccard against the shingle
+    *     relation — candidates-only cost; history shingles are fetched
+    *     by the join, not recomputed corpus-wide. (At true scale the
+    *     shingle fetch for matched history docs is a point-lookup join
+    *     against the document store; the threshold keeps semantics
+    *     identical to [[ddMinhashLsh]].)
+    *  5. The batch's signatures are appended to the index in a second
+    *     Delta commit — the table now covers the full corpus and the
+    *     next batch's step 2 sees it (pinned in DedupSpec).
+    *
+    * Output: the verified pairs with AT LEAST ONE side in the batch —
+    * exactly the full pipeline's pair relation restricted to new pairs
+    * (bucket co-membership is symmetric, so index-probe ∪ within-batch
+    * candidates ≡ all-pairs candidates touching the batch; the DuckDB
+    * oracle runs the full-corpus form with that restriction and must
+    * match bit-exact). `src` labels each pair `cross` (batch × history)
+    * or `batch` (both new). */
+  def ddIncrMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{DeltaLog, Fs}
+    val table = sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe") +
+      s"/incr_lsh_${java.nio.file.Paths.get(sfDir).getFileName.toString}"
+    Fs.deleteRec(spark, table)
+    val sh = Scratch.materialize(Text.shingled(spark, sfDir))
+    // the sketch feeds THREE consumers (history write, probe side, batch
+    // append): compute it once — it is the pipeline's expensive stage
+    // (shingle explode + k affine minhashes over the corpus) — and serve
+    // the band explosions from its cache. The sketch is the COMPACT form
+    // (one row per doc, k columns), so the cache holds docs rows, not
+    // bands× exploded ones.
+    val minh = Scratch.materialize(minhashSketch(sh, Bands, RowsPerBand))
+    val sigs = bandSignatures(minh, Bands, RowsPerBand)
+    val isNew = col("doc_id") % 5 === 0
+    // 1. the standing index: history signatures, a band-partitioned Delta
+    // table. Coalesce the write to one file per band — without it every
+    // upstream task writes a sliver into each band dir (tasks×bands tiny
+    // files: measured 2-3× wall at sf0.1, and at 100 TB a small-file
+    // explosion). At real scale widen to repartition(n, band, sig-hash)
+    // for n files per band; the fixture's right size is 1.
+    val v1 = DeltaLog.append(spark, table,
+      sigs.filter(!isNew).repartition(Bands, col("band")), partitionBy = Seq("band"))
+    // 2. probe it with the batch's signatures at the pinned version
+    val batchSigs = sigs.filter(isNew)
+    val index = DeltaLog.read(spark, table, version = v1)
+    val cross = batchSigs.as("n")
+      .join(index.as("o"), col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    // 3. within-batch buckets (disjoint from the index by construction)
+    val inBatch = batchSigs.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val cand = cross.union(inBatch).distinct()
+    // 5. the index absorbs the batch — next batch's history (eager, so the
+    // lifecycle completes regardless of when the result plan executes)
+    DeltaLog.append(spark, table,
+      batchSigs.repartition(Bands, col("band")), partitionBy = Seq("band"))
+    // 4. exact-Jaccard verification, same threshold/relation as ddMinhashLsh
+    verifyCandidates(cand, sh)
+      .withColumn("src",
+        when((col("doc_a") % 5 === 0) && (col("doc_b") % 5 === 0), lit("batch"))
+          .otherwise(lit("cross")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the full-corpus LSH pipeline (identical CTEs to
+    * dd_minhash_lsh) restricted to pairs touching the batch — the
+    * incremental path must be EXACTLY the restriction of the batch
+    * pipeline (no pair lost to the index round-trip, none invented). */
+  private def incrMinhashSql: String =
+    s"""WITH ${Text.shingleCteSql},
+       |${minhashPairsCteSql(Bands, RowsPerBand)}
+       |SELECT doc_a, doc_b, na, nb, inter,
+       |  inter::DOUBLE / (na + nb - inter) AS jacc,
+       |  CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0 THEN 'batch'
+       |       ELSE 'cross' END AS src
+       |FROM v
+       |WHERE inter::DOUBLE / (na + nb - inter) >= 0.8
+       |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** PPJoin prefix under the global ASCENDING-(df, hash) order, shared
     * by [[ddNgramJaccard]] and [[ddContainment]]. Input: one row per
     * (doc_id, n = |shingle set|, g = shingle hash); output: the rows
@@ -271,23 +379,7 @@ object Dedup {
     // lambda if computed inside transform() on the array — ~50× faster
     // per row, and the explode/groupBy shape is exactly what distributes
     // on a cluster (shuffle key = doc_id, partial min map-side).
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // ONE md5 per shingle, k functions by the full-range affine family
-    // h_i = (a_i·h + b_i) mod P (see [[MinhashP]] for the exact-mod-mul
-    // construction and why a weak-range family fails): replaces the
-    // former k salted md5s per shingle — at k = bands×rows = 16 that is
-    // 16× fewer digest computations in the pipeline's most expensive
-    // stage; the per-function cost is two multiplies and shifts inside
-    // WholeStageCodegen.
-    val withH = ex
-      .select(col("doc_id"), expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
-      .select(col("doc_id"),
-        shiftright(col("h"), 31).as("hhi"),
-        col("h").bitwiseAND(lit((1L << 31) - 1)).as("hlo"))
-    val minCols: Seq[org.apache.spark.sql.Column] =
-      for { b <- 0 until bands; r <- 0 until rowsPerBand }
-        yield min(mhSparkCol(col("hhi"), col("hlo"), b * rowsPerBand + r)).as(s"m_${b}_$r")
-    val minh = withH.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val minh = minhashSketch(sh, bands, rowsPerBand)
     // One row per (band, signature) via explode — signatures are computed
     // once — then bucket-group and emit in-bucket pairs. This replaces a
     // self-join (which recomputes its whole input subtree on both sides):
@@ -295,13 +387,7 @@ object Dedup {
     // collect_list stays bounded; a pathological hot bucket would mean
     // the band/row parameters are wrong for the corpus, not that the
     // plan shape is.
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":",
-          (0 until rowsPerBand).map(r => col(s"m_${b}_$r").cast("string")): _*).as("sig"))
-    }
-    val banded = minh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandSignatures(minh, bands, rowsPerBand)
     val cand = banded.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -331,6 +417,44 @@ object Dedup {
       .filter(col("jacc") >= 0.8)
       .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
       .orderBy("doc_a", "doc_b")
+
+  /** (doc_id, sh) → one row per doc with the k = bands×rows minhash
+    * columns `m_<band>_<row>` (extracted from [[minhashLshPlan]] so the
+    * incremental-index path computes signatures for a SUBSET without
+    * rebuilding the corpus pipeline). ONE md5 per shingle, k functions
+    * by the full-range affine family h_i = (a_i·h + b_i) mod P (see
+    * [[MinhashP]] for the exact-mod-mul construction and why a
+    * weak-range family fails): replaces the former k salted md5s per
+    * shingle — at k = 16 that is 16× fewer digest computations in the
+    * pipeline's most expensive stage; the per-function cost is two
+    * multiplies and shifts inside WholeStageCodegen. The explode/groupBy
+    * shape is exactly what distributes on a cluster (shuffle key =
+    * doc_id, partial min map-side). */
+  private def minhashSketch(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val withH = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(graft.functions.Text.hash60SparkSql("s")).as("h"))
+      .select(col("doc_id"),
+        shiftright(col("h"), 31).as("hhi"),
+        col("h").bitwiseAND(lit((1L << 31) - 1)).as("hlo"))
+    val minCols: Seq[org.apache.spark.sql.Column] =
+      for { b <- 0 until bands; r <- 0 until rowsPerBand }
+        yield min(mhSparkCol(col("hhi"), col("hlo"), b * rowsPerBand + r)).as(s"m_${b}_$r")
+    withH.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** [[minhashSketch]] output → (doc_id, band, sig): the banded LSH
+    * signature relation — the thing an INDEX stores. Signatures are
+    * computed once and exploded per band (vs a self-join that would
+    * recompute the whole subtree on both sides). */
+  private def bandSignatures(minh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":",
+          (0 until rowsPerBand).map(r => col(s"m_${b}_$r").cast("string")): _*).as("sig"))
+    }
+    minh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** The (bands, rowsPerBand) the default LSH paths run at — shared
     * with the streaming near-dup twin so both sides of that oracle
@@ -933,6 +1057,7 @@ object Dedup {
     "dd_exact_norm" -> (ddExactNorm _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_lsh_wide" -> (ddMinhashLshWide _),
+    "dd_incr_minhash" -> (ddIncrMinhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> (ddContainment _),
     "dd_simhash" -> (ddSimhash _),
@@ -950,6 +1075,7 @@ object Dedup {
     "dd_exact_norm" -> ddExactNormSql,
     "dd_minhash_lsh" -> minhashLshSql(),
     "dd_minhash_lsh_wide" -> { val (b, r) = wideParams; minhashLshSql(b, r) },
+    "dd_incr_minhash" -> incrMinhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_simhash" -> ddSimhashSql,

@@ -179,4 +179,36 @@ class DedupSpec extends SparkSpec {
     val f = r.getAs[Double]("overlap_frac")
     assert(f >= 0.0 && f <= 1.0)
   }
+
+  test("incremental minhash equals the full pipeline's batch restriction; the index absorbs the batch") {
+    import graft.streaming.DeltaLog
+    val incr = Dedup.ddIncrMinhash(spark, sf).cache()
+    try {
+      // equivalence: incremental pairs ≡ full-corpus pairs touching the
+      // batch (both directions — nothing lost to the index round-trip,
+      // nothing invented by the probe join)
+      val full = Dedup.ddMinhashLsh(spark, sf)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .select("doc_a", "doc_b")
+      val got = incr.select("doc_a", "doc_b")
+      assert(got.exceptAll(full).count() == 0, "incremental emitted a pair the full pipeline lacks")
+      assert(full.exceptAll(got).count() == 0, "incremental lost a pair the full pipeline finds")
+      // src labels agree with the split definition
+      assert(incr.filter(col("src") === "batch" &&
+        (col("doc_a") % 5 =!= 0 || col("doc_b") % 5 =!= 0)).count() == 0)
+      assert(incr.filter(col("src") === "cross" &&
+        col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0).count() == 0)
+      // lifecycle: v0 = history only; latest = full corpus, bands × docs
+      // rows, so the NEXT batch's probe sees everything ingested so far
+      val table = sys.env.getOrElse("GRAFT_PIPE_DIR", "/root/repo/target/pipe") +
+        s"/incr_lsh_${java.nio.file.Paths.get(sf).getFileName.toString}"
+      val v0 = DeltaLog.read(spark, table, version = 0)
+      assert(v0.filter(col("doc_id") % 5 === 0).count() == 0, "batch doc in the history snapshot")
+      val idx = DeltaLog.read(spark, table)
+      val nDocs = graft.functions.Text.shingled(spark, sf).count()
+      val bands = Dedup.banding._1
+      assert(idx.count() == bands.toLong * nDocs, "index does not cover the full corpus")
+      assert(idx.select("doc_id").distinct().count() == nDocs)
+    } finally incr.unpersist()
+  }
 }
