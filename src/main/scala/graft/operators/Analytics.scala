@@ -1716,11 +1716,21 @@ object Analytics {
         when(col("dsrc") < col("ddst") ||
           (col("dsrc") === col("ddst") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("hi")))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
-      .join(e.as("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    // ADJACENCY-PACKED triangle enumeration (r14 optimization round,
+    // guide §2.3/§2.4; same rewrite as [[Graph.grTriangles]] — see the
+    // measurement note there): for oriented edge (x,y), every
+    // z ∈ N⁺(x) ∩ N⁺(y) closes exactly one triangle whose first edge
+    // is (x,y), so exploding the per-edge intersection enumerates the
+    // IDENTICAL (x,y,z) relation the former e1⋈e2⋈e3 wedge join
+    // produced — without materializing the 50M-row wedge exchange
+    // (output rows = Δ, the triangle count, not the wedge count).
+    val adj = Scratch.persist(
+      e.groupBy(col("lo")).agg(collect_list(col("hi")).as("nbrs")))
+    val tri = e
+      .join(adj.select(col("lo").as("u"), col("nbrs").as("n1")), col("lo") === col("u"))
+      .join(adj.select(col("lo").as("v"), col("nbrs").as("n2")), col("hi") === col("v"))
+      .select(col("lo").as("x"), col("hi").as("y"),
+        explode(array_intersect(col("n1"), col("n2"))).as("z"))
     val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
     degs.filter(col("deg") >= 2)

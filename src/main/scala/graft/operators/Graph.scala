@@ -192,11 +192,27 @@ object Graph {
         when(col("dsrc") < col("ddst") ||
           (col("dsrc") === col("ddst") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("hi")))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
-      .join(e.as("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // ADJACENCY-PACKED triangle count (r14 optimization round, guide
+    // §2.3/§2.4 "shuffle fewer bytes / remove shuffles"): the previous
+    // e1⋈e2⋈e3 form MATERIALIZED the wedge relation as shuffle rows —
+    // 50.4M rows at sf0.1, 92 of the query's 113 task-seconds in the
+    // wedge write+read stages (StageProf). Packing each vertex's
+    // out-neighbors into one array and intersecting per edge computes
+    // the identical count (for oriented edge (u,v), |N⁺(u) ∩ N⁺(v)|
+    // triangles have (u,v) as their first edge — each triangle counted
+    // exactly once) with NO wedge exchange: the adjacency relation is
+    // vertex-sized (total elements = m), broadcast at bench scale by
+    // AQE; at cluster scale the same plan degrades to two array-packed
+    // shuffles whose payload is the wedge count as packed longs inside
+    // arrays, never as per-row shuffle records.
+    val adj = Scratch.persist(
+      e.groupBy(col("lo")).agg(collect_list(col("hi")).as("nbrs")))
+    val tri = e
+      .join(adj.select(col("lo").as("u"), col("nbrs").as("n1")), col("lo") === col("u"))
+      .join(adj.select(col("lo").as("v"), col("nbrs").as("n2")), col("hi") === col("v"))
+      .agg(coalesce(
+        sum(size(array_intersect(col("n1"), col("n2"))).cast("long")), lit(0L))
+        .as("n_triangles"))
     // open wedges at the center vertex: deg·(deg−1)/2 over UNDIRECTED
     // degree (both orientations count toward the center)
     val wedges = degs
