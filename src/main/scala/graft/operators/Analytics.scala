@@ -1621,11 +1621,10 @@ object Analytics {
     // cores. Spread BEFORE the explode when the input has fewer splits
     // than cores (same device as Text.shingled); at 100 TB the input
     // has thousands of splits and no shuffle happens at all.
-    val spread =
-      if (base.inputFiles.length < spark.sparkContext.defaultParallelism)
-        base.repartition(col("o_orderkey"))
-      else base
-    val reps = spread
+    // Tables.spread (r14): the previous bare repartition(col) was
+    // AQE-coalesced back to ONE partition (StageProf: a single 1.7 s
+    // task reading all 150k shuffle rows) — the explicit count pins it.
+    val reps = Tables.spread(spark, base, col("o_orderkey"))
       .select(col("o_orderkey"), col("cents"),
         explode(expr(s"sequence(0, ${nBlocks - 1})")).as("blk"))
       .withColumn("h", expr(h)) // ONE digest per block of 4 replicates

@@ -119,7 +119,12 @@ object Curation {
     * are bounded by alphabet structure, not corpus size (the oracle is
     * the naive quadratic θ-join, which is what it replaces). */
   def opFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    // Tables.spread (r14): the single-file fixture pinned the variant
+    // explode (the query's whole map-side cost — StageProf: one 2.4 s
+    // task of a 4.1 s wall) to one core
+    val c = Tables.spread(spark,
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+      col("c_custkey"))
     val variants = c.select(col("c_custkey"), col("c_name"),
       explode(expr(
         """array_union(array(c_name),

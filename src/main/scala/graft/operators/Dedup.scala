@@ -762,44 +762,83 @@ object Dedup {
     * movement is distributed joins. Returns (doc_id, rep).
     *
     * Lineage hygiene (round-2 verdict, and worse than it estimated):
-    * each iteration's plan references the previous labels TWICE (the
-    * propagation join and inside viaNeighbors), so an uncheckpointed
-    * loop grows the logical plan EXPONENTIALLY in the iteration count —
-    * a 30-node chain OOMs the driver around iteration 25 just
-    * stringifying the plan for the execution listener (persist caches
-    * data but does not truncate the analyzed plan). Every
-    * [[CheckpointEvery]] iterations the labels are `localCheckpoint`ed
-    * (eager), truncating lineage to a LogicalRDD leaf; plan size is
-    * then bounded by 2^CheckpointEvery × base regardless of diameter —
-    * the cadence must stay small BECAUSE the growth is exponential.
+    * each propagation step's plan references the previous labels TWICE
+    * (the self-message branch and the neighbor join), so an
+    * uncheckpointed loop grows the logical plan EXPONENTIALLY in the
+    * step count — a 30-node chain OOMs the driver around iteration 25
+    * just stringifying the plan for the execution listener (persist
+    * caches data but does not truncate the analyzed plan). Every
+    * [[CheckpointEvery]] iterations the labels are `localCheckpoint`ed,
+    * truncating lineage to a LogicalRDD leaf; with two steps per
+    * iteration the growth is 4× per iteration, so plan size is bounded
+    * by 4^CheckpointEvery × base regardless of diameter — the cadence
+    * must stay small BECAUSE the growth is exponential.
     * localCheckpoint stores blocks on executors — on a cluster, losing
     * an executor forfeits the truncated lineage and fails the job
     * (acceptable for a maintenance job; reliable `checkpoint()` to a
     * checkpoint dir is the alternative when that tradeoff flips).
     *
     * Exhausting `maxIter` FAILS, not silently returns partial
-    * components — a wrong keep-list deletes the wrong documents. */
+    * components — a wrong keep-list deletes the wrong documents.
+    * (`maxIter` counts ACTIONS; each runs two propagation steps, so the
+    * effective diameter cap is 2·maxIter.) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val CheckpointEvery = 3
-    val edges = pairs
+    val CheckpointEvery = 2
+    val edgesCached = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SIZE-DERIVED loop parallelism (r14 optimization round, guide §2.2
+    // "fewer, larger partitions"): the union inherits BOTH inputs' cache
+    // partitioning (2× the pair relation's — 64 blocks at the bench),
+    // and every iteration then launches that many near-empty tasks per
+    // scan; at near-dup graph sizes the loop's wall is TASK LAUNCH
+    // latency, not data (StageProf: 64-task stages of ~30 ms tasks, 0
+    // shuffle rows). The count below materializes the cache anyway (the
+    // first iteration would), so the edge count is free; coalesce is a
+    // NARROW merge of cache blocks — no shuffle — sized ~100k edges per
+    // task, growing with the graph exactly as a cluster needs.
+    val nEdges = edgesCached.count()
+    val spark = pairs.sparkSession
+    val k = math.max(1, math.min(spark.sparkContext.defaultParallelism * 4,
+      math.ceil(nEdges / 100000.0).toInt))
+    val edges =
+      if (k < edgesCached.rdd.getNumPartitions) edgesCached.coalesce(k) else edgesCached
+    // ONE propagation step as a MESSAGE UNION (r14 optimization round):
+    // every node sends itself its own label (`self`) plus its
+    // neighbors' labels through the edge join; min per node is the new
+    // label and min-over-self is the OLD one, so the convergence flag
+    // (`rep < old`) falls out of the same aggregate — one join + one
+    // aggregate per step, vs the r1-r13 join + aggregate + second
+    // LEFT join per step. Self-messages also make the outer join
+    // unnecessary (every node always receives at least one message).
+    def step(l: DataFrame): DataFrame =
+      l.select(col("doc_id"), col("rep"), lit(true).as("self"))
+        .unionAll(edges
+          .join(l.select(col("doc_id").as("doc_b"), col("rep")), "doc_b")
+          .select(col("doc_a").as("doc_id"), col("rep"), lit(false).as("self")))
+        .groupBy("doc_id")
+        .agg(min(col("rep")).as("rep"), min(when(col("self"), col("rep"))).as("old"))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("rep", "nrep"), "doc_b")
-        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nrep")).as("nrep"))
       val prev = labels
-      val stepped = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // TWO fused steps per ACTION: at near-dup graph sizes the loop's
+      // wall is per-action job latency (AQE driver round-trips over
+      // near-empty stages — StageProf: dd_cluster was ~20 near-empty
+      // 32-64-task stages), not data, so halving the actions halves
+      // the loop; a converged second step ends the loop exactly like
+      // the old one-step form (fixed point: step∘step(x) = x ⟺
+      // step(x) = x once the second step reports no change).
+      val s2 = step(step(labels).select("doc_id", "rep"))
+        .select(col("doc_id"), col("rep"), (col("rep") < col("old")).as("changed"))
       val next =
-        if ((iter + 1) % CheckpointEvery == 0) stepped.localCheckpoint() // eager; truncates lineage
-        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(prev.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).count()
+        if ((iter + 1) % CheckpointEvery == 0) s2.localCheckpoint(false) // lazy; count() below materializes
+        else s2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE action: materializes the checkpoint/cache AND adjudicates
+      // convergence in the same job
+      val changed = next.filter(col("changed")).count()
       if (iter > 0) prev.unpersist() // superseded iteration's cache
       labels = next
       converged = changed == 0
@@ -808,8 +847,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations — component diameter exceeds the cap")
-    edges.unpersist() // iterations done; result lineage reads only `labels`
-    labels
+    edgesCached.unpersist() // iterations done; result lineage reads only `labels`
+    labels.select("doc_id", "rep")
   }
 
   /** CTE body recomputing LSH pairs → connected components (`comp`:

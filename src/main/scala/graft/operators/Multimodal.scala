@@ -1060,7 +1060,11 @@ object Multimodal {
     * tier is pinned in JpegSpec, as for grayscale. */
   def mmDecodeJpegColor(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    // Tables.spread (r14): synth+decode is the whole cost and ran on the
+    // fixture's one split (twice, counting the final sort's sampling
+    // pass — StageProf: two ~1.1 s single-task stages of a 2.5 s wall)
+    val ids = Tables.spread(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id")), col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       it.map { id =>
         val n = (1 + id % 4).toInt

@@ -251,8 +251,16 @@ object Pq {
     * vectors (equi-join on vec_id) for an exact-L2 re-rank to top-5.
     * Per probe the exact work drops from O(corpus) to O(Shortlist);
     * recall recovery is measured by ann_pq_recall. */
-  def annPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val shortlist = adcRanked(spark, sfDir, Shortlist).select("probe_id", "neighbor_id")
+  def annPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    rerankShortlist(spark, sfDir,
+      adcRanked(spark, sfDir, Shortlist).select("probe_id", "neighbor_id"))
+
+  /** The exact-L2 re-rank of a given (probe_id, neighbor_id) shortlist —
+    * extracted from [[annPqRerank]] so [[annPqRecall]] can feed it the
+    * SHARED ADC ranking instead of rebuilding the whole encode+ADC
+    * subtree a second time (r14 optimization round). */
+  private def rerankShortlist(spark: SparkSession, sfDir: String,
+                              shortlist: DataFrame): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
     val probes = e.filter(col("vec_id") < Probes)
@@ -298,19 +306,30 @@ object Pq {
     val probes = e.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       .filter(col("probe_id") < Probes)
     val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
-    val exact5 = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("d2", expr(
-        "vec_l2sq(emb, p_emb)"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopN)
-      .select("probe_id", "neighbor_id")
+    // SHARED SUBTREES (r14 optimization round): the exact top-5 feeds
+    // THREE consumers (both hit joins + the probe spine) and the ADC
+    // ranking feeds TWO (the raw-ADC hits and the re-rank shortlist —
+    // adcRanked(TopN) is by construction the rank ≤ TopN prefix of
+    // adcRanked(Shortlist), identical ordering). Materializing each once
+    // replaces three exact corpus scans + two full encode+ADC subtrees
+    // with one of each; eager per the Scratch.materialize race note.
+    val exact5 = Scratch.materialize(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", expr(
+          "vec_l2sq(emb, p_emb)"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopN)
+        .select("probe_id", "neighbor_id"))
+    val short = Scratch.materialize(
+      adcRanked(spark, sfDir, Shortlist).select("probe_id", "neighbor_id", "rank"))
     def hitsVs(approx: DataFrame, as: String): DataFrame =
       exact5.join(approx.select("probe_id", "neighbor_id"), Seq("probe_id", "neighbor_id"), "left_semi")
         .groupBy("probe_id").agg(count(lit(1)).as(as))
     exact5.select("probe_id").distinct()
-      .join(hitsVs(annPqAdc(spark, sfDir), "h_adc"), Seq("probe_id"), "left")
-      .join(hitsVs(annPqRerank(spark, sfDir), "h_rr"), Seq("probe_id"), "left")
+      .join(hitsVs(short.filter(col("rank") <= TopN), "h_adc"), Seq("probe_id"), "left")
+      .join(hitsVs(rerankShortlist(spark, sfDir,
+        short.select("probe_id", "neighbor_id")), "h_rr"), Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("h_adc"), lit(0L)).as("n_hits_adc"),
         (coalesce(col("h_adc"), lit(0L)).cast("double") / TopN.toDouble).as("recall_adc"),

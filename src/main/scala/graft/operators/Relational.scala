@@ -1556,7 +1556,9 @@ object Relational {
   }
 
   def opZorderKey(spark: SparkSession, sfDir: String): DataFrame =
-    withZval(Tables.orders(spark, sfDir))
+    // Tables.spread (r14): the per-row bit-interleave (and the range
+    // sort's sampling pass over it) ran on the fixture's one split
+    withZval(Tables.spread(spark, Tables.orders(spark, sfDir), col("o_orderkey")))
       .select("o_orderkey", "zval")
       .orderBy("zval", "o_orderkey")
 
@@ -1613,7 +1615,11 @@ object Relational {
     * swap the exact distincts for approx_count_distinct (op_approx_
     * distinct) — the plan shape is otherwise identical. */
   def opProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val ord = Tables.orders(spark, sfDir)
+    // Tables.spread (r14): the 6 exact count-distincts expand every row
+    // 7× before the partial aggregate, and the single-file fixture ran
+    // that whole stage on one core (StageProf: one 2.4 s task of a
+    // 3.6 s wall)
+    val ord = Tables.spread(spark, Tables.orders(spark, sfDir), col("o_orderkey"))
     // (column, min-rendering, max-rendering) — each rendering must be
     // reproduced verbatim by the oracle
     val spec = Seq(
@@ -1627,15 +1633,26 @@ object Relational {
         "cast(cast(min(o_orderdate) as date) as string)",
         "cast(cast(max(o_orderdate) as date) as string)"),
       ("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
-    val aggCols = spec.flatMap { case (c, mn, mx) => Seq(
+    // TWO aggregation passes, not one (r14 optimization round): combining
+    // the count-distincts with the string-returning min/max aggregates
+    // forces the grouped dedup phase into SortAggregate — `first(min(
+    // o_orderstatus))` carries an immutable string buffer, which
+    // HashAggregate cannot hold — and that phase then FULLY SORTS the 7×
+    // expand of every row (StageProf: 32 uniform ~1 s tasks, the whole
+    // query's cost). Splitting the NDVs (fixed-width count buffers) from
+    // the plain min/max/null aggregates keeps every phase HashAggregate;
+    // the second scan of 6 columns is far cheaper than sorting a 7×
+    // row expansion at any scale.
+    val plainCols = spec.flatMap { case (c, mn, mx) => Seq(
       count(when(col(c).isNull, lit(1))).as(s"nulls_$c"),
-      countDistinct(col(c)).as(s"ndv_$c"),
       expr(mn).as(s"min_$c"),
       expr(mx).as(s"max_$c"))
     }
+    val ndvCols = spec.map { case (c, _, _) => countDistinct(col(c)).as(s"ndv_$c") }
     val stackArgs = spec.map { case (c, _, _) =>
       s"'$c', nulls_$c, ndv_$c, min_$c, max_$c" }.mkString(", ")
-    ord.agg(count(lit(1)).as("n_rows"), aggCols: _*)
+    ord.agg(count(lit(1)).as("n_rows"), plainCols: _*)
+      .crossJoin(broadcast(ord.agg(ndvCols.head, ndvCols.tail: _*)))
       .selectExpr(
         s"stack(${spec.size}, $stackArgs) as (column_name, n_nulls, ndv, min_val, max_val)",
         "n_rows")

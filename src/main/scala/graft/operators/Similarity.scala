@@ -41,17 +41,14 @@ object Similarity {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
   private[operators] def embWithNorm(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.embeddings(spark, sfDir)
     // Repartition ONLY when the input has fewer splits than cores (the
     // single-file fixture): per-row dot products would otherwise run on
     // one core. At scale the input has thousands of splits and an
     // unconditional full shuffle of vector payloads would be pure waste,
     // so it is skipped (round-1 verdict flagged the always-on form).
-    val spread =
-      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
-        raw.repartition(col("vec_id"))
-      else raw
-    spread
+    // Explicit partition count via Tables.spread (r14): the bare
+    // repartition(col) form was AQE-coalesced back to one partition.
+    Tables.spread(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(s"sqrt(${dotS("emb", "emb")})"))
       .select("vec_id", "emb", "nrm")
@@ -1705,12 +1702,8 @@ object Similarity {
     * families instead of the exact scan, same downstream vote.
     * Integer vote counts until the one final rate division. */
   def mlKnnAgreement(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.embeddings(spark, sfDir)
-    val spread =
-      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
-        raw.repartition(col("vec_id"))
-      else raw
-    val e = spread
+    // Tables.spread (r14): explicit-count spread, immune to AQE coalescing
+    val e = Tables.spread(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(s"sqrt(${dotS("emb", "emb")})"))
       .select(col("vec_id"), col("label"), col("emb"), col("nrm"))
@@ -1765,12 +1758,8 @@ object Similarity {
   private val MrrLcm = 232792560L // lcm(1..20)
 
   def mlMrr(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.embeddings(spark, sfDir)
-    val spread =
-      if (raw.inputFiles.length < spark.sparkContext.defaultParallelism)
-        raw.repartition(col("vec_id"))
-      else raw
-    val e = spread
+    // Tables.spread (r14): explicit-count spread, immune to AQE coalescing
+    val e = Tables.spread(spark, Tables.embeddings(spark, sfDir), col("vec_id"))
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(s"sqrt(${dotS("emb", "emb")})"))
       .select(col("vec_id"), col("label"), col("emb"), col("nrm"))

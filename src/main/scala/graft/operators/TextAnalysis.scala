@@ -866,7 +866,10 @@ object TextAnalysis {
   def taWinnowing(spark: SparkSession, sfDir: String): DataFrame = {
     val gram = "concat_ws(' ', element_at(toks, cast(i as int)), " +
       "element_at(toks, cast(i as int) + 1), element_at(toks, cast(i as int) + 2))"
-    Tables.documents(spark, sfDir)
+    // Tables.spread (r14): the per-doc gram-hash/window-min algebra is
+    // the query's whole cost and ran on the fixture's one split (twice,
+    // counting the range sort's sampling pass)
+    Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("grams", expr(

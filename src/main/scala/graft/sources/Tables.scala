@@ -28,6 +28,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(Schemas.byName(name)).parquet(path(sfDir, name))
 
+  /** Spread a NARROW scan across the cores before per-row-expensive
+    * work (guide §2.5 input skew: a single-file fixture reads as one
+    * split, pinning every downstream map-side expression — md5 chains,
+    * explodes, decodes — to ONE core). Fires only when the input has
+    * fewer splits than cores; at 100 TB the input has thousands of
+    * splits and no shuffle happens at all.
+    *
+    * The partition count is EXPLICIT (r14 optimization round): a bare
+    * `repartition(col)` leaves numPartitions open, and AQE's partition
+    * coalescing is free to fold the tiny-BYTES exchange back to one
+    * partition — StageProf showed ml_bootstrap_ci's spread collapsing
+    * to a single 1.7 s task exactly that way (byte-based sizing
+    * under-resolves CPU-dense-at-tiny-bytes stages, the same cliff
+    * Text.shingled documents). `repartition(n, col)` pins the count,
+    * which AQE honors. */
+  def spread(spark: SparkSession, df: DataFrame,
+             keys: org.apache.spark.sql.Column*): DataFrame =
+    if (df.inputFiles.length < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
+    else df
+
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

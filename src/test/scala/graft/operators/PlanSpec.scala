@@ -199,7 +199,12 @@ class PlanSpec extends SparkSpec {
         // pipe_dbgen_fidelity: the ONE-ROW sparse-custkey invariant
         // aggregate broadcast onto the ONE-ROW skew aggregate —
         // scalar-subquery shape (r13)
-        "pipe_dbgen_fidelity")
+        "pipe_dbgen_fidelity",
+        // op_profile: the ONE-ROW NDV aggregate broadcast onto the
+        // ONE-ROW plain-stats aggregate — scalar-subquery shape (r14:
+        // the NDVs split out of the min/max aggregate so the grouped
+        // dedup phase stays HashAggregate; see the opProfile scaladoc)
+        "op_profile")
     // Pipeline entries execute side effects (staging, streams) on
     // invocation; their DataFrames are plain reads — include them too.
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
