@@ -344,8 +344,10 @@ object Analytics {
     * reduce-first aggregates (distinct neighbor count per node, then
     * node count per degree). No all-pairs anywhere. */
   def grDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // spread by the join/distinct key (r14) — see [[Graph]]'s edges note
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct()
     val deg = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -1084,12 +1086,17 @@ object Analytics {
     * aggregate: all hash-partitioned on node keys, no all-pairs work;
     * iterating to a fixpoint repeats the same bounded shape. */
   def grKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.as("a").join(li.as("b"),
+    // spread by the join/distinct key (r14) — see [[Graph]]'s edges note
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct()
+    // persisted (r14): the edge relation feeds the keep-degree
+    // aggregate AND the semi-joined recount — unpersisted, the whole
+    // self-join subtree replays per consumer
+    val edges = Scratch.persist(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct())
     val keep = edges.groupBy("u").agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= 25).select(col("u").as("node"))
     edges
@@ -1694,8 +1701,9 @@ object Analytics {
     * invariant, which is why the id-ordered oracle matches. Top 20 by
     * (coefficient, degree, id) — a totalized order. */
   def grClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct()
     val canon = Scratch.persist(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -1780,17 +1788,20 @@ object Analytics {
     * terms would be order-dependent). Edge labeling is two broadcast
     * joins against the part dimension. */
   def grModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct()
     val canon = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst")).distinct()
     val brands = broadcast(Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand")))
-    val labeled = canon
+    // persisted (r14): `labeled` feeds FOUR consumers (m, e_in, and
+    // d_tot twice) — the Spark twin of the oracle's MATERIALIZED pin
+    val labeled = Scratch.persist(canon
       .join(brands.select(col("p_partkey").as("src"), col("p_brand").as("b_src")), "src")
-      .join(brands.select(col("p_partkey").as("dst"), col("p_brand").as("b_dst")), "dst")
+      .join(brands.select(col("p_partkey").as("dst"), col("p_brand").as("b_dst")), "dst"))
     val m = labeled.agg(count(lit(1)).as("m"))
     val eIn = labeled.filter(col("b_src") === col("b_dst"))
       .groupBy(col("b_src").as("brand")).agg(count(lit(1)).as("e_in"))

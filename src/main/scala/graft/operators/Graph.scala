@@ -35,7 +35,12 @@ object Graph {
   /** Directed co-order edge list (both directions present by symmetry)
     * with source out-degrees. */
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    // Tables.spread (r14): the fixture's ~5 scan splits pinned the
+    // join's map side to 5 cores; spreading by the JOIN KEY also lets
+    // the self-join reuse the one exchange
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -107,8 +112,12 @@ object Graph {
     * map-side partial counts; the per-part counts and the scalar order
     * count broadcast into the small pair relation. */
   def grAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // spread by the join/distinct key (r14) — see [[edges]]; persisted:
+    // the distinct relation feeds the pair join (twice), the per-part
+    // counts, and the order total
+    val li = Scratch.persist(Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct())
     val pairs = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -259,7 +268,9 @@ object Graph {
     // market-basket noise cut AND the degree bound — the oracle
     // applies the identical floor, so the result stays exact for the
     // declared graph.
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     val und = Scratch.persist(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -316,7 +327,9 @@ object Graph {
     * growth — each round's result is persisted via [[Scratch]]). */
   def grShortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
     val P = 9973L
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     val e = Scratch.persist(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -384,7 +397,9 @@ object Graph {
     * min-label assignment — shared by [[grLabelProp]] (community
     * profile) and [[grConductance]] (community quality). */
   private def labelPropState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     val e = Scratch.persist(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
