@@ -265,10 +265,23 @@ object Synthesize {
         val o = dbgenOrders(spark, d)
         (Some(o), Some(dbgenLineitem(o, d)))
       } else (None, None)
-    writeStaged(stagedOrders(spark, sfDir, batchId, nBatches, srcOrd),
-      stagingDir, "orders", batchId)
-    writeStaged(stagedLineitem(spark, sfDir, batchId, nBatches, srcOrd, srcLi),
-      stagingDir, "lineitem", batchId)
+    // Size each staged batch to the ingest appetite (8 = [[Ingest]]'s
+    // default `maxFilesPerTrigger`: one generation cycle drains in one
+    // micro-batch per table) — r14 optimization round: the fixture
+    // tables read as 1-5 splits, so the whole md5/affine/JSON-encode
+    // generation ran on 1-5 cores (StageProf: a 1.9 s single task per
+    // cycle inside pipe_ingest_roundtrip). Only WIDENS narrow file
+    // scans: generated (`range`, inputFiles = 0) or already-wide
+    // inputs keep their planned layout — at 100 TB the generation
+    // parallelism comes from the source itself and this is a no-op.
+    def widen(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+      val n = df.inputFiles.length
+      if (n >= 1 && n < 8) df.repartition(8, key) else df
+    }
+    writeStaged(widen(stagedOrders(spark, sfDir, batchId, nBatches, srcOrd),
+      col("o_orderkey")), stagingDir, "orders", batchId)
+    writeStaged(widen(stagedLineitem(spark, sfDir, batchId, nBatches, srcOrd, srcLi),
+      col("l_orderkey")), stagingDir, "lineitem", batchId)
     // staged/ingested = actual FILES present: live mode pre-creates the
     // staging roots, and FileStreamSink creates the table dir at query
     // start before any commit — bare-directory existence would skip the
