@@ -897,8 +897,10 @@ object Analytics {
     * as the power iteration). Top 20 authorities with a total
     * tie-break; `orderBy.limit` fuses to TakeOrderedAndProject. */
   def grHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // spread by the groupBy/join key (r14) — see [[Graph]]'s edges note
+    val li = Tables.spread(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey")).distinct()
     val hub = li.groupBy("l_orderkey").agg(count(lit(1)).as("hub"))
     li.join(hub, "l_orderkey")
       .groupBy(col("l_partkey"))

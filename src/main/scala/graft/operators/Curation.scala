@@ -224,7 +224,9 @@ object Curation {
     val emailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
     val phonePat = "[0-9]{3}-[0-9]{4}"
     val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    Tables.documents(spark, sfDir)
+    // Tables.spread (r14): 7 regex passes per row ran on the fixture's
+    // one scan split
+    Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("enriched", concat(
         col("text"), lit(" contact u"), col("doc_id"), lit("@mail.example.com or 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -424,9 +426,13 @@ object Curation {
     * broadcast — so scoring is token explode → map-side join → one
     * doc-keyed aggregation; the corpus shuffles once on doc_id. */
   def cuDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("tok"))
-      .withColumn("bucket", expr(s"${Text.hash60SparkSql("tok")} % $DsirBuckets"))
+    // Tables.spread + persist (r14): the tokenize/explode/md5 relation
+    // ran on the fixture's one scan split AND is consumed twice (bucket
+    // ratios + the per-doc join)
+    val toks = Scratch.persist(
+      Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("bucket", expr(s"${Text.hash60SparkSql("tok")} % $DsirBuckets")))
     val ratios = toks.groupBy("bucket").agg(
         count(lit(1)).as("n_raw"),
         count(when(col("lang") === "en", lit(1))).as("n_target"))
@@ -766,14 +772,17 @@ object Curation {
     * ONE double division. */
   def cuBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val Bk = 3
-    val blocks = Tables.documents(spark, sfDir)
+    // Tables.spread + persist (r14): the tokenize/block/md5 relation ran
+    // on the fixture's one scan split AND is consumed twice (df + join)
+    val blocks = Scratch.persist(
+      Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"transform(sequence(0, (size(toks) + $Bk - 1) div $Bk - 1), i -> slice(toks, i * $Bk + 1, $Bk))"))
         .as(Seq("blk_no", "blk")))
       .withColumn("blk_len", size(col("blk")).cast("long"))
       .withColumn("h", expr(
-        graft.functions.Text.hash60SparkSql("concat('bp:', concat_ws(' ', blk))")))
+        graft.functions.Text.hash60SparkSql("concat('bp:', concat_ws(' ', blk))"))))
     val dfreq = blocks.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
     blocks.join(dfreq, "h")
       .withColumn("is_boiler", (col("df") >= 5).cast("long"))

@@ -926,11 +926,16 @@ object Dedup {
     val W = 8
     val normKey =
       trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    val keyed = Tables.documents(spark, sfDir)
+    // Tables.spread (r14): the normalization regexes run at the scan,
+    // and the single-split fixture pinned them to one core — twice,
+    // since both candidate sides derive from `pos` (StageProf: two
+    // ~640 ms single-task stages). The persist computes the regex +
+    // window ONCE for both sides.
+    val keyed = Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), substring(normKey, 1, 24).as("sk"))
       .withColumn("blk", substring(col("sk"), 1, 4))
-    val pos = keyed.withColumn("rn",
-      row_number().over(Window.partitionBy("blk").orderBy("sk", "doc_id")))
+    val pos = Scratch.persist(keyed.withColumn("rn",
+      row_number().over(Window.partitionBy("blk").orderBy("sk", "doc_id"))))
     val candA = pos.select(col("blk"), col("rn"), col("doc_id").as("id_a"))
       .withColumn("off", explode(expr(s"sequence(1, ${W - 1})")))
       .withColumn("rn_b", col("rn") + col("off"))
@@ -1000,14 +1005,18 @@ object Dedup {
     * same cost class as a word-count. */
   def ddSubstringRepeat(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 5
-    val grams = Tables.documents(spark, sfDir)
+    // Tables.spread + persist (r14): the per-window md5 explode ran on
+    // the fixture's one scan split AND the aggregated gram relation is
+    // consumed twice (hot-gram derivation + the join)
+    val grams = Scratch.persist(
+      Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", Text.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(toks) - ${k - 1}),
            |  i -> ${Text.hash60SparkSql(s"concat_ws(' ', slice(toks, i, $k))")})""".stripMargin))
         .as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c")))
     val hot = grams.groupBy("g")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

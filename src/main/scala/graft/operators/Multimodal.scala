@@ -1012,7 +1012,9 @@ object Multimodal {
     * otherwise would just pin libm versions. */
   def mmDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    // Tables.spread (r14) — same single-split pin as mmDecodeJpegColor
+    val ids = Tables.spread(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id")), col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       it.map { id =>
         val n = (2 + id % 5).toInt
@@ -1920,7 +1922,10 @@ object Multimodal {
     * the same bucketed equi-join scale shape as every dd_* entry,
     * never all-pairs. */
   def mmHistoNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // Tables.spread (r14): the per-char histogram aggregate ran on the
+    // fixture's one scan split (twice, via the union)
+    val docs = Tables.spread(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), col("doc_id"))
     val corpus = docs.unionByName(docs.select(
       (col("doc_id") + 100000L).as("doc_id"),
       expr("concat(substring(text, 1, 9), 'z', substring(text, 11))").as("text")))

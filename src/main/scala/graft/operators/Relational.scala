@@ -1188,7 +1188,10 @@ object Relational {
   def opQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     def q(p: Double, name: String) =
       (round(expr(s"percentile(o_totalprice, $p)") * 100).cast("long") / 100.0).as(name)
-    Tables.orders(spark, sfDir)
+    // Tables.spread (r14): the exact-percentile partial buffers collect
+    // every row's value, and the single-split fixture built them all in
+    // one task
+    Tables.spread(spark, Tables.orders(spark, sfDir), col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(q(0.5, "p50"), q(0.95, "p95"), q(0.99, "p99"))
       .orderBy("o_orderpriority")

@@ -572,7 +572,9 @@ object TextAnalysis {
     * one doc-keyed aggregation. Three shuffles total, all on keys the
     * aggregation needs anyway. */
   def taLmFluency(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // Tables.spread (r14): the tokenize/zip_with subtree ran on the
+    // fixture's one scan split
+    val docs = Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", Text.tokens(col("text")))
       .filter(size(col("toks")) >= 2)
     // Scratch-persisted: consumed three times (bigram counts, context
@@ -725,8 +727,10 @@ object TextAnalysis {
     * top-25 is TakeOrderedAndProject. */
   def taKeyphrase(spark: SparkSession, sfDir: String): DataFrame = {
     val inStops = stopwords.map(s => s"'$s'").mkString(", ")
-    // one row per PHRASE OCCURRENCE
-    val ph = Scratch.persist(Tables.documents(spark, sfDir)
+    // one row per PHRASE OCCURRENCE (spread r14: the tokenize/split ran
+    // on the fixture's one scan split)
+    val ph = Scratch.persist(
+      Tables.spread(spark, Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("marked", expr(
         s"array_join(transform(toks, t -> case when t in ($inStops) then '|' else t end), ' ')"))
